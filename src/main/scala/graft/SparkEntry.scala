@@ -1,13 +1,132 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search.TopK
+import graft.index.Embedder
+import graft.Tables.t
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 gets one entry in [[queries]] and a
+  * DuckDB-equivalent SQL in [[oracleSql]] (same column names, total
+  * ORDER BY, scores ROUND(...,6) in double math — SURVEY.md §7.6
+  * determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core question: top-5 most similar vectors to a
+    * query vector (D1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("d1_topk_dense")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // Shared builders
+  // ---------------------------------------------------------------
+
+  /** One-row broadcast frame holding the query vector (the reference
+    * embeds the query once on the driver — B5). */
+  private def queryVec(e: DataFrame, id: Long): DataFrame =
+    e.filter(col("vec_id") === id).select(col("embedding").as("q"))
+
+  /** DuckDB portable cosine over DOUBLE[] expressions. */
+  private def duckCos(a: String, b: String): String =
+    s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
+
+  // ---------------------------------------------------------------
+  // Queries (SURVEY.md §2 inventory keys in the name prefix)
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1: dense top-k cosine search (query = vector of point 0).
+    "d1_topk_dense" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5)
+    }),
+
+    // E4: payload-filtered search — metadata predicate below scoring,
+    // pushed down to the parquet scan.
+    "e4_topk_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5,
+        payloadFilter = col("label") === 3)
+    }),
+
+    // F1: cosine kernel over the full table (not just top-k path).
+    "f1_cosine_scores" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.crossJoin(broadcast(queryVec(e, 0)))
+        .select(col("vec_id"),
+          round(graft.vector.Kernels.cosine(col("embedding"), col("q")), 6).as("score"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // F3: l2norm kernel (fixture vectors are unit-norm; verifies both
+    // the kernel and the fixture property).
+    "f3_l2norm" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          round(graft.vector.Kernels.l2norm(col("embedding")), 6).as("nrm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // D2/F2: MaxSim late-interaction top-k over the multi-vector fixture.
+    "d2_topk_maxsim" -> ((s, dir) => {
+      val docs = Tables.multiVectorDocs(t(s, dir, "embeddings"))
+      val q = docs.filter(col("doc_id") === 0).select(col("vecs").as("q"))
+      TopK.maxSim(docs, q, "doc_id", "vecs", 5)
+    }),
+
+    // D3: result projection with 'Unknown' defaults for absent payload
+    // (reference format_results: payload.get(k,'Unknown')).
+    "d3_result_format" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents")
+      val hits = TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5)
+      // payload join: doc_id == vec_id (both deterministic fixture ids);
+      // left join so hits without payload exercise the Unknown path.
+      val payload = d.select(col("doc_id"),
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".png")).as("full_path"),
+        when(col("source") =!= "src0", col("source")).as("folder"))
+      val joined = hits.join(broadcast(payload), hits("vec_id") === payload("doc_id"), "left")
+      TopK.formatResults(joined, Seq("vec_id", "score"), Seq("full_path", "folder"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_topk_dense" ->
+      s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "e4_topk_filtered" ->
+      s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |FROM embeddings WHERE label = 3 ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "f1_cosine_scores" ->
+      s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "f3_l2norm" ->
+      """SELECT vec_id, ROUND(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b)), 6) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "d2_topk_maxsim" ->
+      s"""WITH docs AS (${Tables.duckMultiVectorDocs}),
+         |q AS (SELECT vecs AS qvecs FROM docs WHERE doc_id = 0)
+         |SELECT doc_id, ROUND(list_reduce(list_transform(qvecs, qv ->
+         |  list_aggregate(list_transform(vecs, dv -> ${duckCos("qv", "dv")}), 'max')), (a,b) -> a+b), 6) AS score
+         |FROM docs, q ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+
+    "d3_result_format" ->
+      s"""WITH hits AS (
+         |  SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5)
+         |SELECT h.vec_id, h.score,
+         |  COALESCE(d.source || '/doc_' || d.doc_id || '.png', 'Unknown') AS full_path,
+         |  COALESCE(CASE WHEN d.source <> 'src0' THEN d.source END, 'Unknown') AS folder
+         |FROM hits h LEFT JOIN documents d ON h.vec_id = d.doc_id
+         |ORDER BY h.score DESC, h.vec_id ASC""".stripMargin
+  )
 }

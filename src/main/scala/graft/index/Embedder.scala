@@ -1,0 +1,83 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.vector.Kernels
+
+/** Deterministic feature-hashing text embedder (SURVEY.md §7.3).
+  *
+  * Stands in for the reference's GPU embedding models (B1–B5:
+  * `with_jina_text_v4/jina_v4_text_indexer.py:104-114`,
+  * `with_vdr-2b-multi-v1/...py:194-198`) with the same operator
+  * signature — text → fixed-dim float vector — but a reproducible,
+  * engine-portable definition so the DuckDB oracle can verify the whole
+  * ingest→search pipeline end to end:
+  *
+  *   1. tokenize on single spaces, drop empties;
+  *   2. per token, polynomial rolling hash over unicode code points:
+  *      h = fold(h*31 + codepoint) mod 1000003 (left fold, init 0 —
+  *      identical to DuckDB's `list_reduce`, whose implicit first-element
+  *      init equals our first fold step since 0*31 + c = c);
+  *   3. feature-hash into `dim` buckets with a ±1 sign bit taken from
+  *      the hash bits above the bucket: bucket = h mod dim,
+  *      sign = 1 - 2*((h div dim) mod 2);
+  *   4. embedding[i] = Σ signs of tokens landing in bucket i, then
+  *      L2-normalize (Qdrant normalizes cosine collections — E1).
+  *
+  * Everything is Catalyst HOFs over an intermediate token-hash array
+  * column, so embedding stays inside whole-stage codegen with zero
+  * shuffles — at 100 TB this is a pure map stage that scales linearly
+  * with input splits. All arithmetic stays < 2^53 so double math is
+  * exact and matches any engine's integer semantics.
+  */
+object Embedder {
+  val Prime = 1000003L
+  val DefaultDim = 64
+
+  /** Polynomial hash of one token (portable: exact integer arithmetic,
+    * no engine-specific hash function). */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      split(tok, ""),
+      lit(0L),
+      (a, c) => (a * lit(31L) + ascii(c)) % lit(Prime))
+
+  /** array<long> of token hashes for a text column. */
+  def tokenHashes(text: Column): Column =
+    transform(
+      filter(split(text, " "), t => length(t) > 0),
+      t => tokenHash(t))
+
+  /** Signed-count feature-hash embedding from a precomputed token-hash
+    * array (`tokenHashes`). Returns array<double> of length `dim`,
+    * NOT normalized. */
+  def embedRaw(hashes: Column, dim: Int = DefaultDim): Column =
+    transform(
+      sequence(lit(0L), lit(dim.toLong - 1)),
+      i =>
+        aggregate(
+          filter(hashes, h => h % lit(dim.toLong) === i),
+          lit(0.0),
+          (s, h) =>
+            s + (lit(1.0) - lit(2.0) *
+              (floor(h.cast("double") / lit(dim.toDouble)).cast("long") % lit(2L))
+                .cast("double"))))
+
+  /** L2-normalized embedding. Zero vectors (no tokens / perfect sign
+    * cancellation) normalize to null elements, matching SQL division. */
+  def embed(hashes: Column, dim: Int = DefaultDim): Column =
+    Kernels.normalize(embedRaw(hashes, dim))
+
+  /** DuckDB expression equivalent to `tokenHashes(text)` — kept next to
+    * the Scala so the two definitions evolve together. */
+  def duckTokenHashes(textExpr: String): String =
+    s"list_transform(list_filter(string_split($textExpr, ' '), tok -> len(tok) > 0), " +
+      "tok -> list_reduce(list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT), " +
+      "(a, c) -> (a * 31 + c) % 1000003))"
+
+  /** DuckDB expression equivalent to `embedRaw(hashes, dim)`. */
+  def duckEmbedRaw(hashesExpr: String, dim: Int = DefaultDim): String =
+    s"list_transform(range(0, $dim), i -> coalesce(list_sum(" +
+      s"list_transform(list_filter($hashesExpr, h -> h % $dim = i), " +
+      s"h -> 1.0 - 2.0 * (floor(h / $dim.0)::BIGINT % 2))), 0.0))"
+}

@@ -1,0 +1,72 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity kernels as Catalyst higher-order-function column
+  * builders (SURVEY.md §2 F1–F3). These reproduce the scoring semantics
+  * the reference delegates to Qdrant: COSINE distance on dense
+  * collections (reference `with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:127`,
+  * `with_vdr-2b-multi-v1/incremental_indexing_vdr_2b_multi_v1.py:82`) and
+  * the MAX_SIM late-interaction comparator on multi-vector collections
+  * (`with_colpali_v1.3/...py:128-130`, rationale comment
+  * `with_jina_embeddings_v4/jina_v4_image_indexer.py:83-88`).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` HOFs
+  * (`zip_with`/`aggregate`/`transform`) so the whole scoring pipeline
+  * stays inside whole-stage codegen — no UDF serialization, no row
+  * boundary crossings. Math is done in DoubleType (cast up from the
+  * stored float32 vectors) with a sequential left-fold accumulation so
+  * scores are reproducible across engines (SURVEY.md §7.6).
+  */
+object Kernels {
+
+  /** Cast a float vector column up to array<double> for stable math. */
+  def toDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential-fold dot product: Σ a_i * b_i. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (s, x) => s + x)
+
+  /** Squared L2 norm: Σ a_i². */
+  def l2normSq(a: Column): Column =
+    aggregate(transform(toDouble(a), x => x * x), lit(0.0), (s, x) => s + x)
+
+  /** L2 norm ‖a‖. */
+  def l2norm(a: Column): Column = sqrt(l2normSq(a))
+
+  /** Cosine similarity dot(a,b)/(‖a‖‖b‖); null-safe only in that a zero
+    * vector yields null (division by zero → null in non-ANSI mode),
+    * matching SQL division semantics in the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** L2-normalize: a / ‖a‖ (Qdrant normalizes cosine collections at
+    * upload — SURVEY.md §2 E1). Zero vectors map to null elements. */
+  def normalize(a: Column): Column = {
+    val n = l2norm(a)
+    transform(toDouble(a), x => x / n)
+  }
+
+  /** ColBERT-style late interaction (SURVEY.md §2 F2): for multi-vector
+    * query Q and document D (both array<array<float>>),
+    * maxsim(Q, D) = Σ_{q∈Q} max_{d∈D} cosine(q, d).
+    * Declared as the collection comparator at reference
+    * `with_colpali_v1.3/...py:128-130`. Nested HOFs keep it codegen'd.
+    */
+  def maxsim(q: Column, d: Column): Column =
+    aggregate(
+      q,
+      lit(0.0),
+      (s, qv) => s + array_max(transform(d, dv => cosine(qv, dv))))
+
+  /** MaxSim over pre-normalized token vectors (cosine == dot): cheaper
+    * inner loop for the hot path when ingest normalized (E1). */
+  def maxsimDot(q: Column, d: Column): Column =
+    aggregate(
+      q,
+      lit(0.0),
+      (s, qv) => s + array_max(transform(d, dv => dot(qv, dv))))
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: tools/check.py [sfdir] [outdir]
+Reads each <outdir>/<name> parquet written by graft.Verify, runs the
+matching oracle_sql.json entry in DuckDB with fixture tables registered
+as views, and diffs (columns sorted by name, rows in emitted order,
+floats rounded to 6dp).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(norm_cell(r[i]) for i in order) for r in rows]
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            gcols, grows = [d[0] for d in got.description], got.fetchall()
+            exp = con.execute(sql)
+            ecols, erows = [d[0] for d in exp.description], exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+            n_fail += 1
+            continue
+        g, e = norm_rows(gcols, grows), norm_rows(ecols, erows)
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b:
+                    print(f"  first diff row {i}: spark={a} oracle={b}")
+                    break
+            if len(g) != len(e) and min(len(g), len(e)) > 0:
+                print(f"  spark[0]={g[0]} oracle[0]={e[0]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
