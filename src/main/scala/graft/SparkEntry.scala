@@ -38,7 +38,13 @@ object SparkEntry {
   // Queries (SURVEY.md §2 inventory keys in the name prefix)
   // ---------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    searchQueries ++ ingestQueries
+
+  def oracleSql: Map[String, String] =
+    searchOracles ++ ingestOracles
+
+  private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: dense top-k cosine search (query = vector of point 0).
     "d1_topk_dense" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -95,7 +101,133 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // ---------------------------------------------------------------
+  // Ingest pipeline (SURVEY.md §2 A3–A6, B4/B6, C2–C3)
+  // ---------------------------------------------------------------
+
+  import graft.index.{Ingest, Sink}
+
+  /** documents with synthesized corpus paths (shared CTE, DuckDB side). */
+  private val duckPathed: String =
+    "SELECT *, source || '/doc_' || doc_id || '.' || " +
+      "(['png','JPG','jpeg','txt','PNG','jpg','JPEG','gif'])[(doc_id % 8 + 1)::INT] AS relative_path, " +
+      "'/data/corpus/' || source || '/doc_' || doc_id || '.' || " +
+      "(['png','JPG','jpeg','txt','PNG','jpg','JPEG','gif'])[(doc_id % 8 + 1)::INT] AS full_path " +
+      "FROM documents"
+
+  private val duckScanned: String =
+    s"SELECT * FROM pathed WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')"
+
+  private def ingestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3: case-insensitive suffix scan filter over synthesized paths.
+    "a3_scan_filter" -> ((s, dir) => {
+      Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))
+        .select(col("doc_id"), col("relative_path"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A4+C3: tolerant decode with processed/failed counters.
+    "a4_decode_stats" -> ((s, dir) => {
+      Ingest.decodeStats(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))))
+        .orderBy(col("status"))
+    }),
+
+    // A6: model-batch assignment (contiguous id-ordered groups of 16).
+    "a6_batching" -> ((s, dir) => {
+      val scanned = Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))
+      Ingest.withBatchId(scanned, "doc_id", 16)
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("batch_id"))
+    }),
+
+    // B6: point construction — deterministic id, payload fields, and
+    // exact embedding scalars (raw signed-count components are exact
+    // integers in double, so directly comparable).
+    "b6_point_build" -> ((s, dir) => {
+      val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))))
+      pts.select(col("doc_id"), col("point_id"), col("filename"), col("folder"),
+          element_at(col("embedding"), 1).as("e0"),
+          round(graft.vector.Kernels.l2norm(col("embedding")), 6).as("nrm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // B4+D1: the full ingest→search pipeline — embed every document
+    // text with the deterministic embedder, embed the query (doc 0's
+    // text), dense cosine top-5. The flagship end-to-end proof.
+    "b4_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "documents")
+        .withColumn("_th", Embedder.tokenHashes(col("text")))
+        .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
+      val q = emb.filter(col("doc_id") === 0).select(col("v").as("q"))
+      emb.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(graft.vector.Kernels.cosine(col("v"), col("q")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+    }),
+
+    // C2/§7.4.7: incremental re-ingest — anti-join on deterministic
+    // point ids so re-indexing is idempotent (fixes the reference's
+    // uuid4 duplicate-on-reindex).
+    "c2_incremental" -> ((s, dir) => {
+      val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))))
+      val existing = pts.filter(col("doc_id") < 100)
+      Sink.incremental(pts, existing, "point_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    })
+  )
+
+  private def ingestOracles: Map[String, String] = Map(
+    "a3_scan_filter" ->
+      s"""WITH pathed AS ($duckPathed)
+         |SELECT doc_id, relative_path FROM pathed
+         |WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')
+         |ORDER BY doc_id""".stripMargin,
+
+    "a4_decode_stats" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned)
+         |SELECT CASE WHEN doc_id % 97 <> 0 THEN 'processed' ELSE 'failed' END AS status,
+         |  count(*) AS n
+         |FROM scanned GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "a6_batching" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
+         |b AS (SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS batch_id FROM scanned)
+         |SELECT batch_id, count(*) AS n, min(doc_id) AS first_doc
+         |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    "b6_point_build" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
+         |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
+         |pts AS (SELECT doc_id,
+         |  ${Embedder.duckTokenHashes("full_path")}[1] AS point_id,
+         |  string_split(relative_path, '/')[-1] AS filename,
+         |  source AS folder,
+         |  ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS embedding
+         |  FROM decoded)
+         |SELECT doc_id, point_id, filename, folder, embedding[1] AS e0,
+         |  ROUND(sqrt(list_reduce(list_transform(embedding, x -> x*x), (a,b) -> a+b)), 6) AS nrm
+         |FROM pts ORDER BY doc_id""".stripMargin,
+
+    "b4_embed_topk" ->
+      s"""WITH emb AS (SELECT doc_id, ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),
+         |q AS (SELECT v AS qv FROM emb WHERE doc_id = 0)
+         |SELECT doc_id, ROUND(${duckCos("v", "qv")}, 6) AS score
+         |FROM emb, q ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+
+    "c2_incremental" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
+         |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
+         |pts AS (SELECT doc_id, ${Embedder.duckTokenHashes("full_path")}[1] AS point_id FROM decoded)
+         |SELECT doc_id FROM pts i
+         |WHERE NOT EXISTS (SELECT 1 FROM pts e WHERE e.doc_id < 100 AND e.point_id = i.point_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+
+  private def searchOracles: Map[String, String] = Map(
     "d1_topk_dense" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,

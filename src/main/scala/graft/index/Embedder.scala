@@ -79,5 +79,5 @@ object Embedder {
   def duckEmbedRaw(hashesExpr: String, dim: Int = DefaultDim): String =
     s"list_transform(range(0, $dim), i -> coalesce(list_sum(" +
       s"list_transform(list_filter($hashesExpr, h -> h % $dim = i), " +
-      s"h -> 1.0 - 2.0 * (floor(h / $dim.0)::BIGINT % 2))), 0.0))"
+      s"h -> (1.0 - 2.0 * (floor(h / $dim.0)::BIGINT % 2))::DOUBLE)), 0.0)::DOUBLE)"
 }

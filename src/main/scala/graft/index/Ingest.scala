@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest-side operators (SURVEY.md §2 A2–A6, B6, C3): the reference's
+  * scan → tolerant-decode → batch → embed → point-build pipeline,
+  * re-expressed as declarative DataFrame transforms.
+  *
+  * The fixture tables are tabular stand-ins for the reference's
+  * filesystem corpus, so the path/scan operators run over synthesized
+  * path strings with the same semantics as the reference's
+  * `rglob` + suffix filter
+  * (`with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:143-163`,
+  * `shared/get_all_folder_details.py:57-78`).
+  *
+  * Scale: every operator here is a pure narrow map/filter — no shuffle,
+  * no driver loop — so the pipeline parallelizes per input split.
+  * Failure handling is PERMISSIVE-style: corrupt rows are flagged, not
+  * thrown, and counted by an aggregation (reference drops + counts:
+  * A4/C3, `with_colpali_v1.3/...py:165-173,212`).
+  */
+object Ingest {
+
+  /** Synthesize the image-corpus view of `documents`: one file path per
+    * doc, extension cycling through png/jpg/jpeg/txt with mixed case —
+    * exercises the reference's case-insensitive suffix filter. */
+  def withPaths(docs: DataFrame): DataFrame = {
+    val ext = element_at(
+      array(lit("png"), lit("JPG"), lit("jpeg"), lit("txt"),
+        lit("PNG"), lit("jpg"), lit("JPEG"), lit("gif")),
+      (col("doc_id") % 8 + 1).cast("int"))
+    docs.withColumn("relative_path",
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit("."), ext))
+      .withColumn("full_path", concat(lit("/data/corpus/"), col("relative_path")))
+  }
+
+  /** A3: recursive image scan semantics — keep only supported image
+    * extensions, case-insensitive (reference:
+    * `image_extensions = {'.jpg','.jpeg','.png'}`,
+    * `with_colpali_v1.3/...py:146,153-156`). */
+  def imageScanFilter(pathed: DataFrame, pathCol: String = "relative_path"): DataFrame =
+    pathed.filter(
+      lower(substring_index(col(pathCol), ".", -1)).isin("jpg", "jpeg", "png"))
+
+  /** A4: fault-tolerant decode. Real image decoding is stubbed (no
+    * image libs in this environment — SURVEY.md §7.3): a deterministic
+    * subset plays the corrupt files (reference drops them and counts:
+    * `load_image` → None, `with_colpali_v1.3/...py:165-173`). */
+  def tolerantDecode(scanned: DataFrame): DataFrame =
+    scanned.withColumn("decode_ok", col("doc_id") % 97 =!= 0)
+
+  /** C3: run counters — processed/failed, exactly the reference's
+    * `stats` dict (`with_colpali_v1.3/...py:113,212,272-286`). */
+  def decodeStats(decoded: DataFrame): DataFrame =
+    decoded
+      .groupBy(when(col("decode_ok"), lit("processed")).otherwise(lit("failed")).as("status"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A6: model-batch assignment — contiguous groups of `batchSize` in
+    * id order, the DataLoader/slicing semantics
+    * (`with_colpali_v1.3/...py:220-238`, `with_vdr-2b-multi-v1/...py:185-186`).
+    * Note: a global row_number is a single-partition window — fine for
+    * bounded metadata, but at 100 TB batching is done per-partition
+    * inside mapPartitions (iterator.grouped), which needs no global
+    * order. This operator exists to pin the *semantics* for the oracle.
+    */
+  def withBatchId(df: DataFrame, orderCol: String, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.orderBy(col(orderCol)))
+    df.withColumn("batch_id", ((rn - 1) / batchSize).cast("long"))
+  }
+
+  /** B6: point construction — {id, vector, payload}, the PointStruct
+    * assembly at `with_colpali_v1.3/...py:256-269`. Deterministic id =
+    * portable polynomial hash of full_path (F5; the reference's uuid4
+    * is nondeterministic and makes re-indexing duplicate — SURVEY.md
+    * §7.6). `indexed_at` is real wall-clock (F6), excluded from
+    * oracle-compared output. */
+  def buildPoints(decoded: DataFrame, dim: Int = Embedder.DefaultDim): DataFrame =
+    decoded
+      .filter(col("decode_ok"))
+      .withColumn("point_id", Embedder.tokenHash(col("full_path")))
+      .withColumn("_th", Embedder.tokenHashes(col("text")))
+      .withColumn("embedding", Embedder.embedRaw(col("_th"), dim))
+      .withColumn("filename", element_at(split(col("relative_path"), "/"), -1))
+      .withColumn("folder", col("source"))
+      .withColumn("indexed_at", current_timestamp())
+      .drop("_th")
+}
