@@ -39,10 +39,10 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    searchQueries ++ ingestQueries
+    searchQueries ++ ingestQueries ++ graft.ops.Dedup.queries
 
   def oracleSql: Map[String, String] =
-    searchOracles ++ ingestOracles
+    searchOracles ++ ingestOracles ++ graft.ops.Dedup.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: dense top-k cosine search (query = vector of point 0).

@@ -68,6 +68,12 @@ object Embedder {
   def embed(hashes: Column, dim: Int = DefaultDim): Column =
     Kernels.normalize(embedRaw(hashes, dim))
 
+  /** DuckDB expression equivalent to `tokenHash(expr)` for an arbitrary
+    * string (spaces included). */
+  def duckStringHash(expr: String): String =
+    s"list_reduce(list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT), " +
+      "(a, c) -> (a * 31 + c) % 1000003)"
+
   /** DuckDB expression equivalent to `tokenHashes(text)` — kept next to
     * the Scala so the two definitions evolve together. */
   def duckTokenHashes(textExpr: String): String =

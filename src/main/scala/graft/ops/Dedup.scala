@@ -1,0 +1,280 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.index.Embedder
+import graft.vector.Kernels
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (driver north star; sanctioned extension per SURVEY.md §2 G):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: nothing here is all-pairs. Every near-dup variant
+  * generates candidates through a bucketing key (LSH band, SimHash
+  * chunk, embedding sign-sketch) and only verifies within buckets —
+  * the standard shuffle-on-bucket plan that holds at 10^9 docs, where
+  * a crossJoin would not. Exact dedup is a single hash aggregation
+  * with map-side partial aggregation.
+  *
+  * The sf0.001/sf0.01 fixtures have no duplicate texts, so the
+  * near-dup queries union in deterministic perturbed copies of every
+  * 25th document (id + 1'000'000, three appended tokens) — both
+  * engines build the same corpus, and the queries return non-trivial
+  * matches at every scale factor.
+  */
+object Dedup {
+
+  private val DupOffset = 1000000L
+
+  /** Corpus with synthetic near-duplicates for the near-dup queries. */
+  def corpusWithDups(docs: DataFrame): DataFrame = {
+    val dups = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + DupOffset).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(dups)
+  }
+
+  val duckCorpusWithDups: String =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text " +
+      "FROM documents WHERE doc_id % 25 = 0"
+
+  // -- exact -------------------------------------------------------
+
+  /** Exact dedup: hash-group on content, keep the smallest id
+    * (deterministic keeper), count members. Map-side combine makes
+    * this one shuffle of (hash, partial-count) pairs. */
+  def exact(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // -- shingles / MinHash ------------------------------------------
+
+  /** Word 3-gram shingle set (distinct). Guards the <3-token case by
+    * falling back to the whole text as one shingle. */
+  def shingles(text: Column): Column = {
+    val toks = filter(split(text, " "), x => length(x) > 0)
+    val grams = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    array_distinct(when(size(toks) >= 3, grams).otherwise(array(text)))
+  }
+
+  def duckShingles(textExpr: String): String = {
+    val toks = s"list_filter(string_split($textExpr, ' '), x -> len(x) > 0)"
+    s"list_distinct(CASE WHEN len($toks) >= 3 THEN " +
+      s"list_transform(range(1, len($toks) - 1), i -> " +
+      s"$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) " +
+      s"ELSE [$textExpr] END)"
+  }
+
+  /** MinHash signature (k hashes) over shingle poly-hashes:
+    * sig_i = min_h ((2i+3)*h + 7i+1) mod P. */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0L), lit(k.toLong - 1)),
+      i => array_min(transform(shingleHashes,
+        h => (h * (i * 2 + 3) + i * 7 + 1) % lit(Embedder.Prime))))
+
+  def duckMinhashSig(hashesExpr: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> list_min(list_transform($hashesExpr, " +
+      s"h -> (h * (i * 2 + 3) + i * 7 + 1) % 1000003)))"
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash(k=8) → bands of 2 →
+    * explode band keys → self-join on (band, value) bucket → verify
+    * exact Jaccard ≥ threshold. The only wide ops are the bucket
+    * groupless join (shuffle on band key) and the final distinct. */
+  def minhashPairs(corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+    val withSig = corpus
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("hs", transform(col("sh"), s => Embedder.tokenHash(s)))
+      .withColumn("sig", minhashSig(col("hs"), k))
+    val bands = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(k / 2 - 1)),
+        j => concat_ws(":",
+          element_at(col("sig"), j * 2 + 1),
+          element_at(col("sig"), j * 2 + 2)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val a = bands.select(col("band"), col("bval"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band"), col("bval"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+      .distinct()
+  }
+
+  def duckMinhashPairs(k: Int = 8, jaccardMin: Double = 0.5): String =
+    s"""WITH corpus AS ($duckCorpusWithDups),
+       |sigs AS (SELECT doc_id, sh, ${duckMinhashSig("hs", k)} AS sig FROM (
+       |  SELECT doc_id, sh, list_transform(sh, s -> ${Embedder.duckStringHash("s")}) AS hs FROM (
+       |    SELECT doc_id, ${duckShingles("text")} AS sh FROM corpus) z
+       |  ) y),
+       |bands AS (SELECT doc_id, sh, j AS band, sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
+       |  FROM sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -- SimHash -----------------------------------------------------
+
+  /** 32-bit SimHash from token poly-hashes: bit j of the fingerprint
+    * is the sign of Σ_tokens (2*bit_j(h32(tok)) - 1), where h32 is the
+    * char-fold mod 2^31-1. */
+  def simhash(text: Column): Column = {
+    val P31 = 2147483647L
+    val toks = filter(split(text, " "), x => length(x) > 0)
+    val hs = transform(toks,
+      tok => aggregate(split(tok, ""), lit(0L),
+        (a, c) => (a * 131 + ascii(c)) % lit(P31)))
+    aggregate(
+      sequence(lit(0L), lit(31L)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(hs, lit(0L),
+          (s, h) => s + (floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2L) * 2L - 1L) > 0,
+        floor(pow(lit(2.0), j.cast("double"))).cast("long")).otherwise(lit(0L)))
+  }
+
+  def duckSimhash(textExpr: String): String = {
+    val hs = s"list_transform(list_filter(string_split($textExpr, ' '), x -> len(x) > 0), " +
+      "tok -> list_reduce(list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT), " +
+      "(a, c) -> (a * 131 + c) % 2147483647))"
+    s"list_reduce(list_transform(range(0, 32), j -> CASE WHEN " +
+      s"list_sum(list_transform($hs, h -> (floor(h / 2.0 ** j)::BIGINT % 2) * 2 - 1)) > 0 " +
+      s"THEN (2.0 ** j)::BIGINT ELSE 0 END), (a, b) -> a + b)"
+  }
+
+  /** SimHash near-dup pairs: 4×8-bit chunk index (pigeonhole: any pair
+    * within hamming ≤ 3 shares an identical chunk; we verify with a
+    * wider hamming ≤ maxHamming cut), bucket-join on (chunk, value). */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = corpus.withColumn("fp", simhash(col("text")))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0L), lit(3L)),
+        j => floor(col("fp").cast("double") / pow(lit(256.0), j.cast("double"))).cast("long") % 256L)))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+    val a = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def duckSimhashPairs(maxHamming: Int = 3): String =
+    s"""WITH corpus AS ($duckCorpusWithDups),
+       |fps AS (SELECT doc_id, ${duckSimhash("text")} AS fp FROM corpus),
+       |chunks AS (SELECT doc_id, fp, j AS ci, floor(fp / 256.0 ** j)::BIGINT % 256 AS cv
+       |  FROM fps, (SELECT unnest(range(0, 4)) AS j) js),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.fp, b.fp))::INT AS hamming
+       |  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -- n-gram Jaccard (blocked) ------------------------------------
+
+  /** Blocked n-gram Jaccard: candidate pairs share a length-band block
+    * (cheap blocking for the oracle-checked variant; MinHash is the
+    * scale path), verified with exact 3-gram Jaccard. */
+  def ngramJaccardPairs(corpus: DataFrame, jaccardMin: Double = 0.5): DataFrame = {
+    val sh = corpus
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("blk", (length(col("text")) / 16).cast("long"))
+    val a = sh.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
+  def duckNgramJaccardPairs(jaccardMin: Double = 0.5): String =
+    s"""WITH corpus AS ($duckCorpusWithDups),
+       |sh AS (SELECT doc_id, ${duckShingles("text")} AS sh, len(text) // 16 AS blk FROM corpus),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+       |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -- embedding cosine near-dup -----------------------------------
+
+  /** Embedding-space near-dup: perturbed copies of every 20th vector
+    * (last component replaced) joined back through a label block, kept
+    * at cosine ≥ simMin. Label plays the coarse ANN bucket; the scale
+    * path swaps in the LSH sign-sketch (Similarity.signBucket). */
+  def embeddingPairs(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
+    val dups = emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + DupOffset).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"),
+        col("label"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).unionByName(dups)
+    val a = corpus.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Kernels.cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .filter(col("sim") >= simMin)
+  }
+
+  def duckEmbeddingPairs(simMin: Double = 0.9): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding[1:63] || [0.5::FLOAT] AS embedding, label
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+       |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $simMin
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -- query/oracle registry ---------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> ((s, dir) => {
+      exact(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("keeper_id"))
+    }),
+    "x_dedup_minhash" -> ((s, dir) =>
+      minhashPairs(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_ngram" -> ((s, dir) =>
+      ngramJaccardPairs(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_embedding" -> ((s, dir) =>
+      embeddingPairs(t(s, dir, "embeddings"))
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      s"""WITH corpus AS ($duckCorpusWithDups)
+         |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "x_dedup_minhash" -> duckMinhashPairs(),
+    "x_dedup_simhash" -> duckSimhashPairs(),
+    "x_dedup_ngram" -> duckNgramJaccardPairs(),
+    "x_dedup_embedding" -> duckEmbeddingPairs()
+  )
+}
