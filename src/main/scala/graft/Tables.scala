@@ -8,6 +8,16 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` restored to TimestampType. The fixture stores
+    * TIMESTAMP(NANOS) which Spark only reads via
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/
+    * tests); integer `div` keeps full precision (a double division
+    * would lose it above 2^53 ns). DuckDB truncates ns→µs the same
+    * way. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** ColBERT-style multi-vector fixture (FIXTURES.md §1): group the
     * dense vectors into synthetic docs, doc_id = vec_id % 50, token
     * vectors ordered by vec_id. Stands in for the reference's

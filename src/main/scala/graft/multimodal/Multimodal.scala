@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column handling (driver north star): image/audio/video
+  * as opaque binary columns with typed metadata, batch-decoded inside
+  * the executors.
+  *
+  * The real Spark-side plumbing — schema (`binary` + metadata struct),
+  * per-partition micro-batching (`iterator.grouped`, the reference's
+  * DataLoader batch shape, `with_colpali_v1.3/...py:220-238`), and a
+  * typed decode signature — is genuine; only the pixel decode itself
+  * is a deterministic stub (no image libraries in this environment;
+  * SURVEY.md §7.3 applies the same stance to the GPU encoders).
+  *
+  * Scale: decode runs in `mapPartitions`, so each task holds one
+  * micro-batch of blobs at a time (bounded memory); no shuffle is
+  * introduced, and the binary column never leaves the executor.
+  */
+object Multimodal {
+
+  /** Decoded media features. Stub decode: dimensions derived
+    * deterministically from the blob header/length — stands in for a
+    * real PNG/JPEG header parse with identical plumbing. */
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  /** Attach the opaque binary column (fixture texts play the blobs). */
+  def withBlob(docs: DataFrame): DataFrame =
+    docs.withColumn("content", col("text").cast("binary"))
+
+  /** Batched executor-side decode: grouped(batchSize) inside
+    * mapPartitions — the model-batch shape of the reference's
+    * DataLoader, without materializing the partition. */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real decoder would run vectorized
+          batch.map { r =>
+            val n = r.content.length
+            val first = if (n > 0) r.content(0) & 0xff else 0
+            MediaFeatures(
+              doc_id = r.doc_id,
+              byte_len = n,
+              width = 32 + n % 64,
+              height = 32 + first % 64,
+              n_frames = 1 + n % 4)
+          }
+        }
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_media_features" -> ((s, dir) =>
+      decodeFeatures(withBlob(t(s, dir, "documents"))).toDF()
+        .orderBy(col("doc_id")))
+  )
+
+  /** Oracle mirrors the stub decode arithmetic over the blob bytes. */
+  def oracles: Map[String, String] = Map(
+    "m_media_features" ->
+      """SELECT doc_id, octet_length(text::BLOB)::INT AS byte_len,
+        |  (32 + octet_length(text::BLOB) % 64)::INT AS width,
+        |  (32 + ascii(substr(text, 1, 1)) % 64)::INT AS height,
+        |  (1 + octet_length(text::BLOB) % 4)::INT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** General analytics over the relational fixture tables — the payload
+  * metadata side of a vector corpus at scale (Qdrant payloads →
+  * columns, SURVEY.md §1.2), plus the bench-volume queries over
+  * `lineitem` (the only fixture that reaches 600k rows at sf0.1).
+  *
+  * Scale notes per query:
+  *  - q1-style aggregation: map-side partial agg, one shuffle on the
+  *    two low-cardinality group keys.
+  *  - join pipeline: dimension sides are broadcast (no shuffle of the
+  *    fact table); only the final group-by shuffles, and AQE coalesces
+  *    its partitions.
+  *  - window: partitioned by a bounded key (supplier), ordered by a
+  *    total per-partition order so running sums are deterministic.
+  *  - events/JSON: `get_json_object` is a codegen'd path expression,
+  *    not a UDF.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped top-revenue orders: broadcast the filtered
+    * customer dim, join facts, aggregate revenue. */
+  def topRevenueOrders(cust: DataFrame, ord: DataFrame, li: DataFrame, k: Int): DataFrame =
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+
+  /** Running revenue per supplier (deterministic: total order inside
+    * each partition via (shipdate, orderkey, linenumber)). */
+  def runningRevenue(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+  }
+
+  /** JSON property extraction + aggregation over the events stream
+    * table (payload-style semi-structured column). */
+  def eventJsonStats(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** Tumbling-window event counts (batch form; the streaming form with
+    * watermark lives in graft.streaming.Streams and feeds the same
+    * oracle). */
+  def eventWindowCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // -- query/oracle registry ---------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_q1_pricing" -> ((s, dir) =>
+      pricingSummary(t(s, dir, "lineitem"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "r_q3_top_orders" -> ((s, dir) =>
+      topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
+    "r_window_running" -> ((s, dir) =>
+      runningRevenue(t(s, dir, "lineitem"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+    "r_events_json" -> ((s, dir) =>
+      eventJsonStats(graft.Tables.events(s, dir)).orderBy(col("event_type"))),
+    "r_events_window" -> ((s, dir) =>
+      eventWindowCounts(graft.Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "r_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(sum(l_quantity), 2) AS sum_qty,
+        |  ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r_q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "r_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROUND((sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS running_rev
+        |FROM lineitem WHERE l_suppkey <= 2
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "r_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  ROUND(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "r_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n, ROUND(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.vector.Kernels
+
+/** Similarity-search operators beyond single-query top-k (driver north
+  * star): k-NN join, IVF-partitioned ANN, and random-hyperplane LSH
+  * ANN — the Spark analog of Qdrant's ANN index build past
+  * `indexing_threshold` (SURVEY.md §2 E3;
+  * `with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:132`).
+  *
+  * Scale design:
+  *  - k-NN join broadcasts the (small) query side; ranking is a window
+  *    partitioned by query id — shuffle keyed on query id only.
+  *  - IVF assigns every vector to its nearest centroid once (broadcast
+  *    centroids, narrow map), then a probe touches a single partition
+  *    of the data — the classic inverted-file pruning, expressible as
+  *    a partition-pruned scan when the table is written partitioned by
+  *    cluster_id.
+  *  - LSH buckets are sign-bit sketches against broadcast hyperplanes;
+  *    probing is an equi-join on bucket id (hash shuffle, no
+  *    crossJoin).
+  *
+  * Determinism: centroids/hyperplanes are fixture vectors themselves
+  * (vec_id < 8 / 1..8) so both engines derive identical structures
+  * with no RNG.
+  */
+object Similarity {
+
+  /** k-NN join: for every query row, the k nearest rows of `data` by
+    * cosine. Query side is broadcast (small); ranking window is
+    * partitioned by query id. */
+  def knnJoin(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
+  /** IVF cluster assignment: nearest of the broadcast `centroids`
+    * (argmax cosine, id-ascending tiebreak). A narrow map — at scale
+    * this is the partitioning key for a cluster-partitioned write. */
+  def ivfAssign(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = data.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        Kernels.cosine(col("embedding"), col("cv")).as("c_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster_id"))
+  }
+
+  /** Sign-bit LSH bucket against `nPlanes` broadcast hyperplanes:
+    * bucket = Σ_j 2^j · [dot(v, h_j) > 0]. */
+  def signBucket(v: Column, planes: Seq[Column]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Kernels.dot(v, p) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  // -- query/oracle registry ---------------------------------------
+
+  private val duckCosSim =
+    (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-NN join: 10 query vectors × top-3 neighbors each.
+    "x_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      knnJoin(e, qs, 3).orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // IVF ANN: assign to nearest of 8 fixture centroids, probe only the
+    // query vector's cluster.
+    "x_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = ivfAssign(e, cents)
+      val q = asg.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("cluster_id").as("qc"))
+      asg.crossJoin(broadcast(q))
+        .filter(col("cluster_id") === col("qc"))
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // LSH ANN: 8 sign-bit hyperplanes (fixture vectors 1..8 — an
+    // index-build-time constant, collected once like the reference's
+    // driver-side query embedding), probe only the query's bucket.
+    "x_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planes: Seq[Column] = e
+        .filter(col("vec_id") >= 1 && col("vec_id") <= 8)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => typedlit(r.getSeq[Float](r.fieldIndex("embedding"))))
+        .toSeq
+      val buckets = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), planes).as("bucket"))
+      val q = buckets.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qb"), col("embedding").as("qv"))
+      buckets.crossJoin(broadcast(q))
+        .filter(col("bucket") === col("qb"))
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_knn_join" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id, ROUND(${duckCosSim("e.embedding", "qv")}, 6) AS score
+         |  FROM embeddings e, qs),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "x_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cluster_id AS qc FROM asg WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
+         |FROM asg, q WHERE cluster_id = qc
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_ann_lsh" ->
+      s"""WITH planes AS (SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |b AS (SELECT e.vec_id, sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pv::DOUBLE[]) > 0
+         |    THEN (2.0 ** j)::BIGINT ELSE 0 END)::BIGINT AS bucket
+         |  FROM embeddings e, planes GROUP BY e.vec_id),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+         |q AS (SELECT bucket AS qb, embedding AS qv FROM eb WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
+         |FROM eb, q WHERE bucket = qb
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin
+  )
+}

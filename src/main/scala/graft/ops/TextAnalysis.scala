@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.index.Embedder
+
+/** Text-analysis operators for corpus pipelines (driver north star):
+  * n-gram language identification, quality scoring, token counting,
+  * and document fingerprinting over the `documents` table.
+  *
+  * Scale design: everything except lang-ID profile training is a
+  * narrow per-row map. Lang-ID trains per-language token profiles with
+  * one aggregation over the corpus (map-side combined), broadcasts the
+  * tiny profile table, and classifies with a broadcast join — the
+  * standard "small model, big data" shape.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => length(x) > 0)
+
+  // -- token counting ----------------------------------------------
+
+  /** Whitespace token count + a BPE-ish sub-token count (runs of
+    * letters / digits / single other chars — the word-piece upper
+    * bound) + char count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_sub_tokens"),
+      length(col("text")).as("n_chars_m"))
+
+  // -- quality scoring ---------------------------------------------
+
+  /** Heuristic quality score from length / mean word length /
+    * stopword ratio — the standard cheap pre-filter signals for
+    * training corpora. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val meanWordLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
+    val stopRatio =
+      size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(
+        least(nTok / 50.0, lit(1.0)) * 0.5 +
+          when(meanWordLen.between(3.0, 8.0), 0.3).otherwise(0.0) +
+          when(stopRatio.between(0.01, 0.5), 0.2).otherwise(0.0),
+        6).as("quality"))
+  }
+
+  // -- language identification -------------------------------------
+
+  /** Train: per-(lang, token) frequency, keep each lang's top-`topN`
+    * tokens as its profile. One corpus aggregation + a tiny result. */
+  def langProfiles(docs: DataFrame, topN: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok").asc)
+    counts.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+      .select(col("lang").as("p_lang"), col("tok"), col("c"))
+  }
+
+  /** Classify: score = Σ over doc tokens that appear in the lang's
+    * profile; predict argmax (alphabetical tiebreak). Profile side is
+    * broadcast; the explode/count is map-side combinable. */
+  def langId(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val docToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val scored = docToks.join(broadcast(profiles), Seq("tok"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(col("n")).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("p_lang").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("hits"))
+  }
+
+  // -- fingerprinting ----------------------------------------------
+
+  /** Rolling-hash document fingerprint: min / max / count-distinct of
+    * word 5-gram polynomial hashes (winnowing-style content signature,
+    * robust to small edits at the ends). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= 5,
+      transform(sequence(lit(1), size(toks) - 4),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
+      .otherwise(array(col("text")))
+    docs
+      .withColumn("gh", transform(grams, g => Embedder.tokenHash(g)))
+      .select(
+        col("doc_id"),
+        array_min(col("gh")).as("fp_min"),
+        array_max(col("gh")).as("fp_max"),
+        size(array_distinct(col("gh"))).as("fp_card"))
+  }
+
+  // -- query/oracle registry ---------------------------------------
+
+  private def duckToks(e: String) =
+    s"list_filter(string_split($e, ' '), x -> len(x) > 0)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_count" -> ((s, dir) =>
+      tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_quality_score" -> ((s, dir) =>
+      qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      langId(d, langProfiles(d)).orderBy(col("doc_id"))
+    }),
+    "x_fingerprint" -> ((s, dir) =>
+      fingerprints(t(s, dir, "documents")).orderBy(col("doc_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_token_count" ->
+      s"""SELECT doc_id, len(${duckToks("text")}) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_sub_tokens,
+         |  len(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_quality_score" ->
+      s"""WITH b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${duckToks("text")})::DOUBLE AS nt,
+         |  len(list_filter(${duckToks("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
+         |  FROM documents),
+         |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b)
+         |SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(sr, 6) AS stop_ratio,
+         |  ROUND((least(nt / 50.0, 1.0) * 0.5 +
+         |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(${duckToks("text")}) AS tok FROM documents),
+         |profiles AS (SELECT lang AS p_lang, tok, c FROM (
+         |  SELECT lang, tok, count(*) AS c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS r
+         |  FROM toks GROUP BY lang, tok) z WHERE r <= 10),
+         |dt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+         |scored AS (SELECT doc_id, p_lang, sum(n) AS hits FROM dt JOIN profiles USING (tok)
+         |  GROUP BY doc_id, p_lang)
+         |SELECT doc_id, p_lang AS pred_lang, hits FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang ASC) AS r
+         |  FROM scored) z WHERE r = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "x_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id, CASE WHEN len(${duckToks("text")}) >= 5 THEN
+         |    list_transform(range(1, len(${duckToks("text")}) - 3), i ->
+         |      ${duckToks("text")}[i] || ' ' || ${duckToks("text")}[i+1] || ' ' || ${duckToks("text")}[i+2] || ' ' || ${duckToks("text")}[i+3] || ' ' || ${duckToks("text")}[i+4])
+         |    ELSE [text] END AS grams FROM documents),
+         |h AS (SELECT doc_id, list_transform(grams, x -> ${Embedder.duckStringHash("x")}) AS gh FROM g)
+         |SELECT doc_id, list_min(gh) AS fp_min, list_max(gh) AS fp_max,
+         |  len(list_distinct(gh)) AS fp_card
+         |FROM h ORDER BY doc_id""".stripMargin
+  )
+}
