@@ -42,7 +42,8 @@ object TextAnalysis {
     * training corpora. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
+    // null (not error) on empty docs: keeps ANSI mode safe at scale
+    val nTok = when(size(toks) > 0, size(toks).cast("double"))
     val meanWordLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
     val stopRatio =
       size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double") / nTok

@@ -38,16 +38,19 @@ object Kernels {
   /** L2 norm ‖a‖. */
   def l2norm(a: Column): Column = sqrt(l2normSq(a))
 
-  /** Cosine similarity dot(a,b)/(‖a‖‖b‖); null-safe only in that a zero
-    * vector yields null (division by zero → null in non-ANSI mode),
-    * matching SQL division semantics in the DuckDB oracle. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity dot(a,b)/(‖a‖‖b‖), null on zero vectors — the
+    * explicit guard keeps ANSI mode (Spark 4 default) enabled without
+    * a lone zero vector failing a whole job at scale. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** L2-normalize: a / ‖a‖ (Qdrant normalizes cosine collections at
-    * upload — SURVEY.md §2 E1). Zero vectors map to null elements. */
+    * upload — SURVEY.md §2 E1). Zero vectors map to null. */
   def normalize(a: Column): Column = {
     val n = l2norm(a)
-    transform(toDouble(a), x => x / n)
+    when(n =!= 0.0, transform(toDouble(a), x => x / n))
   }
 
   /** ColBERT-style late interaction (SURVEY.md §2 F2): for multi-vector

@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.Streams
+import graft.multimodal.Multimodal
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Driver-contract level checks: every query runs and returns rows,
+  * every query has an oracle, streaming agrees with batch. */
+class ContractSpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle and every oracle a query") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("every query runs non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("streaming window agg equals batch window agg") {
+    val streamed = Streams.eventWindowCountsStreaming(spark, sf)
+    val batch = graft.ops.Relational.eventWindowCounts(Tables.events(spark, sf))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
+  test("multimodal decode: batch shape independent (batchSize doesn't change rows)") {
+    val m = Multimodal.withBlob(t(spark, sf, "documents"))
+    val a = Multimodal.decodeFeatures(m, 16).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(m, 7).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.Tables.t
+
+class OpsSpec extends SparkSpec {
+
+  private def docs = t(spark, sf, "documents")
+  private def emb = t(spark, sf, "embeddings")
+
+  test("exact dedup: corpus with dups has groups of 1 except perturbed singletons") {
+    // perturbed copies differ in text, so every group is size 1 here;
+    // a true duplicate collapses:
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exact(d).orderBy("keeper_id").collect()
+    assert(g.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+    assert(g.head.getLong(1) === 1L) // keeper is min id
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.minhashPairs(Dedup.corpusWithDups(docs)).collect()
+    val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000)
+    assert(planted.length > 0)
+    assert(planted.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: hamming 0 for identical text; chunk join finds planted dups") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val p = Dedup.simhashPairs(d).collect()
+    assert(p.length === 1 && p.head.getInt(2) === 0)
+  }
+
+  test("embedding near-dup: planted perturbed vectors found at sim>=0.9") {
+    val pairs = Dedup.embeddingPairs(emb).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 1000000))
+  }
+
+  test("knn join: k rows per query, self in first place") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val res = Similarity.knnJoin(emb, qs, 3)
+    val byQ = res.groupBy("q_id").count().collect()
+    assert(byQ.forall(_.getLong(1) === 3L))
+    val firsts = res.filter(col("rnk") === 1).collect()
+    assert(firsts.forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
+  test("ivf assign: every vector gets exactly one cluster from the centroid set") {
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val asg = Similarity.ivfAssign(emb, cents)
+    assert(asg.count() === emb.count())
+    val cl = asg.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(cl.subsetOf((0L until 8L).toSet))
+    // centroid rows are their own nearest centroid
+    val self = asg.filter(col("vec_id") < 8).collect()
+    assert(self.forall(r => r.getLong(0) === r.getLong(2)))
+  }
+
+  test("lang id: every doc classified, prediction from the fixture lang set") {
+    val preds = TextAnalysis.langId(docs, TextAnalysis.langProfiles(docs))
+    assert(preds.count() === docs.count())
+    val langs = preds.select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
+  test("token counts: sub-token count >= whitespace count") {
+    val bad = TextAnalysis.tokenCounts(docs)
+      .filter(col("n_sub_tokens") < col("n_ws_tokens")).count()
+    assert(bad === 0L)
+  }
+
+  test("quality score bounded in [0,1]") {
+    val bad = TextAnalysis.qualityScore(docs)
+      .filter(col("quality") < 0.0 || col("quality") > 1.0).count()
+    assert(bad === 0L)
+  }
+
+  test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "completely different words here now ok yes"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
