@@ -157,7 +157,10 @@ object SparkEntry {
     // text with the deterministic embedder, embed the query (doc 0's
     // text), dense cosine top-5. The flagship end-to-end proof.
     "b4_embed_topk" -> ((s, dir) => {
+      // spread the unsplittable single-file corpus before the
+      // compute-bound embedding map (high compute-per-byte stage)
       val emb = t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .withColumn("_th", Embedder.tokenHashes(col("text")))
         .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
       val q = emb.filter(col("doc_id") === 0).select(col("v").as("q"))

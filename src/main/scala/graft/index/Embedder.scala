@@ -42,16 +42,28 @@ object Embedder {
       lit(0L),
       (a, c) => (a * lit(31L) + ascii(c)) % lit(Prime))
 
-  /** array<long> of token hashes for a text column. */
+  /** array<long> of token hashes for a text column (native one-pass
+    * tokenizer+hasher; [[tokenHashesHof]] is the HOF twin). */
   def tokenHashes(text: Column): Column =
+    graft.vector.Kernels.ofExpr(
+      graft.vector.PolyTokenHashes(graft.vector.Kernels.exprOf(text), 31L, Prime))
+
+  /** HOF twin of [[tokenHashes]]. */
+  def tokenHashesHof(text: Column): Column =
     transform(
       filter(split(text, " "), t => length(t) > 0),
       t => tokenHash(t))
 
   /** Signed-count feature-hash embedding from a precomputed token-hash
     * array (`tokenHashes`). Returns array<double> of length `dim`,
-    * NOT normalized. */
+    * NOT normalized. Native expression; [[embedRawHof]] is the twin. */
   def embedRaw(hashes: Column, dim: Int = DefaultDim): Column =
+    graft.vector.Kernels.ofExpr(
+      graft.vector.FeatureHashEmbed(graft.vector.Kernels.exprOf(hashes), dim))
+
+  /** HOF twin of [[embedRaw]] — documents the semantics the DuckDB
+    * oracle mirrors. */
+  def embedRawHof(hashes: Column, dim: Int = DefaultDim): Column =
     transform(
       sequence(lit(0L), lit(dim.toLong - 1)),
       i =>

@@ -28,12 +28,17 @@ object Dedup {
 
   private val DupOffset = 1000000L
 
-  /** Corpus with synthetic near-duplicates for the near-dup queries. */
+  /** Corpus with synthetic near-duplicates for the near-dup queries.
+    * Repartitioned on doc_id: the fixture is one unsplittable parquet
+    * file, and shingling/fingerprinting are compute-bound — spreading
+    * rows before the heavy map stage is the right plan whenever
+    * compute-per-byte is high (same reasoning holds on a cluster). */
   def corpusWithDups(docs: DataFrame): DataFrame = {
     val dups = docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + DupOffset).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(dups)
+      .repartition(col("doc_id"))
   }
 
   val duckCorpusWithDups: String =
@@ -73,8 +78,14 @@ object Dedup {
   }
 
   /** MinHash signature (k hashes) over shingle poly-hashes:
-    * sig_i = min_h ((2i+3)*h + 7i+1) mod P. */
+    * sig_i = min_h ((2i+3)*h + 7i+1) mod P. Native; HOF twin kept for
+    * cross-checks. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
+    Kernels.ofExpr(
+      graft.vector.MinhashSignature(Kernels.exprOf(shingleHashes), k, Embedder.Prime))
+
+  /** HOF twin of [[minhashSig]]. */
+  def minhashSigHof(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0L), lit(k.toLong - 1)),
       i => array_min(transform(shingleHashes,
         h => (h * (i * 2 + 3) + i * 7 + 1) % lit(Embedder.Prime))))
@@ -87,41 +98,69 @@ object Dedup {
     * explode band keys → self-join on (band, value) bucket → verify
     * exact Jaccard ≥ threshold. The only wide ops are the bucket
     * groupless join (shuffle on band key) and the final distinct. */
+  /** Shared shingle-hash projection: sorted distinct long hashes (the
+    * sort is once per doc, so pair verification is an allocation-free
+    * merge — JaccardSorted). Native one-pass expression; HOF twin
+    * in [[shingleHashesHof]]. */
+  def shingleHashes(text: Column): Column =
+    Kernels.ofExpr(graft.vector.ShingleHashesSorted(
+      Kernels.exprOf(text), 3, 31L, Embedder.Prime))
+
+  /** HOF twin of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column): Column =
+    array_sort(array_distinct(
+      transform(shingles(text), s => Embedder.tokenHash(s))))
+
+  private def withShingleHashes(corpus: DataFrame): DataFrame =
+    corpus.withColumn("hs", shingleHashes(col("text")))
+
+  private def jaccard(a: Column, b: Column): Column =
+    Kernels.ofExpr(graft.vector.JaccardSorted(Kernels.exprOf(a), Kernels.exprOf(b)))
+
   def minhashPairs(corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
-    val withSig = corpus
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("hs", transform(col("sh"), s => Embedder.tokenHash(s)))
+    val withSig = withShingleHashes(corpus)
       .withColumn("sig", minhashSig(col("hs"), k))
+    val hsTable = withSig.select(col("doc_id"), col("hs"))
     val bands = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(k / 2 - 1)),
         j => concat_ws(":",
           element_at(col("sig"), j * 2 + 1),
           element_at(col("sig"), j * 2 + 2)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-    val a = bands.select(col("band"), col("bval"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band"), col("bval"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bval"))
+      // shuffle on the bucket key: computes signatures once; both join
+      // sides reuse the exchange
+      .repartition(col("band"), col("bval"))
+    // candidate ids (duplicated across colliding bands — NOT distinct
+    // here: deduping first would shuffle every raw candidate pair,
+    // which dwarfs re-running the allocation-free Jaccard on the ≤4
+    // band duplicates), scored via small broadcast lookups of the
+    // per-doc shingle sets, deduped only after the threshold filter
+    // has cut the set to actual near-dups
+    val cands = bands.select(col("band"), col("bval"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("bval"), col("doc_id").as("id_b")),
+        Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cands
+      .join(broadcast(hsTable.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))), Seq("id_a"))
+      .join(broadcast(hsTable.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
       .distinct()
   }
 
   def duckMinhashPairs(k: Int = 8, jaccardMin: Double = 0.5): String =
     s"""WITH corpus AS ($duckCorpusWithDups),
-       |sigs AS (SELECT doc_id, sh, ${duckMinhashSig("hs", k)} AS sig FROM (
-       |  SELECT doc_id, sh, list_transform(sh, s -> ${Embedder.duckStringHash("s")}) AS hs FROM (
+       |sigs AS (SELECT doc_id, hs, ${duckMinhashSig("hs", k)} AS sig FROM (
+       |  SELECT doc_id, list_distinct(list_transform(sh, s -> ${Embedder.duckStringHash("s")})) AS hs FROM (
        |    SELECT doc_id, ${duckShingles("text")} AS sh FROM corpus) z
        |  ) y),
-       |bands AS (SELECT doc_id, sh, j AS band, sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
+       |bands AS (SELECT doc_id, hs, j AS band, sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
        |  FROM sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+       |    ROUND(len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
        |ORDER BY id_a, id_b""".stripMargin
@@ -131,19 +170,28 @@ object Dedup {
   /** 32-bit SimHash from token poly-hashes: bit j of the fingerprint
     * is the sign of Σ_tokens (2*bit_j(h32(tok)) - 1), where h32 is the
     * char-fold mod 2^31-1. */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    Kernels.ofExpr(graft.vector.SimhashBits(
+      graft.vector.PolyTokenHashes(Kernels.exprOf(text), 131L, 2147483647L)))
+
+  /** HOF twin of [[simhash]] (single pass over tokens: per-bit ±1
+    * counters, then assemble the fingerprint). */
+  def simhashHof(text: Column): Column = {
     val P31 = 2147483647L
     val toks = filter(split(text, " "), x => length(x) > 0)
     val hs = transform(toks,
       tok => aggregate(split(tok, ""), lit(0L),
         (a, c) => (a * 131 + ascii(c)) % lit(P31)))
+    val bitCounts = aggregate(
+      hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(31L)),
+        (c, j) => c + (floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2L) * 2L - 1L))
     aggregate(
-      sequence(lit(0L), lit(31L)),
+      zip_with(bitCounts, sequence(lit(0L), lit(31L)),
+        (c, j) => when(c > 0, floor(pow(lit(2.0), j.cast("double"))).cast("long")).otherwise(lit(0L))),
       lit(0L),
-      (acc, j) => acc + when(
-        aggregate(hs, lit(0L),
-          (s, h) => s + (floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2L) * 2L - 1L) > 0,
-        floor(pow(lit(2.0), j.cast("double"))).cast("long")).otherwise(lit(0L)))
+      (a, b) => a + b)
   }
 
   def duckSimhash(textExpr: String): String = {
@@ -164,6 +212,9 @@ object Dedup {
       posexplode(transform(sequence(lit(0L), lit(3L)),
         j => floor(col("fp").cast("double") / pow(lit(256.0), j.cast("double"))).cast("long") % 256L)))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+      // shuffle on the bucket key: computes each fingerprint once and
+      // shares one exchange between both sides of the self-join
+      .repartition(col("ci"), col("cv"))
     val a = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("ci", "cv"))
@@ -191,24 +242,24 @@ object Dedup {
     * (cheap blocking for the oracle-checked variant; MinHash is the
     * scale path), verified with exact 3-gram Jaccard. */
   def ngramJaccardPairs(corpus: DataFrame, jaccardMin: Double = 0.5): DataFrame = {
-    val sh = corpus
-      .withColumn("sh", shingles(col("text")))
+    val sh = withShingleHashes(corpus)
       .withColumn("blk", (length(col("text")) / 16).cast("long"))
-    val a = sh.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      .repartition(col("blk"))
+    val a = sh.select(col("blk"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val b = sh.select(col("blk"), col("doc_id").as("id_b"), col("hs").as("hs_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
   }
 
   def duckNgramJaccardPairs(jaccardMin: Double = 0.5): String =
     s"""WITH corpus AS ($duckCorpusWithDups),
-       |sh AS (SELECT doc_id, ${duckShingles("text")} AS sh, len(text) // 16 AS blk FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(${duckShingles("text")}, s -> ${Embedder.duckStringHash("s")})) AS hs,
+       |    len(text) // 16 AS blk FROM corpus),
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+       |    ROUND(len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard
        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
        |ORDER BY id_a, id_b""".stripMargin
@@ -225,6 +276,8 @@ object Dedup {
         concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"),
         col("label"))
     val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).unionByName(dups)
+      // shuffle once on the block key; both join sides reuse the exchange
+      .repartition(col("label"))
     val a = corpus.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = corpus.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.join(b, Seq("label"))

@@ -34,7 +34,7 @@ object Similarity {
     * cosine. Query side is broadcast (small); ranking window is
     * partitioned by query id. */
   def knnJoin(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = data.crossJoin(broadcast(queries))
+    val scored = data.repartition(col("vec_id")).crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
     val w = Window.partitionBy(col("q_id"))

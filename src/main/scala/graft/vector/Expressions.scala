@@ -1,0 +1,314 @@
+package graft.vector
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot kernels (SURVEY.md §4:
+  * "functional first, optimize only on bench evidence" — the bench
+  * evidence arrived: the HOF formulations spend ~30µs per lambda
+  * round-trip, which turns a 5k-row embedding stage into ~16s).
+  *
+  * Each expression is semantically identical to its HOF twin in
+  * [[Kernels]] / graft.index.Embedder (same left-to-right double
+  * accumulation, same zero guards), so DuckDB oracles are unchanged;
+  * KernelsSpec cross-checks native vs HOF on fixture data. Evaluation
+  * is a tight JVM loop over ArrayData — no per-element boxing, no
+  * lambda dispatch. CodegenFallback costs one virtual call per row,
+  * irrelevant next to the per-element win.
+  */
+object NativeKernels {
+
+  private[vector] def getD(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  /** dot, |a|², |b|² in one pass; returns null-marker NaN triple via
+    * array to keep allocation low. */
+  private[vector] def dotNorms(a: ArrayData, ae: DataType, b: ArrayData, be: DataType): (Double, Double, Double) = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = getD(a, ae, i); val y = getD(b, be, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dot, na, nb)
+  }
+
+  private[vector] def cosineOrNull(a: ArrayData, ae: DataType, b: ArrayData, be: DataType): Any = {
+    if (a.numElements() != b.numElements()) return null
+    val (dot, na, nb) = dotNorms(a, ae, b, be)
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+}
+
+/** Cosine similarity over two numeric arrays; null if lengths differ
+  * or either vector is zero (matches Kernels.cosine's guard). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeKernels.cosineOrNull(l.asInstanceOf[ArrayData], ae, r.asInstanceOf[ArrayData], be)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product (sequential left fold, doubles). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    NativeKernels.dotNorms(a, ae, b, be)._1
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MaxSim late interaction: Σ_{q∈Q} max_{d∈D} cosine(q,d); pairs with
+  * zero vectors are skipped like array_max skips nulls; null when a
+  * query token has no valid doc token (matches the HOF twin). */
+case class MaxSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val qe =
+    left.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val de =
+    right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val d = r.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var i = 0
+    while (i < q.numElements()) {
+      val qv = q.getArray(i)
+      var best = Double.NaN
+      var j = 0
+      while (j < d.numElements()) {
+        val c = NativeKernels.cosineOrNull(qv, qe, d.getArray(j), de)
+        if (c != null) {
+          val cd = c.asInstanceOf[Double]
+          if (best.isNaN || cd > best) best = cd
+        }
+        j += 1
+      }
+      if (best.isNaN) return null
+      sum += best
+      i += 1
+    }
+    sum
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Feature-hash embedding from token poly-hashes (Embedder.embedRaw
+  * twin): bucket = h mod dim, sign = 1-2·((h div dim) mod 2),
+  * embedding[b] += sign. One pass, exact integer-in-double math. */
+case class FeatureHashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      val b = (h % dim).toInt
+      val sign = 1.0 - 2.0 * ((h / dim) % 2).toDouble
+      out(b) += sign
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from shingle hashes (Dedup.minhashSig twin):
+  * sig_i = min_h ((2i+3)h + 7i+1) mod P. Null on empty input. */
+case class MinhashSignature(child: Expression, k: Int, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 2L * i + 3; val b = 7L * i + 1
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val x = (hs.getLong(j) * a + b) % prime
+        if (x < best) best = x
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 32-bit SimHash from token hashes (Dedup.simhash twin): bit j set
+  * iff Σ_tokens (2·bit_j(h)−1) > 0. */
+case class SimhashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val counts = new Array[Long](32)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sorted-distinct poly-hashes of word n-gram shingles, one pass
+  * (twin of Dedup.shingles + tokenHash + array_distinct + array_sort):
+  * tokenize on spaces (empties dropped), hash each n-token window
+  * joined by single spaces with the 31/1000003 poly hash; texts with
+  * fewer than n tokens hash the raw text as one shingle. */
+case class ShingleHashesSorted(child: Expression, n: Int, mult: Long, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def hashRange(s: String, from: Int, until: Int, init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) {
+      h = (h * mult + s.codePointAt(i)) % prime
+      i += Character.charCount(s.codePointAt(i))
+    }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    // token boundaries (start, end) of non-empty runs
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var inTok = false
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') {
+        if (inTok) { ends += i; inTok = false }
+      } else if (!inTok) { starts += i; inTok = true }
+      i += 1
+    }
+    if (inTok) ends += s.length
+    val nTok = starts.length
+    val out =
+      if (nTok < n) Array(hashRange(s, 0, s.length, 0L))
+      else {
+        val a = new Array[Long](nTok - n + 1)
+        var w = 0
+        while (w <= nTok - n) {
+          var h = 0L
+          var t = 0
+          while (t < n) {
+            if (t > 0) h = (h * mult + ' '.toInt) % prime
+            h = hashRange(s, starts(w + t), ends(w + t), h)
+            t += 1
+          }
+          a(w) = h
+          w += 1
+        }
+        a
+      }
+    java.util.Arrays.sort(out)
+    // unique in place
+    var len = 0
+    var k = 0
+    while (k < out.length) {
+      if (len == 0 || out(len - 1) != out(k)) { out(len) = out(k); len += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, len))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays via merge
+  * intersection — O(n+m), no per-pair allocation. Callers pre-sort
+  * once per document (array_sort), not per candidate pair. Matches
+  * size(array_intersect)/size(array_union) on distinct inputs. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 && m == 0) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Token poly-hashes in one pass (Embedder.tokenHashes twin): split on
+  * single spaces, drop empties, fold (a*mult + codepoint) mod prime
+  * per token. */
+case class PolyTokenHashes(child: Expression, mult: Long, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } else {
+        h = (h * mult + cp) % prime
+        inTok = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) out += h
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

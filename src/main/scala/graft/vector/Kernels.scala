@@ -21,11 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Kernels {
 
+  /** Column from a native catalyst Expression. */
+  private[graft] def ofExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  /** Catalyst Expression behind a Column. */
+  private[graft] def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
   /** Cast a float vector column up to array<double> for stable math. */
   def toDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product: Σ a_i * b_i. */
+  /** Sequential-fold dot product: Σ a_i * b_i (native; HOF twin below
+    * for oracle documentation + cross-checks). */
   def dot(a: Column, b: Column): Column =
+    ofExpr(DotProduct(exprOf(a), exprOf(b)))
+
+  /** HOF twin of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),
@@ -40,10 +53,15 @@ object Kernels {
 
   /** Cosine similarity dot(a,b)/(‖a‖‖b‖), null on zero vectors — the
     * explicit guard keeps ANSI mode (Spark 4 default) enabled without
-    * a lone zero vector failing a whole job at scale. */
-  def cosine(a: Column, b: Column): Column = {
+    * a lone zero vector failing a whole job at scale. Native
+    * expression; [[cosineHof]] is the HOF twin. */
+  def cosine(a: Column, b: Column): Column =
+    ofExpr(CosineSim(exprOf(a), exprOf(b)))
+
+  /** HOF twin of [[cosine]] (identical fold order and zero guard). */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2norm(a) * l2norm(b)
-    when(denom =!= 0.0, dot(a, b) / denom)
+    when(denom =!= 0.0, dotHof(a, b) / denom)
   }
 
   /** L2-normalize: a / ‖a‖ (Qdrant normalizes cosine collections at
@@ -60,10 +78,14 @@ object Kernels {
     * `with_colpali_v1.3/...py:128-130`. Nested HOFs keep it codegen'd.
     */
   def maxsim(q: Column, d: Column): Column =
+    ofExpr(MaxSim(exprOf(q), exprOf(d)))
+
+  /** HOF twin of [[maxsim]]. */
+  def maxsimHof(q: Column, d: Column): Column =
     aggregate(
       q,
       lit(0.0),
-      (s, qv) => s + array_max(transform(d, dv => cosine(qv, dv))))
+      (s, qv) => s + array_max(transform(d, dv => cosineHof(qv, dv))))
 
   /** MaxSim over pre-normalized token vectors (cosine == dot): cheaper
     * inner loop for the hot path when ingest normalized (E1). */

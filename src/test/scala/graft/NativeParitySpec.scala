@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Kernels
+import graft.index.Embedder
+import graft.ops.Dedup
+import graft.Tables.t
+
+/** The native catalyst expressions must be bit-identical to their HOF
+  * twins (same fold order, same guards) on real fixture data — this is
+  * what keeps the DuckDB oracles valid after the perf promotion. */
+class NativeParitySpec extends SparkSpec {
+
+  private def docs = t(spark, sf, "documents")
+  private def emb = t(spark, sf, "embeddings")
+
+  test("cosine: native == HOF on all fixture pairs vs vector 0") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val d = emb.crossJoin(broadcast(q))
+      .select(
+        Kernels.cosine(col("embedding"), col("q")).as("a"),
+        Kernels.cosineHof(col("embedding"), col("q")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("dot: native == HOF") {
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("q"))
+    val d = emb.crossJoin(broadcast(q))
+      .select(Kernels.dot(col("embedding"), col("q")).as("a"),
+        Kernels.dotHof(col("embedding"), col("q")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("maxsim: native == HOF on multi-vector fixture") {
+    val mv = Tables.multiVectorDocs(emb)
+    val q = mv.filter(col("doc_id") === 0).select(col("vecs").as("q"))
+    val d = mv.crossJoin(broadcast(q))
+      .select(Kernels.maxsim(col("q"), col("vecs")).as("a"),
+        Kernels.maxsimHof(col("q"), col("vecs")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("tokenHashes + embedRaw: native == HOF on documents") {
+    val d = docs
+      .withColumn("h1", Embedder.tokenHashes(col("text")))
+      .withColumn("h2", Embedder.tokenHashesHof(col("text")))
+      .withColumn("e1", Embedder.embedRaw(col("h1")))
+      .withColumn("e2", Embedder.embedRawHof(col("h2")))
+      .filter(col("h1") =!= col("h2") || col("e1") =!= col("e2"))
+    assert(d.count() === 0L)
+  }
+
+  test("simhash: native == HOF on documents") {
+    val d = docs
+      .select(Dedup.simhash(col("text")).as("a"), Dedup.simhashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("shingle hashes: native == HOF on documents (incl. dup corpus)") {
+    val c = Dedup.corpusWithDups(docs)
+    val d = c.select(Dedup.shingleHashes(col("text")).as("a"),
+        Dedup.shingleHashesHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("minhash signature: native == HOF on shingle hashes") {
+    val hs = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.shingles(col("text")),
+        s => Embedder.tokenHash(s))).as("hs"))
+    val d = hs.select(Dedup.minhashSig(col("hs"), 8).as("a"),
+        Dedup.minhashSigHof(col("hs"), 8).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+}
