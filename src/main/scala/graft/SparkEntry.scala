@@ -180,6 +180,79 @@ object SparkEntry {
       val existing = pts.filter(col("doc_id") < 100)
       Sink.incremental(pts, existing, "point_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // A1: PDF→page-image conversion dataflow — one row per (pdf, page)
+    // with the reference's "{pdf}_page_{i}.png" naming
+    // (shared/convert_pdf_to_image.py:87-91); the poppler render is
+    // stubbed (deterministic page count), the explode is real.
+    "a1_pdf_pages" -> ((s, dir) => {
+      val pdfs = t(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("doc_"), col("doc_id"), lit(".pdf")).as("pdf"),
+          (col("doc_id") % 5 + 1).as("n_pages"))
+      pdfs.select(col("doc_id"), col("pdf"),
+          explode(sequence(lit(1), col("n_pages"))).as("page"))
+        .select(col("doc_id"), col("page"),
+          concat(regexp_replace(col("pdf"), "\\.pdf$", ""),
+            lit("_page_"), col("page"), lit(".png")).as("page_file"))
+        .orderBy(col("doc_id"), col("page"))
+    }),
+
+    // A2: subfolder discovery — distinct immediate subdirectories of
+    // the corpus root (get_subfolder_paths, shared/get_all_folder_details.py:23-54).
+    "a2_subfolders" -> ((s, dir) => {
+      Ingest.withPaths(t(s, dir, "documents"))
+        .select(substring_index(col("relative_path"), "/", 1).as("folder"))
+        .distinct()
+        .orderBy(col("folder"))
+    }),
+
+    // A5: JSON text source — the sample_text_data.json array of
+    // {id,title,content} projected to indexable rows
+    // (with_jina_text_v4/jina_v4_text_indexer.py:144-161). JSON strings
+    // are constructed identically in both engines, then parsed with
+    // each engine's JSON path functions.
+    "a5_json_source" -> ((s, dir) => {
+      val j = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("{\"id\": "), col("doc_id"),
+          lit(", \"title\": \"Doc "), col("doc_id"),
+          lit("\", \"content_len\": "), col("n_chars"), lit("}")).as("js"))
+      j.select(col("doc_id"),
+          get_json_object(col("js"), "$.title").as("title"),
+          get_json_object(col("js"), "$.content_len").cast("long").as("content_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F4: path functions — filename / parent / relative-to-base /
+    // suffix, the Path(...) surface of the reference (SURVEY §2 F4).
+    "f4_path_functions" -> ((s, dir) => {
+      Ingest.withPaths(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          element_at(split(col("full_path"), "/"), -1).as("filename"),
+          regexp_replace(col("full_path"), "/[^/]+$", "").as("parent"),
+          regexp_replace(col("full_path"), "^/data/corpus/", "").as("rel_path"),
+          lower(substring_index(col("full_path"), ".", -1)).as("suffix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // B1/B3: multi-vector document embedding — split each text into
+    // 16-token chunks, embed each chunk (the ColBERT-style page→token
+    // matrix shape of with_colpali_v1.3, ~1030×128d → here k×64d),
+    // score with MaxSim against doc 0's matrix.
+    "b1_multivec_embed" -> ((s, dir) => {
+      val chunked = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("_th", Embedder.tokenHashes(col("text")))
+        .withColumn("mv",
+          transform(sequence(lit(0), ((size(col("_th")) - 1) / 16).cast("int")),
+            i => Embedder.embedRaw(slice(col("_th"), i * 16 + 1, lit(16)))))
+        .select(col("doc_id"), col("mv"))
+      val q = chunked.filter(col("doc_id") === 0).select(col("mv").as("q"))
+      chunked.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(graft.vector.Kernels.maxsim(col("q"), col("mv")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
     })
   )
 
@@ -227,7 +300,51 @@ object SparkEntry {
          |pts AS (SELECT doc_id, ${Embedder.duckTokenHashes("full_path")}[1] AS point_id FROM decoded)
          |SELECT doc_id FROM pts i
          |WHERE NOT EXISTS (SELECT 1 FROM pts e WHERE e.doc_id < 100 AND e.point_id = i.point_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "a1_pdf_pages" ->
+      """WITH pdfs AS (SELECT doc_id, 'doc_' || doc_id || '.pdf' AS pdf, doc_id % 5 + 1 AS n_pages FROM documents),
+        |pages AS (SELECT doc_id, pdf, unnest(range(1, n_pages + 1)) AS page FROM pdfs)
+        |SELECT doc_id, page, regexp_replace(pdf, '\.pdf$', '') || '_page_' || page || '.png' AS page_file
+        |FROM pages ORDER BY doc_id, page""".stripMargin,
+
+    "a2_subfolders" ->
+      s"""WITH pathed AS ($duckPathed)
+         |SELECT DISTINCT string_split(relative_path, '/')[1] AS folder
+         |FROM pathed ORDER BY folder""".stripMargin,
+
+    "a5_json_source" ->
+      """WITH j AS (SELECT doc_id,
+        |  '{"id": ' || doc_id || ', "title": "Doc ' || doc_id || '", "content_len": ' || n_chars || '}' AS js
+        |  FROM documents)
+        |SELECT doc_id, json_extract_string(js, '$.title') AS title,
+        |  json_extract_string(js, '$.content_len')::BIGINT AS content_len
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "f4_path_functions" ->
+      s"""WITH pathed AS ($duckPathed)
+         |SELECT doc_id, string_split(full_path, '/')[-1] AS filename,
+         |  regexp_replace(full_path, '/[^/]+$$', '') AS parent,
+         |  regexp_replace(full_path, '^/data/corpus/', '') AS rel_path,
+         |  lower(string_split(full_path, '.')[-1]) AS suffix
+         |FROM pathed ORDER BY doc_id""".stripMargin,
+
+    "b1_multivec_embed" -> {
+      val th = Embedder.duckTokenHashes("text")
+      val chunkEmbed = Embedder.duckEmbedRaw("th[(ci*16+1):(ci*16+16)]")
+      val cosSafe = (a: String, b: String) =>
+        s"CASE WHEN list_sum(list_transform(($a)::DOUBLE[], x -> x*x)) * " +
+          s"list_sum(list_transform(($b)::DOUBLE[], x -> x*x)) = 0 THEN NULL " +
+          s"ELSE list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[]) END"
+      s"""WITH hashed AS (SELECT doc_id, $th AS th FROM documents),
+         |chunked AS (SELECT doc_id,
+         |  list_transform(range(0, ((len(th) - 1) // 16) + 1), ci -> $chunkEmbed) AS mv
+         |  FROM hashed),
+         |q AS (SELECT mv AS qm FROM chunked WHERE doc_id = 0)
+         |SELECT doc_id, ROUND(list_reduce(list_transform(qm, qv ->
+         |  list_aggregate(list_transform(mv, dv -> ${cosSafe("qv", "dv")}), 'max')), (a,b) -> a+b), 6) AS score
+         |FROM chunked, q ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
+    }
   )
 
   private def searchOracles: Map[String, String] = Map(
