@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search.TopK
+import graft.index.Sink
+
+/** User-facing collection API — the surface a user of the reference
+  * actually programs against, mapped 1:1 from the Qdrant client calls:
+  *
+  *  - `VectorCollection.ensure(...)`  ↔ `ensure_collection_exists`
+  *    (`with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:116-141`)
+  *  - `upsert(points)`               ↔ `client.upsert(collection, points, wait=True)`
+  *    (`...py:191-202`; job completion is the wait)
+  *  - `count`                        ↔ `client.get_collection().points_count` (`...py:284`)
+  *  - `search(vec, k, filter)`       ↔ `client.query_points(collection, query, limit, ...)`
+  *    (`with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83`) + payload filter (E4)
+  *  - `searchMaxSim(vecs, k)`        ↔ same with MAX_SIM comparator
+  *    (`with_colpali_v1.3/qdrant_query_with_colpali.py:106-116`)
+  *
+  * A collection is a parquet dataset directory with a fixed schema:
+  * id column, vector column (dense `array<float>`/`array<double>` or
+  * multi-vector `array<array<...>>`), payload columns. Config is
+  * declared once at [[VectorCollection.ensure]] like Qdrant's
+  * VectorParams and persisted in `_graft_meta.json`.
+  *
+  * Scale: `upsert` appends (or anti-join dedups when `incremental`);
+  * partitioning the directory by a cluster/bucket column turns probes
+  * into partition-pruned scans (ScaleDesignSpec shows the plan).
+  */
+final case class CollectionConfig(
+    idCol: String,
+    vectorCol: String,
+    dim: Int,
+    multiVector: Boolean)
+
+class VectorCollection private (
+    val spark: SparkSession,
+    val path: String,
+    val config: CollectionConfig) {
+
+  private def table: DataFrame = spark.read.parquet(path)
+
+  /** C2: synchronous batch upsert. Returns points_count after the
+    * write (the reference's processed == points_count parity check). */
+  def upsert(points: DataFrame): Long = Sink.append(points, path)
+
+  /** Incremental upsert: skip ids already present (fixes the
+    * reference's duplicate-on-reindex; SURVEY.md §7.6). */
+  def upsertIncremental(points: DataFrame): Long = {
+    val fresh = Sink.incremental(points, table, config.idCol)
+    Sink.append(fresh, path)
+  }
+
+  /** points_count. */
+  def count: Long = table.count()
+
+  /** D1+E4: dense top-k cosine search with optional payload filter. */
+  def search(queryVec: Seq[Float], k: Int = 5, filter: Column = lit(true)): DataFrame = {
+    require(!config.multiVector, "dense search on a multi-vector collection")
+    require(queryVec.length == config.dim,
+      s"query dim ${queryVec.length} != collection dim ${config.dim}")
+    val q = spark.range(1).select(typedlit(queryVec).as("q"))
+    TopK.dense(table, q, config.idCol, config.vectorCol, k, payloadFilter = filter)
+  }
+
+  /** D2: MaxSim late-interaction top-k for multi-vector collections. */
+  def searchMaxSim(queryVecs: Seq[Seq[Float]], k: Int = 5): DataFrame = {
+    require(config.multiVector, "maxsim search on a dense collection")
+    val q = spark.range(1).select(typedlit(queryVecs).as("q"))
+    TopK.maxSim(table, q, config.idCol, config.vectorCol, k)
+  }
+
+  /** D3: hit projection with 'Unknown' defaults. */
+  def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
+    TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)
+}
+
+object VectorCollection {
+
+  private def metaPath(path: String) = s"$path/_graft_meta.json"
+
+  /** C1: create-if-absent with declared vector config (the Qdrant
+    * VectorParams + MultiVectorComparator declaration), then open. */
+  def ensure(
+      spark: SparkSession,
+      path: String,
+      like: DataFrame,
+      config: CollectionConfig): VectorCollection = {
+    val created = Sink.ensureCollection(spark, path, like)
+    if (created) {
+      val json =
+        s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
+          s""""dim":${config.dim},"multiVector":${config.multiVector}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
+    }
+    new VectorCollection(spark, path, config)
+  }
+
+  /** Open an existing collection with its persisted config. */
+  def open(spark: SparkSession, path: String): VectorCollection = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath(path)))
+    def field(k: String): String =
+      json.split(s""""$k":""")(1).split("[,}]")(0).replaceAll("\"", "")
+    val cfg = CollectionConfig(field("idCol"), field("vectorCol"),
+      field("dim").toInt, field("multiVector").toBoolean)
+    new VectorCollection(spark, path, cfg)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.vector.Kernels
+
+/** Property-based kernel invariants (SURVEY.md §5.3), driven by
+  * ScalaCheck generators with fixed seeds (deterministic CI) and
+  * evaluated through the actual Catalyst expressions in one batched
+  * DataFrame per property — not one Spark job per case. */
+class KernelPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.choose(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toSeq))
+      // keep vectors comfortably non-zero (zero-vector edge is covered
+      // by a dedicated unit test)
+      .map(v => if (v.exists(x => math.abs(x) > 1e-3f)) v else v.updated(0, 1.0f))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n * 4).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(n).toSeq
+
+  private val cases: Seq[Seq[Float]] = samples(vecGen, 60)
+
+  test("cosine(a, a) ≈ 1 for non-zero vectors") {
+    val bad = cases.toDF("a")
+      .select(abs(Kernels.cosine(col("a"), col("a")) - 1.0).as("d"))
+      .filter(col("d") > 1e-9).count()
+    assert(bad === 0L)
+  }
+
+  test("cosine symmetric and bounded in [-1, 1]") {
+    val pairs = cases.zip(cases.reverse).filter { case (a, b) => a.length == b.length }
+    val df = pairs.toDF("a", "b").select(
+      Kernels.cosine(col("a"), col("b")).as("x"),
+      Kernels.cosine(col("b"), col("a")).as("y"))
+    assert(df.filter(abs(col("x") - col("y")) > 1e-12).count() === 0L)
+    assert(df.filter(abs(col("x")) > 1.0 + 1e-9).count() === 0L)
+  }
+
+  test("cosine scale-invariant under λ>0") {
+    val lambdas = samples(Gen.choose(0.1f, 100.0f), 60)
+    val rows = cases.zip(lambdas).map { case (a, l) => (a, a.map(x => x * 0.5f + 1.0f), l) }
+    val df = rows.toDF("a", "b", "l").select(
+      Kernels.cosine(col("a"), col("b")).as("x"),
+      Kernels.cosine(col("a"), transform(col("b"), e => e * col("l"))).as("y"))
+    assert(df.filter(abs(col("x") - col("y")) > 1e-6).count() === 0L)
+  }
+
+  test("normalize yields unit vectors") {
+    val bad = cases.toDF("a")
+      .select(abs(Kernels.l2norm(Kernels.normalize(col("a"))) - 1.0).as("d"))
+      .filter(col("d") > 1e-9).count()
+    assert(bad === 0L)
+  }
+
+  test("maxsim monotone in doc tokens and bounded by |Q|") {
+    val fix = (v: Seq[Float]) => v.take(4).padTo(4, 1.0f)
+    val mvGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, vecGen.map(fix)))
+    val qs = samples(mvGen, 40)
+    val ds = samples(mvGen, 40).reverse
+    val extras = samples(vecGen.map(fix), 40)
+    val rows = qs.lazyZip(ds).lazyZip(extras).map { (q, d, e) => (q, d, d :+ e) }
+    val df = rows.toDF("q", "d", "d2").select(
+      size(col("q")).as("nq"),
+      Kernels.maxsim(col("q"), col("d")).as("base"),
+      Kernels.maxsim(col("q"), col("d2")).as("more"))
+    assert(df.filter(col("more") < col("base") - 1e-12).count() === 0L)
+    assert(df.filter(col("base") > col("nq") + 1e-9).count() === 0L)
+  }
+}

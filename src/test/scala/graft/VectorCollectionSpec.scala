@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{CollectionConfig, VectorCollection}
+import graft.index.{Embedder, Ingest}
+import graft.Tables.t
+import java.nio.file.Files
+
+/** Replays the reference's end-to-end workflows against the library
+  * API: indexer __main__ (ensure → scan → embed → upsert → stats
+  * parity) and searcher __main__ (embed query → top-k → format). */
+class VectorCollectionSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_col").toFile.getAbsolutePath
+
+  private def points = {
+    Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(t(spark, sf, "documents")))))
+      .select(col("point_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("doc_id"), col("filename"), col("folder"))
+  }
+
+  test("indexer workflow: ensure → upsert → count parity (reference __main__)") {
+    val dir = s"${tmp()}/col"
+    val pts = points.cache()
+    val col0 = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    val n = col0.upsert(pts)
+    assert(n === pts.count()) // processed == points_count (C3 parity)
+    // re-open from persisted config
+    val col1 = VectorCollection.open(spark, dir)
+    assert(col1.config.dim === 64)
+    assert(col1.count === n)
+  }
+
+  test("incremental upsert is idempotent; plain upsert duplicates (reference semantics)") {
+    val dir = s"${tmp()}/col"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    val n1 = c.upsert(pts)
+    val n2 = c.upsertIncremental(pts) // all ids exist → no-op
+    assert(n2 === n1)
+    val n3 = c.upsert(pts) // reference-style append duplicates
+    assert(n3 === 2 * n1)
+  }
+
+  test("searcher workflow: query embed → top-k → formatted hits") {
+    val dir = s"${tmp()}/col"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    // embed a free-text query with the same encoder (searcher side B5)
+    val qv = spark.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit("fast table scan merge"))).as("v"))
+      .head.getSeq[Double](0).map(_.toFloat)
+    val hits = c.search(qv, k = 5)
+    assert(hits.count() === 5)
+    val scores = hits.collect().map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    // payload-filtered variant (E4)
+    val filtered = c.search(qv, k = 5, filter = col("folder") === "src1")
+    assert(filtered.join(spark.read.parquet(dir), "point_id")
+      .filter(col("folder") =!= "src1").count() === 0)
+    // D3 projection
+    val pretty = c.formatResults(
+      hits.join(spark.read.parquet(dir), Seq("point_id"), "left"),
+      Seq("filename", "folder"))
+    assert(pretty.columns.toSeq === Seq("point_id", "score", "filename", "folder"))
+  }
+
+  test("multi-vector collection: MaxSim search ranks the query doc first") {
+    val dir = s"${tmp()}/col"
+    val mv = Tables.multiVectorDocs(t(spark, sf, "embeddings")).cache()
+    val c = VectorCollection.ensure(spark, dir, mv,
+      CollectionConfig("doc_id", "vecs", 64, multiVector = true))
+    c.upsert(mv)
+    val q = mv.filter(col("doc_id") === 7).head
+      .getSeq[scala.collection.Seq[Float]](1).map(_.toSeq.asInstanceOf[Seq[Float]]).toSeq
+    val hits = c.searchMaxSim(q, k = 3)
+    assert(hits.head.getLong(0) === 7L)
+  }
+
+  test("dimension mismatch is rejected at the API boundary") {
+    val dir = s"${tmp()}/col"
+    val pts = points
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    intercept[IllegalArgumentException] { c.search(Seq(1f, 2f, 3f)) }
+  }
+}
