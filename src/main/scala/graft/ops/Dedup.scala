@@ -299,9 +299,55 @@ object Dedup {
        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $simMin
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup, LSH-bucketed (the scale path: sign-sketch
+    * blocking replaces the label block when no natural block key
+    * exists; recall follows the usual LSH trade-off and both engines
+    * compute the identical bucketing). */
+  def embeddingPairsLsh(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
+    val planes: Seq[Column] = emb
+      .filter(col("vec_id") >= 1 && col("vec_id") <= 8)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => typedlit(r.getSeq[Float](r.fieldIndex("embedding"))))
+      .toSeq
+    val dups = emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + DupOffset).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(dups)
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), planes))
+      .repartition(col("bucket"))
+    val a = corpus.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = corpus.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Kernels.cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .filter(col("sim") >= simMin)
+  }
+
+  def duckEmbeddingPairsLsh(simMin: Double = 0.9): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding[1:63] || [0.5::FLOAT] AS embedding
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |planes AS (SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |bkt AS (SELECT c.vec_id, sum(CASE WHEN list_inner_product(c.embedding::DOUBLE[], pv::DOUBLE[]) > 0
+       |    THEN (2.0 ** j)::BIGINT ELSE 0 END)::BIGINT AS bucket
+       |  FROM corpus c, planes GROUP BY c.vec_id),
+       |cb AS (SELECT c.vec_id, c.embedding, b.bucket FROM corpus c JOIN bkt b USING (vec_id))
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+       |FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $simMin
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -- query/oracle registry ---------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_embedding_lsh" -> ((s, dir) =>
+      embeddingPairsLsh(t(s, dir, "embeddings"))
+        .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_exact" -> ((s, dir) => {
       exact(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("keeper_id"))
@@ -321,6 +367,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_dedup_embedding_lsh" -> duckEmbeddingPairsLsh(),
     "x_dedup_exact" ->
       s"""WITH corpus AS ($duckCorpusWithDups)
          |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies

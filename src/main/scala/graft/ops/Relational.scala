@@ -85,6 +85,26 @@ object Relational {
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+    // ROLLUP subtotal hierarchy over the payload-style group keys.
+    "r_rollup_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // set operators: segment customers who did / did not place orders.
+    "r_setops_customers" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val both = withOrders.intersect(building)
+        .withColumn("relation", lit("ordered_building"))
+      val noOrders = building.except(withOrders)
+        .withColumn("relation", lit("building_no_orders"))
+      both.unionByName(noOrders).orderBy(col("relation"), col("custkey"))
+    }),
+
     "r_events_json" -> ((s, dir) =>
       eventJsonStats(graft.Tables.events(s, dir)).orderBy(col("event_type"))),
     "r_events_window" -> ((s, dir) =>
@@ -120,6 +140,20 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "r_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "r_setops_customers" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |bld AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT custkey, 'ordered_building' AS relation FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM bld) z
+        |UNION ALL
+        |SELECT custkey, 'building_no_orders' AS relation FROM (SELECT custkey FROM bld EXCEPT SELECT custkey FROM wo) z
+        |ORDER BY relation, custkey""".stripMargin,
 
     "r_events_json" ->
       """SELECT event_type, count(*) AS n,

@@ -68,6 +68,34 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("tokenizer parity on edge-case strings (whitespace runs, unicode)") {
+    import spark.implicits._
+    val weird = Seq("a  b", " lead", "trail ", " ", "héllo wörld zz",
+      "a\tb c", "one", "x y z w", "ä ö ü ß ä ö ü")
+    val d = weird.toDF("text")
+      .withColumn("h1", Embedder.tokenHashes(col("text")))
+      .withColumn("h2", Embedder.tokenHashesHof(col("text")))
+      .withColumn("s1", Dedup.shingleHashes(col("text")))
+      .withColumn("s2", Dedup.shingleHashesHof(col("text")))
+      .filter(col("h1") =!= col("h2") || col("s1") =!= col("s2"))
+    assert(d.count() === 0L)
+  }
+
+  test("jaccard sorted-merge == set-op formulation") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L), Seq(9L)),
+      (Seq(5L, 7L, 9L, 11L), Seq(5L, 7L, 9L, 11L)))
+    val d = rows.toDF("a", "b").select(
+        Kernels.ofExpr(graft.vector.JaccardSorted(
+          Kernels.exprOf(col("a")), Kernels.exprOf(col("b")))).as("x"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double")).as("y"))
+      .filter(col("x") =!= col("y"))
+    assert(d.count() === 0L)
+  }
+
   test("minhash signature: native == HOF on shingle hashes") {
     val hs = docs.select(col("doc_id"),
       array_distinct(transform(Dedup.shingles(col("text")),
