@@ -39,7 +39,7 @@ object Similarity {
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
   }

@@ -30,10 +30,10 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-        .as("n_sub_tokens"),
-      length(col("text")).as("n_chars_m"))
+        .cast("long").as("n_sub_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
 
   // -- quality scoring ---------------------------------------------
 
@@ -105,7 +105,7 @@ object TextAnalysis {
         col("doc_id"),
         array_min(col("gh")).as("fp_min"),
         array_max(col("gh")).as("fp_max"),
-        size(array_distinct(col("gh"))).as("fp_card"))
+        size(array_distinct(col("gh"))).cast("long").as("fp_card"))
   }
 
   // -- query/oracle registry ---------------------------------------
@@ -151,7 +151,7 @@ object TextAnalysis {
          |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS r
          |  FROM toks GROUP BY lang, tok) z WHERE r <= 10),
          |dt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
-         |scored AS (SELECT doc_id, p_lang, sum(n) AS hits FROM dt JOIN profiles USING (tok)
+         |scored AS (SELECT doc_id, p_lang, sum(n)::BIGINT AS hits FROM dt JOIN profiles USING (tok)
          |  GROUP BY doc_id, p_lang)
          |SELECT doc_id, p_lang AS pred_lang, hits FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang ASC) AS r
