@@ -20,6 +20,56 @@ import org.apache.spark.sql.types._
   */
 object NativeKernels {
 
+  /** Java-callable entry points for generated code (doGenCode emits a
+    * single static-style call; the loop itself is pre-compiled JVM
+    * code, so scoring stays inside the whole-stage-codegen pipeline
+    * with no per-row fallback projection). Element types are encoded
+    * as a flag: 0=float, 1=double. */
+  def cosineJava(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aT == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bT == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  def jaccardJava(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 && m == 0) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Double.valueOf(inter.toDouble / (n + m - inter).toDouble)
+  }
+
+  def embedJava(hs: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      out((h % dim).toInt) += 1.0 - 2.0 * ((h / dim) % 2).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[vector] def typeFlag(et: DataType): Int = et match {
+    case FloatType => 0
+    case DoubleType => 1
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
   private[vector] def getD(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
@@ -51,15 +101,31 @@ object NativeKernels {
 }
 
 /** Cosine similarity over two numeric arrays; null if lengths differ
-  * or either vector is zero (matches Kernels.cosine's guard). */
+  * or either vector is zero (matches Kernels.cosine's guard).
+  * Generates a single call into the pre-compiled loop so the scoring
+  * projection stays inside whole-stage codegen. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
   @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
   override def nullSafeEval(l: Any, r: Any): Any =
     NativeKernels.cosineOrNull(l.asInstanceOf[ArrayData], ae, r.asInstanceOf[ArrayData], be)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val aF = NativeKernels.typeFlag(ae)
+    val bF = NativeKernels.typeFlag(be)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $r = graft.vector.NativeKernels.cosineJava($a, $b, $aF, $bF);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -120,21 +186,16 @@ case class MaxSim(left: Expression, right: Expression)
   * twin): bucket = h mod dim, sign = 1-2·((h div dim) mod 2),
   * embedding[b] += sign. One pass, exact integer-in-double math. */
 case class FeatureHashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val hs = v.asInstanceOf[ArrayData]
-    val out = new Array[Double](dim)
-    var i = 0
-    while (i < hs.numElements()) {
-      val h = hs.getLong(i)
-      val b = (h % dim).toInt
-      val sign = 1.0 - 2.0 * ((h / dim) % 2).toDouble
-      out(b) += sign
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.embedJava(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.vector.NativeKernels.embedJava($c, $dim);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -266,21 +327,22 @@ case class ShingleHashesSorted(child: Expression, n: Int, mult: Long, prime: Lon
   * once per document (array_sort), not per candidate pair. Matches
   * size(array_intersect)/size(array_union) on distinct inputs. */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements(); val m = b.numElements()
-    if (n == 0 && m == 0) return null
-    var i = 0; var j = 0; var inter = 0
-    while (i < n && j < m) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    inter.toDouble / (n + m - inter).toDouble
-  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeKernels.jaccardJava(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $r = graft.vector.NativeKernels.jaccardJava($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -55,4 +55,45 @@ class ScaleDesignSpec extends SparkSpec {
   test("AQE is available for runtime re-planning") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+  test("cosine scoring participates in whole-stage codegen (doGenCode, no fallback)") {
+    import org.apache.spark.sql.execution.debug._
+    val e = t(spark, sf, "embeddings")
+    val d = e.select(col("vec_id"),
+      graft.vector.Kernels.cosine(col("embedding"), col("embedding")).as("s"))
+    val code = d.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(code.contains("cosineJava"), "generated code should call the native cosine kernel")
+    // and it actually evaluates through that path
+    assert(math.abs(d.orderBy(col("vec_id")).head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("colocated join: bucketed tables join without a shuffle") {
+    // uses the default spark-warehouse dir (gitignored); warehouse.dir
+    // is a static conf and cannot move at runtime. Clean both catalog
+    // entries and leftover locations from previous JVMs.
+    for (tbl <- Seq("li_bkt", "ord_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bkt")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bkt")
+    val joined = spark.table("li_bkt")
+      .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketing pre-partitions both sides on the join key: the join
+    // itself introduces no Exchange (only AQE wrappers may appear)
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"expected no shuffle below the bucketed join:\n$plan")
+    assert(joined.count() > 0)
+  }
 }
