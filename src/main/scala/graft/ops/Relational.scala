@@ -85,6 +85,17 @@ object Relational {
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+    // PIVOT: events per type per day — wide-format reporting shape.
+    "r_pivot_events" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))),
+
     // ROLLUP subtotal hierarchy over the payload-style group keys.
     "r_rollup_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -140,6 +151,15 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "r_pivot_events" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "r_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,

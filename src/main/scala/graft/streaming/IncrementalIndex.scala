@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.VectorCollection
+import graft.index.Embedder
+
+/** The reference's incremental indexing loop as a stream: new
+  * documents arrive → embed → upsert-if-absent into a collection
+  * (`index_folders` re-run on a schedule,
+  * `with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:204-286`,
+  * minus its duplicate-on-reindex bug).
+  *
+  * Implementation: file-source readStream → embedding projection →
+  * `foreachBatch` calling [[VectorCollection.upsertIncremental]].
+  * foreachBatch is the idiomatic sink when the write needs batch-side
+  * semantics (here: the anti-join dedup); at scale each micro-batch is
+  * one bounded append with exactly-once via the streaming checkpoint +
+  * idempotent ids.
+  */
+object IncrementalIndex {
+
+  /** Run the stream to completion over the bounded documents fixture,
+    * upserting embedded points into `collection`. Returns micro-batch
+    * count processed. */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      collection: VectorCollection,
+      checkpoint: String): Long = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    var batches = 0L
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("_th", Embedder.tokenHashes(col("text")))
+      .select(
+        Embedder.tokenHash(col("text")).as("point_id"),
+        Embedder.embedRaw(col("_th")).cast("array<float>").as("embedding"),
+        col("doc_id"), col("source").as("folder"))
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collection.upsertIncremental(batch)
+        batches += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    batches
+  }
+}

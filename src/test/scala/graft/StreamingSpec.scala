@@ -26,6 +26,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("incremental index stream: ingests once, re-run adds nothing") {
+    import graft.api.{CollectionConfig, VectorCollection}
+    import graft.streaming.IncrementalIndex
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_inc").toFile.getAbsolutePath
+    val docs = Tables.t(spark, sf, "documents")
+    val like = docs.select(lit(0L).as("point_id"),
+      lit(Array.empty[Float]).as("embedding"), col("doc_id"),
+      col("source").as("folder")).limit(0)
+    val c = VectorCollection.ensure(spark, s"$base/col", like,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    IncrementalIndex.run(spark, sf, c, s"$base/ckpt1")
+    val n1 = c.count
+    assert(n1 === docs.count())
+    // fresh checkpoint → source re-delivers everything; idempotent ids
+    // mean the collection does not grow
+    IncrementalIndex.run(spark, sf, c, s"$base/ckpt2")
+    assert(c.count === n1)
+    // and a top-k search over the streamed-in collection works
+    val qv = spark.range(1)
+      .select(graft.index.Embedder.embedRaw(
+        graft.index.Embedder.tokenHashes(lit("window merge sort"))).as("v"))
+      .head.getSeq[Double](0).map(_.toFloat)
+    assert(c.search(qv, 5).count() === 5)
+  }
+
   test("sessions have positive durations and event counts") {
     val s = Streams.sessionize(spark, sf)
     assert(s.filter(col("n_events") < 1 || col("last_ts") < col("first_ts")).count() === 0L)
