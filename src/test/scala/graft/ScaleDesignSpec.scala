@@ -67,6 +67,20 @@ class ScaleDesignSpec extends SparkSpec {
     assert(math.abs(d.orderBy(col("vec_id")).head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("salted two-phase aggregation equals direct aggregation (skew path)") {
+    val li = t(spark, sf, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("total"), count(lit(1)).as("n"))
+    val salted = graft.ops.Skew.saltedSumCount(li, "l_returnflag", "l_quantity", 16)
+    assert(salted.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(salted).count() === 0L)
+    // phase-1 really spreads the key across salt buckets
+    val spread = li.withColumn("_salt",
+        pmod(hash(col("l_returnflag"), monotonically_increasing_id()), lit(16)))
+      .groupBy("l_returnflag").agg(countDistinct(col("_salt")).as("k")).collect()
+    assert(spread.forall(_.getLong(1) > 1))
+  }
+
   test("colocated join: bucketed tables join without a shuffle") {
     // uses the default spark-warehouse dir (gitignored); warehouse.dir
     // is a static conf and cannot move at runtime. Clean both catalog
