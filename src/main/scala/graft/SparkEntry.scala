@@ -279,7 +279,7 @@ object SparkEntry {
       s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
          |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
          |pts AS (SELECT doc_id,
-         |  ${Embedder.duckTokenHashes("full_path")}[1] AS point_id,
+         |  ${Embedder.duckStringHash64("full_path")} AS point_id,
          |  string_split(relative_path, '/')[-1] AS filename,
          |  source AS folder,
          |  ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS embedding
@@ -297,7 +297,7 @@ object SparkEntry {
     "c2_incremental" ->
       s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
          |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
-         |pts AS (SELECT doc_id, ${Embedder.duckTokenHashes("full_path")}[1] AS point_id FROM decoded)
+         |pts AS (SELECT doc_id, ${Embedder.duckStringHash64("full_path")} AS point_id FROM decoded)
          |SELECT doc_id FROM pts i
          |WHERE NOT EXISTS (SELECT 1 FROM pts e WHERE e.doc_id < 100 AND e.point_id = i.point_id)
          |ORDER BY doc_id""".stripMargin,

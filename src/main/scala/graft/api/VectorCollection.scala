@@ -41,12 +41,15 @@ class VectorCollection private (
 
   private def table: DataFrame = spark.read.parquet(path)
 
-  /** C2: synchronous batch upsert. Returns points_count after the
-    * write (the reference's processed == points_count parity check). */
+  /** C2: synchronous batch upsert. Returns the number of rows written
+    * by this call; the reference's `processed == points_count` parity
+    * check is `count` (kept separate so per-batch writes don't pay an
+    * O(collection) scan). */
   def upsert(points: DataFrame): Long = Sink.append(points, path)
 
   /** Incremental upsert: skip ids already present (fixes the
-    * reference's duplicate-on-reindex; SURVEY.md §7.6). */
+    * reference's duplicate-on-reindex; SURVEY.md §7.6). Returns rows
+    * actually written (0 when everything already existed). */
   def upsertIncremental(points: DataFrame): Long = {
     val fresh = Sink.incremental(points, table, config.idCol)
     Sink.append(fresh, path)

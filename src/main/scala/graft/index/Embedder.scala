@@ -80,6 +80,18 @@ object Embedder {
   def embed(hashes: Column, dim: Int = DefaultDim): Column =
     Kernels.normalize(embedRaw(hashes, dim))
 
+  /** Wide (60-bit) portable content id: first 15 hex chars of md5,
+    * parsed as a long. The poly hash (mod ~2^20) is fine for feature
+    * buckets but far too narrow for point identity — at ~1.2k docs a
+    * collision is even odds, and a collision makes incremental ingest
+    * silently drop a genuinely new document. */
+  def stringHash64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB equivalent of [[stringHash64]]. */
+  def duckStringHash64(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
   /** DuckDB expression equivalent to `tokenHash(expr)` for an arbitrary
     * string (spaces included). */
   def duckStringHash(expr: String): String =

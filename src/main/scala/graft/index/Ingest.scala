@@ -80,7 +80,7 @@ object Ingest {
   def buildPoints(decoded: DataFrame, dim: Int = Embedder.DefaultDim): DataFrame =
     decoded
       .filter(col("decode_ok"))
-      .withColumn("point_id", Embedder.tokenHash(col("full_path")))
+      .withColumn("point_id", Embedder.stringHash64(col("full_path")))
       .withColumn("_th", Embedder.tokenHashes(col("text")))
       .withColumn("embedding", Embedder.embedRaw(col("_th"), dim))
       .withColumn("filename", element_at(split(col("relative_path"), "/"), -1))

@@ -31,11 +31,17 @@ object Sink {
   }
 
   /** C2: batch upsert — append semantics (reference ids are always
-    * fresh). Returns the written count for the C3 parity check
-    * (`processed == points_count`, `...py:281-286`). */
+    * fresh). Returns the count of rows written in THIS call; the
+    * reference's `processed == points_count` parity check is a
+    * separate full-collection count the caller runs when wanted —
+    * doing it here would make every streaming micro-batch pay an
+    * O(collection) scan. */
   def append(points: DataFrame, path: String): Long = {
-    points.write.mode(SaveMode.Append).parquet(path)
-    points.sparkSession.read.parquet(path).count()
+    val staged = points.cache()
+    val written = staged.count()
+    staged.write.mode(SaveMode.Append).parquet(path)
+    staged.unpersist()
+    written
   }
 
   /** Incremental re-ingest: drop rows whose id already exists in the

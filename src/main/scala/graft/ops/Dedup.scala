@@ -142,9 +142,12 @@ object Dedup {
         Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // plain equi-joins back to the per-doc shingle sets: AQE broadcasts
+    // them when genuinely small, and at corpus scale (where the full
+    // shingle table can never be broadcast) these stay shuffle joins
     cands
-      .join(broadcast(hsTable.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))), Seq("id_a"))
-      .join(broadcast(hsTable.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))), Seq("id_b"))
+      .join(hsTable.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hsTable.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
@@ -304,12 +307,7 @@ object Dedup {
     * exists; recall follows the usual LSH trade-off and both engines
     * compute the identical bucketing). */
   def embeddingPairsLsh(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
-    val planes: Seq[Column] = emb
-      .filter(col("vec_id") >= 1 && col("vec_id") <= 8)
-      .orderBy(col("vec_id"))
-      .collect()
-      .map(r => typedlit(r.getSeq[Float](r.fieldIndex("embedding"))))
-      .toSeq
+    val planes = Similarity.fixturePlanes(emb)
     val dups = emb.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + DupOffset).as("vec_id"),
         concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"))

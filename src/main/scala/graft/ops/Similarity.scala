@@ -65,6 +65,17 @@ object Similarity {
       when(Kernels.dot(v, p) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The fixture-derived hyperplane set (vectors 1..8, vec_id order) —
+    * an index-build-time constant collected once, shared by every LSH
+    * consumer so the bucketing convention cannot diverge between
+    * operators or from the DuckDB oracle formula. */
+  def fixturePlanes(emb: DataFrame): Seq[Column] =
+    emb.filter(col("vec_id") >= 1 && col("vec_id") <= 8)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => typedlit(r.getSeq[Float](r.fieldIndex("embedding"))))
+      .toSeq
+
   // -- query/oracle registry ---------------------------------------
 
   private val duckCosSim =
@@ -101,12 +112,7 @@ object Similarity {
     // driver-side query embedding), probe only the query's bucket.
     "x_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val planes: Seq[Column] = e
-        .filter(col("vec_id") >= 1 && col("vec_id") <= 8)
-        .orderBy(col("vec_id"))
-        .collect()
-        .map(r => typedlit(r.getSeq[Float](r.fieldIndex("embedding"))))
-        .toSeq
+      val planes = fixturePlanes(e)
       val buckets = e.select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), planes).as("bucket"))
       val q = buckets.filter(col("vec_id") === 0)

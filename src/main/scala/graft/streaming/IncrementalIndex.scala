@@ -36,7 +36,7 @@ object IncrementalIndex {
       .parquet(sfDir)
       .withColumn("_th", Embedder.tokenHashes(col("text")))
       .select(
-        Embedder.tokenHash(col("text")).as("point_id"),
+        Embedder.stringHash64(col("text")).as("point_id"),
         Embedder.embedRaw(col("_th")).cast("array<float>").as("embedding"),
         col("doc_id"), col("source").as("folder"))
     val q = stream.writeStream

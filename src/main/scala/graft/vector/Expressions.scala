@@ -31,13 +31,20 @@ object NativeKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aT == 0) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bT == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elem(a, aT, i)
+      val y = elem(b, bT, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  private def elem(a: ArrayData, t: Int, i: Int): Double = t match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
   }
 
   def jaccardJava(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -64,9 +71,13 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Flags mirror [[getD]] exactly so interpreted eval and codegen
+    * accept the same element types. */
   private[vector] def typeFlag(et: DataType): Int = et match {
     case FloatType => 0
     case DoubleType => 1
+    case LongType => 2
+    case IntegerType => 3
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
@@ -130,10 +141,12 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Dot product (sequential left fold, doubles). */
+/** Dot product (sequential left fold, doubles); null when lengths
+  * differ, so nullable regardless of children. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
   @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
   override def nullSafeEval(l: Any, r: Any): Any = {

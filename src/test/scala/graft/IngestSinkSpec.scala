@@ -54,7 +54,9 @@ class IngestSinkSpec extends SparkSpec {
     assert(Sink.ensureCollection(spark, path, pts))
     assert(!Sink.ensureCollection(spark, path, pts)) // second call no-op
     assert(Sink.append(pts, path) === 10L)
-    assert(Sink.append(pts, path) === 20L) // reference semantics: re-index duplicates
+    assert(Sink.append(pts, path) === 10L) // returns rows written this call
+    // reference semantics: re-index duplicates — collection holds both
+    assert(spark.read.parquet(path).count() === 20L)
   }
 
   test("incremental: re-ingest of same corpus adds zero rows") {

@@ -81,6 +81,17 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("cosine handles int/long element types in both eval and codegen") {
+    import spark.implicits._
+    val d = Seq((Seq(1L, 2L, 2L), Seq(1, 2, 2), Seq(1.0f, 2.0f, 2.0f)))
+      .toDF("l", "i", "f")
+      .select(Kernels.cosine(col("l"), col("f")).as("lf"),
+        Kernels.cosine(col("i"), col("f")).as("if"))
+      .head
+    assert(math.abs(d.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(d.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("jaccard sorted-merge == set-op formulation") {
     import spark.implicits._
     val rows = Seq(

@@ -39,10 +39,10 @@ class VectorCollectionSpec extends SparkSpec {
     val c = VectorCollection.ensure(spark, dir, pts,
       CollectionConfig("point_id", "embedding", 64, multiVector = false))
     val n1 = c.upsert(pts)
-    val n2 = c.upsertIncremental(pts) // all ids exist → no-op
-    assert(n2 === n1)
-    val n3 = c.upsert(pts) // reference-style append duplicates
-    assert(n3 === 2 * n1)
+    assert(c.upsertIncremental(pts) === 0L) // all ids exist → nothing written
+    assert(c.count === n1)
+    assert(c.upsert(pts) === n1) // reference-style append duplicates
+    assert(c.count === 2 * n1)
   }
 
   test("searcher workflow: query embed → top-k → formatted hits") {
