@@ -82,6 +82,28 @@ object Similarity {
     (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Document-level similarity join: embed the corpus, then k-NN join
+    // a query subset against it — the end-to-end "find similar docs"
+    // pipeline (embedder → broadcast query side → ranking window).
+    "x_embed_knn_docs" -> ((s, dir) => {
+      import graft.index.Embedder
+      val emb = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("_th", Embedder.tokenHashes(col("text")))
+        .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
+      val qs = emb.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("v").as("qv"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("doc_id"),
+          round(Kernels.cosine(col("v"), col("qv")), 6).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("doc_id"), col("score"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // k-NN join: 10 query vectors × top-3 neighbors each.
     "x_knn_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -127,6 +149,15 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_embed_knn_docs" -> {
+      import graft.index.Embedder
+      s"""WITH emb AS (SELECT doc_id, ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),
+         |qs AS (SELECT doc_id AS q_id, v AS qv FROM emb WHERE doc_id < 5),
+         |scored AS (SELECT q_id, e.doc_id, ROUND(${duckCosSim("e.v", "qv")}, 6) AS score FROM emb e, qs),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk FROM scored)
+         |SELECT q_id, doc_id, score, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    },
     "x_knn_join" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |scored AS (SELECT q_id, e.vec_id, ROUND(${duckCosSim("e.embedding", "qv")}, 6) AS score
