@@ -129,6 +129,29 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF ANN with nprobe=2: probe the two clusters whose centroids
+    // are nearest the query — the standard recall/latency knob; at
+    // scale this reads 2 of K partition subtrees instead of 1.
+    "x_ann_ivf_nprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = ivfAssign(e, cents)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // rank centroids against the query, keep the best 2
+      val probed = cents.crossJoin(broadcast(qv))
+        .select(col("c_id"), Kernels.cosine(col("cv"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("c_id").asc)
+        .limit(2)
+        .select(col("c_id").as("cluster_id"))
+      asg.join(broadcast(probed), Seq("cluster_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // LSH ANN: 8 sign-bit hyperplanes (fixture vectors 1..8 — an
     // index-build-time constant, collected once like the reference's
     // driver-side query embedding), probe only the query's bucket.
@@ -177,6 +200,20 @@ object Similarity {
          |q AS (SELECT embedding AS qv, cluster_id AS qc FROM asg WHERE vec_id = 0)
          |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
          |FROM asg, q WHERE cluster_id = qc
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_ann_ivf_nprobe" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |probed AS (SELECT c_id AS cluster_id FROM c, qv
+         |  ORDER BY ${duckCosSim("cv", "q")} DESC, c_id ASC LIMIT 2)
+         |SELECT vec_id, ROUND(${duckCosSim("embedding", "q")}, 6) AS score
+         |FROM asg JOIN probed USING (cluster_id), qv
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "x_ann_lsh" ->
