@@ -65,6 +65,57 @@ object Similarity {
       when(Kernels.dot(v, p) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // -- deterministic hash-derived hyperplanes (banded LSH) -----------
+
+  private val M31 = 2147483647L
+
+  /** ±1 component i (1-based) of hyperplane m: two rounds of the
+    * minstd generator seeded with the flat plane/dim index, parity as
+    * the sign. Pure integer math both engines reproduce exactly —
+    * a single round leaves parity linear in (m+i) and collapses every
+    * plane to ± one pattern (measured: recall identical for any band
+    * count), hence the second multiply. */
+  def planeSign(m: Int, i: Int, dim: Int = 64): Double = {
+    val h = (((m.toLong * dim + i) * 48271L) % M31 * 48271L) % M31
+    if (h % 2 == 1) 1.0 else -1.0
+  }
+
+  /** Hyperplane m as a literal ±1 vector (an index-build-time constant
+    * like the reference's driver-side query embedding — broadcast with
+    * the plan, no data-dependent collect). */
+  def hashPlane(m: Int, dim: Int = 64): Column =
+    typedlit((1 to dim).map(i => planeSign(m, i, dim)).toArray)
+
+  /** Banded sign-LSH bucket values: element b is the r-bit bucket of
+    * band b (planes b·r..b·r+r−1). Two vectors are candidate
+    * near-duplicates iff they share ANY band's bucket — the same
+    * banding construction as MinHash-LSH (Dedup.minhashPairs), which
+    * trades a few verification duplicates for the recall a single wide
+    * sketch cannot reach. Band/plane counts chosen on measurement at
+    * sf0.01/sf0.1 (10×5: recall 10/10 of the planted cosine≥0.9 pairs
+    * at sf0.01, candidate volume ≈ single-sketch's). */
+  def bandedBuckets(v: Column, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until planesPerBand).map { k =>
+        when(Kernels.dot(v, hashPlane(b * planesPerBand + k)) > 0,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** DuckDB CTE body producing (vec_id, band, bval) from a `corpus`
+    * CTE with (vec_id, embedding) — the exact integer-math mirror of
+    * [[bandedBuckets]] + [[planeSign]]. */
+  def duckBandedBuckets(bands: Int, planesPerBand: Int): String =
+    s"""SELECT c.vec_id, p.m // $planesPerBand AS band,
+       |    sum(CASE WHEN list_inner_product(c.embedding::DOUBLE[], p.pv) > 0
+       |      THEN (2 ** (p.m % $planesPerBand))::BIGINT ELSE 0 END)::BIGINT AS bval
+       |  FROM corpus c, (
+       |    SELECT m, list_transform(range(1, 65), i ->
+       |      CASE WHEN (((m*64 + i) * 48271) % 2147483647 * 48271) % 2147483647 % 2 = 1
+       |        THEN 1.0 ELSE -1.0 END) AS pv
+       |    FROM (SELECT unnest(range(0, ${bands * planesPerBand})) AS m) ms) p
+       |  GROUP BY c.vec_id, p.m // $planesPerBand""".stripMargin
+
   /** The fixture-derived hyperplane set (vectors 1..8, vec_id order) —
     * an index-build-time constant collected once, shared by every LSH
     * consumer so the bucketing convention cannot diverge between

@@ -41,6 +41,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 1000000))
   }
 
+  test("banded embedding LSH recovers >=80% of the planted cosine>=0.9 pairs") {
+    // ground truth: brute-force cosine of each planted (v, v') pair
+    val truth = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .flatMap { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val d = v.clone(); d(d.length - 1) = 0.5
+        val dot = v.zip(d).map { case (x, y) => x * y }.sum
+        val sim = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
+        if (sim >= 0.9) Some(r.getLong(0)) else None
+      }.toSet
+    assert(truth.size >= 5, "fixture should plant several cosine>=0.9 pairs")
+    val found = Dedup.embeddingPairsLsh(emb).collect()
+      .filter(r => r.getLong(1) === r.getLong(0) + 1000000)
+      .map(_.getLong(0)).toSet
+    val recovered = (truth & found).size
+    assert(recovered * 10 >= truth.size * 8,
+      s"banded LSH recall $recovered/${truth.size} below 80%")
+  }
+
   test("knn join: k rows per query, self in first place") {
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
