@@ -182,6 +182,31 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // C2 replace-by-key upsert: re-indexing an EDITED document (same
+    // path → same point_id, new text → new embedding) must REPLACE the
+    // stale point, not skip or duplicate it (Qdrant client.upsert
+    // overwrites by id — with_colpali_v1.3/...py:191-202). Round-trips
+    // a real collection directory: index v1, upsertReplace edited v2
+    // for every 10th doc, read the final state back.
+    "c2_upsert_replace" -> ((s, dir) => {
+      val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))))
+        .select(col("doc_id"), col("point_id"), col("embedding"))
+      val edited = Ingest.buildPoints(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+            .withColumn("text", concat(col("text"), lit(" edited zz")))))))
+        .select(col("doc_id"), col("point_id"), col("embedding"))
+      val colDir = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toFile.getAbsolutePath + "/col"
+      pts.write.parquet(colDir)
+      Sink.upsertReplace(s, edited, colDir, "point_id")
+      s.read.parquet(colDir)
+        .select(col("doc_id"), col("point_id"),
+          element_at(col("embedding"), 1).as("e0"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A1: PDF→page-image conversion dataflow — one row per (pdf, page)
     // with the reference's "{pdf}_page_{i}.png" naming
     // (shared/convert_pdf_to_image.py:87-91); the poppler render is
@@ -301,6 +326,17 @@ object SparkEntry {
          |SELECT doc_id FROM pts i
          |WHERE NOT EXISTS (SELECT 1 FROM pts e WHERE e.doc_id < 100 AND e.point_id = i.point_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "c2_upsert_replace" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
+         |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
+         |final AS (SELECT doc_id,
+         |  ${Embedder.duckStringHash64("full_path")} AS point_id,
+         |  ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes(
+        "CASE WHEN doc_id % 10 = 0 THEN text || ' edited zz' ELSE text END"))} AS embedding
+         |  FROM decoded)
+         |SELECT doc_id, point_id, embedding[1] AS e0
+         |FROM final ORDER BY doc_id""".stripMargin,
 
     "a1_pdf_pages" ->
       """WITH pdfs AS (SELECT doc_id, 'doc_' || doc_id || '.pdf' AS pdf, doc_id % 5 + 1 AS n_pages FROM documents),

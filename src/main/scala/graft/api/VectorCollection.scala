@@ -55,6 +55,13 @@ class VectorCollection private (
     Sink.append(fresh, path)
   }
 
+  /** True Qdrant upsert: REPLACE points whose id already exists, append
+    * the rest (`client.upsert` overwrites by id — the semantics a
+    * re-index-after-edit needs). File-level MERGE; see
+    * [[graft.index.Sink.upsertReplace]]. */
+  def upsertReplace(points: DataFrame): Long =
+    Sink.upsertReplace(spark, points, path, config.idCol)
+
   /** points_count. */
   def count: Long = table.count()
 

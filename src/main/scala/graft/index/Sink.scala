@@ -49,4 +49,56 @@ object Sink {
     * is small, shuffle-hash otherwise; AQE picks at runtime). */
   def incremental(incoming: DataFrame, existing: DataFrame, idCol: String): DataFrame =
     incoming.join(existing.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** C2 with true Qdrant upsert semantics: a point whose id already
+    * exists is REPLACED by the incoming row
+    * (`client.upsert` overwrites by id —
+    * `with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:191-202`;
+    * re-indexing an edited document must not keep the stale embedding).
+    *
+    * MERGE-style delete-matched+append at file granularity: only the
+    * parquet files that actually CONTAIN a matched id are rewritten —
+    * survivors from those files are re-appended alongside the incoming
+    * rows, then the superseded files are retired. Everything else in
+    * the collection is untouched, so the cost is O(touched files +
+    * incoming), not O(collection) — the same shape a table format's
+    * MERGE takes at 100 TB. The driver holds only the touched file
+    * LIST (bounded by file count). Single-writer, like the reference's
+    * synchronous `wait=True` upsert; a production deployment wraps the
+    * append+retire pair in a transaction log. Returns rows upserted. */
+  def upsertReplace(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      idCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val existing = spark.read.parquet(path)
+    val cols = existing.columns.toSeq
+    val staged = incoming.select(cols.map(col): _*).cache()
+    val written = staged.count()
+    val incIds = staged.select(col(idCol)).distinct()
+    val touched = existing.withColumn("_file", input_file_name())
+      .join(incIds, Seq(idCol), "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) {
+      staged.write.mode(SaveMode.Append).parquet(path)
+    } else {
+      // survivors: unmatched rows of ONLY the touched files. The append
+      // below reads exactly these files (explicit list resolved before
+      // the write starts) while adding new part files — safe, and the
+      // superseded files are deleted only after the write commits.
+      val survivors = spark.read.parquet(touched: _*)
+        .join(incIds, Seq(idCol), "left_anti")
+        .select(cols.map(col): _*)
+      survivors.unionByName(staged).write.mode(SaveMode.Append).parquet(path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      touched.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).delete(p, false)
+      }
+    }
+    staged.unpersist()
+    written
+  }
 }

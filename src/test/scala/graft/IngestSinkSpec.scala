@@ -59,6 +59,42 @@ class IngestSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 20L)
   }
 
+  test("upsertReplace: edited doc's new embedding wins, others untouched (C2)") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile
+    val path = s"${dir.getAbsolutePath}/col"
+    val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs))))
+      .select(col("doc_id"), col("point_id"), col("embedding")).cache()
+    val n = pts.count()
+    pts.write.parquet(path)
+    // same docs re-indexed after an edit: identical point_id (path
+    // unchanged), different embedding (text changed)
+    val edited = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" edited zz")))))))
+      .select(col("doc_id"), col("point_id"), col("embedding")).cache()
+    assert(Sink.upsertReplace(spark, edited, path, "point_id") === edited.count())
+    val after = spark.read.parquet(path)
+    // replace, not append/skip: same cardinality, no duplicate ids
+    assert(after.count() === n)
+    assert(after.select("point_id").distinct().count() === n)
+    // edited rows carry the NEW embedding
+    val stale = after.join(edited.select(col("point_id"), col("embedding").as("e2")), "point_id")
+      .filter(col("embedding") =!= col("e2")).count()
+    assert(stale === 0L)
+    // untouched rows keep their original embedding
+    val untouched = after.filter(col("doc_id") % 10 =!= 0)
+      .join(pts.select(col("point_id"), col("embedding").as("e1")), "point_id")
+      .filter(col("embedding") =!= col("e1")).count()
+    assert(untouched === 0L)
+    // genuinely new ids append
+    val extra = edited.withColumn("point_id", col("point_id") + 1)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    Sink.upsertReplace(spark, extra, path, "point_id")
+    assert(spark.read.parquet(path).count() === n + extra.count())
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
