@@ -1,107 +1,190 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming equivalents (extension — the reference has no
   * streaming; SURVEY.md §2 G sanctions it for the events table).
   *
-  * The incremental-indexing pipeline is stream-shaped by nature (new
-  * PDFs arrive → embed → upsert), so the engine exposes the same
-  * tumbling-window aggregation as a `readStream` plan with a
-  * watermark. At scale this runs continuously with state eviction via
-  * the watermark; here a bounded parquet source drives it to
-  * completion so the result is deterministic and oracle-comparable.
+  * Scale design (round-2 rewrite): both queries run in APPEND mode
+  * against a file sink, so nothing is ever re-emitted and the driver
+  * never materializes the aggregate — each micro-batch writes only the
+  * windows/sessions the advancing watermark has finalized, and state
+  * for them is evicted. On an unbounded stream the watermark advances
+  * as new data arrives; the bounded fixture stands that in with one
+  * far-future sentinel row that is filtered out AFTER the watermark
+  * operator (it feeds the watermark, never the aggregate), forcing the
+  * final no-data batch that flushes the last open windows/sessions.
   */
 object Streams {
 
-  private val runId = new AtomicInteger(0)
+  /** Source directory for streaming the bounded events fixture: the
+    * fixture file (hard-linked/copied, never mutated) plus a sentinel
+    * row `sentinelGapHours` past the fixture's max event time. */
+  private[graft] def sentinelSourceDir(
+      spark: SparkSession,
+      sfDir: String,
+      sentinelGapHours: Int = 6): (String, StructType) = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(src.toString)
+    val maxTs = raw.agg(max(col("ts"))).head.getLong(0) // ns-as-long
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    writeSingleFile(spark, sentinelRow(spark, maxTs, sentinelGapHours),
+      dir.resolve("01_sentinel.parquet").toString)
+    (dir.toString, raw.schema)
+  }
 
-  /** Tumbling 1-hour windowed counts per event_type, computed by an
-    * actual streaming query (memory sink, complete mode) over the
-    * bounded events fixture. Returns the materialized result as a
-    * batch DataFrame. */
-  def eventWindowCountsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    // the streaming file source requires a directory; scope it to the
-    // events file with a glob
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+  private[graft] def sentinelRow(
+      spark: SparkSession, maxTsNs: Long, gapHours: Int): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxTsNs + gapHours * 3600L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel__").as("event_type"),
+      lit(0.0).as("value"),
+      lit(null).cast("string").as("props"))
+
+  /** Write a 1-file parquet and move the part file to `dest` (the file
+    * streaming source lists plain files, not nested write dirs). */
+  private[graft] def writeSingleFile(
+      spark: SparkSession, df: DataFrame, dest: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staging = Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(dest))
+  }
+
+  /** Event-time stream over a source directory: restore the ns-as-long
+    * fixture timestamp and declare the watermark. The sentinel row is
+    * NOT filtered here — a pre-aggregation filter on event_type gets
+    * pushed below the EventTimeWatermark node into the parquet scan
+    * (measured: the sentinel then never advances the watermark and the
+    * final windows/sessions never flush). Instead the sentinel flows
+    * through: its own window/session can never finalize (its event
+    * time sits `sentinelGapHours` past the fixture, the watermark
+    * only ever reaches that minus the 2h delay), so it cannot appear
+    * in append-mode output; callers also filter the read-back
+    * defensively. */
+  private def eventStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
+  }
+
+  /** Run an append-mode streaming frame to a parquet sink until all
+    * available input (and the watermark-flush no-data batch) is
+    * processed; return the sink contents. */
+  private def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val data = s"$base/data"; val ckpt = s"$base/ckpt"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", data)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(data)
+  }
+
+  /** Tumbling 1-hour windowed counts per event_type in APPEND mode:
+    * each window row is emitted exactly once, when the watermark passes
+    * its end, and its state is evicted — the plan that holds on an
+    * unbounded stream (complete-mode + memory sink re-emits the whole
+    * aggregate through the driver every batch and OOMs at scale). */
+  def eventWindowCountsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    val windowed = eventStream(spark, srcDir, schema, None)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToParquet(spark, windowed)
+      .filter(col("event_type") =!= "__sentinel__")
   }
 
   /** One user-session row. */
   case class UserSession(user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)
 
-  case class Ev(user_id: Long, ts_us: Long)
+  /** The watermarked `ts` column must survive into the Dataset (the
+    * event-time-timeout checker looks for it on the state operator's
+    * child); the session math uses the exact µs long beside it. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 
-  /** Stateful sessionization with flatMapGroupsWithState: per-user
-    * sessions closed after `gapMinutes` of inactivity (event-time via
-    * watermark). The custom-state surface of Structured Streaming
-    * (KeyValueGroupedDataset) the engine exposes for incremental
-    * ingest bookkeeping; exercised in StreamingSpec. */
+  /** The open session of one user: [start, last] with n events. */
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Stateful sessionization with flatMapGroupsWithState, multi-batch
+    * correct: state holds ONLY the user's open session; a session is
+    * emitted exactly once — either when a same-batch event opens the
+    * next one, or when the event-time timeout (watermark past
+    * last + gap) closes it and removes the state. Bounded state, no
+    * re-emission, arbitrary micro-batch arrival (events sorted per
+    * user per batch; the watermark bounds disorder across batches). */
   def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 60): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    sessionizeFrom(spark, srcDir, schema, gapMinutes, None)
+  }
+
+  private[graft] def sessionizeFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      gapMinutes: Int,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val name = s"graft_sessions_${runId.incrementAndGet()}"
     val gapUs = gapMinutes * 60L * 1000000L
-    val events = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val events = eventStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
-
-    val sessions = events
+    val sessions: Dataset[UserSession] = events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Long], UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[Seq[Long]]) =>
-          // bounded input (one micro-batch covers the fixture): fold the
-          // user's timestamps into gap-separated sessions
-          val all = (state.getOption.getOrElse(Seq.empty[Long]) ++ evs.map(_.ts_us)).sorted
-          state.update(all)
-          val out = scala.collection.mutable.ListBuffer.empty[UserSession]
-          var start = -1L; var prev = -1L; var n = 0L
-          for (t <- all) {
-            if (start < 0) { start = t; prev = t; n = 1 }
-            else if (t - prev > gapUs) {
-              out += UserSession(uid, n, start, prev)
-              start = t; prev = t; n = 1
-            } else { prev = t; n += 1 }
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(uid, s.n, s.start, s.last))
+          } else {
+            val ts = evs.map(_.ts_us).toArray
+            java.util.Arrays.sort(ts)
+            val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+            var cur = state.getOption
+            for (t <- ts) cur match {
+              case Some(s) if t - s.last <= gapUs =>
+                cur = Some(OpenSession(s.start, t, s.n + 1))
+              case Some(s) =>
+                out += UserSession(uid, s.n, s.start, s.last)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via event time: fires on the first batch whose
+              // watermark exceeds it (ms granularity)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000 + 1)
+            }
+            out.iterator
           }
-          if (start >= 0) out += UserSession(uid, n, start, prev)
-          out.iterator
       }
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToParquet(spark, sessions.toDF())
+      .filter(col("user_id") >= 0)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSpec {
     assert(c.search(qv, 5).count() === 5)
   }
 
+  test("sessionize across >=2 micro-batches: no duplicate emission, equals batch result") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.max
+    val dir = Files.createTempDirectory("graft_mb").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val (minTs, maxTs) = {
+      val r = raw.agg(org.apache.spark.sql.functions.min(col("ts")), max(col("ts"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    // time-ordered halves: batch 2 is never late vs batch 1's watermark
+    Streams.writeSingleFile(spark, raw.filter(col("ts") <= mid), s"$dir/00_a.parquet")
+    Streams.writeSingleFile(spark, raw.filter(col("ts") > mid), s"$dir/01_b.parquet")
+    Streams.writeSingleFile(spark, Streams.sentinelRow(spark, maxTs, 6), s"$dir/02_sentinel.parquet")
+    // pin mtimes so maxFilesPerTrigger=1 delivers the files in time order
+    Seq("00_a.parquet", "01_b.parquet", "02_sentinel.parquet").zipWithIndex.foreach {
+      case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+    }
+    val streamed = Streams.sessionizeFrom(spark, dir, raw.schema, 60, Some(1)).cache()
+    // exactly-once: no (user, first_ts) emitted twice across batches
+    assert(streamed.groupBy(col("user_id"), col("first_ts"))
+      .count().filter(col("count") > 1).count() === 0L)
+    // and the multi-batch run equals the single-batch run
+    val whole = Streams.sessionize(spark, sf).cache()
+    assert(streamed.exceptAll(whole).count() === 0L)
+    assert(whole.exceptAll(streamed).count() === 0L)
+  }
+
   test("sessions have positive durations and event counts") {
     val s = Streams.sessionize(spark, sf)
     assert(s.filter(col("n_events") < 1 || col("last_ts") < col("first_ts")).count() === 0L)
