@@ -52,6 +52,17 @@ class ScaleDesignSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("IVF probe plan: partition-pruned read, top-k, no vec_id shuffle") {
+    val q = SparkEntry.queries("x_ann_ivf")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      s"IVF probe must not re-shuffle the table on vec_id:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster_id"),
+      s"IVF probe must prune on cluster_id partitions:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"IVF top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("AQE is available for runtime re-planning") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
