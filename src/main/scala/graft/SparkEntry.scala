@@ -126,6 +126,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // A3 over a REAL directory tree: synthesize the corpus as actual
+    // files once per dataset, then scan with the binaryFile source
+    // (recursiveFileLookup + pathGlobFilter — the reference's rglob,
+    // with_colpali_v1.3/...py:143-163). Oracle recomputes the same
+    // listing from the tabular fixture (size = UTF-8 byte length).
+    "a3_binary_scan" -> ((s, dir) => {
+      Ingest.binaryScan(s, Ingest.binaryTree(s, dir))
+        .orderBy(col("relative_path"))
+    }),
+
     // A4+C3: tolerant decode with processed/failed counters.
     "a4_decode_stats" -> ((s, dir) => {
       Ingest.decodeStats(Ingest.tolerantDecode(
@@ -287,6 +297,12 @@ object SparkEntry {
          |SELECT doc_id, relative_path FROM pathed
          |WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')
          |ORDER BY doc_id""".stripMargin,
+
+    "a3_binary_scan" ->
+      s"""WITH pathed AS ($duckPathed)
+         |SELECT relative_path, strlen(text)::BIGINT AS n_bytes FROM pathed
+         |WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')
+         |ORDER BY relative_path""".stripMargin,
 
     "a4_decode_stats" ->
       s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned)

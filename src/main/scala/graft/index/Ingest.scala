@@ -43,6 +43,48 @@ object Ingest {
     pathed.filter(
       lower(substring_index(col(pathCol), ".", -1)).isin("jpg", "jpeg", "png"))
 
+  /** One real on-disk corpus tree per dataset per JVM, synthesized from
+    * the documents fixture with the [[withPaths]] layout
+    * (`<source>/doc_<id>.<ext>`, file bytes = the UTF-8 text): the
+    * target of the REAL filesystem ingestion path — Spark's binaryFile
+    * source with recursive lookup, the engine's analog of the
+    * reference's `rglob` scan
+    * (`with_colpali_v1.3/...py:143-163`,
+    * `shared/get_all_folder_details.py:57-78`). The synthesis itself is
+    * a driver loop over fixture rows — test scaffolding, not the
+    * operator; at scale the tree already exists, which is the point. */
+  private val treeCache = scala.collection.mutable.Map.empty[String, String]
+
+  def binaryTree(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      treeCache.getOrElseUpdate(sfDir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_tree").toFile.getAbsolutePath
+        withPaths(spark.read.parquet(s"$sfDir/documents.parquet"))
+          .select(col("relative_path"), col("text")).collect()
+          .foreach { r =>
+            val p = java.nio.file.Paths.get(root, r.getString(0))
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, r.getString(1).getBytes("UTF-8"))
+          }
+        root
+      })
+    }
+
+  /** A3 over a REAL directory tree: binaryFile source, recursive
+    * lookup, case-variant image glob — returns (relative_path, n_bytes)
+    * without reading file contents (column pruning keeps the scan to
+    * file-status metadata). */
+  def binaryScan(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.{png,jpg,jpeg,PNG,JPG,JPEG}")
+      .load(root)
+      .select(
+        regexp_replace(col("path"),
+          "^.*" + java.util.regex.Pattern.quote(root) + "/", "").as("relative_path"),
+        col("length").as("n_bytes"))
+
   /** A4: fault-tolerant decode. Real image decoding is stubbed (no
     * image libs in this environment — SURVEY.md §7.3): a deterministic
     * subset plays the corrupt files (reference drops them and counts:

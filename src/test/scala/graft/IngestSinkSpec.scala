@@ -19,6 +19,19 @@ class IngestSinkSpec extends SparkSpec {
     assert(kept.count() === docs.count() * 6 / 8)
   }
 
+  test("binaryFile scan over a real tree matches the tabular scan semantics (A3)") {
+    val root = Ingest.binaryTree(spark, sf)
+    val scanned = Ingest.binaryScan(spark, root).cache()
+    val expected = Ingest.imageScanFilter(Ingest.withPaths(docs))
+      .select(col("relative_path"))
+    // same file set as the tabular semantics; txt/gif files on disk
+    // are excluded by the glob
+    assert(scanned.select("relative_path").exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(scanned.select("relative_path")).count() === 0L)
+    // sizes come from real file status
+    assert(scanned.filter(col("n_bytes") <= 0).count() === 0L)
+  }
+
   test("decode stats: processed + failed == scanned (A4/C3 parity)") {
     val decoded = Ingest.tolerantDecode(Ingest.imageScanFilter(Ingest.withPaths(docs)))
     val stats = Ingest.decodeStats(decoded).collect()
