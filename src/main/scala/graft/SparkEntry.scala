@@ -192,6 +192,26 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // E4 over a DYNAMIC payload: points carry a schemaless
+    // map<string,string> payload (caller-splatted keys, present on
+    // only some rows — the reference's **batch_meta dict); the search
+    // filters on a map key with element_at and D3-coalesces a key
+    // that's absent on odd rows.
+    "e4_payload_map" -> ((s, dir) => {
+      val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
+        Ingest.imageScanFilter(Ingest.withPaths(t(s, dir, "documents")))))
+      // query = doc 1 (doc 0 is the planted decode failure, %97==0)
+      val q = pts.filter(col("doc_id") === 1).select(col("embedding").as("qv"))
+      pts.crossJoin(broadcast(q))
+        .filter(element_at(col("payload"), "folder") === "src1")
+        .select(col("doc_id"),
+          round(graft.vector.Kernels.cosine(col("embedding"), col("qv")), 6).as("score"),
+          element_at(col("payload"), "filename").as("filename"),
+          coalesce(element_at(col("payload"), "parity"), lit("Unknown")).as("parity"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+    }),
+
     // C2 replace-by-key upsert: re-indexing an EDITED document (same
     // path → same point_id, new text → new embedding) must REPLACE the
     // stale point, not skip or duplicate it (Qdrant client.upsert
@@ -342,6 +362,21 @@ object SparkEntry {
          |SELECT doc_id FROM pts i
          |WHERE NOT EXISTS (SELECT 1 FROM pts e WHERE e.doc_id < 100 AND e.point_id = i.point_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "e4_payload_map" ->
+      s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),
+         |decoded AS (SELECT * FROM scanned WHERE doc_id % 97 <> 0),
+         |pts AS (SELECT doc_id,
+         |  string_split(relative_path, '/')[-1] AS filename,
+         |  source AS folder,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'even' END AS parity,
+         |  ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v
+         |  FROM decoded),
+         |q AS (SELECT v AS qv FROM pts WHERE doc_id = 1)
+         |SELECT doc_id, ROUND(${duckCos("v", "qv")}, 6) AS score, filename,
+         |  COALESCE(parity, 'Unknown') AS parity
+         |FROM pts, q WHERE folder = 'src1'
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
 
     "c2_upsert_replace" ->
       s"""WITH pathed AS ($duckPathed), scanned AS ($duckScanned),

@@ -129,4 +129,29 @@ object Ingest {
       .withColumn("folder", col("source"))
       .withColumn("indexed_at", current_timestamp())
       .drop("_th")
+
+  /** B6 with the reference's SCHEMALESS payload: a `map<string,string>`
+    * whose keys are caller-supplied and may differ per row — the
+    * `**batch_meta[j]` splat of
+    * `with_jina_text_v4/jina_v4_text_indexer.py:122-127`. A base
+    * payload (filename/folder/source tag) is merged with a key present
+    * only on some rows; consumers filter with `element_at` on map keys
+    * (E4) and coalesce missing keys to 'Unknown' (D3). This closes the
+    * fixed-StructType deviation of SURVEY §1.3 for payloads that
+    * genuinely vary per caller. */
+  def buildPointsDynamic(decoded: DataFrame, dim: Int = Embedder.DefaultDim): DataFrame =
+    decoded
+      .filter(col("decode_ok"))
+      .withColumn("point_id", Embedder.stringHash64(col("full_path")))
+      .withColumn("_th", Embedder.tokenHashes(col("text")))
+      .withColumn("embedding", Embedder.embedRaw(col("_th"), dim))
+      .withColumn("payload",
+        map_concat(
+          map(
+            lit("filename"), element_at(split(col("relative_path"), "/"), -1),
+            lit("folder"), col("source"),
+            lit("source"), lit("document")),
+          when(col("doc_id") % 2 === 0, map(lit("parity"), lit("even")))
+            .otherwise(typedlit(Map.empty[String, String]))))
+      .drop("_th")
 }

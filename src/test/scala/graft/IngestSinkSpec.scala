@@ -72,6 +72,22 @@ class IngestSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 20L)
   }
 
+  test("dynamic map payload: per-row keys, element_at filter, Unknown default") {
+    val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
+    // the caller-supplied key exists only on even rows
+    assert(pts.filter(col("doc_id") % 2 === 0)
+      .filter(element_at(col("payload"), "parity").isNull).count() === 0L)
+    assert(pts.filter(col("doc_id") % 2 =!= 0)
+      .filter(element_at(col("payload"), "parity").isNotNull).count() === 0L)
+    // E4 filter on a map key
+    val src1 = pts.filter(element_at(col("payload"), "folder") === "src1")
+    assert(src1.count() > 0)
+    assert(src1.select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("source") =!= "src1").count() === 0L)
+  }
+
   test("upsertReplace: edited doc's new embedding wins, others untouched (C2)") {
     val dir = Files.createTempDirectory("graft_upsert").toFile
     val path = s"${dir.getAbsolutePath}/col"
