@@ -47,6 +47,31 @@ object NativeKernels {
     case 3 => a.getInt(i).toDouble
   }
 
+  /** MaxSim late interaction over ArrayData matrices: Σ_{q∈Q} max_{d∈D}
+    * cosine(q,d); null when any query token has no valid doc token
+    * (zero vectors / length mismatches skipped like the HOF twin). */
+  def maxSimJava(q: ArrayData, d: ArrayData, qT: Int, dT: Int): java.lang.Double = {
+    var sum = 0.0
+    var i = 0
+    while (i < q.numElements()) {
+      val qv = q.getArray(i)
+      var best = Double.NaN
+      var j = 0
+      while (j < d.numElements()) {
+        val c = cosineJava(qv, d.getArray(j), qT, dT)
+        if (c != null) {
+          val cd = c.doubleValue()
+          if (best.isNaN || cd > best) best = cd
+        }
+        j += 1
+      }
+      if (best.isNaN) return null
+      sum += best
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
   def jaccardJava(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return null
@@ -160,9 +185,12 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** MaxSim late interaction: Σ_{q∈Q} max_{d∈D} cosine(q,d); pairs with
   * zero vectors are skipped like array_max skips nulls; null when a
-  * query token has no valid doc token (matches the HOF twin). */
+  * query token has no valid doc token (matches the HOF twin).
+  * Generates a single call into the pre-compiled nested loop so the
+  * D2 scoring projection stays inside whole-stage codegen (was
+  * CodegenFallback in round 1 — one virtual call per row). */
 case class MaxSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   @transient private lazy val qe =
@@ -170,26 +198,24 @@ case class MaxSim(left: Expression, right: Expression)
   @transient private lazy val de =
     right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]; val d = r.asInstanceOf[ArrayData]
-    var sum = 0.0
-    var i = 0
-    while (i < q.numElements()) {
-      val qv = q.getArray(i)
-      var best = Double.NaN
-      var j = 0
-      while (j < d.numElements()) {
-        val c = NativeKernels.cosineOrNull(qv, qe, d.getArray(j), de)
-        if (c != null) {
-          val cd = c.asInstanceOf[Double]
-          if (best.isNaN || cd > best) best = cd
-        }
-        j += 1
-      }
-      if (best.isNaN) return null
-      sum += best
-      i += 1
-    }
-    sum
+    val res = NativeKernels.maxSimJava(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      NativeKernels.typeFlag(qe), NativeKernels.typeFlag(de))
+    if (res == null) null else res.doubleValue()
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val qF = NativeKernels.typeFlag(qe)
+    val dF = NativeKernels.typeFlag(de)
+    nullSafeCodeGen(ctx, ev, (q, d) => {
+      val r = ctx.freshName("maxsim")
+      s"""
+         |java.lang.Double $r = graft.vector.NativeKernels.maxSimJava($q, $d, $qF, $dF);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

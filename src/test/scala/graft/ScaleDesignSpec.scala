@@ -78,6 +78,22 @@ class ScaleDesignSpec extends SparkSpec {
     assert(math.abs(d.orderBy(col("vec_id")).head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("MaxSim scoring participates in whole-stage codegen (doGenCode, no fallback)") {
+    import org.apache.spark.sql.execution.debug._
+    // the checkpoint stands in for reading a stored multi-vector
+    // collection: without it the scoring projection collapses into the
+    // ObjectHashAggregate that builds the fixture (which never
+    // codegens); over a materialized scan it is its own codegen stage
+    val docs = Tables.multiVectorDocs(t(spark, sf, "embeddings")).localCheckpoint()
+    val d = docs.select(col("doc_id"),
+      graft.vector.Kernels.maxsim(col("vecs"), col("vecs")).as("s"))
+    val code = d.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(code.contains("maxSimJava"), "generated code should call the native maxsim kernel")
+    // self-maxsim = token count (each token best-matches itself at 1.0)
+    val r = d.join(docs.select(col("doc_id"), size(col("vecs")).as("k")), "doc_id").head
+    assert(math.abs(r.getDouble(1) - r.getInt(2)) < 1e-6)
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     val li = t(spark, sf, "lineitem")
     val direct = li.groupBy(col("l_returnflag"))
