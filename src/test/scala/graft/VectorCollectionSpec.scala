@@ -82,6 +82,30 @@ class VectorCollectionSpec extends SparkSpec {
     assert(hits.head.getLong(0) === 7L)
   }
 
+  test("dim-1536 collection (VDR shape): config plumbing beyond the fixture dim") {
+    // the VDR-2b backend declares 1536-dim vectors
+    // (/root/reference/with_vdr-2b-multi-v1/incremental_indexing_vdr_2b_multi_v1.py:57);
+    // prove ensure/open/search honor a non-64 dim end to end
+    val dir = s"${tmp()}/col"
+    val docs = t(spark, sf, "documents").limit(40)
+      .select(col("doc_id"),
+        Embedder.embed(Embedder.tokenHashes(col("text")), dim = 1536)
+          .cast("array<float>").as("embedding"))
+      .cache()
+    val c = VectorCollection.ensure(spark, dir, docs,
+      CollectionConfig("doc_id", "embedding", 1536, multiVector = false))
+    c.upsert(docs)
+    assert(VectorCollection.open(spark, dir).config.dim === 1536)
+    // query with a stored doc's own text: that doc must rank first at 1536 dims
+    val probe = docs.orderBy(col("doc_id")).head
+    val qv = probe.getSeq[Float](1).toSeq
+    assert(qv.length === 1536)
+    val hits = c.search(qv, k = 3)
+    assert(hits.head.getLong(0) === probe.getLong(0))
+    // a fixture-dim (64) query against the 1536 collection is rejected
+    intercept[IllegalArgumentException] { c.search(Seq.fill(64)(0.1f)) }
+  }
+
   test("dimension mismatch is rejected at the API boundary") {
     val dir = s"${tmp()}/col"
     val pts = points
