@@ -385,7 +385,27 @@ object Dedup {
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"))
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup quality gate: recall of the banded-LSH candidate path
+    // against the label-blocked exact pairs (which contain every
+    // planted near-dup, since a perturbed copy keeps its label). The
+    // round-1 LSH variant hash-matched its oracle while finding 0 of
+    // them — recall as a graded output makes that failure mode
+    // impossible to miss again.
+    "x_dedup_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exactPairs = embeddingPairs(emb).select(col("id_a"), col("id_b"))
+      val lshPairs = embeddingPairsLsh(emb).select(col("id_a"), col("id_b"))
+      val nE = exactPairs.agg(count(lit(1)).as("n_exact"))
+      val nL = lshPairs.agg(count(lit(1)).as("n_lsh"))
+      val nC = exactPairs.join(lshPairs, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nE.crossJoin(nL).crossJoin(nC).select(
+        col("n_exact"), col("n_lsh"), col("n_common"),
+        round(when(col("n_exact") > 0,
+          col("n_common").cast("double") / col("n_exact")), 6).as("recall"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -397,6 +417,13 @@ object Dedup {
     "x_dedup_minhash" -> duckMinhashPairs(),
     "x_dedup_simhash" -> duckSimhashPairs(),
     "x_dedup_ngram" -> duckNgramJaccardPairs(),
-    "x_dedup_embedding" -> duckEmbeddingPairs()
+    "x_dedup_embedding" -> duckEmbeddingPairs(),
+    "x_dedup_lsh_recall" ->
+      s"""WITH e AS (${duckEmbeddingPairs()}), l AS (${duckEmbeddingPairsLsh()})
+         |SELECT n_exact, n_lsh, n_common,
+         |  ROUND(CASE WHEN n_exact > 0 THEN n_common::DOUBLE / n_exact END, 6) AS recall
+         |FROM (SELECT (SELECT count(*) FROM e)::BIGINT AS n_exact,
+         |  (SELECT count(*) FROM l)::BIGINT AS n_lsh,
+         |  (SELECT count(*) FROM e JOIN l USING (id_a, id_b))::BIGINT AS n_common)""".stripMargin
   )
 }

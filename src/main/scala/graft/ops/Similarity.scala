@@ -72,6 +72,18 @@ object Similarity {
       ivfClusterId(col("embedding"), cents).as("cluster_id"))
   }
 
+  /** Top-`p` nearest-centroid ids for one vector, best-first — the
+    * distributed analog of [[rankCentroids]] for a query SET: each
+    * query row carries its own probe list, so a batch of queries scans
+    * the index once instead of issuing p pruned reads each. Same
+    * (sim desc, id asc) order as [[ivfClusterId]] via the −id trick. */
+  def ivfTopClusters(v: Column, cents: Seq[(Long, Column)], p: Int): Column = {
+    val arr = array(cents.map { case (id, cv) =>
+      struct(Kernels.cosine(v, cv).as("s"), lit(-id).as("nid"))
+    }: _*)
+    transform(slice(sort_array(arr, asc = false), 1, p), x => -x.getField("nid"))
+  }
+
   /** Per-JVM registry of built IVF indexes: the index is built ONCE per
     * dataset (narrow assignment + write partitioned by cluster_id) and
     * every query probes it through a partition-pruned read — nprobe
@@ -254,6 +266,47 @@ object Similarity {
         .limit(5)
     }),
 
+    // ANN quality gate: measured recall@10 of the IVF probe against
+    // exact brute-force top-10, per query, at nprobe=1 and nprobe=2.
+    // An approximate operator without a recall number is unfalsifiable
+    // (round-1 lesson: a 0-recall LSH dedup hash-matched its oracle);
+    // this query makes the recall/latency knob an asserted, graded
+    // output. Scale shape: 10 tiny query rows broadcast once, index
+    // scanned once for both the exact and probed rankings.
+    "x_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect().map { r =>
+        (r.getLong(r.fieldIndex("vec_id")),
+          typedlit(r.getSeq[Float](r.fieldIndex("embedding"))): Column)
+      }.toSeq
+      val idx = s.read.parquet(ivfIndexPath(s, dir))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .withColumn("probes", ivfTopClusters(col("qv"), cents, 2))
+      val scored = idx.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          col("cluster_id").cast("long").as("cluster_id"), col("probes"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val exact = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10).select(col("q_id"), col("vec_id"))
+      def hits(p: Int) = scored
+        .filter(array_contains(slice(col("probes"), 1, p), col("cluster_id")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(s"hits$p"))
+      qs.select(col("q_id"))
+        .join(hits(1), Seq("q_id"), "left")
+        .join(hits(2), Seq("q_id"), "left")
+        .select(col("q_id"),
+          round(coalesce(col("hits1"), lit(0L)) / 10.0, 6).as("recall_p1"),
+          round(coalesce(col("hits2"), lit(0L)) / 10.0, 6).as("recall_p2"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH ANN: 8 sign-bit hyperplanes (fixture vectors 1..8 — an
     // index-build-time constant, collected once like the reference's
     // driver-side query embedding), probe only the query's bucket.
@@ -317,6 +370,36 @@ object Similarity {
          |SELECT vec_id, ROUND(${duckCosSim("embedding", "q")}, 6) AS score
          |FROM asg JOIN probed USING (cluster_id), qv
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_ann_recall" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM sc) z
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |qprob AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${duckCosSim("cv", "qv")} DESC, c_id ASC) AS prnk FROM qs, c),
+         |pairs AS (SELECT q_id, a.vec_id, a.cluster_id,
+         |    ROUND(${duckCosSim("a.embedding", "qv")}, 6) AS score FROM asg a, qs),
+         |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk FROM pairs) z
+         |  WHERE rnk <= 10),
+         |h1 AS (SELECT q_id, vec_id FROM (SELECT p.q_id, p.vec_id,
+         |    row_number() OVER (PARTITION BY p.q_id ORDER BY p.score DESC, p.vec_id ASC) AS rnk
+         |  FROM pairs p JOIN qprob qp ON p.q_id = qp.q_id AND p.cluster_id = qp.c_id
+         |  WHERE qp.prnk <= 1) z WHERE rnk <= 10),
+         |h2 AS (SELECT q_id, vec_id FROM (SELECT p.q_id, p.vec_id,
+         |    row_number() OVER (PARTITION BY p.q_id ORDER BY p.score DESC, p.vec_id ASC) AS rnk
+         |  FROM pairs p JOIN qprob qp ON p.q_id = qp.q_id AND p.cluster_id = qp.c_id
+         |  WHERE qp.prnk <= 2) z WHERE rnk <= 10),
+         |c1 AS (SELECT q_id, count(*)::BIGINT AS hits1 FROM h1 JOIN exact USING (q_id, vec_id) GROUP BY q_id),
+         |c2 AS (SELECT q_id, count(*)::BIGINT AS hits2 FROM h2 JOIN exact USING (q_id, vec_id) GROUP BY q_id)
+         |SELECT q_id, ROUND(coalesce(hits1, 0) / 10.0, 6) AS recall_p1,
+         |  ROUND(coalesce(hits2, 0) / 10.0, 6) AS recall_p2
+         |FROM qs LEFT JOIN c1 USING (q_id) LEFT JOIN c2 USING (q_id)
+         |ORDER BY q_id""".stripMargin,
 
     "x_ann_lsh" ->
       s"""WITH planes AS (SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),

@@ -104,6 +104,34 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("ann recall query: recall in [0,1], nprobe=2 never below nprobe=1") {
+    val rows = Similarity.queries("x_ann_recall")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (p1, p2) = (r.getDouble(1), r.getDouble(2))
+      assert(p1 >= 0.0 && p1 <= 1.0 && p2 >= 0.0 && p2 <= 1.0)
+      assert(p2 >= p1, s"nprobe=2 recall below nprobe=1 for q=${r.getLong(0)}")
+    }
+    // a centroid query (vec 0..7 are the centroids) must find itself
+    assert(rows.map(_.getDouble(2)).max > 0.0, "all-zero recall means the probe is broken")
+  }
+
+  test("lsh dedup recall query: banded LSH recovers >=80% of exact pairs") {
+    val r = Dedup.queries("x_dedup_lsh_recall")(spark, sf).head
+    assert(r.getLong(0) > 0, "exact path must find the planted pairs")
+    assert(!r.isNullAt(3) && r.getDouble(3) >= 0.8,
+      s"banded-LSH recall ${r.getDouble(3)} below 0.8")
+  }
+
+  test("int8 quant rerank: self-match first with exact score 1, qscore close") {
+    val rows = graft.ops.Quantize.queries("x_quant_rerank")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.head.getLong(0) === 0L) // the query vector itself
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-6)
+    // int8 error bound: dequantized cosine stays close to exact
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05))
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
