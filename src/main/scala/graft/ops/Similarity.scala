@@ -154,8 +154,14 @@ object Similarity {
     * trades a few verification duplicates for the recall a single wide
     * sketch cannot reach. Band/plane counts chosen on measurement at
     * sf0.01/sf0.1 (10×5: recall 10/10 of the planted cosine≥0.9 pairs
-    * at sf0.01, candidate volume ≈ single-sketch's). */
+    * at sf0.01, candidate volume ≈ single-sketch's). Native single-pass
+    * expression; [[bandedBucketsHof]] is the parity-tested twin. */
   def bandedBuckets(v: Column, bands: Int, planesPerBand: Int): Column =
+    Kernels.ofExpr(graft.vector.BandedSignBuckets(
+      Kernels.exprOf(v), bands, planesPerBand, 64))
+
+  /** HOF twin of [[bandedBuckets]] (bands×planes separate dots). */
+  def bandedBucketsHof(v: Column, bands: Int, planesPerBand: Int): Column =
     array((0 until bands).map { b =>
       (0 until planesPerBand).map { k =>
         when(Kernels.dot(v, hashPlane(b * planesPerBand + k)) > 0,

@@ -72,6 +72,50 @@ object NativeKernels {
     java.lang.Double.valueOf(sum)
   }
 
+  /** Flat ±1 sign matrix for the banded-LSH hyperplanes (minstd
+    * double-round parity, graft.ops.Similarity.planeSign) — computed
+    * once per (plane-count, dim) and shared across rows/tasks. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeSigns(nPlanes: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((nPlanes, dim), _ => {
+      val a = new Array[Double](nPlanes * dim)
+      var m = 0
+      while (m < nPlanes) {
+        var i = 1
+        while (i <= dim) {
+          val h = (((m.toLong * dim + i) * 48271L) % 2147483647L * 48271L) % 2147483647L
+          a(m * dim + i - 1) = if (h % 2 == 1) 1.0 else -1.0
+          i += 1
+        }
+        m += 1
+      }
+      a
+    })
+
+  /** All `bands` sign-LSH band buckets of one vector in a single pass:
+    * out(b) = Σ_k 2^k · [dot(v, plane_{b·r+k}) > 0]. The HOF twin
+    * evaluates bands×planes separate zip_with/aggregate dots per row;
+    * this is one pre-compiled loop over a cached sign matrix. */
+  def bandedBucketsJava(
+      v: ArrayData, vT: Int, bands: Int, planesPerBand: Int, dim: Int): ArrayData = {
+    val nPlanes = bands * planesPerBand
+    val signs = planeSigns(nPlanes, dim)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](bands)
+    var m = 0
+    while (m < nPlanes) {
+      val base = m * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += elem(v, vT, i) * signs(base + i); i += 1 }
+      if (dot > 0) out(m / planesPerBand) += 1L << (m % planesPerBand)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def jaccardJava(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return null
@@ -235,6 +279,30 @@ case class FeatureHashEmbed(child: Expression, dim: Int)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.vector.NativeKernels.embedJava($c, $dim);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Banded sign-LSH buckets (graft.ops.Similarity.bandedBuckets twin):
+  * element b is the r-bit bucket of band b over hash-derived ±1
+  * hyperplanes. One generated call per row replaces bands×planes HOF
+  * dot products — the hot path of embedding-LSH dedup. */
+case class BandedSignBuckets(
+    child: Expression, bands: Int, planesPerBand: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.bandedBucketsJava(
+      v.asInstanceOf[ArrayData], NativeKernels.typeFlag(et), bands, planesPerBand, dim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val f = NativeKernels.typeFlag(et)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.vector.NativeKernels.bandedBucketsJava($v, $f, $bands, $planesPerBand, $dim);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

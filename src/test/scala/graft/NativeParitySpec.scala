@@ -43,6 +43,15 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("banded sign-LSH buckets: native == HOF on all fixture vectors") {
+    import graft.ops.Similarity
+    val d = emb
+      .select(Similarity.bandedBuckets(col("embedding"), 10, 5).as("a"),
+        Similarity.bandedBucketsHof(col("embedding"), 10, 5).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
   test("tokenHashes + embedRaw: native == HOF on documents") {
     val d = docs
       .withColumn("h1", Embedder.tokenHashes(col("text")))
