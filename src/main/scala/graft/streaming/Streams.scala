@@ -187,13 +187,62 @@ object Streams {
       .filter(col("user_id") >= 0)
   }
 
+  /** Source dir for the dedup stream: the fixture, then a re-emission
+    * of every event from its final hour — duplicate event_ids arriving
+    * in a later micro-batch while their dedup state is still inside
+    * the 2h watermark (an at-least-once upstream replaying its tail,
+    * the case streaming dedup exists for). Older replays are
+    * deliberately NOT planted: past the watermark the engine is
+    * allowed to forget, which is exactly what bounds state at scale. */
+  private[graft] def dedupSourceDir(
+      spark: SparkSession, sfDir: String): (String, StructType) = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(src.toString)
+    val maxTs = raw.agg(max(col("ts"))).head.getLong(0) // ns-as-long
+    val dir = Files.createTempDirectory("graft_stream_dedup_src")
+    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    writeSingleFile(spark, raw.filter(col("ts") >= maxTs - 3600L * 1000000000L),
+      dir.resolve("01_dups.parquet").toString)
+    (dir.toString, raw.schema)
+  }
+
+  /** Streaming exact dedup by event_id with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): first sighting is emitted
+    * immediately, replays inside the watermark are suppressed, and
+    * state for ids older than the watermark is evicted — unbounded
+    * `dropDuplicates` state is the classic streaming-dedup OOM. */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (srcDir, schema) = dedupSourceDir(spark, sfDir)
+    streamingDedupFrom(spark, srcDir, schema, None)
+  }
+
+  private[graft] def streamingDedupFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val deduped = eventStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    runToParquet(spark, deduped)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_window" -> ((s, dir) =>
       eventWindowCountsStreaming(s, dir)
         .orderBy(col("window_start"), col("event_type"))),
     "s_sessionize" -> ((s, dir) =>
       sessionize(s, dir)
-        .orderBy(col("user_id"), col("first_ts")))
+        .orderBy(col("user_id"), col("first_ts"))),
+    // compact compare: if any replayed duplicate leaks through, the
+    // per-type counts exceed the batch-distinct oracle and the hash
+    // mismatches — the pass is non-vacuous by construction
+    "s_stream_dedup" -> ((s, dir) =>
+      streamingDedup(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type")))
   )
 
   /** Batch-SQL oracles: streaming over a bounded source must agree
@@ -211,6 +260,11 @@ object Streams {
         |s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
         |SELECT user_id, count(*) AS n_events, min(ts_us) AS first_ts, max(ts_us) AS last_ts
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""".stripMargin,
+    // the replayed tail must vanish: streaming output == plain batch
+    // aggregate over the fixture (event_id is unique there)
+    "s_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -80,6 +80,24 @@ class StreamingSpec extends SparkSpec {
     assert(whole.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming dedup across >=2 micro-batches: replayed tail suppressed, state bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_mb").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
+    val tail = raw.filter(col("ts") >= maxTs - 3600L * 1000000000L)
+    Streams.writeSingleFile(spark, raw, s"$dir/00_events.parquet")
+    Streams.writeSingleFile(spark, tail, s"$dir/01_dups.parquet")
+    Seq("00_events.parquet", "01_dups.parquet").zipWithIndex.foreach {
+      case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+    }
+    assert(tail.count() > 0, "fixture must provide a replayable tail")
+    // maxFilesPerTrigger=1: the duplicates arrive in a LATER batch than
+    // the originals, so suppression exercises cross-batch dedup state
+    val out = Streams.streamingDedupFrom(spark, dir, raw.schema, Some(1)).cache()
+    assert(out.count() === raw.count())
+    assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("sessions have positive durations and event counts") {
     val s = Streams.sessionize(spark, sf)
     assert(s.filter(col("n_events") < 1 || col("last_ts") < col("first_ts")).count() === 0L)
