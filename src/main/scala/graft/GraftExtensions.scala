@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.vector._
+
+/** SQL surface for the graft kernels, registered through
+  * `SparkSessionExtensions` (enable with
+  * `spark.sql.extensions=graft.GraftExtensions`): a pure-SQL user gets
+  * the same native expressions the DataFrame API uses — the codegen'd
+  * scoring path, not a UDF shim. The reference exposes its capability
+  * only through Python client calls; a Spark-native engine's idiomatic
+  * equivalent is `spark.sql("SELECT cosine_sim(embedding, q) ...")`
+  * working anywhere SQL runs (thriftserver, notebooks, `spark.sql`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, arg: String, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def fd(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fd("cosine_sim", classOf[CosineSim],
+      args => CosineSim(args(0), args(1))))
+    ext.injectFunction(fd("dot_product", classOf[DotProduct],
+      args => DotProduct(args(0), args(1))))
+    ext.injectFunction(fd("max_sim", classOf[MaxSim],
+      args => MaxSim(args(0), args(1))))
+    ext.injectFunction(fd("token_hashes", classOf[PolyTokenHashes],
+      args => PolyTokenHashes(args(0), 31L, 1000003L)))
+    ext.injectFunction(fd("feature_hash_embed", classOf[FeatureHashEmbed],
+      args => FeatureHashEmbed(args(0),
+        litInt(args(1), "dim", "feature_hash_embed"))))
+    ext.injectFunction(fd("banded_sign_buckets", classOf[BandedSignBuckets],
+      args => BandedSignBuckets(args(0),
+        litInt(args(1), "bands", "banded_sign_buckets"),
+        litInt(args(2), "planes_per_band", "banded_sign_buckets"), 64)))
+  }
+}

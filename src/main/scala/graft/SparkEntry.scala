@@ -77,6 +77,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // F7: the pure-SQL surface — the same top-k as d1, but written as
+    // a spark.sql(...) string against the `cosine_sim` function that
+    // GraftExtensions injects into the session. Proves the SQL entry
+    // point resolves to the native codegen'd expression and is gated
+    // by the same oracle as the DataFrame path.
+    "f7_sql_surface" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT e.vec_id, ROUND(cosine_sim(e.embedding, q.embedding), 6) AS score
+          |FROM graft_embeddings e,
+          |  (SELECT embedding FROM graft_embeddings WHERE vec_id = 0) q
+          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin)
+    }),
+
     // D2/F2: MaxSim late-interaction top-k over the multi-vector fixture.
     "d2_topk_maxsim" -> ((s, dir) => {
       val docs = Tables.multiVectorDocs(t(s, dir, "embeddings"))
@@ -446,6 +460,10 @@ object SparkEntry {
     "f1_cosine_scores" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "f7_sql_surface" ->
+      s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "f3_l2norm" ->
       """SELECT vec_id, ROUND(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b)), 6) AS nrm

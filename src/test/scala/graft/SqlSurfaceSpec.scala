@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The GraftExtensions SQL functions must resolve in a plain
+  * spark.sql(...) call and agree with the DataFrame kernels. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("cosine_sim / dot_product / max_sim resolve in SQL and match kernels") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  max_sim(array(array(1.0D, 0.0D)), array(array(0.0D, 1.0D), array(1.0D, 0.0D))) AS m
+        |""".stripMargin).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("token_hashes + feature_hash_embed compose in SQL like the Embedder") {
+    import graft.index.Embedder
+    val viaSql = spark.sql(
+      "SELECT feature_hash_embed(token_hashes('fast table scan'), 64) AS v")
+      .head.getSeq[Double](0)
+    val viaApi = spark.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit("fast table scan"))).as("v"))
+      .head.getSeq[Double](0)
+    assert(viaSql === viaApi)
+  }
+
+  test("banded_sign_buckets in SQL matches the DataFrame operator") {
+    import graft.ops.Similarity
+    import graft.Tables.t
+    val e = t(spark, sf, "embeddings").limit(20)
+    e.createOrReplaceTempView("sql_surface_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, banded_sign_buckets(embedding, 10, 5) AS b FROM sql_surface_emb")
+    val viaApi = e.select(col("vec_id"),
+      Similarity.bandedBuckets(col("embedding"), 10, 5).as("b"))
+    assert(viaSql.exceptAll(viaApi).count() === 0L)
+    assert(viaApi.exceptAll(viaSql).count() === 0L)
+  }
+
+  test("non-literal dim argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT feature_hash_embed(token_hashes('x'), cast(id AS int)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
