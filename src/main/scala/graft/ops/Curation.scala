@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.index.Embedder
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup/quality scoring (extension per SURVEY.md §2 G — the reference
+  * stops at indexing; curation is what the indexed corpus is FOR):
+  *
+  *  - deterministic train/valid/test splits keyed on a content-stable
+  *    hash, so growing the corpus never moves an existing document
+  *    between splits (the leakage property random splits lack), and
+  *  - per-domain caps (keep the k best-quality documents per source)
+  *    to stop a single crawl domain from dominating the mixture.
+  *
+  * Scale: the split is a pure narrow map (a hash and two comparisons
+  * per row — no shuffle, no state); the cap is the standard
+  * top-k-per-group window, one shuffle keyed on the domain.
+  */
+object Curation {
+
+  /** Split assignment from the 60-bit md5 id hash, mod 100:
+    * <90 train, <95 valid, else test. */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val b = pmod(Embedder.stringHash64(col("doc_id").cast("string")), lit(100L))
+    docs.withColumn("split",
+      when(b < 90, "train").when(b < 95, "valid").otherwise("test"))
+  }
+
+  /** Keep the `k` best-quality documents per source domain
+    * (quality-desc, doc_id-asc tiebreak on the rounded score so the
+    * cut is reproducible across engines). */
+  def domainCap(docs: DataFrame, k: Int): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("quality"), col("rnk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_train_test" -> ((s, dir) =>
+      withSplit(t(s, dir, "documents"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))),
+    "x_domain_cap" -> ((s, dir) =>
+      domainCap(t(s, dir, "documents"), 3)
+        .orderBy(col("source"), col("rnk")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_split_train_test" ->
+      s"""WITH s AS (SELECT lang, n_chars,
+         |    ${Embedder.duckStringHash64("doc_id::VARCHAR")} % 100 AS b FROM documents)
+         |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "x_domain_cap" ->
+      s"""WITH b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${TextAnalysis.duckToksPublic("text")})::DOUBLE AS nt,
+         |  len(list_filter(${TextAnalysis.duckToksPublic("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
+         |  FROM documents),
+         |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b),
+         |q AS (SELECT doc_id, ROUND((least(nt / 50.0, 1.0) * 0.5 +
+         |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality FROM m),
+         |r AS (SELECT d.source, d.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC) AS rnk
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT source, doc_id, quality, rnk FROM r WHERE rnk <= 3
+         |ORDER BY source, rnk""".stripMargin
+  )
+}

@@ -113,6 +113,10 @@ object TextAnalysis {
   private def duckToks(e: String) =
     s"list_filter(string_split($e, ' '), x -> len(x) > 0)"
 
+  /** Shared with Curation's oracle so the quality formula cannot
+    * diverge between the two. */
+  private[ops] def duckToksPublic(e: String): String = duckToks(e)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_count" -> ((s, dir) =>
       tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),

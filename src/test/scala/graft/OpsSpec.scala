@@ -132,6 +132,29 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05))
   }
 
+  test("train/test split: deterministic, near-declared fractions, non-empty") {
+    import graft.ops.Curation
+    val s1 = Curation.withSplit(docs).groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = s1.values.sum.toDouble
+    assert(s1.keySet === Set("train", "valid", "test"))
+    assert(s1("train") / total > 0.85 && s1("train") / total < 0.95)
+    // content-stable: the same doc lands in the same split on re-run
+    val s2 = Curation.withSplit(docs).select(col("doc_id"), col("split"))
+    assert(Curation.withSplit(docs).select(col("doc_id"), col("split"))
+      .exceptAll(s2).count() === 0L)
+  }
+
+  test("domain cap: at most k rows per source, quality non-increasing in rank") {
+    import graft.ops.Curation
+    val capped = Curation.domainCap(docs, 3).cache()
+    assert(capped.groupBy(col("source")).count().filter(col("count") > 3).count() === 0L)
+    val bad = capped.as("a").join(capped.as("b"),
+        col("a.source") === col("b.source") && col("a.rnk") < col("b.rnk") &&
+          col("a.quality") < col("b.quality"))
+    assert(bad.count() === 0L)
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),

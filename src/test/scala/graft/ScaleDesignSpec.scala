@@ -94,6 +94,17 @@ class ScaleDesignSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - r.getInt(2)) < 1e-6)
   }
 
+  test("banded LSH bucketing participates in whole-stage codegen") {
+    import org.apache.spark.sql.execution.debug._
+    val d = t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.ops.Similarity.bandedBuckets(col("embedding"), 10, 5).as("b"))
+    val code = d.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(code.contains("bandedBucketsJava"),
+      "generated code should call the native banded-bucket kernel")
+    assert(d.select(size(col("b"))).distinct().head.getInt(0) === 10)
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     val li = t(spark, sf, "lineitem")
     val direct = li.groupBy(col("l_returnflag"))
