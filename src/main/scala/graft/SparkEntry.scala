@@ -91,6 +91,22 @@ object SparkEntry {
           |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin)
     }),
 
+    // E1 optimization path: normalize at ingest (what Qdrant does for
+    // cosine collections), then search is a pure dot product — at
+    // scale this halves the per-candidate FLOPs and the norm is paid
+    // once per write instead of once per (query × row).
+    "d1_topk_prenorm" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val norm = e.select(col("vec_id"),
+        graft.vector.Kernels.normalize(col("embedding")).as("nv"))
+      val q = norm.filter(col("vec_id") === 0).select(col("nv").as("qn"))
+      norm.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.vector.Kernels.dot(col("nv"), col("qn")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // D2/F2: MaxSim late-interaction top-k over the multi-vector fixture.
     "d2_topk_maxsim" -> ((s, dir) => {
       val docs = Tables.multiVectorDocs(t(s, dir, "embeddings"))
@@ -464,6 +480,14 @@ object SparkEntry {
     "f7_sql_surface" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d1_topk_prenorm" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y*y), (a,b) -> a+b))) AS nv
+         |  FROM embeddings),
+         |q AS (SELECT nv AS qn FROM n WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(list_inner_product(nv, qn), 6) AS score
+         |FROM n, q ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "f3_l2norm" ->
       """SELECT vec_id, ROUND(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b)), 6) AS nrm

@@ -101,4 +101,35 @@ object Sink {
     staged.unpersist()
     written
   }
+
+  /** Maintenance: compact a collection directory's accumulated small
+    * part files (every [[append]]/[[upsertReplace]] adds some) into
+    * `targetRowsPerFile`-sized files. The small-files problem is the
+    * dominant read-amplification cost of an append-only 100 TB
+    * collection: task scheduling, footer reads, and row-group overhead
+    * all scale with file COUNT, not bytes. Rewrite goes to a staging
+    * dir first and swaps in only after the write commits (crash before
+    * the swap leaves the original intact). Returns the new file count.
+    * Single-writer like the upsert path. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    val data = spark.read.parquet(path)
+    val rows = data.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val staging = path + "_compacting"
+    data.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    // sidecar files (e.g. _graft_meta.json) survive the rewrite
+    fs.listStatus(dst).filter { st =>
+      val n = st.getPath.getName
+      !n.endsWith(".parquet") && !n.endsWith(".crc") && n != "_SUCCESS"
+    }.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
+    }
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

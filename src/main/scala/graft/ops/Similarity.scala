@@ -68,8 +68,9 @@ object Similarity {
       (r.getLong(r.fieldIndex("c_id")),
         typedlit(r.getSeq[Float](r.fieldIndex("cv"))): Column)
     }.toSeq
-    data.select(col("vec_id"), col("embedding"),
-      ivfClusterId(col("embedding"), cents).as("cluster_id"))
+    // payload columns ride along into the index (Qdrant points carry
+    // payload; a filtered probe needs them without a post-probe join)
+    data.select(col("*"), ivfClusterId(col("embedding"), cents).as("cluster_id"))
   }
 
   /** Top-`p` nearest-centroid ids for one vector, best-first — the
@@ -258,6 +259,22 @@ object Similarity {
         .limit(5)
     }),
 
+    // Filtered ANN: the IVF probe composed with a payload predicate
+    // (Qdrant's filtered search). The partition-pruned read cuts to
+    // the probed cluster subtree AND the payload filter pushes into
+    // that scan — both prunings stack, nothing is scored that either
+    // would exclude.
+    "x_ann_ivf_filtered" -> ((s, dir) => {
+      val (cents, q) = fixtureQuerySetup(s, dir)
+      val qc = rankCentroids(cents, q).head
+      s.read.parquet(ivfIndexPath(s, dir))
+        .filter(col("cluster_id") === qc && col("label") === 3)
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("embedding"), typedlit(q.toSeq)), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // IVF ANN with nprobe=2: probe the two clusters whose centroids
     // are nearest the query — the standard recall/latency knob; the
     // pruned read touches 2 of K partition subtrees instead of 1.
@@ -361,6 +378,18 @@ object Similarity {
          |q AS (SELECT embedding AS qv, cluster_id AS qc FROM asg WHERE vec_id = 0)
          |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
          |FROM asg, q WHERE cluster_id = qc
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_ann_ivf_filtered" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.embedding, e.label, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, label, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cluster_id AS qc FROM asg WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
+         |FROM asg, q WHERE cluster_id = qc AND label = 3
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "x_ann_ivf_nprobe" ->

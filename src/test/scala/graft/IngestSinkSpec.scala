@@ -124,6 +124,25 @@ class IngestSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === n + extra.count())
   }
 
+  test("compact: many small appends collapse to sized files, content and sidecars intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/col"
+    val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
+    // 8 small appends -> many part files
+    (0 until 8).foreach(i => Sink.append(pts.filter(col("doc_id") % 8 === i), path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_graft_meta.json"), "{\"idCol\":\"point_id\"}")
+    val before = spark.read.parquet(path).cache()
+    val nBefore = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    val target = math.max(1L, before.count() / 2)
+    val nAfter = Sink.compact(spark, path, target)
+    assert(nAfter < nBefore && nAfter <= 3)
+    val after = spark.read.parquet(path)
+    assert(after.exceptAll(before).count() === 0L)
+    assert(before.exceptAll(after).count() === 0L)
+    assert(new java.io.File(s"$path/_graft_meta.json").exists())
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()

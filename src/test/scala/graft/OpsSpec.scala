@@ -81,7 +81,8 @@ class OpsSpec extends SparkSpec {
     assert(cl.subsetOf((0L until 8L).toSet))
     // centroid rows are their own nearest centroid
     val self = asg.filter(col("vec_id") < 8).collect()
-    assert(self.forall(r => r.getLong(0) === r.getLong(2)))
+    assert(self.forall(r =>
+      r.getLong(r.fieldIndex("vec_id")) === r.getLong(r.fieldIndex("cluster_id"))))
   }
 
   test("lang id: every doc classified, prediction from the fixture lang set") {
