@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.index.Embedder
+import graft.vector.Kernels
+
+/** Lexical (BM25) retrieval and hybrid lexical+vector fusion — the
+  * retrieval stack around the reference's vector-only search (Qdrant
+  * ships the same combination as its hybrid-search API; the reference
+  * uses only the dense side, `with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83`).
+  *
+  * Scale design: term statistics are two corpus aggregations (tf
+  * filtered to the query's terms BEFORE the shuffle, so the exploded
+  * token stream never materializes for non-query terms; df derived
+  * from the tf rows — no second pass over the corpus). Fusion ranks
+  * only each retriever's top-N candidate set — global row_number over
+  * a corpus is a single-partition sort at scale, so both rankings are
+  * `ORDER BY … LIMIT n` (TakeOrderedAndProject) first and a window
+  * over the ≤n survivors after.
+  *
+  * Determinism (oracle rules): integral tf/df/doclen, avgdl from an
+  * exact integral sum, per-term partial scores summed in a FIXED
+  * written order (one conditional aggregate per term — never a
+  * float-sum whose order the shuffle picks), ROUND(...,6), doc_id
+  * tiebreaks everywhere.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+  /** Reciprocal-rank-fusion smoothing constant (the standard 60). */
+  val RrfK = 60
+
+  /** Per-document BM25 score for `terms` (docs containing none score
+    * no row): Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("s"))
+    // one conditional agg per term, summed in term order: the float
+    // sum's association is written down, not left to shuffle order
+    val parts = terms.zipWithIndex.map { case (term, i) =>
+      sum(when(col("tok") === term, col("s"))).as(s"s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("doc_id")).agg(parts.head, parts.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("bm25"))
+  }
+
+  /** Top-`n` candidates of a scored frame as (doc_id, rank): the cut
+    * is TakeOrderedAndProject; the rank window runs over ≤n rows. */
+  private def rankTop(scored: DataFrame, scoreCol: String, n: Int, rankName: String): DataFrame = {
+    val cut = scored.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(n)
+    val w = Window.orderBy(col(scoreCol).desc, col("doc_id").asc)
+    cut.withColumn(rankName, row_number().over(w).cast("long"))
+      .select(col("doc_id"), col(rankName))
+  }
+
+  /** Dense scores for the embedded corpus against an embedded text
+    * query (the B5/B4 path reused by the fusion). */
+  def denseScores(docs: DataFrame, queryText: String): DataFrame = {
+    val emb = docs
+      .withColumn("_th", Embedder.tokenHashes(col("text")))
+      .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
+    val q = emb.sparkSession.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit(queryText))).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        round(Kernels.cosine(col("v"), col("qv")), 6).as("score"))
+  }
+
+  /** Reciprocal rank fusion of the two retrievers' top-`n` lists:
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)), absent list contributes 0. */
+  def hybridRrf(docs: DataFrame, queryText: String, n: Int, k: Int): DataFrame = {
+    val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
+    val vecRanks = rankTop(denseScores(docs, queryText), "score", n, "rv")
+    val bmRanks = rankTop(bm25(docs, terms), "bm25", n, "rb")
+    vecRanks.join(bmRanks, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  // -- query/oracle registry ---------------------------------------
+
+  private val QueryText = "hash join merge"
+  private val Terms = Seq("hash", "join", "merge")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bm25_topk" -> ((s, dir) =>
+      bm25(t(s, dir, "documents"), Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)),
+    "x_hybrid_rrf" -> ((s, dir) =>
+      hybridRrf(t(s, dir, "documents"), QueryText, n = 100, k = 10))
+  )
+
+  private def duckBm25Ctes: String = {
+    val toks = TextAnalysis.duckToksPublic("text")
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    val partCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN s END) AS s$i"
+    }.mkString(", ")
+    val totalExpr = Terms.indices.map(i => s"coalesce(s$i, 0)").mkString(" + ")
+    s"""base AS (SELECT doc_id, len($toks)::DOUBLE AS dl, $toks AS toks FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS tok FROM base) z
+       |  WHERE tok IN ($termList) GROUP BY doc_id, dl, tok),
+       |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT doc_id, tok,
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${K1 + 1.0}) /
+       |      (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS s
+       |  FROM tf JOIN dfq USING (tok), stats),
+       |bm AS (SELECT doc_id, ROUND($totalExpr, 6) AS bm25 FROM (
+       |  SELECT doc_id, $partCols FROM sc GROUP BY doc_id) p)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "x_bm25_topk" ->
+      s"""WITH $duckBm25Ctes
+         |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "x_hybrid_rrf" -> {
+      val embed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))
+      val qEmbed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes(s"'$QueryText'"))
+      s"""WITH $duckBm25Ctes,
+         |emb AS (SELECT doc_id, $embed AS v FROM documents),
+         |qv AS (SELECT $qEmbed AS q),
+         |vcut AS (SELECT doc_id,
+         |    ROUND(list_cosine_similarity(v::DOUBLE[], (SELECT q FROM qv)::DOUBLE[]), 6) AS score
+         |  FROM emb ORDER BY score DESC, doc_id ASC LIMIT 100),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rv FROM vcut),
+         |bcut AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+         |br AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rb FROM bcut)
+         |SELECT doc_id,
+         |  ROUND(coalesce(1.0 / ($RrfK + rv), 0.0) + coalesce(1.0 / ($RrfK + rb), 0.0), 6) AS rrf
+         |FROM vr FULL JOIN br USING (doc_id)
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+import graft.Tables.t
+
+class RetrievalSpec extends SparkSpec {
+
+  private def docs = t(spark, sf, "documents")
+
+  test("bm25: higher tf ranks higher at equal length; absent terms score no row") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash hash join scan table"),
+      (2L, "hash join scan table value"),
+      (3L, "row column filter sort group"))
+      .toDF("doc_id", "text")
+    val s = Retrieval.bm25(d, Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!s.contains(3L)) // no query term -> no candidate row
+    assert(s(1L) > s(2L)) // tf(hash)=2 beats tf(hash)=1, same dl
+  }
+
+  test("bm25: rarer term contributes more than a common one (idf)") {
+    import spark.implicits._
+    // 'join' in every doc, 'vector' in one: same tf/dl, rarer term wins
+    val d = Seq(
+      (1L, "join a a a"), (2L, "join b b b"), (3L, "join c c c"),
+      (4L, "vector d d d"))
+      .toDF("doc_id", "text")
+    val s = Retrieval.bm25(d, Seq("join", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(4L) > s(1L))
+  }
+
+  test("hybrid rrf: fuses both retrievers, bounded scores, fixture sanity") {
+    val hits = Retrieval.hybridRrf(docs, "hash join merge", n = 100, k = 10).collect()
+    assert(hits.length === 10)
+    // max possible: rank 1 in both lists
+    val cap = 2.0 / (Retrieval.RrfK + 1)
+    assert(hits.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) <= cap + 1e-9))
+    // descending with doc_id tiebreak
+    val scores = hits.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("hybrid rrf: a doc ranked top by both retrievers outranks single-list docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash join merge hash join merge"), // lexical + embedding magnet
+      (2L, "hash a b c d e f g h"),
+      (3L, "q w e r t y u i o"))
+      .toDF("doc_id", "text")
+    val top = Retrieval.hybridRrf(d, "hash join merge", n = 10, k = 3).head
+    assert(top.getLong(0) === 1L)
+  }
+}
