@@ -81,6 +81,17 @@ class VectorCollection private (
     TopK.maxSim(table, q, config.idCol, config.vectorCol, k)
   }
 
+  /** Hybrid search over a collection whose payload carries the source
+    * text: dense (embedded query vs stored vectors is approximated by
+    * re-embedding the text payload — same encoder both sides) fused
+    * with BM25 by reciprocal rank, Qdrant's hybrid-query API shape.
+    * `textCol` names the payload column holding the document text. */
+  def searchHybrid(textCol: String, queryText: String, k: Int = 5, n: Int = 100): DataFrame = {
+    val d = table.select(col(config.idCol).as("doc_id"), col(textCol).as("text"))
+    graft.ops.Retrieval.hybridRrf(d, queryText, n, k)
+      .withColumnRenamed("doc_id", config.idCol)
+  }
+
   /** D3: hit projection with 'Unknown' defaults. */
   def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
     TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)

@@ -85,6 +85,54 @@ object Similarity {
     transform(slice(sort_array(arr, asc = false), 1, p), x => -x.getField("nid"))
   }
 
+  /** Lloyd refinement of the IVF centroids: `iters` rounds of
+    * (assign → per-cluster element-wise mean). Assignment is the same
+    * narrow per-row expression as the index build (no shuffle beyond
+    * the one tiny mean aggregation); the means come back to the driver
+    * as k×dim scalars — an index-build-time constant like the seed
+    * centroids themselves. Empty clusters keep their previous
+    * centroid. Used by the index build path when callers want trained
+    * centroids; the fixture queries keep the untrained seeds so the
+    * DuckDB oracle stays expressible — the improvement is measured in
+    * OpsSpec (inertia never increases, the Lloyd guarantee). */
+  def ivfRefineCentroids(
+      data: DataFrame,
+      cents: Seq[(Long, Array[Float])],
+      iters: Int): Seq[(Long, Array[Float])] = {
+    var cur = cents
+    for (_ <- 0 until iters) {
+      val centCols = cur.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
+      val means = data
+        .select(ivfClusterId(col("embedding"), centCols).as("cid"),
+          posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getLong(0))
+      cur = cur.map { case (id, old) =>
+        byCluster.get(id) match {
+          case Some(rows) =>
+            val arr = new Array[Float](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            (id, arr)
+          case None => (id, old)
+        }
+      }
+    }
+    cur
+  }
+
+  /** Mean cosine distance of every vector to its assigned centroid —
+    * the k-means objective the refinement minimizes. */
+  def ivfInertia(data: DataFrame, cents: Seq[(Long, Array[Float])]): Double = {
+    val centCols = cents.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
+    val centMap = map(cents.flatMap { case (id, v) =>
+      Seq(lit(id), typedlit(v.toSeq)) }: _*)
+    data.select(
+        (lit(1.0) - Kernels.cosine(col("embedding"),
+          element_at(centMap, ivfClusterId(col("embedding"), centCols)))).as("d"))
+      .agg(avg(col("d"))).head.getDouble(0)
+  }
+
   /** Per-JVM registry of built IVF indexes: the index is built ONCE per
     * dataset (narrow assignment + write partitioned by cluster_id) and
     * every query probes it through a partition-pruned read — nprobe

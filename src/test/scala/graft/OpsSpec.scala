@@ -105,6 +105,19 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("ivf k-means refinement: inertia never increases across Lloyd iterations") {
+    val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val i0 = Similarity.ivfInertia(emb, seed)
+    val r1 = Similarity.ivfRefineCentroids(emb, seed, 1)
+    val i1 = Similarity.ivfInertia(emb, r1)
+    val r2 = Similarity.ivfRefineCentroids(emb, seed, 2)
+    val i2 = Similarity.ivfInertia(emb, r2)
+    assert(i1 <= i0 + 1e-9, s"one Lloyd round must not increase inertia ($i0 -> $i1)")
+    assert(i2 <= i1 + 1e-9, s"second round must not increase inertia ($i1 -> $i2)")
+    assert(i1 < i0, "fixture seeds are untrained; a round should strictly improve")
+  }
+
   test("ann recall query: recall in [0,1], nprobe=2 never below nprobe=1") {
     val rows = Similarity.queries("x_ann_recall")(spark, sf).collect()
     assert(rows.length === 10)

@@ -105,6 +105,18 @@ class ScaleDesignSpec extends SparkSpec {
     assert(d.select(size(col("b"))).distinct().head.getInt(0) === 10)
   }
 
+  test("retrieval cuts are TakeOrderedAndProject; fusion windows never see the corpus") {
+    val bm = graft.ops.Retrieval.queries("x_bm25_topk")(spark, sf)
+    assert(bm.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "bm25 top-k must cut with TakeOrderedAndProject, not a global sort")
+    val hy = graft.ops.Retrieval.queries("x_hybrid_rrf")(spark, sf)
+    val plan = hy.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the only single-partition exchanges feed the rank windows, which
+    // run AFTER each retriever's limit-100 cut — never over the corpus
+    assert(plan.contains("Window"), "rrf ranks via window over the cut candidate sets")
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     val li = t(spark, sf, "lineitem")
     val direct = li.groupBy(col("l_returnflag"))

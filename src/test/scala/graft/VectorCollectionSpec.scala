@@ -106,6 +106,27 @@ class VectorCollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c.search(Seq.fill(64)(0.1f)) }
   }
 
+  test("hybrid search over a text-payload collection fuses lexical and dense ranks") {
+    val dir = s"${tmp()}/col"
+    val d = t(spark, sf, "documents")
+      .select(col("doc_id"),
+        Embedder.embed(Embedder.tokenHashes(col("text"))).cast("array<float>").as("embedding"),
+        col("text"))
+      .cache()
+    val c = VectorCollection.ensure(spark, dir, d,
+      CollectionConfig("doc_id", "embedding", 64, multiVector = false))
+    c.upsert(d)
+    val hits = c.searchHybrid("text", "hash join merge", k = 5)
+    assert(hits.count() === 5)
+    assert(hits.columns.toSeq === Seq("doc_id", "rrf"))
+    // every hit's text contains at least one query term (fixture corpus
+    // is dense in these tokens, so the fused top-5 certainly does)
+    val joined = hits.join(d, "doc_id")
+      .filter(!col("text").contains("hash") && !col("text").contains("join") &&
+        !col("text").contains("merge"))
+    assert(joined.count() === 0L)
+  }
+
   test("dimension mismatch is rejected at the API boundary") {
     val dir = s"${tmp()}/col"
     val pts = points
