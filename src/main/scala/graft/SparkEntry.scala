@@ -114,6 +114,27 @@ object SparkEntry {
       TopK.maxSim(docs, q, "doc_id", "vecs", 5)
     }),
 
+    // D2 + E1: MaxSim over token vectors normalized at ingest — the
+    // multi-vector twin of d1_topk_prenorm. Rows are normalized BEFORE
+    // grouping into matrices (one normalize per stored token, never a
+    // norm recomputed inside the scoring loop), so the late-interaction
+    // inner loop is a pure dot product.
+    "d2_maxsim_prenorm" -> ((s, dir) => {
+      val n = t(s, dir, "embeddings")
+        .select((col("vec_id") % 50).as("doc_id"), col("vec_id"),
+          graft.vector.Kernels.normalize(col("embedding")).as("nv"))
+      val docs = n.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("vec_id"), col("nv"))).as("tv"))
+        .select(col("doc_id"),
+          transform(array_sort(col("tv")), x => x.getField("nv")).as("vecs"))
+      val q = docs.filter(col("doc_id") === 0).select(col("vecs").as("qvecs"))
+      docs.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(graft.vector.Kernels.maxsimDot(col("qvecs"), col("vecs")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+    }),
+
     // D3: result projection with 'Unknown' defaults for absent payload
     // (reference format_results: payload.get(k,'Unknown')).
     "d3_result_format" -> ((s, dir) => {
@@ -488,6 +509,17 @@ object SparkEntry {
          |q AS (SELECT nv AS qn FROM n WHERE vec_id = 0)
          |SELECT vec_id, ROUND(list_inner_product(nv, qn), 6) AS score
          |FROM n, q ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d2_maxsim_prenorm" ->
+      s"""WITH n AS (SELECT vec_id, vec_id % 50 AS doc_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y*y), (a,b) -> a+b))) AS nv
+         |  FROM embeddings),
+         |docs AS (SELECT doc_id, list(nv ORDER BY vec_id) AS vecs FROM n GROUP BY doc_id),
+         |q AS (SELECT vecs AS qvecs FROM docs WHERE doc_id = 0)
+         |SELECT doc_id, ROUND(list_reduce(list_transform(qvecs, qv ->
+         |    list_aggregate(list_transform(vecs, dv -> list_inner_product(qv, dv)), 'max')), (a,b) -> a+b), 6) AS score
+         |FROM docs, q ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
 
     "f3_l2norm" ->
       """SELECT vec_id, ROUND(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b)), 6) AS nrm

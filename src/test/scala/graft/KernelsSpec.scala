@@ -65,6 +65,17 @@ class KernelsSpec extends SparkSpec {
     assert(one(Kernels.maxsim(q, d2)) >= one(Kernels.maxsim(q, d1)))
   }
 
+  test("maxsimDot on normalized tokens agrees with maxsim on raw tokens") {
+    val q = typedlit(Seq(Seq(3f, 4f), Seq(0f, 2f)))
+    val d = typedlit(Seq(Seq(5f, 0f), Seq(1f, 1f)))
+    def norm(c: org.apache.spark.sql.Column) =
+      transform(c, v => Kernels.normalize(v))
+    val r = spark.range(1).select(
+      Kernels.maxsim(q, d).as("a"),
+      Kernels.maxsimDot(norm(q), norm(d)).as("b")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+  }
+
   test("fixture embeddings are unit-norm (kernel + fixture property)") {
     val bad = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(Kernels.l2norm(col("embedding")).as("n"))
