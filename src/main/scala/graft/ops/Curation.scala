@@ -43,6 +43,24 @@ object Curation {
       .select(col("source"), col("doc_id"), col("quality"), col("rnk"))
   }
 
+  /** Token-budget sequence packing, contiguous-fill: within each shard
+    * (language here), documents are laid end-to-end in id order and a
+    * document's bin is the budget-block its START token falls in —
+    * the deterministic streaming-friendly packing a pretraining loader
+    * uses. Pure integer math (window running sum, integer division):
+    * no float ever enters, so the oracle match is exact by
+    * construction. The running-sum window is PARTITIONED by the shard
+    * key — the global-window single-partition trap does not apply. */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val tc = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tc.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(budget)).cast("long").as("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_split_train_test" -> ((s, dir) =>
       withSplit(t(s, dir, "documents"))
@@ -51,7 +69,10 @@ object Curation {
         .orderBy(col("split"), col("lang"))),
     "x_domain_cap" -> ((s, dir) =>
       domainCap(t(s, dir, "documents"), 3)
-        .orderBy(col("source"), col("rnk")))
+        .orderBy(col("source"), col("rnk"))),
+    "x_pack_sequences" -> ((s, dir) =>
+      packSequences(t(s, dir, "documents"), budget = 200L)
+        .orderBy(col("lang"), col("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -61,6 +82,14 @@ object Curation {
          |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
          |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
          |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "x_pack_sequences" ->
+      s"""WITH tc AS (SELECT doc_id, lang,
+         |    len(${TextAnalysis.duckToksPublic("text")})::BIGINT AS n_tok FROM documents),
+         |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM tc)
+         |SELECT doc_id, lang, n_tok, ((cum - n_tok) // 200)::BIGINT AS bin
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "x_domain_cap" ->
       s"""WITH b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${TextAnalysis.duckToksPublic("text")})::DOUBLE AS nt,

@@ -159,6 +159,26 @@ class OpsSpec extends SparkSpec {
       .exceptAll(s2).count() === 0L)
   }
 
+  test("sequence packing: bins contiguous from 0, overflow bounded by one document") {
+    import graft.ops.Curation
+    val budget = 200L
+    val packed = Curation.packSequences(docs, budget).cache()
+    // per shard: bins start at 0 and have no gaps
+    val bins = packed.groupBy(col("lang"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        countDistinct(col("bin")).as("n"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) === 0L)
+      assert(r.getLong(3) === r.getLong(2) + 1, s"gapped bins in shard ${r.getString(0)}")
+    }
+    // contiguous fill: a bin exceeds the budget by at most its last doc
+    val over = packed.groupBy(col("lang"), col("bin"))
+      .agg(sum(col("n_tok")).as("tot"), max(col("n_tok")).as("mx"))
+      .filter(col("tot") >= lit(budget) + col("mx"))
+    assert(over.count() === 0L)
+  }
+
   test("domain cap: at most k rows per source, quality non-increasing in rank") {
     import graft.ops.Curation
     val capped = Curation.domainCap(docs, 3).cache()
