@@ -72,4 +72,22 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(df.filter(col("more") < col("base") - 1e-12).count() === 0L)
     assert(df.filter(col("base") > col("nq") + 1e-9).count() === 0L)
   }
+
+  test("int8 quantization: codes bounded, dequantized cosine close to exact") {
+    import graft.ops.Quantize
+    val pairs = cases.zip(cases.reverse).filter { case (a, b) => a.length == b.length }
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Quantize.int8Scale(col("a")).as("qs"))
+      .select(col("a"), col("b"), col("qs"),
+        Quantize.int8Codes(col("a"), col("qs")).as("codes"))
+    // every code within the symmetric int8 range
+    assert(df.select(explode(col("codes")).as("c"))
+      .filter(abs(col("c")) > 127).count() === 0L)
+    // dequantized-vs-exact cosine error bounded: per-element quant
+    // error ≤ scale/2 = max|x|/254, so similarity drifts by O(1/127)
+    val err = df.select(
+      abs(Kernels.cosine(Quantize.dequant(col("codes"), col("qs")), col("b")) -
+        Kernels.cosine(col("a"), col("b"))).as("e"))
+    assert(err.filter(col("e") > 0.05).count() === 0L)
+  }
 }
