@@ -23,22 +23,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
-  private def fd(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+  /** Wrap a builder with an arity gate so a wrong argument count
+    * surfaces as "`name` expects N arguments, got M" instead of a raw
+    * IndexOutOfBoundsException from inside the builder. */
+  private def fd(name: String, arity: Int, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        if (args.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity arguments, got ${args.length}")
+        builder(args)
+      })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fd("cosine_sim", classOf[CosineSim],
+    ext.injectFunction(fd("cosine_sim", 2, classOf[CosineSim],
       args => CosineSim(args(0), args(1))))
-    ext.injectFunction(fd("dot_product", classOf[DotProduct],
+    ext.injectFunction(fd("dot_product", 2, classOf[DotProduct],
       args => DotProduct(args(0), args(1))))
-    ext.injectFunction(fd("max_sim", classOf[MaxSim],
+    ext.injectFunction(fd("max_sim", 2, classOf[MaxSim],
       args => MaxSim(args(0), args(1))))
-    ext.injectFunction(fd("token_hashes", classOf[PolyTokenHashes],
+    ext.injectFunction(fd("token_hashes", 1, classOf[PolyTokenHashes],
       args => PolyTokenHashes(args(0), 31L, 1000003L)))
-    ext.injectFunction(fd("feature_hash_embed", classOf[FeatureHashEmbed],
+    ext.injectFunction(fd("feature_hash_embed", 2, classOf[FeatureHashEmbed],
       args => FeatureHashEmbed(args(0),
         litInt(args(1), "dim", "feature_hash_embed"))))
-    ext.injectFunction(fd("banded_sign_buckets", classOf[BandedSignBuckets],
+    ext.injectFunction(fd("banded_sign_buckets", 3, classOf[BandedSignBuckets],
       args => BandedSignBuckets(args(0),
         litInt(args(1), "bands", "banded_sign_buckets"),
         litInt(args(2), "planes_per_band", "banded_sign_buckets"), 64)))

@@ -72,18 +72,22 @@ object Ingest {
     }
 
   /** A3 over a REAL directory tree: binaryFile source, recursive
-    * lookup, case-variant image glob — returns (relative_path, n_bytes)
-    * without reading file contents (column pruning keeps the scan to
-    * file-status metadata). */
+    * lookup — returns (relative_path, n_bytes) without reading file
+    * contents (column pruning keeps the scan to file-status metadata).
+    * The suffix filter is the same ANY-case `lower(suffix)` predicate
+    * as [[imageScanFilter]], applied post-listing: a glob would need
+    * every case variant enumerated (`*.Jpg` silently slips through)
+    * and could drift from the tabular semantics the oracle encodes. */
   def binaryScan(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.{png,jpg,jpeg,PNG,JPG,JPEG}")
       .load(root)
       .select(
         regexp_replace(col("path"),
           "^.*" + java.util.regex.Pattern.quote(root) + "/", "").as("relative_path"),
         col("length").as("n_bytes"))
+      .filter(lower(substring_index(col("relative_path"), ".", -1))
+        .isin("jpg", "jpeg", "png"))
 
   /** A4: fault-tolerant decode. Real image decoding is stubbed (no
     * image libs in this environment — SURVEY.md §7.3): a deterministic

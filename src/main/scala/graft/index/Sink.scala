@@ -74,7 +74,10 @@ object Sink {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val existing = spark.read.parquet(path)
     val cols = existing.columns.toSeq
-    val staged = incoming.select(cols.map(col): _*).cache()
+    // one point per id even WITHIN a batch (Qdrant keeps a single point
+    // per id; callers that care which copy wins pre-dedup themselves)
+    val staged = incoming.select(cols.map(col): _*)
+      .dropDuplicates(Seq(idCol)).cache()
     val written = staged.count()
     val incIds = staged.select(col(idCol)).distinct()
     val touched = existing.withColumn("_file", input_file_name())
@@ -128,8 +131,14 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }
-    fs.delete(dst, true)
+    // rename-aside swap: at no instant is `path` absent — a crash
+    // leaves either the original (possibly at path_retired) or the
+    // compacted dir recoverable by name, never zero copies
+    val retired = new org.apache.hadoop.fs.Path(path + "_retired")
+    fs.delete(retired, true)
+    fs.rename(dst, retired)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.delete(retired, true)
     fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

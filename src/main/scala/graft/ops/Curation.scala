@@ -92,13 +92,7 @@ object Curation {
          |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "x_domain_cap" ->
-      s"""WITH b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${TextAnalysis.duckToksPublic("text")})::DOUBLE AS nt,
-         |  len(list_filter(${TextAnalysis.duckToksPublic("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
-         |  FROM documents),
-         |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b),
-         |q AS (SELECT doc_id, ROUND((least(nt / 50.0, 1.0) * 0.5 +
-         |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
-         |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality FROM m),
+      s"""WITH ${TextAnalysis.duckQualityCtes},
          |r AS (SELECT d.source, d.doc_id, q.quality,
          |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC) AS rnk
          |  FROM documents d JOIN q USING (doc_id))

@@ -354,27 +354,28 @@ object Similarity {
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         .withColumn("probes", ivfTopClusters(col("qv"), cents, 2))
-      val scored = idx.crossJoin(broadcast(qs))
-        .select(col("q_id"), col("vec_id"),
-          col("cluster_id").cast("long").as("cluster_id"), col("probes"),
-          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+      // ONE index pass: the exact rank and both probed-subset ranks
+      // come from windows sharing the q_id exchange — a probed row's
+      // rank among probed rows is the running count of probed rows in
+      // global rank order (row_number over a filtered copy would
+      // re-execute the scan per probe depth)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
-      val exact = scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 10).select(col("q_id"), col("vec_id"))
-      def hits(p: Int) = scored
-        .filter(array_contains(slice(col("probes"), 1, p), col("cluster_id")))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = idx.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          (element_at(col("probes"), 1) === col("cluster_id").cast("long")).as("p1"),
+          array_contains(col("probes"), col("cluster_id").cast("long")).as("p2"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
         .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 10)
-        .select(col("q_id"), col("vec_id"))
-        .join(exact, Seq("q_id", "vec_id"))
-        .groupBy(col("q_id")).agg(count(lit(1)).as(s"hits$p"))
-      qs.select(col("q_id"))
-        .join(hits(1), Seq("q_id"), "left")
-        .join(hits(2), Seq("q_id"), "left")
+        .withColumn("r1", sum(when(col("p1"), 1L).otherwise(0L)).over(wRun))
+        .withColumn("r2", sum(when(col("p2"), 1L).otherwise(0L)).over(wRun))
+      scored.groupBy(col("q_id")).agg(
+          count(when(col("rnk") <= 10 && col("p1") && col("r1") <= 10, 1)).as("hits1"),
+          count(when(col("rnk") <= 10 && col("p2") && col("r2") <= 10, 1)).as("hits2"))
         .select(col("q_id"),
-          round(coalesce(col("hits1"), lit(0L)) / 10.0, 6).as("recall_p1"),
-          round(coalesce(col("hits2"), lit(0L)) / 10.0, 6).as("recall_p2"))
+          round(col("hits1") / 10.0, 6).as("recall_p1"),
+          round(col("hits2") / 10.0, 6).as("recall_p2"))
         .orderBy(col("q_id"))
     }),
 

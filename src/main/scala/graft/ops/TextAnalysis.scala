@@ -117,6 +117,20 @@ object TextAnalysis {
     * diverge between the two. */
   private[ops] def duckToksPublic(e: String): String = duckToks(e)
 
+  /** CTE chain ending in q(doc_id, mean_word_len, stop_ratio, quality)
+    * — the single SQL source of the quality formula; every oracle that
+    * scores quality (x_quality_score, x_domain_cap) builds on it. */
+  private[ops] def duckQualityCtes: String =
+    s"""b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${duckToks("text")})::DOUBLE AS nt,
+       |  len(list_filter(${duckToks("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
+       |  FROM documents),
+       |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b),
+       |q AS (SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(sr, 6) AS stop_ratio,
+       |  ROUND((least(nt / 50.0, 1.0) * 0.5 +
+       |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality
+       |  FROM m)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_count" -> ((s, dir) =>
       tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -138,15 +152,8 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_quality_score" ->
-      s"""WITH b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${duckToks("text")})::DOUBLE AS nt,
-         |  len(list_filter(${duckToks("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
-         |  FROM documents),
-         |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b)
-         |SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(sr, 6) AS stop_ratio,
-         |  ROUND((least(nt / 50.0, 1.0) * 0.5 +
-         |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
-         |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckQualityCtes
+         |SELECT doc_id, mean_word_len, stop_ratio, quality FROM q ORDER BY doc_id""".stripMargin,
 
     "x_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest(${duckToks("text")}) AS tok FROM documents),

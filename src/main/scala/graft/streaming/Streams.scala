@@ -167,7 +167,10 @@ object Streams {
             var cur = state.getOption
             for (t <- ts) cur match {
               case Some(s) if t - s.last <= gapUs =>
-                cur = Some(OpenSession(s.start, t, s.n + 1))
+                // a legitimately-late cross-batch event (>= watermark)
+                // can precede the open session: merge with min/max so
+                // it never SHRINKS the session boundaries
+                cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
               case Some(s) =>
                 out += UserSession(uid, s.n, s.start, s.last)
                 cur = Some(OpenSession(t, t, 1))

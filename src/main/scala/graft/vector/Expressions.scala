@@ -116,6 +116,23 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** v / ‖v‖ as array<double>; null marker for the zero vector. Two
+    * passes over the row's own array — the HOF twin re-evaluates the
+    * whole norm aggregate once PER ELEMENT (the quadratic-lambda trap),
+    * which is why normalize-at-ingest paths use this expression. */
+  def normalizeJava(v: ArrayData, vT: Int): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, vT, i); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = elem(v, vT, i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
   def jaccardJava(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return null
@@ -279,6 +296,32 @@ case class FeatureHashEmbed(child: Expression, dim: Int)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.vector.NativeKernels.embedJava($c, $dim);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** v / ‖v‖ (Kernels.normalizeHof twin): null on the zero vector, same
+  * left-to-right double fold as the HOF so oracles are unchanged. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.normalizeJava(v.asInstanceOf[ArrayData], NativeKernels.typeFlag(et))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val f = NativeKernels.typeFlag(et)
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("nrm")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.vector.NativeKernels.normalizeJava($v, $f);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

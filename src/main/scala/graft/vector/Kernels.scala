@@ -65,8 +65,14 @@ object Kernels {
   }
 
   /** L2-normalize: a / ‖a‖ (Qdrant normalizes cosine collections at
-    * upload — SURVEY.md §2 E1). Zero vectors map to null. */
-  def normalize(a: Column): Column = {
+    * upload — SURVEY.md §2 E1). Zero vectors map to null. Native
+    * expression; the HOF twin re-evaluates the norm aggregate per
+    * element (the quadratic-lambda trap), so it exists only as oracle
+    * documentation + parity check. */
+  def normalize(a: Column): Column = ofExpr(L2Normalize(exprOf(a)))
+
+  /** HOF twin of [[normalize]]. */
+  def normalizeHof(a: Column): Column = {
     val n = l2norm(a)
     when(n =!= 0.0, transform(toDouble(a), x => x / n))
   }

@@ -124,6 +124,20 @@ class IngestSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === n + extra.count())
   }
 
+  test("upsertReplace: duplicate ids within one incoming batch keep a single point") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dupb").toString + "/col"
+    val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
+    Sink.append(pts, path)
+    // the same point twice in one batch (re-index that found a doc via
+    // two paths): the collection must still hold exactly one row per id
+    val doubled = pts.limit(5).unionByName(pts.limit(5))
+    Sink.upsertReplace(spark, doubled, path, "point_id")
+    val after = spark.read.parquet(path)
+    assert(after.count() === pts.count())
+    assert(after.groupBy(col("point_id")).count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("compact: many small appends collapse to sized files, content and sidecars intact") {
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/col"
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(

@@ -43,6 +43,14 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("normalize: native == HOF on all fixture vectors") {
+    val d = emb
+      .select(Kernels.normalize(col("embedding")).as("a"),
+        Kernels.normalizeHof(col("embedding")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
   test("banded sign-LSH buckets: native == HOF on all fixture vectors") {
     import graft.ops.Similarity
     val d = emb

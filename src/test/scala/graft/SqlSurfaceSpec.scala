@@ -41,6 +41,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0L)
   }
 
+  test("wrong arity is rejected with the function name and expected count") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("cosine_sim expects 2 arguments"))
+  }
+
   test("non-literal dim argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT feature_hash_embed(token_hashes('x'), cast(id AS int)) FROM range(1)")

@@ -98,6 +98,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("late in-watermark event extends the open session instead of shrinking it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_mb").toString
+    val h = 3600L * 1000000000L // ns per hour
+    def ev(id: Long, tsNs: Long) =
+      (id, tsNs, 7L, "click", 1.0, null.asInstanceOf[String])
+    val schemaDf = Seq(ev(1L, 10 * h), ev(2L, 11 * h + h / 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: 10:00 and 11:30 (90min gap -> one closed, one open session)
+    Streams.writeSingleFile(spark, schemaDf, s"$dir/00_a.parquet")
+    // batch 2: LATE 10:30 event — above the watermark (11:30 − 2h), and
+    // within the open session's gap window; must not shrink `last`
+    Streams.writeSingleFile(spark,
+      Seq(ev(3L, 10 * h + h / 2)).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/01_late.parquet")
+    Streams.writeSingleFile(spark, Streams.sentinelRow(spark, 12 * h, 6), s"$dir/02_sentinel.parquet")
+    Seq("00_a.parquet", "01_late.parquet", "02_sentinel.parquet").zipWithIndex.foreach {
+      case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+    }
+    val out = Streams.sessionizeFrom(spark, dir, schemaDf.schema, 60, Some(1)).cache()
+    assert(out.filter(col("last_ts") < col("first_ts")).count() === 0L)
+    // the open session absorbed the late event: [10:30, 11:30] with 2 events
+    val open = out.filter(col("n_events") === 2).head
+    assert(open.getLong(2) === (10 * h + h / 2) / 1000)
+    assert(open.getLong(3) === (11 * h + h / 2) / 1000)
+  }
+
   test("sessions have positive durations and event counts") {
     val s = Streams.sessionize(spark, sf)
     assert(s.filter(col("n_events") < 1 || col("last_ts") < col("first_ts")).count() === 0L)
