@@ -105,6 +105,14 @@ class ScaleDesignSpec extends SparkSpec {
     assert(d.select(size(col("b"))).distinct().head.getInt(0) === 10)
   }
 
+  test("quantized rerank: both cuts are TakeOrderedAndProject, no global sort") {
+    val q = graft.ops.Quantize.queries("x_quant_rerank")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("rangepartitioning"),
+      "a range-partitioned global sort means the limit did not plan as top-k")
+  }
+
   test("retrieval cuts are TakeOrderedAndProject; fusion windows never see the corpus") {
     val bm = graft.ops.Retrieval.queries("x_bm25_topk")(spark, sf)
     assert(bm.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
