@@ -231,6 +231,35 @@ object Streams {
     runToParquet(spark, deduped)
   }
 
+  /** Stream-stream interval join: purchases within one hour AFTER a
+    * click by the same user. Both sides are watermarked event-time
+    * streams and the join carries both time bounds, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * the interval — the bounded-state formulation; an unconstrained
+    * stream-stream join buffers forever. Inner matches emit as they
+    * arrive (no watermark wait), so results are complete on a bounded
+    * source regardless of sentinel behavior. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    streamStreamJoinFrom(spark, srcDir, schema, None)
+  }
+
+  private[graft] def streamStreamJoinFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    def side(tp: String, p: String) =
+      eventStream(spark, srcDir, schema, maxFilesPerTrigger)
+        .filter(col("event_type") === tp)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+    runToParquet(spark, joined.select(col("c_user").as("user_id"),
+      col("c_id").as("click_id"), col("p_id").as("purchase_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_window" -> ((s, dir) =>
       eventWindowCountsStreaming(s, dir)
@@ -245,7 +274,10 @@ object Streams {
       streamingDedup(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    "s_stream_join" -> ((s, dir) =>
+      streamStreamJoin(s, dir)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id")))
   )
 
   /** Batch-SQL oracles: streaming over a bounded source must agree
@@ -268,6 +300,15 @@ object Streams {
     // aggregate over the fixture (event_id is unique there)
     "s_stream_dedup" ->
       """SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // batch equivalent of the interval join, at the stream's µs
+    // granularity (the stream floors ns -> µs, so the oracle must too)
+    "s_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 }

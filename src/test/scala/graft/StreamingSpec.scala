@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("stream-stream join matches across micro-batches (click first, purchase later)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_mb").toString
+    val h = 3600L * 1000000000L
+    def ev(id: Long, tsNs: Long, tp: String) =
+      (id, tsNs, 5L, tp, 1.0, null.asInstanceOf[String])
+    val b1 = Seq(ev(1L, 10 * h, "click"), ev(2L, 20 * h, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // purchase 30min after click 1 (joins), 3h after click 2 (does not)
+    val b2 = Seq(ev(3L, 10 * h + h / 2, "purchase"), ev(4L, 23 * h, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Streams.writeSingleFile(spark, b1, s"$dir/00_clicks.parquet")
+    Streams.writeSingleFile(spark, b2, s"$dir/01_purchases.parquet")
+    Seq("00_clicks.parquet", "01_purchases.parquet").zipWithIndex.foreach {
+      case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+    }
+    val out = Streams.streamStreamJoinFrom(spark, dir, b1.schema, Some(1)).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L && out.head.getLong(2) === 3L)
+  }
+
   test("late in-watermark event extends the open session instead of shrinking it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late_mb").toString
