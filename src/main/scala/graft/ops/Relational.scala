@@ -82,6 +82,29 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "r_q3_top_orders" -> ((s, dir) =>
       topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
+
+    // TPC-H Q5 shape: six-table join, local-supplier restriction
+    // (c_nationkey = s_nationkey), region + year selection, revenue
+    // per nation. Scale shape: nation/region are broadcast explicitly,
+    // the fact-side joins shuffle on their keys, AQE reorders the rest
+    // — the multi-join planning case the two/three-table queries
+    // don't exercise.
+    "r_q5_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
@@ -143,6 +166,17 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "r_q5_region_revenue" ->
+      """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "r_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
