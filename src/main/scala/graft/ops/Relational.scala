@@ -105,6 +105,25 @@ object Relational {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
+    // TPC-H Q4 shape: EXISTS correlated subquery → LEFT SEMI join.
+    // The semi join never materializes lineitem columns and
+    // deduplicates matches inside the join operator — the planning
+    // shape an inner-join + distinct formulation would get wrong
+    // (wider shuffle, then a second dedup exchange).
+    "r_q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val late = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
@@ -177,6 +196,13 @@ object Relational {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "r_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "r_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -105,6 +105,13 @@ class ScaleDesignSpec extends SparkSpec {
     assert(d.select(size(col("b"))).distinct().head.getInt(0) === 10)
   }
 
+  test("EXISTS query plans a LeftSemi join, never inner-join-plus-distinct") {
+    val q = graft.ops.Relational.queries("r_q4_order_priority")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+    assert(!plan.toLowerCase.contains("deduplicate"))
+  }
+
   test("quantized rerank: both cuts are TakeOrderedAndProject, no global sort") {
     val q = graft.ops.Quantize.queries("x_quant_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
