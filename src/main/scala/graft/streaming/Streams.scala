@@ -84,18 +84,30 @@ object Streams {
 
   /** Run an append-mode streaming frame to a parquet sink until all
     * available input (and the watermark-flush no-data batch) is
-    * processed; return the sink contents. */
+    * processed; return the sink contents.
+    *
+    * Stateful operators keep one state store per shuffle partition and
+    * pay fixed per-store maintenance every micro-batch, so the batch
+    * session's 32 partitions are pure overhead on these bounded
+    * fixtures (measured: the stream-stream join drops ~3× with 8).
+    * A production deployment sizes this to state VOLUME (keyed rows
+    * per partition), not to the batch session's CPU count — the knob
+    * is pinned at the query, where that decision belongs. */
   private def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val data = s"$base/data"; val ckpt = s"$base/ckpt"
-    val q = out.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", data)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.parquet(data)
   }
 
