@@ -96,18 +96,26 @@ object Streams {
   private def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val data = s"$base/data"; val ckpt = s"$base/ckpt"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = out.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", data)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // session-global conf mutation: serialized on this object so two
+    // stream runs can never race the save/restore (batch queries
+    // planned concurrently on the session would still see 8 — all
+    // driver entry points run queries sequentially, and the state
+    // partition count is only settable this way in Structured
+    // Streaming)
+    Streams.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", data)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.read.parquet(data)
   }
 
@@ -252,8 +260,16 @@ object Streams {
     * arrive (no watermark wait), so results are complete on a bounded
     * source regardless of sentinel behavior. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
-    streamStreamJoinFrom(spark, srcDir, schema, None)
+    // no sentinel: inner matches emit as they arrive, and the per-side
+    // event_type filter would keep a sentinel from ever reaching the
+    // watermark node anyway — the max(ts) scan + sentinel write would
+    // be pure waste here
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream_join_src")
+    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    streamStreamJoinFrom(spark, dir.toString,
+      spark.read.parquet(src.toString).schema, None)
   }
 
   private[graft] def streamStreamJoinFrom(

@@ -109,13 +109,29 @@ class ScaleDesignSpec extends SparkSpec {
     val q = graft.ops.Relational.queries("r_q4_order_priority")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"))
-    assert(!plan.toLowerCase.contains("deduplicate"))
+    // the only aggregate is the priority count (partial + final): an
+    // inner-join-plus-distinct regression adds a dedup aggregate pair
+    assert(plan.split("HashAggregate").length - 1 <= 2,
+      "extra HashAggregate implies a distinct-based dedup replaced the semi join")
   }
 
-  test("quantized rerank: both cuts are TakeOrderedAndProject, no global sort") {
+  test("q5 six-table join: dimension joins broadcast, no cartesian product") {
+    val q = graft.ops.Relational.queries("r_q5_region_revenue")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      "nation and region must join as broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1)).toSeq
+    assert(revs === revs.sorted.reverse)
+  }
+
+  test("quantized rerank: BOTH cuts are TakeOrderedAndProject, no global sort") {
     val q = graft.ops.Quantize.queries("x_quant_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.split("TakeOrderedAndProject").length - 1 === 2,
+      "candidate cut and rerank cut must both plan as top-k")
     assert(!plan.contains("rangepartitioning"),
       "a range-partitioned global sort means the limit did not plan as top-k")
   }
