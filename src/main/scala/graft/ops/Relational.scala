@@ -124,6 +124,30 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // As-of join (operator Spark lacks natively, composed from
+    // built-ins per the preference order): each click matched to the
+    // most recent prior-or-simultaneous signup by the same user. The
+    // union-then-running-window formulation is the sort-merge as-of:
+    // ONE shuffle on the partition key and a single ordered pass —
+    // no per-row range probe, no point-lookup join, so it scales as
+    // a plain window aggregation. Ties at the same microsecond count
+    // the signup as prior (kind sorts signups first).
+    "r_asof_join" -> ((s, dir) => {
+      val u = graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("kind"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("signup_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id").as("click_id"), col("signup_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
@@ -196,6 +220,17 @@ object Relational {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "r_asof_join" ->
+      """WITH u AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE event_type WHEN 'signup' THEN 0 ELSE 1 END AS kind, event_id
+        |  FROM events WHERE event_type IN ('signup', 'click')),
+        |w AS (SELECT *, last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS signup_id
+        |  FROM u)
+        |SELECT user_id, event_id AS click_id, signup_id FROM w WHERE kind = 1
+        |ORDER BY user_id, click_id""".stripMargin,
 
     "r_q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders

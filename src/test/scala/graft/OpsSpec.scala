@@ -146,6 +146,28 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05))
   }
 
+  test("as-of join: matched signup is never after its click, nulls only when no prior") {
+    import org.apache.spark.sql.functions.unix_micros
+    val asof = graft.ops.Relational.queries("r_asof_join")(spark, sf).cache()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+    // signup time <= click time for every matched pair
+    val bad = asof.filter(col("signup_id").isNotNull)
+      .join(ev.select(col("event_id").as("click_id"), col("ts_us").as("ct")), "click_id")
+      .join(ev.select(col("event_id").as("signup_id"), col("ts_us").as("st")), "signup_id")
+      .filter(col("st") > col("ct"))
+    assert(bad.count() === 0L)
+    // a null match really means the user had no signup at or before the click
+    val nulls = asof.filter(col("signup_id").isNull)
+      .join(ev.select(col("event_id").as("click_id"), col("ts_us").as("ct"),
+        col("user_id").as("u")), "click_id")
+    val contradiction = nulls.join(
+        graft.Tables.events(spark, sf).filter(col("event_type") === "signup")
+          .select(col("user_id").as("u"), unix_micros(col("ts")).as("st")), Seq("u"))
+      .filter(col("st") <= col("ct"))
+    assert(contradiction.count() === 0L)
+  }
+
   test("train/test split: deterministic, near-declared fractions, non-empty") {
     import graft.ops.Curation
     val s1 = Curation.withSplit(docs).groupBy(col("split")).count()
