@@ -141,7 +141,25 @@ object TextAnalysis {
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
     }),
     "x_fingerprint" -> ((s, dir) =>
-      fingerprints(t(s, dir, "documents")).orderBy(col("doc_id")))
+      fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // Corpus length profile: exact interpolated token-count quartiles
+    // per language — the distribution summary a mixture designer reads
+    // before setting sequence budgets. Exact `percentile` (not the
+    // t-digest approx variant) because both engines define it as R-7
+    // linear interpolation over integers — deterministic; at true
+    // scale swap in percentile_approx and drop the oracle to
+    // rows-only, as documented here.
+    "x_token_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(nt, 0.25)"), 6).as("p25"),
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -168,6 +186,15 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang ASC) AS r
          |  FROM scored) z WHERE r = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "x_token_quantiles" ->
+      s"""SELECT lang,
+         |  ROUND(quantile_cont(nt, 0.25), 6) AS p25,
+         |  ROUND(quantile_cont(nt, 0.5), 6) AS p50,
+         |  ROUND(quantile_cont(nt, 0.75), 6) AS p75,
+         |  count(*) AS n
+         |FROM (SELECT lang, len(${duckToks("text")})::BIGINT AS nt FROM documents) z
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x_fingerprint" ->
       s"""WITH g AS (SELECT doc_id, CASE WHEN len(${duckToks("text")}) >= 5 THEN
