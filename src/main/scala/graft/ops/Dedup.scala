@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.index.Embedder
@@ -328,22 +329,24 @@ object Dedup {
         posexplode(Similarity.bandedBuckets(col("embedding"), bands, planesPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
       .repartition(col("band"), col("bval"))
-    // candidate ids duplicated across colliding bands — dedup only
-    // after the cheap 64-d cosine filter has cut the set (shuffling
-    // every raw candidate pair to distinct first would cost more than
-    // re-verifying the ≤bands duplicates)
+    // candidate ids duplicated across colliding bands — distinct the
+    // narrow (id_a, id_b) pairs BEFORE fetching vectors. Measured at
+    // sf0.1 the raw candidate stream is 2.6× the distinct set (1.65M
+    // vs 637k: clustered embeddings collide in many bands at once), so
+    // deduping 16-byte id pairs first saves 2.6× of the expensive part
+    // — the two vector-fetch joins and the 64-d cosine.
     val cands = bandTable.select(col("band"), col("bval"), col("vec_id").as("id_a"))
       .join(bandTable.select(col("band"), col("bval"), col("vec_id").as("id_b")),
         Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
     cands
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Kernels.cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .filter(col("sim") >= simMin)
-      .distinct()
   }
 
   def duckEmbeddingPairsLsh(
@@ -363,6 +366,106 @@ object Dedup {
        |FROM cand JOIN corpus va ON va.vec_id = id_a JOIN corpus vb ON vb.vec_id = id_b
        |WHERE ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) >= $simMin
        |ORDER BY id_a, id_b""".stripMargin
+
+  // -- clustering (pairs → components → keeper) ---------------------
+
+  /** Connected components over a near-dup pair list: every document
+    * gets the MINIMUM id reachable through the pair graph as its
+    * `cluster_id`. This is the step that turns pairwise dedup output
+    * into actionable groups — "these 5 docs are all the same article,
+    * keep one" — and pair lists are NOT transitive (A~B, B~C without
+    * A~C is common near the threshold), so a per-pair keeper rule
+    * under-deletes.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels; rounds
+    * repeat until a fixpoint (no label decreased). Cost per round is
+    * one shuffle of the (undirected) edge list joined to the label
+    * table plus a min-aggregate — both keyed shuffles that scale
+    * horizontally; rounds = graph diameter. Near-dup components are
+    * dense (near-cliques around a shared source document), so diameter
+    * is small — 2–3 rounds in practice; for adversarially long chains
+    * the published fix is star-contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * this simple propagation converts to directly. Lineage is
+    * truncated every round with an eager `localCheckpoint` (on a
+    * cluster: `checkpoint` to a reliable store), so the plan does not
+    * grow with iteration count.
+    *
+    * Returns (id, cluster_id), one row per node that appears in at
+    * least one pair — singletons are implicitly their own cluster. */
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val adj = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).cache()
+    var labels = adj.select(col("a").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = adj
+        .join(labels.select(col("id").as("a"), col("cluster_id")), Seq("a"))
+        .select(col("b").as("id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") < col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** Cluster + keeper selection in one pass: label every clustered doc,
+    * then per cluster pick the longest text (doc_id-asc tiebreak) as
+    * the keeper and count members — a single shuffle on cluster_id
+    * (both window functions and the count share the partition). */
+  def clustersWithKeeper(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = clusters(pairs)
+    val labeled = cc
+      .join(corpus.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("len"))
+    val ordered = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("len").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val whole = Window.partitionBy(col("cluster_id"))
+    labeled
+      .withColumn("keeper_id", first(col("doc_id")).over(ordered))
+      .withColumn("n_members", count(lit(1)).over(whole))
+      .select(col("cluster_id"), col("doc_id"), col("keeper_id"), col("n_members"))
+  }
+
+  /** DuckDB twin of [[clusters]]+[[clustersWithKeeper]]: recursive CTE
+    * propagating labels along monotone-decreasing paths — the
+    * component min reaches every node because every edge out of the
+    * min satisfies `lab < b`. */
+  def duckClustersWithKeeper(pairsSql: String): String =
+    s"""WITH RECURSIVE corpus AS ($duckCorpusWithDups),
+       |pr AS (SELECT id_a, id_b FROM ($pairsSql) mp),
+       |adj AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |nodes AS (SELECT DISTINCT a AS id FROM adj),
+       |lp(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT adj.b, lp.lab FROM lp JOIN adj ON adj.a = lp.id WHERE lp.lab < adj.b),
+       |cc AS (SELECT id, min(lab) AS cluster_id FROM lp GROUP BY id),
+       |labeled AS (SELECT cc.id AS doc_id, cc.cluster_id, length(c.text) AS len
+       |  FROM cc JOIN corpus c ON c.doc_id = cc.id)
+       |SELECT cluster_id, doc_id,
+       |  first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY len DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM labeled
+       |ORDER BY cluster_id, doc_id""".stripMargin
 
   // -- query/oracle registry ---------------------------------------
 
@@ -386,6 +489,14 @@ object Dedup {
     "x_dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"))
         .orderBy(col("id_a"), col("id_b"))),
+    // Pairs → connected components → keeper: the grouping step that
+    // makes pairwise near-dup output actionable (transitivity closure
+    // over the MinHash pair graph, then one keeper per cluster).
+    "x_dedup_clusters" -> ((s, dir) => {
+      val corpus = corpusWithDups(t(s, dir, "documents"))
+      clustersWithKeeper(corpus, minhashPairs(corpus).select(col("id_a"), col("id_b")))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
 
     // Dedup quality gate: recall of the banded-LSH candidate path
     // against the label-blocked exact pairs (which contain every
@@ -418,6 +529,7 @@ object Dedup {
     "x_dedup_simhash" -> duckSimhashPairs(),
     "x_dedup_ngram" -> duckNgramJaccardPairs(),
     "x_dedup_embedding" -> duckEmbeddingPairs(),
+    "x_dedup_clusters" -> duckClustersWithKeeper(duckMinhashPairs()),
     "x_dedup_lsh_recall" ->
       s"""WITH e AS (${duckEmbeddingPairs()}), l AS (${duckEmbeddingPairsLsh()})
          |SELECT n_exact, n_lsh, n_common,

@@ -62,6 +62,31 @@ class OpsSpec extends SparkSpec {
       s"banded LSH recall $recovered/${truth.size} below 80%")
   }
 
+  test("clusters: min-label propagation closes transitive chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, forces >1 propagation round) plus an
+    // isolated pair 10-11; 7 appears in no pair → absent from output
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clustersWithKeeper: longest text wins, members counted per component") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "short"), (2L, "the longest text of all"), (3L, "medium len"),
+      (10L, "aa"), (11L, "bb")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clustersWithKeeper(corpus, pairs)
+      .orderBy("cluster_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 1L, 2L, 3L), (1L, 2L, 2L, 3L), (1L, 3L, 2L, 3L),
+      (10L, 10L, 10L, 2L), (10L, 11L, 10L, 2L)))
+  }
+
   test("knn join: k rows per query, self in first place") {
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
