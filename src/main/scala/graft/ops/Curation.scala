@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -61,6 +61,65 @@ object Curation {
         floor((col("cum") - col("n_tok")) / lit(budget)).cast("long").as("bin"))
   }
 
+  /** Word n-grams as plain strings, distinct per doc; empty when the
+    * doc is shorter than n tokens. Production decontamination hashes
+    * these to 8-byte keys before the join (a poly-hash over the gram),
+    * shrinking shuffle width ~6×; strings here keep the semantics
+    * exactly checkable. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = filter(split(text, " "), x => length(x) > 0)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train/eval decontamination: count, per train document, the
+    * distinct word n-grams it shares with ANY eval document — the
+    * standard "n-gram overlap" benchmark-leakage check a pretraining
+    * pipeline runs before training (GPT-3 used 13-grams; 8 here fits
+    * the short fixture docs). A train doc with n_hits > 0 is
+    * contaminated and gets dropped or flagged by the caller.
+    *
+    * Scale: the eval side is benchmarks — thousands of docs vs
+    * billions of train docs — so its distinct gram set is explicitly
+    * `broadcast()`; the train side is a narrow explode → broadcast
+    * semi-join-with-count → per-doc aggregate. No shuffle touches the
+    * eval set and the only train-side shuffle is the final count
+    * keyed on doc_id (map-side combinable). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngrams(col("text"), n)).as("gram")).distinct()
+    val hits = train
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * documents, selected by a content-stable hash bucket (permille)
+    * rather than `rand()` — the same doc is kept or dropped on every
+    * run and on every re-partitioning, which is what makes a corpus
+    * mixture reproducible and incrementally extendable (new docs
+    * never flip old decisions — the property `sample()` lacks).
+    * Pure narrow map: a hash, a mod, one comparison per row. */
+  def stratifiedSample(
+      docs: DataFrame,
+      permilleByLang: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    val bucket = pmod(
+      Embedder.stringHash64(concat(lit("samp:"), col("doc_id").cast("string"))),
+      lit(1000L))
+    val thr = permilleByLang.foldLeft(lit(defaultPermille).cast("long")) {
+      case (acc, (lang, p)) => when(col("lang") === lang, lit(p.toLong)).otherwise(acc)
+    }
+    docs.filter(bucket < thr).select(col("doc_id"), col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_split_train_test" -> ((s, dir) =>
       withSplit(t(s, dir, "documents"))
@@ -72,8 +131,42 @@ object Curation {
         .orderBy(col("source"), col("rnk"))),
     "x_pack_sequences" -> ((s, dir) =>
       packSequences(t(s, dir, "documents"), budget = 200L)
-        .orderBy(col("lang"), col("doc_id")))
+        .orderBy(col("lang"), col("doc_id"))),
+    // The fixture corpus has almost no natural 8-gram overlap, so the
+    // query plants a deterministic leak in BOTH engines: an 8-token
+    // marker appended to every eval doc (id%50=0) and to every train
+    // doc with id%17=0 — those train docs must come back contaminated,
+    // alongside any natural overlap.
+    "x_decontaminate" -> ((s, dir) => {
+      val leaked = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 50 === 0 || col("doc_id") % 17 === 0,
+          concat(col("text"), lit(LeakMarker))).otherwise(col("text")))
+      decontaminate(
+        leaked.filter(col("doc_id") % 50 =!= 0),
+        leaked.filter(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"))
+    }),
+    // 60% of English, 25% of everything else — a down-weighting
+    // mixture decision, reproducibly keyed on doc identity.
+    "x_stratified_sample" -> ((s, dir) =>
+      stratifiedSample(t(s, dir, "documents"), Map("en" -> 600), 250)
+        .orderBy(col("doc_id")))
   )
+
+  private val LeakMarker =
+    " leak0 leak1 leak2 leak3 leak4 leak5 leak6 leak7"
+
+  /** DuckDB twin of [[ngrams]]. */
+  def duckNgrams(textExpr: String, n: Int): String = {
+    val toks = s"list_filter(string_split($textExpr, ' '), x -> len(x) > 0)"
+    val gram = (0 until n).map {
+      case 0 => s"$toks[i]"
+      case j => s"$toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len($toks) - ${n - 2}), i -> $gram)) " +
+      s"ELSE [] END"
+  }
 
   def oracles: Map[String, String] = Map(
     "x_split_train_test" ->
@@ -97,6 +190,28 @@ object Curation {
          |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC) AS rnk
          |  FROM documents d JOIN q USING (doc_id))
          |SELECT source, doc_id, quality, rnk FROM r WHERE rnk <= 3
-         |ORDER BY source, rnk""".stripMargin
+         |ORDER BY source, rnk""".stripMargin,
+
+    "x_decontaminate" ->
+      s"""WITH leaked AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 OR doc_id % 17 = 0
+         |      THEN text || '$LeakMarker' ELSE text END AS text
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(${duckNgrams("text", 8)}) AS gram FROM leaked),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         |hits AS (SELECT g.doc_id, count(*)::BIGINT AS n_hits
+         |  FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits
+         |FROM leaked d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "x_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${Embedder.duckStringHash64("'samp:' || doc_id::VARCHAR")} % 1000 AS b
+         |  FROM documents) z
+         |WHERE b < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
+         |ORDER BY doc_id""".stripMargin
   )
 }

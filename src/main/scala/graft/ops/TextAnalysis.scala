@@ -131,6 +131,63 @@ object TextAnalysis {
        |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality
        |  FROM m)""".stripMargin
 
+  // -- repetition signals ------------------------------------------
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * published quality filters for MassiveText): fraction of the doc
+    * taken by its single most frequent word, and the fraction of
+    * duplicate word-bigrams. High values mark boilerplate / SEO spam /
+    * generation loops — the junk a pretraining mixture drops first.
+    *
+    * Scale: the top-word count is an explode + two-level aggregate
+    * keyed on (doc_id, word) — map-side combinable, no skew (keys are
+    * per-doc); the bigram stats are a pure narrow map over the token
+    * array. One shuffle total. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wc = tk.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val top = wc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_words"))
+    // sequence(1, 0) would step BACKWARDS in Spark, so the <2-token
+    // case is guarded explicitly (0 bigrams)
+    val big = tk.select(col("doc_id"),
+      greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
+      when(size(col("toks")) >= 2,
+        size(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))))
+        .otherwise(0).cast("long").as("n_uniq"))
+    top.join(big, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        round(when(col("n_words") > 0,
+          col("top_c").cast("double") / col("n_words")).otherwise(0d), 6)
+          .as("top_word_frac"),
+        round(when(col("n_bigrams") > 0,
+          lit(1d) - col("n_uniq").cast("double") / col("n_bigrams")).otherwise(0d), 6)
+          .as("dup_bigram_frac"))
+  }
+
+  // -- PII scrubbing -----------------------------------------------
+
+  private[ops] val EmailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private[ops] val PhonePat = "555-[0-9]{4}"
+
+  /** PII detection + redaction: count email/phone matches and emit the
+    * redacted text's hash (the full redacted text is what a real
+    * pipeline keeps; the hash makes the rewrite oracle-checkable
+    * without megabyte outputs). Pure narrow map — two regex counts and
+    * two global replaces per row, no shuffle, trivially parallel at
+    * any scale. Patterns are deliberately RE2-safe (character classes
+    * and counted repeats only) so the same regex text runs unchanged
+    * on Spark's java.util.regex and DuckDB's RE2. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>")).as("redacted_hash"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_count" -> ((s, dir) =>
       tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -142,6 +199,23 @@ object TextAnalysis {
     }),
     "x_fingerprint" -> ((s, dir) =>
       fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_repetition" -> ((s, dir) =>
+      repetition(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    // The fixture has no PII, so the query plants deterministic
+    // synthetic emails (every 7th doc) and phone numbers (every 11th)
+    // in BOTH engines, then counts + redacts them.
+    "x_pii_scrub" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact a"), col("doc_id"), lit("@mail.com now")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 555-0142 today")))
+            .otherwise(col("text")))
+      piiScrub(planted).orderBy(col("doc_id"))
+    }),
 
     // Corpus length profile: exact interpolated token-count quartiles
     // per language — the distribution summary a mixture designer reads
@@ -195,6 +269,34 @@ object TextAnalysis {
          |  count(*) AS n
          |FROM (SELECT lang, len(${duckToks("text")})::BIGINT AS nt FROM documents) z
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(toks) AS w FROM tk) z GROUP BY doc_id, w),
+         |top AS (SELECT doc_id, max(c)::BIGINT AS top_c, sum(c)::BIGINT AS n_words
+         |  FROM wc GROUP BY doc_id),
+         |big AS (SELECT doc_id, greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+         |  CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+         |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+         |  ELSE 0 END::BIGINT AS n_uniq FROM tk)
+         |SELECT t.doc_id, t.n_words,
+         |  ROUND(CASE WHEN n_words > 0 THEN top_c::DOUBLE / n_words ELSE 0 END, 6) AS top_word_frac,
+         |  ROUND(CASE WHEN n_bigrams > 0 THEN 1 - n_uniq::DOUBLE / n_bigrams ELSE 0 END, 6) AS dup_bigram_frac
+         |FROM top t JOIN big USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x_pii_scrub" ->
+      s"""WITH p1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' contact a' || doc_id::VARCHAR || '@mail.com now'
+         |    ELSE text END AS text FROM documents),
+         |p2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN text || ' call 555-0142 today' ELSE text END AS text FROM p1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailPat'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$PhonePat'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g')) AS redacted_hash
+         |FROM p2 ORDER BY doc_id""".stripMargin,
 
     "x_fingerprint" ->
       s"""WITH g AS (SELECT doc_id, CASE WHEN len(${duckToks("text")}) >= 5 THEN

@@ -236,6 +236,64 @@ class OpsSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("decontaminate: planted eval n-gram flags exactly the seeded train docs") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val leak = "l0 l1 l2 l3 l4 l5 l6 l7"
+    val evalDocs = Seq((100L, s"unrelated eval words $leak")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"clean doc with its own words plus $leak embedded"), // contaminated
+      (2L, "fully clean document nothing shared here at all ok"),
+      (3L, "short")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 0L && out(3L) === 0L)
+  }
+
+  test("stratified sample: rates honored within tolerance, decision content-stable") {
+    import graft.ops.Curation
+    val kept = Curation.stratifiedSample(docs, Map("en" -> 600), 250).cache()
+    val byLang = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.4 && enRate < 0.8, s"en rate $enRate far from 0.6")
+    // re-run keeps the identical doc set
+    val again = Curation.stratifiedSample(docs, Map("en" -> 600), 250)
+    assert(kept.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(kept).count() === 0L)
+  }
+
+  test("repetition: looped text scores high, varied text low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in this sentence"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 === 1.0 && r(1L)._2 > 0.8) // all one word, bigrams all dupes
+    assert(r(2L)._1 < 0.2 && r(2L)._2 === 0.0)
+  }
+
+  test("pii scrub: counts match planted PII and redaction removes it") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at bob99@mail.com or jo@x.org thanks"),
+      (2L, "call 555-0123 or 555-9999 now"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === (2L, 0L) && out(2L) === (0L, 2L) && out(3L) === (0L, 0L))
+    // redacted hash of doc 1 equals the hash of the hand-redacted text
+    val redacted = d.filter(col("doc_id") === 1)
+      .select(md5(lit("reach me at <EMAIL> or <EMAIL> thanks"))).head.getString(0)
+    val got = TextAnalysis.piiScrub(d).filter(col("doc_id") === 1)
+      .select(col("redacted_hash")).head.getString(0)
+    assert(got === redacted)
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
