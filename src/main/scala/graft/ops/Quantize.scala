@@ -45,6 +45,45 @@ object Quantize {
       when(col("qs") > 0, dequant(int8Codes(col("embedding"), col("qs")), col("qs")))
         .otherwise(transform(col("embedding"), _ => lit(0.0))).as("dq"))
 
+  // -- product quantization ----------------------------------------
+
+  /** PQ codes: the vector is split into `m` subvectors of `subDim`
+    * dims; each subvector is replaced by the index (1-based) of its
+    * nearest codebook centroid in that subspace (squared-L2,
+    * first-min tie-break via array_position). 64 floats (256 B)
+    * become 8 small ints — with 16 centroids, 4 bits each, a 64×
+    * compression, the layout IVF+PQ engines (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) scan at
+    * billion-vector scale. The codebook is an index-build-time
+    * constant (here: fixture vectors 1–16, the same deterministic
+    * device as [[graft.ops.Similarity.fixturePlanes]]; production
+    * k-means trains it once on a sample). Narrow map, no shuffle:
+    * m×k×subDim multiplies per row. */
+  def pqCodes(v: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
+    val cbLit = typedlit(cb)
+    array((0 until m).map { s =>
+      val dists = transform(cbLit, cent =>
+        aggregate(
+          zip_with(slice(v, s * subDim + 1, subDim), slice(cent, s * subDim + 1, subDim),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => a + x))
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+  }
+
+  /** PQ reconstruction: concatenate the coded centroids' subvectors.
+    * Scoring the reconstruction against a query is exactly ADC
+    * (asymmetric distance computation) — a production scan replaces
+    * the materialized reconstruction with a per-query m×k lookup
+    * table of subspace dot products; the scores are identical. */
+  def pqDecode(codes: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
+    val cbLit = typedlit(cb)
+    flatten(array((0 until m).map { s =>
+      slice(element_at(cbLit, element_at(codes, s + 1)), s * subDim + 1, subDim)
+    }: _*))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quantized search + full-precision rerank: top-20 candidates by
     // int8-dequantized cosine, then the final top-5 rescored against
@@ -58,6 +97,26 @@ object Quantize {
       val cand = withDequant(e)
         .select(col("vec_id"), col("embedding"),
           round(Kernels.cosine(col("dq"), qv), 6).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id").asc).limit(20)
+      cand.select(col("vec_id"), col("qscore"),
+          round(Kernels.cosine(col("embedding"), qv), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    }),
+
+    // PQ candidate scan + full-precision rerank: top-20 by
+    // reconstructed-vector (ADC) cosine, final top-5 rescored raw.
+    // Both scores emitted so the PQ approximation error is graded.
+    "x_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+      val qRow = e.filter(col("vec_id") === 0).head
+      val qv = typedlit(qRow.getSeq[Float](qRow.fieldIndex("embedding")))
+      val dq = pqDecode(pqCodes(col("embedding"), cb, 8, 8), cb, 8, 8)
+      val cand = e
+        .select(col("vec_id"), col("embedding"),
+          round(Kernels.cosine(dq, qv), 6).as("qscore"))
         .orderBy(col("qscore").desc, col("vec_id").asc).limit(20)
       cand.select(col("vec_id"), col("qscore"),
           round(Kernels.cosine(col("embedding"), qv), 6).as("score"))
@@ -77,6 +136,31 @@ object Quantize {
          |cand AS (SELECT vec_id, embedding,
          |    ROUND(list_cosine_similarity(dq, (SELECT qv FROM q)::DOUBLE[]), 6) AS qscore
          |  FROM d ORDER BY qscore DESC, vec_id ASC LIMIT 20)
+         |SELECT vec_id, qscore,
+         |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+         |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_pq_rerank" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, s.s, c.cid,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      (e.embedding[s.s*8 + i]::DOUBLE - c.embedding[s.s*8 + i]::DOUBLE)
+         |      * (e.embedding[s.s*8 + i]::DOUBLE - c.embedding[s.s*8 + i]::DOUBLE)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) s, cb c),
+         |best AS (SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM d) z WHERE rn = 1),
+         |recon AS (SELECT b.vec_id,
+         |    flatten(list(c.embedding[b.s*8 + 1 : b.s*8 + 8] ORDER BY b.s)) AS dq
+         |  FROM best b JOIN cb c ON c.cid = b.cid GROUP BY b.vec_id),
+         |cand AS (SELECT r.vec_id, e.embedding,
+         |    ROUND(list_cosine_similarity(r.dq::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS qscore
+         |  FROM recon r JOIN embeddings e USING (vec_id)
+         |  ORDER BY qscore DESC, vec_id ASC LIMIT 20)
          |SELECT vec_id, qscore,
          |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
          |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin

@@ -171,6 +171,35 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05))
   }
 
+  test("pq: codebook vectors encode to themselves and reconstruct exactly") {
+    import graft.ops.Quantize
+    val cb = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+    val v5 = emb.filter(col("vec_id") === 5)
+    val codes = v5.select(Quantize.pqCodes(col("embedding"), cb, 8, 8).as("c"))
+      .head.getSeq[Int](0)
+    assert(codes.forall(_ == 5), s"vec 5 should code to centroid 5 everywhere: $codes")
+    val recon = v5.select(
+      Quantize.pqDecode(Quantize.pqCodes(col("embedding"), cb, 8, 8), cb, 8, 8).as("dq"),
+      col("embedding")).head
+    assert(recon.getSeq[Float](0) === recon.getSeq[Float](1))
+  }
+
+  test("pq rerank: top-5 overlaps exact top-5, exact scores are true cosines") {
+    val pq = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf).collect()
+    assert(pq.length === 5)
+    val exact = graft.ops.Similarity.queries("x_knn_join")(spark, sf)
+      .filter(col("q_id") === 0).orderBy(col("rnk")).collect()
+    // the PQ-candidate rerank must recover the true best match
+    assert(pq.head.getLong(0) === exact.head.getLong(1),
+      "PQ rerank lost the exact nearest neighbor")
+    // approximation is graded, not vacuous: exact top-3 mostly survives
+    val overlap = pq.map(_.getLong(0)).toSet
+      .intersect(exact.map(_.getLong(1)).toSet).size
+    assert(overlap >= 2, s"PQ top-5 holds only $overlap of the exact top-3")
+  }
+
   test("as-of join: matched signup is never after its click, nulls only when no prior") {
     import org.apache.spark.sql.functions.unix_micros
     val asof = graft.ops.Relational.queries("r_asof_join")(spark, sf).cache()
