@@ -191,4 +191,37 @@ class ScaleDesignSpec extends SparkSpec {
       s"expected no shuffle below the bucketed join:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("decontamination: eval gram set broadcasts, never shuffles the train side to it") {
+    import graft.ops.Curation
+    val docs = t(spark, sf, "documents")
+    val q = Curation.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-grams must reach the train side by broadcast:\n$plan")
+    // the billion-doc side is never range/hash-exchanged for the probe
+    // join itself — its only shuffle is the final per-doc count
+    val firstJoin = plan.indexOf("BroadcastHashJoin")
+    assert(!plan.substring(firstJoin).contains("SortMergeJoin"),
+      s"no sort-merge fallback on the contamination probe:\n$plan")
+  }
+
+  test("stratified sample is a pure narrow map: zero exchanges") {
+    import graft.ops.Curation
+    val q = Curation.stratifiedSample(
+      t(spark, sf, "documents"), Map("en" -> 600), 250)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hash-bucket sampling must not shuffle:\n$plan")
+  }
+
+  test("pq rerank: both cuts are TakeOrderedAndProject, encode is shuffle-free") {
+    val q = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Sort ["), s"no global sort on the PQ path:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encode/score is a narrow map; only the top-k cut may exchange:\n$plan")
+  }
 }
