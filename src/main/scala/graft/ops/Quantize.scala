@@ -59,7 +59,14 @@ object Quantize {
     * device as [[graft.ops.Similarity.fixturePlanes]]; production
     * k-means trains it once on a sample). Narrow map, no shuffle:
     * m×k×subDim multiplies per row. */
-  def pqCodes(v: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
+  def pqCodes(v: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column =
+    Kernels.ofExpr(graft.vector.PqEncode(
+      Kernels.exprOf(v), cb.map(_.toArray).toArray, m, subDim))
+
+  /** HOF twin of [[pqCodes]] (NativeParitySpec cross-checks): per
+    * subspace, array_position(array_min) over the per-centroid
+    * squared-L2 fold — same order, same first-min tie-break. */
+  def pqCodesHof(v: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
     val cbLit = typedlit(cb)
     array((0 until m).map { s =>
       val dists = transform(cbLit, cent =>
@@ -77,7 +84,12 @@ object Quantize {
     * (asymmetric distance computation) — a production scan replaces
     * the materialized reconstruction with a per-query m×k lookup
     * table of subspace dot products; the scores are identical. */
-  def pqDecode(codes: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
+  def pqDecode(codes: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column =
+    Kernels.ofExpr(graft.vector.PqDecode(
+      Kernels.exprOf(codes), cb.map(_.toArray).toArray, m, subDim))
+
+  /** HOF twin of [[pqDecode]]. */
+  def pqDecodeHof(codes: Column, cb: Seq[Seq[Float]], m: Int, subDim: Int): Column = {
     val cbLit = typedlit(cb)
     flatten(array((0 until m).map { s =>
       slice(element_at(cbLit, element_at(codes, s + 1)), s * subDim + 1, subDim)

@@ -116,6 +116,55 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** PQ encode: per subspace, the 1-based index of the nearest
+    * codebook centroid (squared L2, first-min tie-break — exactly the
+    * HOF twin's array_position(array_min)). One pre-compiled loop:
+    * m × k × subDim multiply-adds, no per-centroid array allocation. */
+  def pqEncodeJava(
+      v: ArrayData, vT: Int, cb: Array[Array[Float]],
+      m: Int, subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var bestIdx = 0
+      var best = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = elem(v, vT, off + i) - cent(off + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < best) { best = d; bestIdx = c }
+        c += 1
+      }
+      out(s) = bestIdx + 1
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ decode: concatenation of the coded centroids' subvectors
+    * (float, like the stored codebook). */
+  def pqDecodeJava(
+      codes: ArrayData, cb: Array[Array[Float]],
+      m: Int, subDim: Int): ArrayData = {
+    val out = new Array[Float](m * subDim)
+    var s = 0
+    while (s < m) {
+      val cent = cb(codes.getInt(s) - 1)
+      val off = s * subDim
+      var i = 0
+      while (i < subDim) { out(off + i) = cent(off + i); i += 1 }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** v / ‖v‖ as array<double>; null marker for the zero vector. Two
     * passes over the row's own array — the HOF twin re-evaluates the
     * whole norm aggregate once PER ELEMENT (the quadratic-lambda trap),
@@ -345,6 +394,50 @@ case class BandedSignBuckets(
     val f = NativeKernels.typeFlag(et)
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.vector.NativeKernels.bandedBucketsJava($v, $f, $bands, $planesPerBand, $dim);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ encode (Quantize.pqCodesHof twin): array<int> of 1-based
+  * nearest-centroid indices, one per subspace. The codebook is an
+  * index-build-time constant embedded as a codegen reference object
+  * (same device as the reference's driver-side model weights). */
+case class PqEncode(
+    child: Expression, cb: Array[Array[Float]], m: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.pqEncodeJava(
+      v.asInstanceOf[ArrayData], NativeKernels.typeFlag(et), cb, m, subDim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val f = NativeKernels.typeFlag(et)
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.vector.NativeKernels.pqEncodeJava($v, $f, $cbRef, $m, $subDim);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ decode (Quantize.pqDecodeHof twin): the reconstructed
+  * array<float> for a code array. */
+case class PqDecode(
+    child: Expression, cb: Array[Array[Float]], m: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.pqDecodeJava(v.asInstanceOf[ArrayData], cb, m, subDim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.vector.NativeKernels.pqDecodeJava($v, $cbRef, $m, $subDim);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -60,6 +60,21 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("pq encode/decode: native == HOF on all fixture vectors") {
+    import graft.ops.Quantize
+    val cb = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+    val codes = emb
+      .select(Quantize.pqCodes(col("embedding"), cb, 8, 8).as("a"),
+        Quantize.pqCodesHof(col("embedding"), cb, 8, 8).as("b"))
+    assert(codes.filter(col("a") =!= col("b")).count() === 0L)
+    val dq = emb
+      .select(Quantize.pqDecode(Quantize.pqCodes(col("embedding"), cb, 8, 8), cb, 8, 8).as("a"),
+        Quantize.pqDecodeHof(Quantize.pqCodesHof(col("embedding"), cb, 8, 8), cb, 8, 8).as("b"))
+    assert(dq.filter(col("a") =!= col("b")).count() === 0L)
+  }
+
   test("tokenHashes + embedRaw: native == HOF on documents") {
     val d = docs
       .withColumn("h1", Embedder.tokenHashes(col("text")))
