@@ -92,6 +92,33 @@ class VectorCollection private (
       .withColumnRenamed("doc_id", config.idCol)
   }
 
+  /** points_count with a payload filter (Qdrant `client.count` with
+    * `count_filter`) — the predicate pushes to the parquet scan. */
+  def count(filter: Column): Long = table.filter(filter).count()
+
+  /** Qdrant `client.retrieve`: fetch points by id. The IN-list reaches
+    * the scan as a pushed filter. */
+  def retrieve(ids: Seq[Long]): DataFrame =
+    table.filter(col(config.idCol).isInCollection(ids))
+
+  /** Qdrant `client.scroll`: deterministic id-ordered page. Driven by
+    * an exclusive start id (not a row offset), so each page is an
+    * indexable range scan — O(page), not O(offset), at any collection
+    * size. Returns `limit` rows with id > `afterId`; chain pages by
+    * passing the previous page's max id. */
+  def scroll(afterId: Long, limit: Int): DataFrame =
+    table.filter(col(config.idCol) > afterId)
+      .orderBy(col(config.idCol)).limit(limit)
+
+  /** Qdrant `client.delete` with a points selector: delete by id set.
+    * File-granular rewrite; see [[graft.index.Sink.deleteMatching]]. */
+  def delete(ids: Seq[Long]): Long =
+    Sink.deleteMatching(spark, path, col(config.idCol).isInCollection(ids))
+
+  /** Qdrant `client.delete` with a payload filter. */
+  def deleteByFilter(filter: Column): Long =
+    Sink.deleteMatching(spark, path, filter)
+
   /** D3: hit projection with 'Unknown' defaults. */
   def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
     TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)

@@ -105,6 +105,44 @@ object Sink {
     written
   }
 
+  /** Delete points matching a predicate (Qdrant `client.delete` with a
+    * points selector / filter). Same file-granular MERGE shape as
+    * [[upsertReplace]]: only parquet files that CONTAIN a matching row
+    * are rewritten (their non-matching survivors re-appended), so the
+    * cost is O(touched files), not O(collection). Returns the number
+    * of rows deleted. Single-writer, like the upsert path. */
+  def deleteMatching(
+      spark: SparkSession,
+      path: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val existing = spark.read.parquet(path)
+    val cols = existing.columns.toSeq
+    val touched = existing.withColumn("_file", input_file_name())
+      .filter(cond)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return 0L
+    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*)
+    val total = touchedData.count()
+    // NULL-predicate rows are survivors, not deletions (delete only
+    // what the filter affirmatively matches — Qdrant filter semantics)
+    val survivors = touchedData
+      .filter(!org.apache.spark.sql.functions.coalesce(cond,
+        org.apache.spark.sql.functions.lit(false)))
+      .select(cols.map(col): _*)
+    val kept = survivors.cache()
+    val nKept = kept.count()
+    if (nKept > 0) kept.write.mode(SaveMode.Append).parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    kept.unpersist()
+    total - nKept
+  }
+
   /** Maintenance: compact a collection directory's accumulated small
     * part files (every [[append]]/[[upsertReplace]] adds some) into
     * `targetRowsPerFile`-sized files. The small-files problem is the

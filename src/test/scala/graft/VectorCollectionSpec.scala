@@ -127,6 +127,34 @@ class VectorCollectionSpec extends SparkSpec {
     assert(joined.count() === 0L)
   }
 
+  test("delete / retrieve / scroll / filtered count (Qdrant client surface)") {
+    val dir = s"${tmp()}/col"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val n = c.count
+    val someIds = pts.orderBy(col("point_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    // retrieve by id
+    assert(c.retrieve(someIds).count() === 3L)
+    // delete by id set: gone, count drops by exactly 3
+    assert(c.delete(someIds) === 3L)
+    assert(c.count === n - 3)
+    assert(c.retrieve(someIds).count() === 0L)
+    // filtered count + delete by payload filter agree
+    val folder0 = c.count(col("folder") === "src0")
+    assert(c.deleteByFilter(col("folder") === "src0") === folder0)
+    assert(c.count(col("folder") === "src0") === 0L)
+    assert(c.count === n - 3 - folder0)
+    // scroll: id-ordered disjoint pages that cover the survivors
+    val p1 = c.scroll(Long.MinValue, 100).collect().map(_.getLong(0))
+    assert(p1.length === 100 && p1.sorted.sameElements(p1))
+    val p2 = c.scroll(p1.last, 100).collect().map(_.getLong(0))
+    assert(p2.forall(_ > p1.last))
+    assert((p1 ++ p2).distinct.length === 200)
+  }
+
   test("dimension mismatch is rejected at the API boundary") {
     val dir = s"${tmp()}/col"
     val pts = points
