@@ -61,10 +61,43 @@ object Multimodal {
       }
   }
 
+  /** Video frame sampling: one row per SAMPLED frame — every
+    * `stride`-th frame, capped at `maxFrames` per clip — with the
+    * frame's clip timestamp and a deterministic frame signature (the
+    * key a per-frame embedding stage joins back on). The clip length
+    * is a stub container-metadata read (derived from the blob, like
+    * [[decodeFeatures]]); the explode/stride/cap plumbing — the part
+    * that shapes the downstream embed workload — is real. Narrow
+    * end-to-end: explode fans rows out inside the partition, no
+    * shuffle, and the cap bounds the fan-out at `maxFrames`× rows
+    * regardless of clip length (a 2-hour video contributes the same
+    * rows as a 10-second clip — the property that keeps the stage
+    * skew-free at scale). */
+  def sampleFrames(
+      media: DataFrame,
+      stride: Int = 5,
+      maxFrames: Int = 6,
+      msPerFrame: Int = 40): DataFrame = {
+    val clip = (length(col("text")) % 120 + 8).cast("long")
+    media.select(col("doc_id"), clip.as("clip_frames"))
+      .select(col("doc_id"), col("clip_frames"),
+        explode(transform(
+          sequence(lit(0L),
+            least(expr(s"(clip_frames - 1) div $stride"), lit(maxFrames - 1).cast("long"))),
+          i => i * stride)).as("frame_idx"))
+      .select(col("doc_id"), col("clip_frames"), col("frame_idx"),
+        (col("frame_idx") * msPerFrame).as("ts_ms"),
+        graft.index.Embedder.stringHash64(
+          concat(col("doc_id"), lit(":"), col("frame_idx"))).as("frame_sig"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> ((s, dir) =>
       decodeFeatures(withBlob(t(s, dir, "documents"))).toDF()
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "m_frame_sample" -> ((s, dir) =>
+      sampleFrames(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   /** Oracle mirrors the stub decode arithmetic over the blob bytes. */
@@ -74,6 +107,16 @@ object Multimodal {
         |  (32 + octet_length(text::BLOB) % 64)::INT AS width,
         |  (32 + ascii(substr(text, 1, 1)) % 64)::INT AS height,
         |  (1 + octet_length(text::BLOB) % 4)::INT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    (octet_length(text::BLOB) % 120 + 8)::BIGINT AS clip_frames FROM documents),
+         |f AS (SELECT doc_id, clip_frames,
+         |    unnest(list_transform(range(0, least((clip_frames - 1) // 5, 5) + 1),
+         |      i -> i * 5))::BIGINT AS frame_idx FROM m)
+         |SELECT doc_id, clip_frames, frame_idx, (frame_idx * 40)::BIGINT AS ts_ms,
+         |  ${graft.index.Embedder.duckStringHash64("doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_sig
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -323,6 +323,20 @@ class OpsSpec extends SparkSpec {
     assert(got === redacted)
   }
 
+  test("frame sampling: stride honored, fan-out capped at maxFrames per clip") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // len 112 → clip 120 → capped at 6 frames; len 2 → clip 10 → 2 frames
+    val d = Seq((1L, "x" * 112), (2L, "xx")).toDF("doc_id", "text")
+    val f = Multimodal.sampleFrames(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sorted.toSeq).toMap
+    assert(f(1L) === Seq(0L, 5L, 10L, 15L, 20L, 25L))
+    assert(f(2L) === Seq(0L, 5L))
+    // a "2-hour video" (huge clip) still contributes exactly maxFrames rows
+    val long = Seq((3L, "y" * 119)).toDF("doc_id", "text") // clip 127
+    assert(Multimodal.sampleFrames(long).count() === 6L)
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
