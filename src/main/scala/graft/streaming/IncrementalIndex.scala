@@ -27,7 +27,27 @@ object IncrementalIndex {
       spark: SparkSession,
       sfDir: String,
       collection: VectorCollection,
-      checkpoint: String): Long = {
+      checkpoint: String): Long =
+    runWith(spark, sfDir, checkpoint, b => { collection.upsertIncremental(b); () })
+
+  /** Same stream with true Qdrant REPLACE semantics per micro-batch
+    * (`client.upsert` overwrites by id): an edited document re-arriving
+    * on the stream replaces its stale point instead of being skipped.
+    * Each batch is one file-granular MERGE
+    * ([[graft.index.Sink.upsertReplace]]); the streaming checkpoint
+    * plus by-id idempotence give exactly-once effective state. */
+  def runReplacing(
+      spark: SparkSession,
+      sfDir: String,
+      collection: VectorCollection,
+      checkpoint: String): Long =
+    runWith(spark, sfDir, checkpoint, b => { collection.upsertReplace(b); () })
+
+  private def runWith(
+      spark: SparkSession,
+      sfDir: String,
+      checkpoint: String,
+      sink: DataFrame => Unit): Long = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     var batches = 0L
     val stream = spark.readStream
@@ -42,7 +62,7 @@ object IncrementalIndex {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        collection.upsertIncremental(batch)
+        sink(batch)
         batches += 1
         ()
       }

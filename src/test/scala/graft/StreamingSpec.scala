@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     assert(c.search(qv, 5).count() === 5)
   }
 
+  test("replacing index stream: re-delivery replaces points, count stable") {
+    import graft.api.{CollectionConfig, VectorCollection}
+    import graft.streaming.IncrementalIndex
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_repl").toFile.getAbsolutePath
+    val docs = Tables.t(spark, sf, "documents")
+    val like = docs.select(lit(0L).as("point_id"),
+      lit(Array.empty[Float]).as("embedding"), col("doc_id"),
+      col("source").as("folder")).limit(0)
+    val c = VectorCollection.ensure(spark, s"$base/col", like,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    IncrementalIndex.runReplacing(spark, sf, c, s"$base/ckpt1")
+    val n1 = c.count
+    assert(n1 === docs.count())
+    // fresh checkpoint → full re-delivery; REPLACE keeps one point per
+    // id (no growth) while rewriting them (Qdrant upsert semantics)
+    IncrementalIndex.runReplacing(spark, sf, c, s"$base/ckpt2")
+    assert(c.count === n1)
+    // ids unique after the replay — replace, not append
+    assert(spark.read.parquet(s"$base/col")
+      .groupBy(col("point_id")).count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("sessionize across >=2 micro-batches: no duplicate emission, equals batch result") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.max
