@@ -96,6 +96,53 @@ object Quantize {
     }: _*))
   }
 
+  /** Lloyd refinement of the PQ codebook: `iters` rounds of
+    * (encode → per-(subspace, code, dim) mean). Encoding is the narrow
+    * native expression; the means aggregate returns m×k×subDim scalars
+    * to the driver — codebook-sized, an index-build-time constant like
+    * the IVF centroids ([[Similarity.ivfRefineCentroids]]). A codebook
+    * entry's slice is only updated in subspaces where it was assigned;
+    * empty (subspace, code) cells keep their seed. The fixture query
+    * keeps the untrained seed codebook so the DuckDB oracle stays
+    * expressible; the improvement is the spec-gated Lloyd guarantee
+    * (reconstruction error never increases). */
+  def pqTrain(
+      data: DataFrame,
+      cb0: Seq[Seq[Float]],
+      m: Int, subDim: Int, iters: Int): Seq[Seq[Float]] = {
+    var cur = cb0
+    for (_ <- 0 until iters) {
+      val means = data
+        .select(col("embedding"),
+          posexplode(pqCodes(col("embedding"), cur, m, subDim)).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          posexplode(slice(col("embedding"), col("s") * subDim + 1, lit(subDim)))
+            .as(Seq("i", "x")))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = cur.map(_.toArray).toArray
+      means.foreach { r =>
+        next(r.getInt(1) - 1)(r.getInt(0) * subDim + r.getInt(2)) =
+          r.getDouble(3).toFloat
+      }
+      cur = next.map(_.toSeq).toSeq
+    }
+    cur
+  }
+
+  /** Mean squared reconstruction error — the objective [[pqTrain]]
+    * minimizes (per-subspace k-means inertia, summed). */
+  def pqInertia(data: DataFrame, cb: Seq[Seq[Float]], m: Int, subDim: Int): Double =
+    data.select(
+        aggregate(
+          zip_with(col("embedding"),
+            pqDecode(pqCodes(col("embedding"), cb, m, subDim), cb, m, subDim),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => a + x).as("e"))
+      .agg(avg(col("e"))).head.getDouble(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quantized search + full-precision rerank: top-20 candidates by
     // int8-dequantized cosine, then the final top-5 rescored against

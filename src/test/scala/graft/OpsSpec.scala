@@ -186,6 +186,22 @@ class OpsSpec extends SparkSpec {
     assert(recon.getSeq[Float](0) === recon.getSeq[Float](1))
   }
 
+  test("pq training: Lloyd rounds never increase reconstruction error") {
+    import graft.ops.Quantize
+    val cb0 = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+    val data = emb.cache()
+    val e0 = Quantize.pqInertia(data, cb0, 8, 8)
+    val cb1 = Quantize.pqTrain(data, cb0, 8, 8, iters = 1)
+    val e1 = Quantize.pqInertia(data, cb1, 8, 8)
+    val cb2 = Quantize.pqTrain(data, cb1, 8, 8, iters = 1)
+    val e2 = Quantize.pqInertia(data, cb2, 8, 8)
+    assert(e1 <= e0 + 1e-12, s"first Lloyd round worsened error: $e0 -> $e1")
+    assert(e2 <= e1 + 1e-12, s"second Lloyd round worsened error: $e1 -> $e2")
+    assert(e1 < e0, "training on fixture data should strictly improve the seed codebook")
+  }
+
   test("pq rerank: top-5 overlaps exact top-5, exact scores are true cosines") {
     val pq = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf).collect()
     assert(pq.length === 5)
