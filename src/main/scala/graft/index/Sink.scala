@@ -123,7 +123,9 @@ object Sink {
       .select(col("_file")).distinct()
       .collect().map(_.getString(0))
     if (touched.isEmpty) return 0L
-    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*)
+    // one scan of the touched files: cache, then both counts and the
+    // survivor write come off the cached data
+    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
     val total = touchedData.count()
     // NULL-predicate rows are survivors, not deletions (delete only
     // what the filter affirmatively matches — Qdrant filter semantics)
@@ -131,15 +133,14 @@ object Sink {
       .filter(!org.apache.spark.sql.functions.coalesce(cond,
         org.apache.spark.sql.functions.lit(false)))
       .select(cols.map(col): _*)
-    val kept = survivors.cache()
-    val nKept = kept.count()
-    if (nKept > 0) kept.write.mode(SaveMode.Append).parquet(path)
+    val nKept = survivors.count()
+    if (nKept > 0) survivors.write.mode(SaveMode.Append).parquet(path)
     val conf = spark.sparkContext.hadoopConfiguration
     touched.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).delete(p, false)
     }
-    kept.unpersist()
+    touchedData.unpersist()
     total - nKept
   }
 

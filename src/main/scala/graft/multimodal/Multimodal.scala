@@ -78,7 +78,9 @@ object Multimodal {
       stride: Int = 5,
       maxFrames: Int = 6,
       msPerFrame: Int = 40): DataFrame = {
-    val clip = (length(col("text")) % 120 + 8).cast("long")
+    // BYTE length (like decodeFeatures) — the oracle's octet_length;
+    // character length would diverge on multibyte text
+    val clip = (length(col("text").cast("binary")) % 120 + 8).cast("long")
     media.select(col("doc_id"), clip.as("clip_frames"))
       .select(col("doc_id"), col("clip_frames"),
         explode(transform(

@@ -67,7 +67,7 @@ object Curation {
     * shrinking shuffle width ~6×; strings here keep the semantics
     * exactly checkable. */
   def ngrams(text: Column, n: Int): Column = {
-    val toks = filter(split(text, " "), x => length(x) > 0)
+    val toks = TextAnalysis.tokens(text) // the one tokenizer every operator shares
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
@@ -156,9 +156,11 @@ object Curation {
   private val LeakMarker =
     " leak0 leak1 leak2 leak3 leak4 leak5 leak6 leak7"
 
-  /** DuckDB twin of [[ngrams]]. */
+  /** DuckDB twin of [[ngrams]] — tokens come from the shared
+    * [[TextAnalysis.duckToksPublic]] formula so decontamination can
+    * never tokenize differently from the rest of the engine. */
   def duckNgrams(textExpr: String, n: Int): String = {
-    val toks = s"list_filter(string_split($textExpr, ' '), x -> len(x) > 0)"
+    val toks = TextAnalysis.duckToksPublic(textExpr)
     val gram = (0 until n).map {
       case 0 => s"$toks[i]"
       case j => s"$toks[i+$j]"

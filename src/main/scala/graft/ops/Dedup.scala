@@ -421,6 +421,12 @@ object Dedup {
       iter += 1
     }
     adj.unpersist()
+    // fail loudly rather than return a silently-split component: a
+    // chain longer than maxIters hops means this graph needs the
+    // star-contraction variant (O(log n) rounds), not a bigger cap
+    require(converged,
+      s"clusters() did not converge within $maxIters rounds — component " +
+        "diameter exceeds the cap; use star-contraction for chain-shaped graphs")
     labels
   }
 

@@ -158,8 +158,10 @@ object TextAnalysis {
           sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))))
         .otherwise(0).cast("long").as("n_uniq"))
-    top.join(big, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
+    // LEFT join from big (one row per doc always): a zero-token doc
+    // has no wc/top rows but must still appear with n_words = 0
+    big.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
         round(when(col("n_words") > 0,
           col("top_c").cast("double") / col("n_words")).otherwise(0d), 6)
           .as("top_word_frac"),
@@ -280,10 +282,10 @@ object TextAnalysis {
          |  CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
          |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
          |  ELSE 0 END::BIGINT AS n_uniq FROM tk)
-         |SELECT t.doc_id, t.n_words,
-         |  ROUND(CASE WHEN n_words > 0 THEN top_c::DOUBLE / n_words ELSE 0 END, 6) AS top_word_frac,
+         |SELECT b.doc_id, COALESCE(t.n_words, 0)::BIGINT AS n_words,
+         |  ROUND(CASE WHEN t.n_words > 0 THEN top_c::DOUBLE / t.n_words ELSE 0 END, 6) AS top_word_frac,
          |  ROUND(CASE WHEN n_bigrams > 0 THEN 1 - n_uniq::DOUBLE / n_bigrams ELSE 0 END, 6) AS dup_bigram_frac
-         |FROM top t JOIN big USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |FROM big b LEFT JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "x_pii_scrub" ->
       s"""WITH p1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0

@@ -73,6 +73,20 @@ class OpsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: over-diameter graph fails loudly instead of splitting components") {
+    import spark.implicits._
+    // a 9-node path needs 8 propagation rounds; cap at 3 → must throw,
+    // never silently report a split component
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.clusters(chain, maxIters = 3)
+    }
+    // with the default cap the same chain resolves to one component
+    val cc = Dedup.clusters(chain).collect().map(_.getLong(1)).toSet
+    assert(cc === Set(1L))
+  }
+
   test("clustersWithKeeper: longest text wins, members counted per component") {
     import spark.implicits._
     val corpus = Seq(
@@ -191,15 +205,20 @@ class OpsSpec extends SparkSpec {
     val cb0 = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
       .orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+    // cache ONLY for this test — caching the raw scan would otherwise
+    // shadow every later embeddings read with an InMemoryRelation and
+    // break the pushdown plan assertions in ScaleDesignSpec
     val data = emb.cache()
-    val e0 = Quantize.pqInertia(data, cb0, 8, 8)
-    val cb1 = Quantize.pqTrain(data, cb0, 8, 8, iters = 1)
-    val e1 = Quantize.pqInertia(data, cb1, 8, 8)
-    val cb2 = Quantize.pqTrain(data, cb1, 8, 8, iters = 1)
-    val e2 = Quantize.pqInertia(data, cb2, 8, 8)
-    assert(e1 <= e0 + 1e-12, s"first Lloyd round worsened error: $e0 -> $e1")
-    assert(e2 <= e1 + 1e-12, s"second Lloyd round worsened error: $e1 -> $e2")
-    assert(e1 < e0, "training on fixture data should strictly improve the seed codebook")
+    try {
+      val e0 = Quantize.pqInertia(data, cb0, 8, 8)
+      val cb1 = Quantize.pqTrain(data, cb0, 8, 8, iters = 1)
+      val e1 = Quantize.pqInertia(data, cb1, 8, 8)
+      val cb2 = Quantize.pqTrain(data, cb1, 8, 8, iters = 1)
+      val e2 = Quantize.pqInertia(data, cb2, 8, 8)
+      assert(e1 <= e0 + 1e-12, s"first Lloyd round worsened error: $e0 -> $e1")
+      assert(e2 <= e1 + 1e-12, s"second Lloyd round worsened error: $e1 -> $e2")
+      assert(e1 < e0, "training on fixture data should strictly improve the seed codebook")
+    } finally data.unpersist()
   }
 
   test("pq rerank: top-5 overlaps exact top-5, exact scores are true cosines") {
