@@ -150,7 +150,30 @@ object Curation {
     // mixture decision, reproducibly keyed on doc identity.
     "x_stratified_sample" -> ((s, dir) =>
       stratifiedSample(t(s, dir, "documents"), Map("en" -> 600), 250)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The composed curation pipeline — what the operators exist FOR:
+    // near-dup pairs → connected components → min-id keeper (originals
+    // beat their planted perturbed copies) → quality cut (≥0.7 drops
+    // the bottom ~12% of the fixture) → content-stable split. Every
+    // stage is an operator verified on its own above; this query
+    // verifies their COMPOSITION end to end against one oracle.
+    "x_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Dedup.corpusWithDups(docs)
+      val cc = Dedup.clusters(
+        Dedup.minhashPairs(corpus).select(col("id_a"), col("id_b")))
+      val nonKeepers = cc.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val survivors = docs.join(nonKeepers, Seq("doc_id"), "left_anti")
+      val kept = TextAnalysis.qualityScore(survivors)
+        .filter(col("quality") >= 0.7)
+        .select(col("doc_id"), col("quality"))
+      withSplit(survivors.select(col("doc_id"), col("lang")))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("split"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val LeakMarker =
@@ -214,6 +237,29 @@ object Curation {
          |    ${Embedder.duckStringHash64("'samp:' || doc_id::VARCHAR")} % 1000 AS b
          |  FROM documents) z
          |WHERE b < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "x_corpus_pipeline" ->
+      s"""WITH RECURSIVE
+         |pr AS (SELECT id_a, id_b FROM (${Dedup.duckMinhashPairs()}) mp),
+         |adj AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT a AS id FROM adj),
+         |lp(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT adj.b, lp.lab FROM lp JOIN adj ON adj.a = lp.id WHERE lp.lab < adj.b),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM lp GROUP BY id),
+         |nonkeep AS (SELECT id FROM cc WHERE id <> cluster_id),
+         |surv AS (SELECT d.* FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT id FROM nonkeep)),
+         |${TextAnalysis.duckQualityCtesFor("surv")},
+         |sp AS (SELECT doc_id, lang,
+         |    ${Embedder.duckStringHash64("doc_id::VARCHAR")} % 100 AS b2
+         |  FROM surv)
+         |SELECT q.doc_id, sp.lang, q.quality,
+         |  CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'valid' ELSE 'test' END AS split
+         |FROM q JOIN sp USING (doc_id)
+         |WHERE q.quality >= 0.7
          |ORDER BY doc_id""".stripMargin
   )
 }

@@ -120,10 +120,15 @@ object TextAnalysis {
   /** CTE chain ending in q(doc_id, mean_word_len, stop_ratio, quality)
     * — the single SQL source of the quality formula; every oracle that
     * scores quality (x_quality_score, x_domain_cap) builds on it. */
-  private[ops] def duckQualityCtes: String =
+  private[ops] def duckQualityCtes: String = duckQualityCtesFor("documents")
+
+  /** Same CTE chain over an arbitrary source relation (must expose
+    * doc_id + text) — lets composed pipelines score a filtered
+    * corpus with the identical formula. */
+  private[ops] def duckQualityCtesFor(tbl: String): String =
     s"""b AS (SELECT doc_id, len(text)::DOUBLE AS nc, len(${duckToks("text")})::DOUBLE AS nt,
        |  len(list_filter(${duckToks("text")}, x -> x IN ('the','a','of','and')))::DOUBLE AS ns
-       |  FROM documents),
+       |  FROM $tbl),
        |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b),
        |q AS (SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(sr, 6) AS stop_ratio,
        |  ROUND((least(nt / 50.0, 1.0) * 0.5 +
