@@ -22,17 +22,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-dev knobs (driver leaves both unset): SPARK_GRAFT_ONLY
+    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS
+    // times each query N times and keeps the minimum (the steady-state
+    // number — max rejects one-off GC/IO noise).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up (small sf, untimed)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
     val results = names.map { n =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => }
-      n -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -119,6 +119,41 @@ class VectorCollection private (
   def deleteByFilter(filter: Column): Long =
     Sink.deleteMatching(spark, path, filter)
 
+  /** Collection rows under the (vec_id, embedding) names the query-API
+    * operators use, payload columns untouched. */
+  private def asPoints: DataFrame = {
+    val others = table.columns
+      .filterNot(c => c == config.idCol || c == config.vectorCol)
+      .map(col).toSeq
+    table.select(Seq(col(config.idCol).as("vec_id"),
+      col(config.vectorCol).as("embedding")) ++ others: _*)
+  }
+
+  /** Qdrant `client.recommend` (average_vector strategy): search by
+    * 2·avg(positives) − avg(negatives), example points excluded. */
+  def recommend(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
+    graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** Qdrant discovery search: rank by satisfied (positive, negative)
+    * context pairs, then similarity to the target point. */
+  def discover(targetId: Long, contextPairs: Seq[(Long, Long)], k: Int = 5): DataFrame =
+    graft.search.QueryApis.discover(asPoints, targetId, contextPairs, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** Qdrant `search_groups`: top `limit` groups by best hit, each with
+    * its top `groupSize` hits. */
+  def searchGroups(
+      queryVec: Seq[Float], groupCol: String,
+      groupSize: Int = 3, limit: Int = 5): DataFrame =
+    graft.search.QueryApis.searchGroups(
+      asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** Qdrant facet API: value counts for a payload key under a filter. */
+  def facet(key: String, filter: Column = lit(true), limit: Int = 10): DataFrame =
+    graft.search.QueryApis.facet(table, key, filter, limit)
+
   /** D3: hit projection with 'Unknown' defaults. */
   def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
     TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)

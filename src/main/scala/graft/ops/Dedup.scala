@@ -512,16 +512,23 @@ object Dedup {
     // impossible to miss again.
     "x_dedup_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // ONE evaluation of each pair pipeline: membership flags through a
+      // full-outer join, all three counts from a single aggregate. The
+      // round-3 version counted each side separately AND joined them —
+      // four pipeline executions where one pass suffices.
       val exactPairs = embeddingPairs(emb).select(col("id_a"), col("id_b"))
+        .withColumn("in_e", lit(1L))
       val lshPairs = embeddingPairsLsh(emb).select(col("id_a"), col("id_b"))
-      val nE = exactPairs.agg(count(lit(1)).as("n_exact"))
-      val nL = lshPairs.agg(count(lit(1)).as("n_lsh"))
-      val nC = exactPairs.join(lshPairs, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_common"))
-      nE.crossJoin(nL).crossJoin(nC).select(
-        col("n_exact"), col("n_lsh"), col("n_common"),
-        round(when(col("n_exact") > 0,
-          col("n_common").cast("double") / col("n_exact")), 6).as("recall"))
+        .withColumn("in_l", lit(1L))
+      exactPairs.join(lshPairs, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(coalesce(col("in_e"), lit(0L))), lit(0L)).as("n_exact"),
+          coalesce(sum(coalesce(col("in_l"), lit(0L))), lit(0L)).as("n_lsh"),
+          coalesce(sum(when(col("in_e") === 1L && col("in_l") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_common"))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          round(when(col("n_exact") > 0,
+            col("n_common").cast("double") / col("n_exact")), 6).as("recall"))
     })
   )
 

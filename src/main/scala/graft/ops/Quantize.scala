@@ -45,6 +45,30 @@ object Quantize {
       when(col("qs") > 0, dequant(int8Codes(col("embedding"), col("qs")), col("qs")))
         .otherwise(transform(col("embedding"), _ => lit(0.0))).as("dq"))
 
+  // -- binary quantization -----------------------------------------
+
+  /** 32 sign bits of dims `start+1 .. start+32` packed into one
+    * BIGINT (bit j set iff component > 0) — Qdrant's binary
+    * quantization layout, 32× smaller than float32. Two halves per
+    * 64-d vector keep every bit below 2^32 so the packed value can
+    * never overflow a BIGINT in either engine. The 2^j term uses the
+    * floor(pow) construction both engines evaluate identically
+    * (same device as [[Dedup.simhashHof]]). */
+  def bqBits(v: Column, start: Int): Column =
+    aggregate(
+      zip_with(slice(v, start + 1, 32), sequence(lit(0L), lit(31L)),
+        (x, j) => when(x > 0f,
+          floor(pow(lit(2.0), j.cast("double"))).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Driver-side twin of [[bqBits]] for the query vector. */
+  def bqBitsLocal(v: Array[Float], start: Int): Long =
+    (0 until 32).map(j => if (v(start + j) > 0f) 1L << j else 0L).sum
+
+  def duckBqBits(vecExpr: String, start: Int): String =
+    s"list_sum(list_transform(range(0, 32), j -> CASE WHEN $vecExpr[j + ${start + 1}] > 0 " +
+      "THEN floor(2.0 ** j)::BIGINT ELSE 0 END))::BIGINT"
+
   // -- product quantization ----------------------------------------
 
   /** PQ codes: the vector is split into `m` subvectors of `subDim`
@@ -162,6 +186,27 @@ object Quantize {
         .orderBy(col("score").desc, col("vec_id").asc).limit(5)
     }),
 
+    // Binary-quantized search + full-precision rerank: candidates by
+    // Hamming distance over 64 packed sign bits (two BIGINT halves,
+    // xor + popcount — Qdrant's binary quantization with
+    // rescore=true), final top-5 rescored against the raw floats.
+    // The candidate scan reads 16 bytes/vector instead of 256.
+    "x_bq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val q = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+      val (qlo, qhi) = (bqBitsLocal(q, 0), bqBitsLocal(q, 32))
+      val cand = e
+        .select(col("vec_id"), col("embedding"),
+          (bit_count(bqBits(col("embedding"), 0).bitwiseXOR(lit(qlo))) +
+            bit_count(bqBits(col("embedding"), 32).bitwiseXOR(lit(qhi))))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(20)
+      cand.select(col("vec_id"), col("hamming"),
+          round(Kernels.cosine(col("embedding"), typedlit(q.toSeq)), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    }),
+
     // PQ candidate scan + full-precision rerank: top-20 by
     // reconstructed-vector (ADC) cosine, final top-5 rescored raw.
     // Both scores emitted so the PQ approximation error is graded.
@@ -196,6 +241,19 @@ object Quantize {
          |    ROUND(list_cosine_similarity(dq, (SELECT qv FROM q)::DOUBLE[]), 6) AS qscore
          |  FROM d ORDER BY qscore DESC, vec_id ASC LIMIT 20)
          |SELECT vec_id, qscore,
+         |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+         |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_bq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${duckBqBits("qv", 0)} AS qlo, ${duckBqBits("qv", 32)} AS qhi FROM q),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckBqBits("embedding", 0)} AS lo, ${duckBqBits("embedding", 32)} AS hi
+         |  FROM embeddings),
+         |cand AS (SELECT vec_id, embedding,
+         |    (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::BIGINT AS hamming
+         |  FROM b, qb ORDER BY hamming ASC, vec_id ASC LIMIT 20)
+         |SELECT vec_id, hamming,
          |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
          |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 

@@ -175,6 +175,39 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  // -- Gopher rule filter ------------------------------------------
+
+  /** Gopher rule-based document filter (Rae et al. 2021 §A1.1, the
+    * published MassiveText pre-filters): word-count bounds, mean word
+    * length bounds, and a minimum fraction of words containing an
+    * alphabetic character. Emits the signals AND the verdict so a
+    * mixture builder can audit why a document was cut (bounds scaled
+    * to the fixture's 10–110-word docs; production uses Gopher's
+    * 50–100k). Pure narrow map — token array folds only, no shuffle,
+    * embarrassingly parallel at any corpus size. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Long = 20L,
+      maxWords: Long = 90L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val nWd = when(nW > 0, nW.cast("double"))
+    val meanLen = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / nWd
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nWd
+    docs.select(
+      col("doc_id"),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      when(nW.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaFrac >= minAlphaFrac, 1L).otherwise(0L).as("keep"))
+  }
+
   // -- PII scrubbing -----------------------------------------------
 
   private[ops] val EmailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
@@ -224,6 +257,9 @@ object TextAnalysis {
       piiScrub(planted).orderBy(col("doc_id"))
     }),
 
+    "x_gopher_rules" -> ((s, dir) =>
+      gopherRules(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // Corpus length profile: exact interpolated token-count quartiles
     // per language — the distribution summary a mixture designer reads
     // before setting sequence budgets. Exact `percentile` (not the
@@ -267,6 +303,20 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang ASC) AS r
          |  FROM scored) z WHERE r = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "x_gopher_rules" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |    list_sum(list_transform(toks, w -> len(w)::BIGINT))::DOUBLE
+         |      / len(toks)::DOUBLE AS ml,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+         |      / len(toks)::DOUBLE AS af
+         |  FROM tk)
+         |SELECT doc_id, n_words, ROUND(ml, 6) AS mean_word_len,
+         |  ROUND(af, 6) AS alpha_frac,
+         |  (CASE WHEN n_words BETWEEN 20 AND 90 AND ml BETWEEN 3.0 AND 10.0
+         |    AND af >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "x_token_quantiles" ->
       s"""SELECT lang,

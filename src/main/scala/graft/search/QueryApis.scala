@@ -1,0 +1,261 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.vector.Kernels
+
+/** The rest of Qdrant's query-API surface beyond plain top-k search —
+  * recommendation, discovery, grouped search, facet counts, and
+  * order-by scroll. The reference drives only `query_points`
+  * (`with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83`), but these
+  * are the sibling calls on the same client object a reference user
+  * would reach for next; implementing them closes the "switch
+  * libraries and keep your queries" gap.
+  *
+  * Scale design, shared across all five:
+  *  - Example/query vectors are driver-side constants (a handful of id
+  *    lookups — B5 semantics, same as the reference embedding its query
+  *    on the driver) broadcast into codegen'd projections; no shuffle
+  *    touches the corpus for scoring.
+  *  - Every top-k cut is `ORDER BY … LIMIT k` → TakeOrderedAndProject
+  *    (per-partition heaps, no global sort).
+  *  - Grouped search aggregates per group FIRST (map-side combinable
+  *    shuffle keyed on the group), cuts to the top `limit` groups, and
+  *    only then joins the tiny group list (broadcast) back to rank
+  *    hits — the per-hit window never sees groups that lost the cut.
+  *  - Facet is one aggregation with the payload filter pushed to the
+  *    scan. Order-by scroll is a keyset page: the (value, id) cursor
+  *    predicate prunes at the scan, O(page) not O(offset).
+  */
+object QueryApis {
+
+  /** Fetch embedding vectors for `ids` as driver-side double arrays,
+    * keyed by id (tiny: recommendation examples, not data). */
+  private def fetchVecs(e: DataFrame, ids: Seq[Long]): Map[Long, Array[Double]] =
+    e.filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  /** Component-wise mean in the WRITTEN id order (left-to-right fold,
+    * the association the DuckDB oracle writes down too). */
+  private def meanVec(vecs: Seq[Array[Double]]): Array[Double] = {
+    val dim = vecs.head.length
+    Array.tabulate(dim) { i =>
+      vecs.map(_(i)).reduceLeft(_ + _) / vecs.length.toDouble
+    }
+  }
+
+  /** Qdrant `client.recommend`, `average_vector` strategy: the search
+    * vector is avg(positives) + (avg(positives) − avg(negatives)) =
+    * 2·avg_pos − avg_neg (avg_pos alone when no negatives), and the
+    * example points are excluded from the result. One narrow scoring
+    * pass + TakeOrderedAndProject, exactly the D1 plan. */
+  def recommend(
+      points: DataFrame,
+      posIds: Seq[Long],
+      negIds: Seq[Long],
+      k: Int): DataFrame = {
+    val vecs = fetchVecs(points, posIds ++ negIds)
+    val avgPos = meanVec(posIds.map(vecs))
+    val qv =
+      if (negIds.isEmpty) avgPos
+      else {
+        val avgNeg = meanVec(negIds.map(vecs))
+        Array.tabulate(avgPos.length)(i => avgPos(i) * 2.0 - avgNeg(i))
+      }
+    points
+      .filter(!col("vec_id").isInCollection(posIds ++ negIds))
+      .select(col("vec_id"),
+        round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Qdrant discovery search: rank by how many (positive, negative)
+    * context pairs a candidate satisfies — `round6(cos(v, pos)) ≥
+    * round6(cos(v, neg))` — then by similarity to the target, then id.
+    * The 6-dp rounding inside the comparison is the portability pin:
+    * both engines round identically, so a near-tie can never order
+    * differently. All example vectors ride the plan as literals; the
+    * corpus is scanned once. */
+  def discover(
+      points: DataFrame,
+      targetId: Long,
+      contextPairs: Seq[(Long, Long)],
+      k: Int): DataFrame = {
+    val ids = (targetId +: contextPairs.flatMap(p => Seq(p._1, p._2))).distinct
+    val vecs = fetchVecs(points, ids)
+    val ctxHits = contextPairs.map { case (p, n) =>
+      when(
+        round(Kernels.cosine(col("embedding"), typedlit(vecs(p).toSeq)), 6) >=
+          round(Kernels.cosine(col("embedding"), typedlit(vecs(n).toSeq)), 6),
+        1L).otherwise(0L)
+    }.reduce(_ + _)
+    points
+      .filter(!col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), ctxHits.as("ctx_hits"),
+        round(Kernels.cosine(col("embedding"), typedlit(vecs(targetId).toSeq)), 6)
+          .as("sim"))
+      .orderBy(col("ctx_hits").desc, col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Qdrant `search_groups`: the top `limit` groups (by their best
+    * hit's score), each with its top `groupSize` hits. Group selection
+    * is an aggregate + TakeOrdered cut over ONE row per group; the
+    * per-hit ranking window runs only over rows of surviving groups
+    * (broadcast semi-join), so no global window ever forms. */
+  def searchGroups(
+      points: DataFrame,
+      queryVec: Seq[Double],
+      groupCol: String,
+      groupSize: Int,
+      limit: Int): DataFrame = {
+    val scored = points.select(
+      col("vec_id"), col(groupCol).cast("long").as("grp"),
+      round(Kernels.cosine(col("embedding"), typedlit(queryVec)), 6).as("score"))
+    val gtop = scored.groupBy(col("grp")).agg(max(col("score")).as("best"))
+      .orderBy(col("best").desc, col("grp").asc)
+      .limit(limit)
+      // ≤ limit rows survive the cut — the global window ranks a
+      // handful of group headers, not data
+      .withColumn("grp_rank",
+        row_number().over(Window.orderBy(col("best").desc, col("grp").asc))
+          .cast("long"))
+    val wHit = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .join(broadcast(gtop), Seq("grp"))
+      .withColumn("hit_rank", row_number().over(wHit).cast("long"))
+      .filter(col("hit_rank") <= groupSize)
+      .select(col("grp_rank"), col("grp"), col("best"),
+        col("vec_id"), col("score"), col("hit_rank"))
+  }
+
+  /** Qdrant facet API: value counts for one payload key under a
+    * filter. The filter pushes to the scan; the count is one map-side
+    * combinable aggregation; the top cut is TakeOrderedAndProject. */
+  def facet(
+      points: DataFrame,
+      key: String,
+      filter: Column,
+      limit: Int): DataFrame =
+    points.filter(filter)
+      .groupBy(col(key).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(limit)
+
+  /** Qdrant scroll with `order_by`: one page ordered by a payload
+    * field, driven by a (value, id) keyset cursor — the predicate is
+    * scan-prunable, so a page costs O(page) at any offset depth (a row
+    * offset would cost O(offset)). */
+  def scrollSorted(
+      points: DataFrame,
+      orderCol: String,
+      idCol: String,
+      afterValue: Long,
+      afterId: Long,
+      limit: Int): DataFrame =
+    points
+      .filter(col(orderCol) > afterValue ||
+        (col(orderCol) === afterValue && col(idCol) > afterId))
+      .select(col(idCol), col(orderCol))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+      .limit(limit)
+
+  // -- query/oracle registry ---------------------------------------
+
+  private val RecPos = Seq(1L, 2L)
+  private val RecNeg = Seq(3L)
+  private val DiscTarget = 0L
+  private val DiscPairs = Seq((1L, 2L), (3L, 4L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recommend" -> ((s, dir) =>
+      recommend(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    "q_discover" -> ((s, dir) =>
+      discover(t(s, dir, "embeddings"), DiscTarget, DiscPairs, 10)),
+    "q_search_groups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val qv = qRow.getSeq[Float](qRow.fieldIndex("embedding")).map(_.toDouble)
+      searchGroups(e, qv, "label", groupSize = 2, limit = 5)
+        .orderBy(col("grp_rank"), col("hit_rank"))
+    }),
+    "q_facet" -> ((s, dir) =>
+      facet(t(s, dir, "documents"), "lang", col("n_chars") >= 300, 10)),
+    "q_scroll_sorted" -> ((s, dir) =>
+      scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
+        afterValue = 300L, afterId = 0L, limit = 20))
+  )
+
+  private def duckVec(id: Long): String =
+    s"(SELECT embedding FROM embeddings WHERE vec_id = $id)"
+
+  private val duckCos =
+    (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
+
+  def oracles: Map[String, String] = Map(
+    "q_recommend" -> {
+      // DuckDB disallows subqueries inside lambdas, so the example
+      // vectors land in an `ex` CTE first and the lambda reads its
+      // columns; the component formula is the same left-to-right fold
+      // the Scala side computes.
+      val exCols =
+        (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
+          RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
+          .mkString(",\n  ")
+      val posSum = RecPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
+      val negSum = RecNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
+      val component =
+        s"(($posSum) / ${RecPos.length}.0) * 2.0 - (($negSum) / ${RecNeg.length}.0)"
+      val excl = (RecPos ++ RecNeg).mkString(", ")
+      s"""WITH ex AS (SELECT $exCols),
+         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)
+         |SELECT vec_id, ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
+         |FROM embeddings WHERE vec_id NOT IN ($excl)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_discover" -> {
+      val ids = (DiscTarget +: DiscPairs.flatMap(p => Seq(p._1, p._2))).distinct
+      val hits = DiscPairs.map { case (p, n) =>
+        s"CASE WHEN ROUND(${duckCos("embedding", duckVec(p))}, 6) >= " +
+          s"ROUND(${duckCos("embedding", duckVec(n))}, 6) THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT vec_id, ($hits)::BIGINT AS ctx_hits,
+         |  ROUND(${duckCos("embedding", duckVec(DiscTarget))}, 6) AS sim
+         |FROM embeddings WHERE vec_id NOT IN (${ids.mkString(", ")})
+         |ORDER BY ctx_hits DESC, sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_search_groups" ->
+      s"""WITH sc AS (SELECT vec_id, label::BIGINT AS grp,
+         |    ROUND(${duckCos("embedding", duckVec(0))}, 6) AS score FROM embeddings),
+         |g AS (SELECT grp, max(score) AS best FROM sc GROUP BY grp
+         |  ORDER BY best DESC, grp ASC LIMIT 5),
+         |gr AS (SELECT grp, best,
+         |  row_number() OVER (ORDER BY best DESC, grp ASC) AS grp_rank FROM g),
+         |h AS (SELECT grp, vec_id, score,
+         |  row_number() OVER (PARTITION BY grp ORDER BY score DESC, vec_id ASC) AS hit_rank
+         |  FROM sc)
+         |SELECT grp_rank, grp, best, vec_id, score, hit_rank
+         |FROM gr JOIN h USING (grp) WHERE hit_rank <= 2
+         |ORDER BY grp_rank, hit_rank""".stripMargin,
+
+    "q_facet" ->
+      """SELECT lang AS value, count(*) AS n FROM documents
+        |WHERE n_chars >= 300 GROUP BY lang
+        |ORDER BY n DESC, value ASC LIMIT 10""".stripMargin,
+
+    "q_scroll_sorted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 0)
+        |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin
+  )
+}
