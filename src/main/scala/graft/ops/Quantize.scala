@@ -55,6 +55,10 @@ object Quantize {
     * floor(pow) construction both engines evaluate identically
     * (same device as [[Dedup.simhashHof]]). */
   def bqBits(v: Column, start: Int): Column =
+    Kernels.ofExpr(graft.vector.SignBitsPack(Kernels.exprOf(v), start, 32))
+
+  /** HOF twin of [[bqBits]] (NativeParitySpec cross-checks). */
+  def bqBitsHof(v: Column, start: Int): Column =
     aggregate(
       zip_with(slice(v, start + 1, 32), sequence(lit(0L), lit(31L)),
         (x, j) => when(x > 0f,

@@ -104,10 +104,54 @@ object Retrieval {
       .limit(k)
   }
 
+  // -- sparse vectors ----------------------------------------------
+
+  /** Sparse term-frequency vectors in inverted (postings) layout —
+    * Qdrant's sparse-vector points (SPLADE/BM25-style: few non-zero
+    * dims out of a large hash space), stored as (doc_id, dim, weight)
+    * rows instead of padded arrays. Building the postings table is one
+    * explode + map-side-combinable count; `sdim` is the token
+    * poly-hash folded into `dim` buckets, so both engines derive
+    * identical sparse ids with no vocabulary file. */
+  def sparsePostings(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Embedder.tokenHashes(col("text"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim.toLong)).as("sdim"))
+      .groupBy(col("doc_id"), col("sdim"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Sparse dot-product top-k — the inverted-index query plan: the
+    * query's few dims filter the postings scan (predicate pushdown =
+    * reading only the query's posting lists, which is exactly what a
+    * sparse engine does), the tiny query-weight table broadcasts, and
+    * one map-side-combinable aggregate sums per-doc partial products.
+    * Weights are integral term frequencies, so the dot product is
+    * exact integer math — no float-sum ordering to pin. */
+  def sparseSearch(docs: DataFrame, queryText: String, dim: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val qw = spark.range(1)
+      .select(explode(Embedder.tokenHashes(lit(queryText))).as("h"))
+      .select(pmod(col("h"), lit(dim.toLong)).as("sdim"))
+      .groupBy(col("sdim")).agg(count(lit(1)).as("qw"))
+    // the query's dim list is a driver-side constant (B5 semantics,
+    // like the reference's driver-side query embedding); the IN-list
+    // pushes below the postings aggregate to the scan, so a persisted
+    // postings index reads only the query's posting lists
+    val qdims = qw.select(col("sdim")).collect().map(_.getLong(0)).toSeq
+    sparsePostings(docs, dim)
+      .filter(col("sdim").isInCollection(qdims))
+      .join(broadcast(qw), Seq("sdim"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // -- query/oracle registry ---------------------------------------
 
   private val QueryText = "hash join merge"
   private val Terms = Seq("hash", "join", "merge")
+  private val SparseDim = 1024
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bm25_topk" -> ((s, dir) =>
@@ -115,7 +159,9 @@ object Retrieval {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(10)),
     "x_hybrid_rrf" -> ((s, dir) =>
-      hybridRrf(t(s, dir, "documents"), QueryText, n = 100, k = 10))
+      hybridRrf(t(s, dir, "documents"), QueryText, n = 100, k = 10)),
+    "x_sparse_topk" -> ((s, dir) =>
+      sparseSearch(t(s, dir, "documents"), QueryText, SparseDim, 10))
   )
 
   private def duckBm25Ctes: String = {
@@ -143,6 +189,17 @@ object Retrieval {
     "x_bm25_topk" ->
       s"""WITH $duckBm25Ctes
          |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "x_sparse_topk" ->
+      s"""WITH post AS (SELECT doc_id, h % $SparseDim AS sdim, count(*) AS w FROM (
+         |    SELECT doc_id, unnest(${Embedder.duckTokenHashes("text")}) AS h FROM documents) z
+         |  GROUP BY doc_id, h % $SparseDim),
+         |qp AS (SELECT h % $SparseDim AS sdim, count(*) AS qw FROM (
+         |    SELECT unnest(${Embedder.duckTokenHashes(s"'$QueryText'")}) AS h) z
+         |  GROUP BY h % $SparseDim)
+         |SELECT doc_id, sum(w * qw)::BIGINT AS score
+         |FROM post JOIN qp USING (sdim)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "x_hybrid_rrf" -> {
       val embed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))

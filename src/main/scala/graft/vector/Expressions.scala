@@ -116,6 +116,20 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Packed sign bits (binary quantization): bit k set iff
+    * v(start+k) > 0, k ∈ [0, nBits). Out-of-range dims contribute 0. */
+  def signBitsJava(v: ArrayData, vT: Int, start: Int, nBits: Int): Long = {
+    var out = 0L
+    var k = 0
+    val n = v.numElements()
+    while (k < nBits) {
+      val i = start + k
+      if (i < n && elem(v, vT, i) > 0.0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
   /** PQ encode: per subspace, the 1-based index of the nearest
     * codebook centroid (squared L2, first-min tie-break — exactly the
     * HOF twin's array_position(array_min)). One pre-compiled loop:
@@ -394,6 +408,31 @@ case class BandedSignBuckets(
     val f = NativeKernels.typeFlag(et)
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.vector.NativeKernels.bandedBucketsJava($v, $f, $bands, $planesPerBand, $dim);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Packed sign bits (Quantize.bqBitsHof twin): BIGINT with bit k set
+  * iff component start+k is positive — Qdrant's binary-quantization
+  * storage word. One generated call per row replaces a 32-element
+  * zip_with/aggregate HOF pair in the candidate scan, the part of a
+  * BQ search that touches every vector. */
+case class SignBitsPack(child: Expression, start: Int, nBits: Int)
+    extends UnaryExpression {
+  require(nBits > 0 && nBits < 64, "packed word must fit a signed long")
+  override def dataType: DataType = LongType
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    NativeKernels.signBitsJava(
+      v.asInstanceOf[ArrayData], NativeKernels.typeFlag(et), start, nBits)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val f = NativeKernels.typeFlag(et)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.vector.NativeKernels.signBitsJava($v, $f, $start, $nBits);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -75,6 +75,17 @@ class NativeParitySpec extends SparkSpec {
     assert(dq.filter(col("a") =!= col("b")).count() === 0L)
   }
 
+  test("sign-bit packing: native == HOF on all fixture vectors, both halves") {
+    import graft.ops.Quantize
+    val d = emb.select(
+      Quantize.bqBits(col("embedding"), 0).as("a0"),
+      Quantize.bqBitsHof(col("embedding"), 0).as("b0"),
+      Quantize.bqBits(col("embedding"), 32).as("a1"),
+      Quantize.bqBitsHof(col("embedding"), 32).as("b1"))
+      .filter(col("a0") =!= col("b0") || col("a1") =!= col("b1"))
+    assert(d.count() === 0L)
+  }
+
   test("tokenHashes + embedRaw: native == HOF on documents") {
     val d = docs
       .withColumn("h1", Embedder.tokenHashes(col("text")))

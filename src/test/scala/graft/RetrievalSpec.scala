@@ -54,4 +54,27 @@ class RetrievalSpec extends SparkSpec {
     val top = Retrieval.hybridRrf(d, "hash join merge", n = 10, k = 3).head
     assert(top.getLong(0) === 1L)
   }
+
+  test("sparse search: integer dot product ranks term overlap, more repeats score higher") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash join merge hash join merge"), // tf 2 per query term
+      (2L, "hash join merge other words here"), // tf 1 per query term
+      (3L, "no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val hits = Retrieval.sparseSearch(d, "hash join merge", 1024, 10).collect()
+    val byId = hits.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) === 6L) // 3 terms × tf 2 × qw 1
+    assert(byId(2L) === 3L)
+    assert(!byId.contains(3L)) // no shared posting list → no row at all
+    assert(hits.head.getLong(0) === 1L)
+  }
+
+  test("sparse postings: one row per (doc, dim), weights are term frequencies") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val p = Retrieval.sparsePostings(d, 1024).collect()
+    assert(p.length === 2)
+    assert(p.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
+  }
 }

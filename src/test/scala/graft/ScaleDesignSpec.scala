@@ -224,4 +224,52 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"PQ encode/score is a narrow map; only the top-k cut may exchange:\n$plan")
   }
+
+  test("bq rerank: sign-bit packing codegens; both cuts are TakeOrderedAndProject") {
+    val q = graft.ops.Quantize.queries("x_bq_rerank")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Sort ["), s"no global sort on the BQ path:\n$plan")
+    val codegen = org.apache.spark.sql.execution.debug
+      .codegenString(q.queryExecution.executedPlan)
+    assert(codegen.contains("signBitsJava"),
+      "packed sign bits must be generated code, not a fallback projection")
+  }
+
+  test("recommend/discover: single scan, no shuffle, TakeOrderedAndProject cut") {
+    for (name <- Seq("q_recommend", "q_discover")) {
+      val q = graft.search.QueryApis.queries(name)(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name cut:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name scores in one narrow pass — example vectors are plan literals:\n$plan")
+    }
+  }
+
+  test("search groups: group headers aggregate+cut before any per-hit window") {
+    val q = graft.search.QueryApis.queries("q_search_groups")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // group selection is an aggregate + TakeOrdered over one row per
+    // group; surviving groups broadcast back to rank hits
+    assert(plan.contains("TakeOrderedAndProject"), s"group cut:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"surviving groups must broadcast to the hit side:\n$plan")
+  }
+
+  test("sparse search: query dims prune the postings build below the aggregate") {
+    val q = graft.ops.Retrieval.queries("x_sparse_topk")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"sparse top-k cut:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query weights must broadcast:\n$plan")
+    // the IN-list lands below the (doc_id, sdim) count aggregate: the
+    // posting-list filter runs before the first shuffle, so a persisted
+    // postings table would serve it straight from the scan. Plans print
+    // root-first, so "below" = a LARGER string offset than every
+    // aggregate above it.
+    val inPos = math.max(plan.indexOf("INSET"), plan.indexOf(" IN ("))
+    assert(inPos >= 0, s"query-dim IN-list must appear in the plan:\n$plan")
+    assert(inPos > plan.indexOf("partial_count"),
+      s"postings filter must sit below the postings partial aggregate:\n$plan")
+  }
 }
