@@ -154,6 +154,26 @@ class VectorCollection private (
   def facet(key: String, filter: Column = lit(true), limit: Int = 10): DataFrame =
     graft.search.QueryApis.facet(table, key, filter, limit)
 
+  /** Qdrant `search_batch`: N query vectors scored in ONE pass over
+    * the collection (broadcast query side, ranking window keyed on
+    * query id) — per-query top-k without per-query scans. */
+  def searchBatch(queries: Seq[(Long, Seq[Float])], k: Int = 5): DataFrame = {
+    require(!config.multiVector, "batch search on a multi-vector collection")
+    import spark.implicits._
+    val q = queries.toDF("q_id", "qv")
+    graft.ops.Similarity.knnJoin(asPoints, q, k)
+      .withColumnRenamed("vec_id", config.idCol)
+  }
+
+  /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
+    * files copied. */
+  def snapshot(snapPath: String): Int = Sink.snapshot(spark, path, snapPath)
+
+  /** Qdrant `recover_snapshot`: replace contents from a snapshot
+    * (crash-safe rename-aside swap). */
+  def restoreSnapshot(snapPath: String): Unit =
+    Sink.restoreSnapshot(spark, snapPath, path)
+
   /** D3: hit projection with 'Unknown' defaults. */
   def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
     TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)

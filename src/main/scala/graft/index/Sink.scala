@@ -144,6 +144,53 @@ object Sink {
     total - nKept
   }
 
+  /** Qdrant `create_snapshot`: point-in-time copy of the collection
+    * directory (part files + sidecars like `_graft_meta.json`) to
+    * `snapPath`. Pure file-level copy — no decode, no shuffle; at
+    * 100 TB this is a storage-layer parallel copy (distcp shape), and
+    * because parquet part files are immutable between maintenance
+    * operations, the copy is consistent under concurrent reads.
+    * Returns the number of files copied. Single-writer with respect to
+    * upsert/compact, like the rest of the maintenance surface. */
+  def snapshot(spark: SparkSession, path: String, snapPath: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(snapPath)
+    require(!fs.exists(dst), s"snapshot target $snapPath already exists")
+    fs.mkdirs(dst)
+    val files = fs.listStatus(src).filter(_.isFile)
+    files.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf)
+    }
+    files.length
+  }
+
+  /** Qdrant `recover_snapshot`: replace the collection's contents with
+    * a snapshot's. Staged copy + the same rename-aside swap as
+    * [[compact]] — at no instant is the collection absent, and a crash
+    * leaves either the original (at `path_retired`) or the restored
+    * copy, never zero. */
+  def restoreSnapshot(spark: SparkSession, snapPath: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(path + "_restoring")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    val snap = new org.apache.hadoop.fs.Path(snapPath)
+    fs.listStatus(snap).filter(_.isFile).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
+    }
+    val retired = new org.apache.hadoop.fs.Path(path + "_retired")
+    fs.delete(retired, true)
+    if (fs.exists(dst)) fs.rename(dst, retired)
+    fs.rename(staging, dst)
+    fs.delete(retired, true)
+  }
+
   /** Maintenance: compact a collection directory's accumulated small
     * part files (every [[append]]/[[upsertReplace]] adds some) into
     * `targetRowsPerFile`-sized files. The small-files problem is the

@@ -61,19 +61,31 @@ object Curation {
         floor((col("cum") - col("n_tok")) / lit(budget)).cast("long").as("bin"))
   }
 
-  /** Word n-grams as plain strings, distinct per doc; empty when the
-    * doc is shorter than n tokens. Production decontamination hashes
-    * these to 8-byte keys before the join (a poly-hash over the gram),
-    * shrinking shuffle width ~6×; strings here keep the semantics
-    * exactly checkable. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text) // the one tokenizer every operator shares
+  /** Word n-grams over an already-materialized token-array COLUMN,
+    * distinct per doc; empty when the doc is shorter than n tokens.
+    * Production decontamination hashes these to 8-byte keys before the
+    * join (a poly-hash over the gram), shrinking shuffle width ~6×;
+    * strings here keep the semantics exactly checkable.
+    *
+    * `toks` must be a projected column, NOT an inline
+    * `tokens(col("text"))` expression, when the grams feed an explode:
+    * ProjectExec eliminates the common `filter(split(text))` subtree
+    * across the lambda's n `element_at` references, but GenerateExec
+    * does no subexpression elimination — inlined, every gram position
+    * re-splits the whole text n times (measured 12s → 0.7s at sf0.1
+    * for the boilerplate miner when the array is bound first). */
+  def ngramsOfToks(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
     when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** [[ngramsOfToks]] over the shared tokenizer, for projection
+    * contexts (safe there — see the binding note above). */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsOfToks(TextAnalysis.tokens(text), n)
 
   /** Train/eval decontamination: count, per train document, the
     * distinct word n-grams it shares with ANY eval document — the
@@ -89,10 +101,14 @@ object Curation {
     * eval set and the only train-side shuffle is the final count
     * keyed on doc_id (map-side combinable). */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    // token arrays bound in a projection BELOW the explode (the
+    // GenerateExec quadratic-re-split trap — see ngramsOfToks)
     val evalGrams = evalDocs
-      .select(explode(ngrams(col("text"), n)).as("gram")).distinct()
+      .select(TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(explode(ngramsOfToks(col("_toks"), n)).as("gram")).distinct()
     val hits = train
-      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("gram"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), explode(ngramsOfToks(col("_toks"), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     train.select(col("doc_id"))

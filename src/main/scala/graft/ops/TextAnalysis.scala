@@ -208,6 +208,27 @@ object TextAnalysis {
         alphaFrac >= minAlphaFrac, 1L).otherwise(0L).as("keep"))
   }
 
+  // -- boilerplate mining ------------------------------------------
+
+  /** Cross-document boilerplate mining: word n-grams ranked by
+    * DOCUMENT frequency — the repeated headers / footers / cookie
+    * banners a web-corpus pipeline strips before training (the
+    * cross-doc complement of [[repetition]]'s intra-doc signals).
+    * Per-doc grams are already distinct ([[Curation.ngrams]]), so one
+    * explode + count(*) keyed on the gram IS document frequency — a
+    * single map-side-combinable shuffle. Production hashes grams to
+    * 8-byte keys before the shuffle (~6× narrower); strings here keep
+    * the semantics exactly checkable. Gram-key skew is bounded: a
+    * gram's count ≤ corpus doc count, and the heavy hitters are
+    * precisely the answer. */
+  def boilerplateNgrams(docs: DataFrame, n: Int, minDf: Long, k: Int): DataFrame =
+    docs.select(tokens(col("text")).as("_toks")) // bound below the explode (ngramsOfToks note)
+      .select(explode(Curation.ngramsOfToks(col("_toks"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(k)
+
   // -- PII scrubbing -----------------------------------------------
 
   private[ops] val EmailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
@@ -260,6 +281,18 @@ object TextAnalysis {
     "x_gopher_rules" -> ((s, dir) =>
       gopherRules(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // The fixture's word-soup corpus has no natural repeated 8-grams,
+    // so the query plants a deterministic boilerplate footer on every
+    // 9th doc in BOTH engines — the miner must surface exactly the
+    // planted footer gram (junction grams differ per doc, df = 1,
+    // filtered by min_df = 2).
+    "x_boilerplate" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(FooterMarker))).otherwise(col("text")))
+      boilerplateNgrams(planted, 8, minDf = 2L, k = 20)
+    }),
+
     // Corpus length profile: exact interpolated token-count quartiles
     // per language — the distribution summary a mixture designer reads
     // before setting sequence budgets. Exact `percentile` (not the
@@ -279,7 +312,17 @@ object TextAnalysis {
         .orderBy(col("lang")))
   )
 
+  private val FooterMarker =
+    " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
+
   def oracles: Map[String, String] = Map(
+    "x_boilerplate" ->
+      s"""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+         |    THEN text || '$FooterMarker' ELSE text END AS text FROM documents),
+         |g AS (SELECT doc_id, unnest(${Curation.duckNgrams("text", 8)}) AS gram FROM planted),
+         |dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         |SELECT gram, df FROM dfq WHERE df >= 2
+         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
     "x_token_count" ->
       s"""SELECT doc_id, len(${duckToks("text")}) AS n_ws_tokens,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_sub_tokens,

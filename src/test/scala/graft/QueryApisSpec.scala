@@ -152,6 +152,64 @@ class QueryApisSpec extends SparkSpec {
     assert(keeps.contains(1L) && keeps.contains(0L))
   }
 
+  test("searchBatch scores every query in one pass and matches single searches") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_batch").toFile.getAbsolutePath + "/col"
+    val pts = emb.select(col("vec_id"), col("embedding"))
+    val c = graft.api.VectorCollection.ensure(spark, dir, pts,
+      graft.api.CollectionConfig("vec_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val vs = vecsById(Seq(5L, 6L))
+    val batch = c.searchBatch(
+      Seq(5L -> vs(5L).map(_.toFloat).toSeq, 6L -> vs(6L).map(_.toFloat).toSeq), k = 3)
+      .collect()
+    assert(batch.length === 6)
+    // per-query results equal the single-query search call
+    for (qid <- Seq(5L, 6L)) {
+      val single = c.search(vs(qid).map(_.toFloat).toSeq, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val part = batch.filter(_.getLong(0) === qid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(part === single)
+    }
+  }
+
+  test("snapshot then restore recovers deleted points and the collection config") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+    val dir = s"$base/col"
+    val pts = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val c = graft.api.VectorCollection.ensure(spark, dir, pts,
+      graft.api.CollectionConfig("vec_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val n0 = c.count
+    val nFiles = c.snapshot(s"$base/snap1")
+    assert(nFiles > 0)
+    val deleted = c.deleteByFilter(col("label") === 3)
+    assert(deleted > 0 && c.count === n0 - deleted)
+    c.restoreSnapshot(s"$base/snap1")
+    assert(c.count === n0)
+    // config sidecar survived the round-trip: collection reopens
+    val reopened = graft.api.VectorCollection.open(spark, dir)
+    assert(reopened.config.dim === 64)
+    // snapshotting onto an existing path is refused
+    intercept[IllegalArgumentException](c.snapshot(s"$base/snap1"))
+  }
+
+  test("boilerplate mining surfaces the planted footer with the right document frequency") {
+    import graft.ops.TextAnalysis
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7")))
+        .otherwise(col("text")))
+    val res = TextAnalysis.boilerplateNgrams(planted, 8, 2L, 20).collect()
+    val footer = "foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
+    val hit = res.find(_.getString(0) === footer)
+    assert(hit.isDefined, "planted footer 8-gram must be mined")
+    val expected = docs.filter(col("doc_id") % 9 === 0).count()
+    assert(hit.get.getLong(1) === expected)
+  }
+
   test("VectorCollection facade: recommend/discover/searchGroups/facet run end-to-end") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_qapi").toFile.getAbsolutePath + "/col"
