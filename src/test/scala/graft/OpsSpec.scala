@@ -382,4 +382,19 @@ class OpsSpec extends SparkSpec {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("multi-probe LSH: probes a superset of the single-bucket candidates, finds the query") {
+    val planes = Similarity.fixturePlanes(emb)
+    val buckets = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), planes).as("bucket"))
+    val qb = buckets.filter(col("vec_id") === 0).head.getLong(1)
+    val single = buckets.filter(col("bucket") === qb).count()
+    val multi = buckets
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qb))) <= 1).count()
+    assert(multi >= single, "hamming<=1 probe set contains the exact bucket")
+    assert(multi <= single + buckets.count(), "bounded")
+    // the query point itself survives the probe and tops the ranking
+    val top = graft.ops.Similarity.queries("x_ann_lsh_multiprobe")(spark, sf).head
+    assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0)
+  }
 }
