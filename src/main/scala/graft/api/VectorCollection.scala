@@ -124,9 +124,15 @@ class VectorCollection private (
   private def asPoints: DataFrame = {
     val others = table.columns
       .filterNot(c => c == config.idCol || c == config.vectorCol)
-      .map(col).toSeq
+    // the rename would collide with a payload column already holding
+    // the operator-internal name — fail with the cause, not a later
+    // AMBIGUOUS_REFERENCE deep inside the query
+    val clash = others.filter(c => c == "vec_id" || c == "embedding")
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with the internal " +
+        s"(vec_id, embedding) names; rename them or use them as idCol/vectorCol")
     table.select(Seq(col(config.idCol).as("vec_id"),
-      col(config.vectorCol).as("embedding")) ++ others: _*)
+      col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
   }
 
   /** Qdrant `client.recommend` (average_vector strategy): search by
@@ -159,6 +165,12 @@ class VectorCollection private (
     * query id) — per-query top-k without per-query scans. */
   def searchBatch(queries: Seq[(Long, Seq[Float])], k: Int = 5): DataFrame = {
     require(!config.multiVector, "batch search on a multi-vector collection")
+    val badDim = queries.collectFirst {
+      case (qid, v) if v.length != config.dim => (qid, v.length)
+    }
+    require(badDim.isEmpty,
+      s"query ${badDim.map(_._1).getOrElse(0L)} dim ${badDim.map(_._2).getOrElse(0)} " +
+        s"!= collection dim ${config.dim}")
     import spark.implicits._
     val q = queries.toDF("q_id", "qv")
     graft.ops.Similarity.knnJoin(asPoints, q, k)

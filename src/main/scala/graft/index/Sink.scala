@@ -159,19 +159,25 @@ object Sink {
     val dst = new org.apache.hadoop.fs.Path(snapPath)
     require(!fs.exists(dst), s"snapshot target $snapPath already exists")
     fs.mkdirs(dst)
-    val files = fs.listStatus(src).filter(_.isFile)
-    files.foreach { st =>
+    // recursive: a collection written partitionBy(...) keeps its data
+    // under partition SUBDIRECTORIES — a file-only copy would silently
+    // snapshot nothing but the sidecars
+    val entries = fs.listStatus(src)
+    entries.foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf)
     }
-    files.length
+    entries.length
   }
 
   /** Qdrant `recover_snapshot`: replace the collection's contents with
     * a snapshot's. Staged copy + the same rename-aside swap as
-    * [[compact]] — at no instant is the collection absent, and a crash
-    * leaves either the original (at `path_retired`) or the restored
-    * copy, never zero. */
+    * [[compact]]. Crash-safe (the original survives at `path_retired`
+    * until the restored copy is in place, so recovery always has one
+    * complete copy by name), but NOT concurrent-reader-safe: the path
+    * is briefly absent between the two renames — restore is a
+    * maintenance operation, single-writer and reader-quiesced like
+    * compact. */
   def restoreSnapshot(spark: SparkSession, snapPath: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -180,7 +186,8 @@ object Sink {
     fs.delete(staging, true)
     fs.mkdirs(staging)
     val snap = new org.apache.hadoop.fs.Path(snapPath)
-    fs.listStatus(snap).filter(_.isFile).foreach { st =>
+    // recursive for the same partition-subdirectory reason as snapshot
+    fs.listStatus(snap).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }

@@ -65,9 +65,13 @@ object Quantize {
           floor(pow(lit(2.0), j.cast("double"))).cast("long")).otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
 
-  /** Driver-side twin of [[bqBits]] for the query vector. */
+  /** Driver-side twin of [[bqBits]] for the query vector (same SQL
+    * NaN-above-zero comparison semantics as the column paths). */
   def bqBitsLocal(v: Array[Float], start: Int): Long =
-    (0 until 32).map(j => if (v(start + j) > 0f) 1L << j else 0L).sum
+    (0 until 32).map { j =>
+      val x = v(start + j)
+      if (x > 0f || x.isNaN) 1L << j else 0L
+    }.sum
 
   def duckBqBits(vecExpr: String, start: Int): String =
     s"list_sum(list_transform(range(0, 32), j -> CASE WHEN $vecExpr[j + ${start + 1}] > 0 " +

@@ -32,13 +32,20 @@ import graft.vector.Kernels
 object QueryApis {
 
   /** Fetch embedding vectors for `ids` as driver-side double arrays,
-    * keyed by id (tiny: recommendation examples, not data). */
-  private def fetchVecs(e: DataFrame, ids: Seq[Long]): Map[Long, Array[Double]] =
-    e.filter(col("vec_id").isInCollection(ids))
+    * keyed by id (tiny: recommendation examples, not data). Fails with
+    * the missing ids by name — the actionable validation error Qdrant
+    * returns for an unknown example point. */
+  private def fetchVecs(e: DataFrame, ids: Seq[Long]): Map[Long, Array[Double]] = {
+    val found = e.filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .toMap
+    val missing = ids.distinct.filterNot(found.contains)
+    require(missing.isEmpty,
+      s"example point id(s) not in the collection: ${missing.mkString(", ")}")
+    found
+  }
 
   /** Component-wise mean in the WRITTEN id order (left-to-right fold,
     * the association the DuckDB oracle writes down too). */
@@ -59,6 +66,7 @@ object QueryApis {
       posIds: Seq[Long],
       negIds: Seq[Long],
       k: Int): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
     val vecs = fetchVecs(points, posIds ++ negIds)
     val avgPos = meanVec(posIds.map(vecs))
     val qv =
@@ -87,6 +95,7 @@ object QueryApis {
       targetId: Long,
       contextPairs: Seq[(Long, Long)],
       k: Int): DataFrame = {
+    require(contextPairs.nonEmpty, "discover needs at least one context pair")
     val ids = (targetId +: contextPairs.flatMap(p => Seq(p._1, p._2))).distinct
     val vecs = fetchVecs(points, ids)
     val ctxHits = contextPairs.map { case (p, n) =>

@@ -117,14 +117,20 @@ object NativeKernels {
   }
 
   /** Packed sign bits (binary quantization): bit k set iff
-    * v(start+k) > 0, k ∈ [0, nBits). Out-of-range dims contribute 0. */
+    * v(start+k) > 0, k ∈ [0, nBits). Out-of-range dims contribute 0.
+    * NaN sets its bit: SQL comparison semantics (Spark and DuckDB both
+    * order NaN above every number, so the HOF twin's `x > 0` is true
+    * for NaN) — Java primitive compare would silently disagree. */
   def signBitsJava(v: ArrayData, vT: Int, start: Int, nBits: Int): Long = {
     var out = 0L
     var k = 0
     val n = v.numElements()
     while (k < nBits) {
       val i = start + k
-      if (i < n && elem(v, vT, i) > 0.0) out |= 1L << k
+      if (i < n) {
+        val x = elem(v, vT, i)
+        if (x > 0.0 || x.isNaN) out |= 1L << k
+      }
       k += 1
     }
     out

@@ -86,6 +86,23 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("sign-bit packing: NaN components agree between native and HOF (SQL NaN-above-zero)") {
+    import graft.ops.Quantize
+    val v = Array.fill(64)(-1.0f)
+    v(3) = Float.NaN; v(40) = Float.NaN; v(5) = 2.0f
+    val row = spark.range(1).select(typedlit(v.toSeq).as("embedding"))
+    val r = row.select(
+      Quantize.bqBits(col("embedding"), 0).as("a0"),
+      Quantize.bqBitsHof(col("embedding"), 0).as("b0"),
+      Quantize.bqBits(col("embedding"), 32).as("a1"),
+      Quantize.bqBitsHof(col("embedding"), 32).as("b1")).head
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(2) === r.getLong(3))
+    assert((r.getLong(0) & (1L << 3)) !== 0L, "NaN bit set (SQL semantics)")
+    assert(r.getLong(0) === Quantize.bqBitsLocal(v, 0))
+    assert(r.getLong(2) === Quantize.bqBitsLocal(v, 32))
+  }
+
   test("tokenHashes + embedRaw: native == HOF on documents") {
     val d = docs
       .withColumn("h1", Embedder.tokenHashes(col("text")))

@@ -392,7 +392,11 @@ class OpsSpec extends SparkSpec {
     val multi = buckets
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qb))) <= 1).count()
     assert(multi >= single, "hamming<=1 probe set contains the exact bucket")
-    assert(multi <= single + buckets.count(), "bounded")
+    // 8 planes → hamming<=1 selects at most 9 of 256 distinct buckets
+    val probedBuckets = buckets
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qb))) <= 1)
+      .select(col("bucket")).distinct().count()
+    assert(probedBuckets <= 9L, "probe set is the query bucket plus its 8 bit-neighbors")
     // the query point itself survives the probe and tops the ranking
     val top = graft.ops.Similarity.queries("x_ann_lsh_multiprobe")(spark, sf).head
     assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0)
