@@ -263,6 +263,25 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // E4 full-text payload filter (Qdrant MatchText): restrict the
+    // dense search to points whose text payload contains a WORD —
+    // token-exact like Qdrant's word-based full-text index, not a
+    // substring LIKE. The filter sits below scoring; on a real layout
+    // the token test pushes into the scan's row-group filtering.
+    "e4_text_match" -> ((s, dir) => {
+      val emb = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("_th", Embedder.tokenHashes(col("text")))
+        .select(col("doc_id"), col("text"), Embedder.embedRaw(col("_th")).as("v"))
+      val q = emb.filter(col("doc_id") === 0).select(col("v").as("q"))
+      emb.filter(array_contains(split(col("text"), " "), "merge"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(graft.vector.Kernels.cosine(col("v"), col("q")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+    }),
+
     // C2 replace-by-key upsert: re-indexing an EDITED document (same
     // path → same point_id, new text → new embedding) must REPLACE the
     // stale point, not skip or duplicate it (Qdrant client.upsert
@@ -427,6 +446,14 @@ object SparkEntry {
          |SELECT doc_id, ROUND(${duckCos("v", "qv")}, 6) AS score, filename,
          |  COALESCE(parity, 'Unknown') AS parity
          |FROM pts, q WHERE folder = 'src1'
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+
+    "e4_text_match" ->
+      s"""WITH emb AS (SELECT doc_id, text,
+         |    ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),
+         |q AS (SELECT v AS qv FROM emb WHERE doc_id = 0)
+         |SELECT doc_id, ROUND(${duckCos("v", "qv")}, 6) AS score
+         |FROM emb, q WHERE list_contains(string_split(text, ' '), 'merge')
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
 
     "c2_upsert_replace" ->

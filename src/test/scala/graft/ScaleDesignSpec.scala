@@ -256,6 +256,30 @@ class ScaleDesignSpec extends SparkSpec {
       s"surviving groups must broadcast to the hit side:\n$plan")
   }
 
+  test("multitenancy: tenant-partitioned collection search prunes to the tenant's subtree") {
+    // Qdrant's multitenancy pattern: one collection, a tenant key on
+    // every point, searches always scoped to one tenant. Spark-native
+    // layout: partitionBy(tenant) — the tenant filter becomes a
+    // partition filter, so one tenant's search never reads another
+    // tenant's bytes no matter how many tenants share the collection.
+    val dir = Files.createTempDirectory("graft_tenant").toFile.getAbsolutePath + "/col"
+    t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").as("tenant"))
+      .write.partitionBy("tenant").parquet(dir)
+    val q = t(spark, sf, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val hits = spark.read.parquet(dir)
+      .filter(col("tenant") === 3)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.vector.Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    val scan = hits.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(tenant"),
+      s"tenant predicate must prune partitions, not filter rows:\n$scan")
+    assert(hits.count() === 5)
+  }
+
   test("sparse search: query dims prune the postings build below the aggregate") {
     val q = graft.ops.Retrieval.queries("x_sparse_topk")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
