@@ -51,5 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BandedSignBuckets(args(0),
         litInt(args(1), "bands", "banded_sign_buckets"),
         litInt(args(2), "planes_per_band", "banded_sign_buckets"), 64)))
+    ext.injectFunction(fd("sign_bits", 3, classOf[SignBitsPack],
+      args => SignBitsPack(args(0),
+        litInt(args(1), "start", "sign_bits"),
+        litInt(args(2), "n_bits", "sign_bits"))))
+    ext.injectFunction(fd("l2_normalize", 1, classOf[L2Normalize],
+      args => L2Normalize(args(0))))
   }
 }

@@ -41,6 +41,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0L)
   }
 
+  test("sign_bits and l2_normalize resolve in SQL and match the DataFrame operators") {
+    import graft.ops.Quantize
+    import graft.vector.Kernels
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("sql_emb2")
+    val viaSql = spark.sql(
+      "SELECT sign_bits(embedding, 0, 32) AS lo, sign_bits(embedding, 32, 32) AS hi, " +
+        "l2_normalize(embedding) AS n FROM sql_emb2")
+    val viaApi = emb.select(
+      Quantize.bqBits(col("embedding"), 0).as("lo"),
+      Quantize.bqBits(col("embedding"), 32).as("hi"),
+      Kernels.normalize(col("embedding")).as("n"))
+    assert(viaSql.exceptAll(viaApi).count() === 0L)
+    assert(viaApi.exceptAll(viaSql).count() === 0L)
+  }
+
   test("wrong arity is rejected with the function name and expected count") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D))").collect()
