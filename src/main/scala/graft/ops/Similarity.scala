@@ -337,6 +337,35 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF+PQ — the layout billion-vector engines actually run (Jégou
+    // et al., TPAMI 2011): the partition-pruned IVF probe cuts the
+    // candidate set to one cluster subtree, the PQ-reconstructed (ADC)
+    // scan scores those 64×-compressed codes, and only the top-20
+    // fetch full-precision vectors for the rerank. Composes the
+    // persisted cluster-partitioned index with the PQ codebook —
+    // every stage is an operator verified on its own; this verifies
+    // their composition end to end.
+    "x_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+      val (cents, q) = fixtureQuerySetup(s, dir)
+      val qc = rankCentroids(cents, q).head
+      val qv = typedlit(q.toSeq)
+      val probe = s.read.parquet(ivfIndexPath(s, dir))
+        .filter(col("cluster_id") === qc)
+      val dq = Quantize.pqDecode(
+        Quantize.pqCodes(col("embedding"), cb, 8, 8), cb, 8, 8)
+      val cand = probe
+        .select(col("vec_id"), col("embedding"),
+          round(Kernels.cosine(dq, qv), 6).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id").asc).limit(20)
+      cand.select(col("vec_id"), col("qscore"),
+          round(Kernels.cosine(col("embedding"), qv), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    }),
+
     // ANN quality gate: measured recall@10 of the IVF probe against
     // exact brute-force top-10, per query, at nprobe=1 and nprobe=2.
     // An approximate operator without a recall number is unfalsifiable
@@ -474,6 +503,37 @@ object Similarity {
          |SELECT vec_id, ROUND(${duckCosSim("embedding", "q")}, 6) AS score
          |FROM asg JOIN probed USING (cluster_id), qv
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_ann_ivfpq" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM sc) z
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cluster_id AS qc FROM asg WHERE vec_id = 0),
+         |probe AS (SELECT a.vec_id, a.embedding FROM asg a, q WHERE a.cluster_id = q.qc),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |d AS (SELECT p.vec_id, s.s, c.cid,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      (p.embedding[s.s*8 + i]::DOUBLE - c.embedding[s.s*8 + i]::DOUBLE)
+         |      * (p.embedding[s.s*8 + i]::DOUBLE - c.embedding[s.s*8 + i]::DOUBLE)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM probe p, (SELECT unnest(range(0, 8)) AS s) s, cb c),
+         |best AS (SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM d) z WHERE rn = 1),
+         |recon AS (SELECT b.vec_id,
+         |    flatten(list(c.embedding[b.s*8 + 1 : b.s*8 + 8] ORDER BY b.s)) AS dq
+         |  FROM best b JOIN cb c ON c.cid = b.cid GROUP BY b.vec_id),
+         |cand AS (SELECT r.vec_id, p.embedding,
+         |    ROUND(${duckCosSim("r.dq", "(SELECT qv FROM q)")}, 6) AS qscore
+         |  FROM recon r JOIN probe p USING (vec_id)
+         |  ORDER BY qscore DESC, vec_id ASC LIMIT 20)
+         |SELECT vec_id, qscore,
+         |  ROUND(${duckCosSim("embedding", "(SELECT qv FROM q)")}, 6) AS score
+         |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "x_ann_recall" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -256,6 +256,16 @@ class ScaleDesignSpec extends SparkSpec {
       s"surviving groups must broadcast to the hit side:\n$plan")
   }
 
+  test("IVF+PQ probe: partition-pruned read, shuffle-free ADC scan, TakeOrdered cuts") {
+    val q = graft.ops.Similarity.queries("x_ann_ivfpq")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"IVF+PQ cuts:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe + ADC + rerank is scan → narrow projections → top-k; nothing shuffles:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster_id"),
+      s"the probe must prune to the queried cluster's partition subtree:\n$plan")
+  }
+
   test("multitenancy: tenant-partitioned collection search prunes to the tenant's subtree") {
     // Qdrant's multitenancy pattern: one collection, a tenant key on
     // every point, searches always scoped to one tenant. Spark-native
