@@ -90,4 +90,31 @@ class KernelPropertiesSpec extends SparkSpec {
         Kernels.cosine(col("a"), col("b"))).as("e"))
     assert(err.filter(col("e") > 0.05).count() === 0L)
   }
+
+  test("sign-bit packing: range-bounded, self-hamming zero, single-flip flips one bit") {
+    import graft.ops.Quantize
+    // 64-d generator (the BQ layout packs two 32-bit halves); avoid
+    // exact zeros so the flip below always crosses the sign boundary
+    val vec64 = samples(
+      Gen.listOfN(64, Gen.oneOf(Gen.choose(0.01f, 10.0f), Gen.choose(-10.0f, -0.01f)))
+        .map(_.toSeq), 60)
+    val flipIdx = samples(Gen.choose(0, 63), 60)
+    val rows = vec64.zip(flipIdx).map { case (v, i) =>
+      (v, v.updated(i, -v(i)), i)
+    }
+    val df = rows.toDF("a", "b", "i").select(
+      Quantize.bqBits(col("a"), 0).as("alo"), Quantize.bqBits(col("a"), 32).as("ahi"),
+      Quantize.bqBits(col("b"), 0).as("blo"), Quantize.bqBits(col("b"), 32).as("bhi"))
+    // both halves stay inside an unsigned 32-bit word (no sign-bit overflow)
+    assert(df.filter(col("alo") < 0 || col("alo") >= (1L << 32) ||
+      col("ahi") < 0 || col("ahi") >= (1L << 32)).count() === 0L)
+    // hamming(v, v) = 0 and hamming(v, flip-one(v)) = 1, exactly
+    val ham = df.select(
+      (bit_count(col("alo").bitwiseXOR(col("alo"))) +
+        bit_count(col("ahi").bitwiseXOR(col("ahi")))).as("self"),
+      (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+        bit_count(col("ahi").bitwiseXOR(col("bhi")))).as("one"))
+    assert(ham.filter(col("self") =!= 0).count() === 0L)
+    assert(ham.filter(col("one") =!= 1).count() === 0L)
+  }
 }
