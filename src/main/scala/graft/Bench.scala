@@ -47,10 +47,25 @@ object Bench {
       }
       n -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Compact JSON, printed LAST (after spark.stop()) with raw stdout
+    // (build.sbt outputStrategy): the driver json-parses this line from
+    // a 2000-char tail of the run output, so it must be short, free of
+    // the sbt "[info] " prefix, and as close to the end as possible.
+    // Precision adapts: the most decimals that keep the line <= 1900
+    // chars (2000-char tail minus sbt's trailing "[success]" line).
+    def fmt(v: Double, dec: Int): String = {
+      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = (3 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
     spark.stop()
+    println(out)
   }
 }
