@@ -177,6 +177,37 @@ class VectorCollection private (
       .withColumnRenamed("vec_id", config.idCol)
   }
 
+  /** Qdrant MMR diversity search (`query` with an mmr object): top-k
+    * balancing similarity against redundancy with the already-picked
+    * set. `fetchN` bounds the candidate pool (Qdrant's
+    * `candidates_limit`). */
+  def searchMmr(
+      queryVec: Seq[Float], k: Int = 5,
+      lambda: Double = 0.5, fetchN: Int = 20): DataFrame = {
+    require(!config.multiVector, "mmr search on a multi-vector collection")
+    require(queryVec.length == config.dim,
+      s"query dim ${queryVec.length} != collection dim ${config.dim}")
+    graft.search.QueryApis.mmr(
+      asPoints, queryVec.map(_.toDouble), fetchN, k, lambda)
+      .withColumnRenamed("vec_id", config.idCol)
+  }
+
+  /** Qdrant distance-matrix API (`search_matrix_pairs`) over a
+    * deterministic sample. */
+  def matrixPairs(sampleMod: Int, k: Int = 3): DataFrame =
+    graft.search.QueryApis.matrixPairs(asPoints, sampleMod, k)
+
+  /** Qdrant random sampling (`query=sample(random)`): reproducible
+    * hash-ordered draw of `k` point ids. */
+  def randomSample(k: Int): DataFrame =
+    graft.search.QueryApis.randomSample(asPoints, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** D1+E4 with the composed [[graft.search.Filter]] DSL (Qdrant
+    * models.Filter: must / should / must_not clause lists). */
+  def search(queryVec: Seq[Float], k: Int, filter: graft.search.Filter): DataFrame =
+    search(queryVec, k, filter.toColumn)
+
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */
   def snapshot(snapPath: String): Int = Sink.snapshot(spark, path, snapPath)
@@ -211,6 +242,11 @@ object VectorCollection {
     }
     new VectorCollection(spark, path, config)
   }
+
+  /** Open a collection through an alias (Qdrant reads via alias names
+    * transparently): resolve the pointer, then [[open]] the target. */
+  def openAlias(spark: SparkSession, root: String, alias: String): VectorCollection =
+    open(spark, Sink.resolveAlias(spark, root, alias))
 
   /** Open an existing collection with its persisted config. */
   def open(spark: SparkSession, path: String): VectorCollection = {

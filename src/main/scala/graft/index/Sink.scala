@@ -198,6 +198,49 @@ object Sink {
     fs.delete(retired, true)
   }
 
+  /** Qdrant collection aliases (`update_collection_aliases`): a stable
+    * name that can be atomically repointed at a different collection —
+    * the blue/green primitive for zero-downtime reindexing (build v2
+    * under a new path, switch the alias, drop v1). An alias is a tiny
+    * pointer file `<root>/_aliases/<alias>` holding the target path;
+    * the switch writes a temp file and renames over the old pointer
+    * (rename is the atomic op every Hadoop FS guarantees per-file), so
+    * readers resolve either the old or the new target — never a torn
+    * state. Resolution cost is one small-file read per open, nothing
+    * per query. */
+  def setAlias(spark: SparkSession, root: String, alias: String, target: String): Unit = {
+    require(!alias.contains("/"), s"alias must be a bare name: $alias")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(root, "_aliases")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$alias.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, alias)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Resolve an alias to its current target path (fails by name for an
+    * unknown alias — Qdrant's 404). */
+  def resolveAlias(spark: SparkSession, root: String, alias: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "_aliases"), alias)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"unknown alias: $alias")
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Drop an alias (`delete_alias`). Returns whether it existed. */
+  def deleteAlias(spark: SparkSession, root: String, alias: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "_aliases"), alias)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
   /** Maintenance: compact a collection directory's accumulated small
     * part files (every [[append]]/[[upsertReplace]] adds some) into
     * `targetRowsPerFile`-sized files. The small-files problem is the

@@ -104,6 +104,51 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Qdrant's second fusion mode, DBSF (distribution-based score
+    * fusion): each retriever's top-`n` scores are min-max normalized to
+    * the list's μ±3σ band — (s − (μ−3σ)) / (6σ) — then summed across
+    * lists (absent list contributes 0). Unlike RRF it keeps score
+    * *magnitudes*, so a runaway best hit stays ahead of a pack of
+    * near-ties.
+    *
+    * Scale: both lists are `ORDER BY … LIMIT n` cuts
+    * (TakeOrderedAndProject); μ/σ are one-row aggregates of a ≤n-row
+    * list, broadcast back. Determinism: the μ/σ folds run over the list
+    * sorted by doc_id (sequential association written down, not left to
+    * shuffle order — same pin as the BM25 term sums), σ=0 lists
+    * contribute 0 (guarded division, ANSI-safe). */
+  def hybridDbsf(docs: DataFrame, queryText: String, n: Int, k: Int): DataFrame = {
+    val terms = queryText.split(" ").filter(_.nonEmpty).toSeq
+    val vcut = denseScores(docs, queryText)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+    val bcut = bm25(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(n)
+    def muSigma(cut: DataFrame, c: String): DataFrame =
+      cut.agg(sort_array(collect_list(struct(col("doc_id"), col(c).as("s")))).as("l"))
+        .select(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("s")).as("sm"),
+          aggregate(col("l"), lit(0.0),
+            (a, x) => a + x.getField("s") * x.getField("s")).as("sq"),
+          size(col("l")).cast("double").as("cnt"))
+        .select((col("sm") / col("cnt")).as("mu"),
+          sqrt(greatest(
+            col("sq") / col("cnt") - (col("sm") / col("cnt")) * (col("sm") / col("cnt")),
+            lit(0.0))).as("sg"))
+    def normalized(cut: DataFrame, c: String, outName: String): DataFrame =
+      cut.crossJoin(broadcast(muSigma(cut, c)))
+        .select(col("doc_id"),
+          when(col("sg") > 0.0,
+            (col(c) - (col("mu") - lit(3.0) * col("sg"))) / (lit(6.0) * col("sg")))
+            .otherwise(lit(0.0)).as(outName))
+    normalized(vcut, "score", "nv")
+      .join(normalized(bcut, "bm25", "nb"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(col("nv"), lit(0.0)) + coalesce(col("nb"), lit(0.0)), 6)
+          .as("dbsf"))
+      .orderBy(col("dbsf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // -- sparse vectors ----------------------------------------------
 
   /** Sparse term-frequency vectors in inverted (postings) layout —
@@ -160,6 +205,8 @@ object Retrieval {
         .limit(10)),
     "x_hybrid_rrf" -> ((s, dir) =>
       hybridRrf(t(s, dir, "documents"), QueryText, n = 100, k = 10)),
+    "x_hybrid_dbsf" -> ((s, dir) =>
+      hybridDbsf(t(s, dir, "documents"), QueryText, n = 100, k = 10)),
     "x_sparse_topk" -> ((s, dir) =>
       sparseSearch(t(s, dir, "documents"), QueryText, SparseDim, 10))
   )
@@ -200,6 +247,35 @@ object Retrieval {
          |SELECT doc_id, sum(w * qw)::BIGINT AS score
          |FROM post JOIN qp USING (sdim)
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "x_hybrid_dbsf" -> {
+      val embed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))
+      val qEmbed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes(s"'$QueryText'"))
+      // per-list CTE triple: ordered-fold sums → μ/σ → normalized
+      def band(cut: String, scoreCol: String, outName: String, p: String): String =
+        s"""${p}l AS (SELECT list($scoreCol ORDER BY doc_id) AS l FROM $cut),
+           |${p}st AS (SELECT list_reduce(l, (a,b) -> a+b) AS sm,
+           |    list_reduce(list_transform(l, x -> x*x), (a,b) -> a+b) AS sq,
+           |    len(l)::DOUBLE AS cnt FROM ${p}l),
+           |${p}ms AS (SELECT sm/cnt AS mu,
+           |    sqrt(greatest(sq/cnt - (sm/cnt)*(sm/cnt), 0.0)) AS sg FROM ${p}st),
+           |${p}n AS (SELECT doc_id,
+           |    CASE WHEN sg > 0.0 THEN ($scoreCol - (mu - 3.0*sg)) / (6.0*sg)
+           |      ELSE 0.0 END AS $outName
+           |  FROM $cut, ${p}ms)""".stripMargin
+      s"""WITH $duckBm25Ctes,
+         |emb AS (SELECT doc_id, $embed AS v FROM documents),
+         |qv AS (SELECT $qEmbed AS q),
+         |vcut AS (SELECT doc_id,
+         |    ROUND(list_cosine_similarity(v::DOUBLE[], (SELECT q FROM qv)::DOUBLE[]), 6) AS score
+         |  FROM emb ORDER BY score DESC, doc_id ASC LIMIT 100),
+         |bcut AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+         |${band("vcut", "score", "nv", "v")},
+         |${band("bcut", "bm25", "nb", "b")}
+         |SELECT doc_id, ROUND(coalesce(nv, 0.0) + coalesce(nb, 0.0), 6) AS dbsf
+         |FROM vn FULL JOIN bn USING (doc_id)
+         |ORDER BY dbsf DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
 
     "x_hybrid_rrf" -> {
       val embed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))

@@ -108,6 +108,43 @@ object TextAnalysis {
         size(array_distinct(col("gh"))).cast("long").as("fp_card"))
   }
 
+  // -- unigram language-model scoring ------------------------------
+
+  /** Corpus-unigram log-probability per document — the cheap stand-in
+    * for KenLM-perplexity quality bucketing (CCNet-style head/tail
+    * selection): avg_logp = (Σ_t k_t·ln(c_t/T)) / n_toks, where c_t is
+    * the token's corpus count and T the corpus token total.
+    *
+    * Scale: one (doc,tok) shuffle for per-doc term frequencies, one
+    * map-side-combinable corpus count derived FROM those rows (no
+    * second corpus pass), a broadcast of the one-row total. The corpus
+    * count join shuffles on tok — skew-safe because k_t·ln(p_t) folds
+    * per (doc,tok) before any per-doc reduction. Determinism: counts
+    * are integral; the per-doc float sum folds over the term list
+    * sorted by token (association written down — the BM25 pin). */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val cnt = tf.groupBy(col("tok")).agg(sum(col("k")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("tc"))
+    tf.join(cnt, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tok"), col("k"),
+        (col("k").cast("double") *
+          log(col("c").cast("double") / col("tc").cast("double"))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_toks"),
+        sort_array(collect_list(struct(col("tok"), col("v")))).as("l"))
+      .select(col("doc_id"), col("n_toks"),
+        round(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")) /
+            col("n_toks").cast("double"),
+          6).as("avg_logp"))
+  }
+
   // -- query/oracle registry ---------------------------------------
 
   private def duckToks(e: String) =
@@ -281,6 +318,9 @@ object TextAnalysis {
     "x_gopher_rules" -> ((s, dir) =>
       gopherRules(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    "x_unigram_logprob" -> ((s, dir) =>
+      unigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // The fixture's word-soup corpus has no natural repeated 8-grams,
     // so the query plants a deterministic boilerplate footer on every
     // 9th doc in BOTH engines — the miner must surface exactly the
@@ -316,6 +356,21 @@ object TextAnalysis {
     " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
 
   def oracles: Map[String, String] = Map(
+    "x_unigram_logprob" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents) z
+         |  GROUP BY doc_id, tok),
+         |cnt AS (SELECT tok, sum(k)::BIGINT AS c FROM tf GROUP BY tok),
+         |tot AS (SELECT sum(c)::BIGINT AS tc FROM cnt),
+         |terms AS (SELECT doc_id, tok, k,
+         |    k::DOUBLE * ln(c::DOUBLE / tc::DOUBLE) AS v
+         |  FROM tf JOIN cnt USING (tok), tot),
+         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_toks,
+         |    list(v ORDER BY tok) AS l FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_toks,
+         |  ROUND(list_reduce(l, (a,b) -> a+b) / n_toks::DOUBLE, 6) AS avg_logp
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "x_boilerplate" ->
       s"""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
          |    THEN text || '$FooterMarker' ELSE text END AS text FROM documents),

@@ -29,6 +29,10 @@ import graft.vector.Kernels
   *    scan. Order-by scroll is a keyset page: the (value, id) cursor
   *    predicate prunes at the scan, O(page) not O(offset).
   */
+/** One MMR selection (public top-level: Dataset encoder codegen —
+  * CLAUDE.md Spark-4 rule). */
+case class MmrHit(rank: Long, vec_id: Long, score: Double, mmr: Double)
+
 object QueryApis {
 
   /** Fetch embedding vectors for `ids` as driver-side double arrays,
@@ -159,6 +163,102 @@ object QueryApis {
       .orderBy(col("n").desc, col("value").asc)
       .limit(limit)
 
+  /** Qdrant MMR (maximal marginal relevance) diversity reranking: fetch
+    * `fetchN` candidates by plain similarity, then greedily select `k`
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
+    *
+    * Scale split mirrors Qdrant's own execution: candidate retrieval is
+    * the distributed part (scan → codegen'd cosine →
+    * TakeOrderedAndProject); the greedy pass is O(k·fetchN) over the
+    * collected candidate set — driver-side by design, like the
+    * reference's driver-side query embedding (B5), because each pick
+    * depends on all previous picks (inherently sequential) and fetchN
+    * is a bounded API parameter, never corpus-sized.
+    *
+    * Determinism pins (both engines): candidate scores and pairwise
+    * penalties ROUND(...,6) before the arithmetic, mmr ROUND(...,6),
+    * ties broken by id; the first pick's mmr is its similarity. */
+  def mmr(
+      points: DataFrame,
+      queryVec: Seq[Double],
+      fetchN: Int,
+      k: Int,
+      lambda: Double): DataFrame = {
+    val spark = points.sparkSession
+    val cand = points
+      .select(col("vec_id"), col("embedding"),
+        round(Kernels.cosine(col("embedding"), typedlit(queryVec)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(fetchN)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same fold shape as Kernels.cosine: dot / (sqrt(na) * sqrt(nb))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrHit]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    while (selected.length < math.min(k, cand.length)) {
+      val remaining = cand.filterNot(c => chosen.exists(_._1 == c._1))
+      val scoredRem = remaining.map { case (id, vec, score) =>
+        val m =
+          if (chosen.isEmpty) score
+          else {
+            val penalty = chosen.map(s => round6(cos(vec, s._2))).max
+            round6(lambda * score - (1.0 - lambda) * penalty)
+          }
+        (id, vec, score, m)
+      }
+      val best = scoredRem.minBy { case (id, _, _, m) => (-m, id) }
+      selected += MmrHit(selected.length + 1L, best._1, best._3, best._4)
+      chosen += ((best._1, best._2))
+    }
+    spark.createDataFrame(selected.toSeq)
+      .orderBy(col("rank"))
+  }
+
+  /** Qdrant distance-matrix API (`search_matrix_pairs`): pairwise
+    * nearest neighbors within a deterministic sample — each sampled
+    * point's top `k` most-similar other sampled points. The sample
+    * predicate pushes to the scan; the sample side is broadcast (the
+    * API bounds the sample, never corpus-sized), so the pair scoring is
+    * shuffle-free and the per-point rank window runs over sample-sized
+    * groups. */
+  def matrixPairs(points: DataFrame, sampleMod: Int, k: Int): DataFrame = {
+    val sample = points
+      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("score").desc, col("id_b").asc)
+    a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Kernels.cosine(col("va"), col("vb")), 6).as("score"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+  }
+
+  /** Qdrant random sampling (`query=sample(random)`): `k` points drawn
+    * by a content-stable hash order — reproducible across runs and
+    * engines (no rand()), yet uncorrelated with ingest order. The cut
+    * is TakeOrderedAndProject over a narrow projection: no shuffle, no
+    * full sort, scales as a scan. */
+  def randomSample(points: DataFrame, k: Int): DataFrame =
+    points
+      .select(col("vec_id"),
+        graft.index.Embedder.stringHash64(
+          concat(lit("sample:"), col("vec_id"))).as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(k)
+
   /** Qdrant scroll with `order_by`: one page ordered by a payload
     * field, driven by a (value, id) keyset cursor — the predicate is
     * scan-prunable, so a page costs O(page) at any offset depth (a row
@@ -183,6 +283,11 @@ object QueryApis {
   private val RecNeg = Seq(3L)
   private val DiscTarget = 0L
   private val DiscPairs = Seq((1L, 2L), (3L, 4L))
+  private val MmrFetch = 10
+  private val MmrK = 5
+  private val MmrLambda = 0.5
+  private val MatrixMod = 10
+  private val MatrixK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recommend" -> ((s, dir) =>
@@ -200,7 +305,18 @@ object QueryApis {
       facet(t(s, dir, "documents"), "lang", col("n_chars") >= 300, 10)),
     "q_scroll_sorted" -> ((s, dir) =>
       scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
-        afterValue = 300L, afterId = 0L, limit = 20))
+        afterValue = 300L, afterId = 0L, limit = 20)),
+    "q_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val qv = qRow.getSeq[Float](qRow.fieldIndex("embedding")).map(_.toDouble)
+      mmr(e, qv, MmrFetch, MmrK, MmrLambda)
+    }),
+    "q_matrix_pairs" -> ((s, dir) =>
+      matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
+        .orderBy(col("id_a"), col("r"))),
+    "q_random_sample" -> ((s, dir) =>
+      randomSample(t(s, dir, "embeddings"), 20))
   )
 
   private def duckVec(id: Long): String =
@@ -265,6 +381,52 @@ object QueryApis {
     "q_scroll_sorted" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 0)
-        |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin
+        |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_mmr" -> {
+      // greedy selection unrolled as chained CTEs (k is a bounded API
+      // parameter): step i picks argmax of
+      // ROUND(λ·score − (1−λ)·GREATEST(round6 cos to each prior pick), 6)
+      val candVec = (step: Int) =>
+        s"(SELECT embedding FROM cand WHERE vec_id = (SELECT vec_id FROM s$step))"
+      val steps = (2 to MmrK).map { i =>
+        val penalty = (1 until i)
+          .map(j => s"ROUND(${duckCos("c.embedding", candVec(j))}, 6)")
+          .mkString("GREATEST(", ", ", ")")
+        val excl = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (SELECT c.vec_id, c.score,
+           |  ROUND($MmrLambda * c.score - ${1.0 - MmrLambda} * $penalty, 6) AS mmr
+           |  FROM cand c WHERE c.vec_id NOT IN ($excl)
+           |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+      }
+      val union = (1 to MmrK)
+        .map(i => s"""SELECT $i::BIGINT AS "rank", vec_id, score, mmr FROM s$i""")
+        .mkString("\n UNION ALL ")
+      s"""WITH cand AS (
+         |  SELECT vec_id, embedding,
+         |    ROUND(${duckCos("embedding", duckVec(0))}, 6) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT $MmrFetch),
+         |s1 AS (SELECT vec_id, score, score AS mmr FROM cand
+         |  ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |${steps.mkString(",\n")}
+         |$union
+         |ORDER BY "rank"""".stripMargin
+    },
+
+    "q_matrix_pairs" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $MatrixMod = 0),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS score
+         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT id_a, id_b, score,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS r
+         |  FROM p)
+         |SELECT id_a, id_b, score, r FROM r WHERE r <= $MatrixK
+         |ORDER BY id_a, r""".stripMargin,
+
+    "q_random_sample" ->
+      """SELECT vec_id, ('0x' || substr(md5('sample:' || vec_id), 1, 15))::BIGINT AS h
+        |FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 20""".stripMargin
   )
 }

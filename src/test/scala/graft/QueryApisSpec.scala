@@ -226,6 +226,113 @@ class QueryApisSpec extends SparkSpec {
     assert(hit.get.getLong(1) === expected)
   }
 
+  test("mmr with lambda=1 degenerates to plain similarity order") {
+    val q = vecsById(Seq(0L))(0L)
+    val plain = emb.select(col("vec_id"),
+        round(graft.vector.Kernels.cosine(col("embedding"), typedlit(q.toSeq)), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val picked = QueryApis.mmr(emb, q.toSeq, fetchN = 20, k = 5, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picked === plain,
+      "lambda=1 removes the diversity penalty entirely")
+  }
+
+  test("mmr with lambda=0 never re-picks near-duplicates of a selection") {
+    // plant: vec 1's embedding duplicated onto a fresh id — with pure
+    // diversity weighting the duplicate must not follow its twin
+    val dup = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(dup)
+    val q = vecsById(Seq(1L))(1L)
+    val picked = QueryApis.mmr(planted, q.toSeq, fetchN = 10, k = 3, lambda = 0.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picked.head === 1L, "first pick is still the most similar")
+    assert(!picked.tail.contains(100001L),
+      "the exact duplicate of pick #1 has penalty 1.0 and must lose every later round")
+  }
+
+  test("mmr ranks carry the original similarity and the mmr objective") {
+    val q = vecsById(Seq(0L))(0L)
+    val rows = QueryApis.mmr(emb, q.toSeq, fetchN = 10, k = 4, lambda = 0.5).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.head.getDouble(2) === rows.head.getDouble(3),
+      "first pick's mmr equals its similarity")
+    // every later pick's mmr ≤ its own 0.5-weighted score (penalty ≥ 0
+    // against unit-norm fixture vectors is not guaranteed, but mmr can
+    // never exceed λ·score + (1−λ)·1)
+    assert(rows.tail.forall(r => r.getDouble(3) <= 0.5 * r.getDouble(2) + 0.5 + 1e-9))
+  }
+
+  test("matrixPairs emits k nearest sampled neighbors per sampled point") {
+    val res = QueryApis.matrixPairs(emb, sampleMod = 10, k = 3).collect()
+    val sampled = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(res.length === sampled * 3)
+    val byA = res.groupBy(_.getLong(0))
+    assert(byA.values.forall(_.length === 3))
+    // no self pairs; ranks are 1..3
+    assert(res.forall(r => r.getLong(0) !== r.getLong(1)))
+    assert(byA.values.forall(_.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L)))
+  }
+
+  test("randomSample is reproducible and uncorrelated with id order") {
+    val a = QueryApis.randomSample(emb, 20).collect().map(_.getLong(0)).toSeq
+    val b = QueryApis.randomSample(emb, 20).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "content-stable hash order: same draw every run")
+    assert(a.toSet.size === 20)
+    assert(a !== a.sorted, "hash order must not degenerate to id order")
+  }
+
+  test("hybridDbsf fuses both retrievers and keeps score magnitude information") {
+    import graft.ops.Retrieval
+    val fused = Retrieval.hybridDbsf(docs, "hash join merge", n = 100, k = 10).collect()
+    assert(fused.length === 10)
+    val scores = fused.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a doc on both lists outranks a doc appearing on neither
+    val dense = Retrieval.denseScores(docs, "hash join merge")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    val lex = Retrieval.bm25(docs, Seq("hash", "join", "merge"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    val top = fused.head.getLong(0)
+    assert(dense.contains(top) || lex.contains(top))
+  }
+
+  test("filter DSL compiles Qdrant must/should/mustNot semantics") {
+    import graft.search._
+    val f = Filter(
+      must = Seq(RangeCond("vec_id", gte = Some(10), lt = Some(50))),
+      should = Seq(MatchAnyOf("label", Seq(1, 2)), MatchValue("label", 5)),
+      mustNot = Seq(MatchAnyOf("vec_id", Seq(11L))))
+    val got = emb.filter(f.toColumn).select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (id, l) =>
+      id >= 10 && id < 50 && (Set(1, 2).contains(l) || l == 5) && id != 11L
+    })
+    // empty should-list is vacuously true; empty filter keeps all rows
+    assert(emb.filter(Filter().toColumn).count() === emb.count())
+    val mustOnly = Filter(must = Seq(MatchValue("label", 3)))
+    assert(emb.filter(mustOnly.toColumn).count() ===
+      emb.filter(col("label") === 3).count())
+  }
+
+  test("unigram logprob: common-token docs score higher than rare-token docs") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the the the the"),     // only common tokens
+      (2L, "the zzqy"),            // one rare token
+      (3L, "zzqy qqzx")            // only rare tokens
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.unigramLogprob(tiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res(1L) > res(2L) && res(2L) > res(3L))
+    assert(res.values.forall(_ <= 0.0), "log probabilities are non-positive")
+  }
+
   test("VectorCollection facade: recommend/discover/searchGroups/facet run end-to-end") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_qapi").toFile.getAbsolutePath + "/col"
@@ -242,5 +349,37 @@ class QueryApisSpec extends SparkSpec {
     assert(grp.length === 3)
     val fc = c.facet("label").collect()
     assert(fc.nonEmpty)
+    val qf = vecsById(Seq(0L))(0L).map(_.toFloat).toSeq
+    val mmrHits = c.searchMmr(qf, k = 3).collect()
+    assert(mmrHits.length === 3 && mmrHits.head.schema.fieldNames.contains("pid"))
+    assert(c.matrixPairs(sampleMod = 50, k = 2).collect().nonEmpty)
+    assert(c.randomSample(5).count() === 5)
+    val filtered = c.search(qf, 5,
+      graft.search.Filter(must = Seq(graft.search.MatchValue("label", 3))))
+    assert(filtered.count() === 5)
+  }
+
+  test("collection aliases switch atomically between collection versions") {
+    import java.nio.file.Files
+    import graft.index.Sink
+    val root = Files.createTempDirectory("graft_alias").toFile.getAbsolutePath
+    val pts = emb.select(col("vec_id").as("pid"), col("embedding").as("v"))
+    val v1 = pts.filter(col("pid") < 100)
+    val v2 = pts
+    graft.api.VectorCollection.ensure(spark, s"$root/col_v1", v1,
+      graft.api.CollectionConfig("pid", "v", 64, multiVector = false)).upsert(v1)
+    graft.api.VectorCollection.ensure(spark, s"$root/col_v2", v2,
+      graft.api.CollectionConfig("pid", "v", 64, multiVector = false)).upsert(v2)
+    Sink.setAlias(spark, root, "prod", s"$root/col_v1")
+    val viaAlias = graft.api.VectorCollection.openAlias(spark, root, "prod")
+    assert(viaAlias.count === v1.count())
+    // blue/green switch: repoint, reopen, see v2 — v1 untouched
+    Sink.setAlias(spark, root, "prod", s"$root/col_v2")
+    assert(graft.api.VectorCollection.openAlias(spark, root, "prod").count === v2.count())
+    assert(Sink.resolveAlias(spark, root, "prod") === s"$root/col_v2")
+    assert(Sink.deleteAlias(spark, root, "prod"))
+    intercept[IllegalArgumentException] {
+      Sink.resolveAlias(spark, root, "prod")
+    }
   }
 }
