@@ -83,6 +83,19 @@ object Relational {
     "r_q3_top_orders" -> ((s, dir) =>
       topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
 
+    // TPC-H Q6 shape: the pure scan-filter-aggregate revenue forecast.
+    // Every predicate pushes to the parquet scan (date range + two
+    // numeric ranges), no join, no shuffle beyond the single-row final
+    // agg — the simplest query whose 100 TB plan is IO-bound by design.
+    "r_q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // TPC-H Q5 shape: six-table join, local-supplier restriction
     // (c_nationkey = s_nationkey), region + year selection, revenue
     // per nation. Scale shape: nation/region are broadcast explicitly,
@@ -200,6 +213,15 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r_q6_forecast" ->
+      """SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "r_q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate,

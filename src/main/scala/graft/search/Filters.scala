@@ -43,19 +43,23 @@ case class MatchExcept(key: String, values: Seq[Any]) extends Cond {
 }
 
 /** Numeric range with optional open/closed bounds (Qdrant Range:
-  * gt/gte/lt/lte, each independently optional). */
+  * gt/gte/lt/lte, each independently optional). Bounds keep their
+  * natural type (Int/Long/Double): a Double bound against an integral
+  * column would make Spark cast the COLUMN up, and a cast-wrapped
+  * column never reaches PushedFilters — the range would silently
+  * evaluate post-scan at 100 TB (asserted in ScaleDesignSpec). */
 case class RangeCond(
     key: String,
-    gte: Option[Double] = None,
-    gt: Option[Double] = None,
-    lte: Option[Double] = None,
-    lt: Option[Double] = None) extends Cond {
+    gte: Option[Any] = None,
+    gt: Option[Any] = None,
+    lte: Option[Any] = None,
+    lt: Option[Any] = None) extends Cond {
   def toColumn: Column =
     Seq(
-      gte.map(v => col(key) >= v),
-      gt.map(v => col(key) > v),
-      lte.map(v => col(key) <= v),
-      lt.map(v => col(key) < v)
+      gte.map(v => col(key) >= lit(v)),
+      gt.map(v => col(key) > lit(v)),
+      lte.map(v => col(key) <= lit(v)),
+      lt.map(v => col(key) < lit(v))
     ).flatten.reduceOption(_ && _).getOrElse(lit(true))
 }
 

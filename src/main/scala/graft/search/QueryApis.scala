@@ -163,6 +163,28 @@ object QueryApis {
       .orderBy(col("n").desc, col("value").asc)
       .limit(limit)
 
+  /** Qdrant formula-based score boosting (`query` with a formula
+    * object): the final rank key is an arithmetic combination of the
+    * similarity score and payload-derived terms — e.g. boost exact
+    * label matches or recency. `boost` is any deterministic Column
+    * over the point's payload; the formula stays inside the same
+    * codegen'd projection as the cosine, so boosting is free at scan
+    * time — no second pass, no shuffle, same TakeOrderedAndProject
+    * top-k as plain search. */
+  def searchBoosted(
+      points: DataFrame,
+      queryVec: Seq[Double],
+      boost: Column,
+      k: Int): DataFrame =
+    points
+      .select(col("vec_id"),
+        round(Kernels.cosine(col("embedding"), typedlit(queryVec)), 6).as("sim"),
+        round(boost, 6).as("boost"))
+      .select(col("vec_id"), col("sim"), col("boost"),
+        round(col("sim") + col("boost"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
   /** Qdrant MMR (maximal marginal relevance) diversity reranking: fetch
     * `fetchN` candidates by plain similarity, then greedily select `k`
     * maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
@@ -316,7 +338,22 @@ object QueryApis {
       matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
         .orderBy(col("id_a"), col("r"))),
     "q_random_sample" -> ((s, dir) =>
-      randomSample(t(s, dir, "embeddings"), 20))
+      randomSample(t(s, dir, "embeddings"), 20)),
+    // payload-boosted ranking: +0.1 for the preferred label, a small
+    // deterministic recency-style bonus from the id
+    "q_boost_formula" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val qv = qRow.getSeq[Float](qRow.fieldIndex("embedding")).map(_.toDouble)
+      val boost = when(col("label") === 3, 0.1).otherwise(0.0) +
+        (col("vec_id") % 7).cast("double") * 0.01
+      searchBoosted(e, qv, boost, 10)
+    }),
+    // Qdrant client.count with count_filter: one pushed-down predicate
+    // + a map-side-combinable count
+    "q_count_filtered" -> ((s, dir) =>
+      t(s, dir, "embeddings").filter(col("label") === 3)
+        .agg(count(lit(1)).as("n")))
   )
 
   private def duckVec(id: Long): String =
@@ -427,6 +464,18 @@ object QueryApis {
 
     "q_random_sample" ->
       """SELECT vec_id, ('0x' || substr(md5('sample:' || vec_id), 1, 15))::BIGINT AS h
-        |FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 20""".stripMargin
+        |FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_boost_formula" ->
+      s"""WITH sc AS (SELECT vec_id,
+         |    ROUND(${duckCos("embedding", duckVec(0))}, 6) AS sim,
+         |    ROUND((CASE WHEN label = 3 THEN 0.1 ELSE 0.0 END) +
+         |      (vec_id % 7)::DOUBLE * 0.01, 6) AS boost
+         |  FROM embeddings)
+         |SELECT vec_id, sim, boost, ROUND(sim + boost, 6) AS score
+         |FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_count_filtered" ->
+      "SELECT count(*) AS n FROM embeddings WHERE label = 3"
   )
 }

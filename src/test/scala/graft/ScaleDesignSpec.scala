@@ -290,6 +290,44 @@ class ScaleDesignSpec extends SparkSpec {
     assert(hits.count() === 5)
   }
 
+  test("filter DSL compiles to scan-pushed predicates (not post-scan residue)") {
+    val e = t(spark, sf, "embeddings")
+    val q = e.filter(graft.search.Filters.FixtureFilter.toColumn)
+      .select(col("vec_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    // every clause of the three-part filter reaches PushedFilters: the
+    // DSL costs nothing at execution time vs a hand-written predicate
+    assert(plan.contains("PushedFilters:"), s"expected pushdown in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(vec_id,50)"),
+      s"must-range lower bound must push:\n$plan")
+    assert(plan.contains("LessThan(vec_id,400)"),
+      s"must-range upper bound must push:\n$plan")
+    assert(plan.contains("Or(In(label"),
+      s"should-clause OR must push:\n$plan")
+  }
+
+  test("random sample plans as TakeOrderedAndProject over a narrow projection") {
+    val q = graft.search.QueryApis.randomSample(t(spark, sf, "embeddings"), 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hash-ordered draw must be a per-partition heap, not a global sort:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle:\n$plan")
+  }
+
+  test("matrix pairs broadcast the sample side; boosted search keeps the D1 plan") {
+    val mp = graft.search.QueryApis.matrixPairs(t(spark, sf, "embeddings"), 10, 3)
+    val mpPlan = mp.queryExecution.executedPlan.toString
+    assert(mpPlan.contains("Broadcast"),
+      s"bounded sample side must broadcast:\n$mpPlan")
+    val qb = SparkEntry.queries("q_boost_formula")(spark, sf)
+    val qbPlan = qb.queryExecution.executedPlan.toString
+    assert(qbPlan.contains("TakeOrderedAndProject"),
+      s"boost formula must stay inside the scan projection + top-k:\n$qbPlan")
+    assert(!qbPlan.contains("Exchange hashpartitioning"),
+      s"boosting must not add a shuffle:\n$qbPlan")
+  }
+
   test("sparse search: query dims prune the postings build below the aggregate") {
     val q = graft.ops.Retrieval.queries("x_sparse_topk")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
