@@ -136,7 +136,69 @@ object Curation {
     docs.filter(bucket < thr).select(col("doc_id"), col("lang"))
   }
 
+  /** C4-style line-level deduplication: split each document into
+    * `lineWords`-word lines, drop every line that appeared earlier in
+    * the corpus (first occurrence in (doc_id, idx) order wins — C4's
+    * "keep one of each three-sentence span"), and rebuild the
+    * surviving text. Boilerplate that repeats across documents
+    * (headers, footers, navigation) disappears corpus-wide while each
+    * copy's first sighting survives.
+    *
+    * Scale: one explode → groupBy(line hash) min-aggregate (map-side
+    * combinable) → join back on the SAME hash key (exchange reused, no
+    * second shuffle of the corpus) → per-doc rebuild. The
+    * first-occurrence key packs (doc_id, idx) into one BIGINT
+    * (doc_id·2^20 + idx, exact under 2^53) so the min and the equality
+    * test are integer ops in both engines. */
+  def lineDedup(docs: DataFrame, lineWords: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val lines = base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("_toks")) - 1) / lineWords).cast("int")),
+          i => array_join(slice(col("_toks"), i * lineWords + 1, lit(lineWords)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("line"))
+      .withColumn("h", Embedder.tokenHash(col("line")))
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("idx"))
+    val first = lines.groupBy(col("h")).agg(min(col("k")).as("first_k"))
+    lines.join(first, Seq("h"))
+      .withColumn("kept", col("k") === col("first_k"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("new_text"))
+  }
+
+  /** Mixture rebalancing weights: per-source sampling weight that
+    * turns the corpus's actual language shares into a uniform target
+    * mixture — weight(lang) = target_share / actual_share. The
+    * per-example multiplier a data-mixing stage feeds into its
+    * sampler. One map-side-combinable aggregation + a broadcast
+    * one-row total; integer counts, one rounded division. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = byLang.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round((col("total").cast("double") / col("n_langs").cast("double")) /
+          col("n_docs").cast("double"), 6).as("weight"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_line_dedup" -> ((s, dir) =>
+      lineDedup(t(s, dir, "documents"), 8).orderBy(col("doc_id"))),
+    "x_mixture_weights" -> ((s, dir) =>
+      mixtureWeights(t(s, dir, "documents")).orderBy(col("lang"))),
     "x_split_train_test" -> ((s, dir) =>
       withSplit(t(s, dir, "documents"))
         .groupBy(col("split"), col("lang"))
@@ -210,6 +272,32 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    "x_line_dedup" -> {
+      val toks = TextAnalysis.duckToksPublic("text")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, list_transform(range(0, ((len(toks)-1)//8)+1),
+         |    i -> struct_pack(idx := i, line := array_to_string(toks[(i*8+1):(i*8+8)], ' '))) AS cl
+         |  FROM b),
+         |x AS (SELECT doc_id, unnest(cl) AS u FROM c),
+         |l AS (SELECT doc_id, u.idx::BIGINT AS idx, u.line AS line,
+         |    ${Embedder.duckStringHash("u.line")} AS h,
+         |    doc_id * 1048576 + u.idx AS k FROM x),
+         |f AS (SELECT h, min(k) AS first_k FROM l GROUP BY h),
+         |g AS (SELECT l.doc_id, l.idx, l.line, l.k = f.first_k AS kept
+         |  FROM l JOIN f USING (h))
+         |SELECT doc_id, count(*) AS n_lines,
+         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  coalesce(array_to_string(list(line ORDER BY idx) FILTER (WHERE kept), ' '), '') AS new_text
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "x_mixture_weights" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total, count(*)::BIGINT AS n_langs FROM b)
+        |SELECT lang, n_docs, ROUND(n_docs::DOUBLE / total::DOUBLE, 6) AS share,
+        |  ROUND((total::DOUBLE / n_langs::DOUBLE) / n_docs::DOUBLE, 6) AS weight
+        |FROM b, t ORDER BY lang""".stripMargin,
+
     "x_split_train_test" ->
       s"""WITH s AS (SELECT lang, n_chars,
          |    ${Embedder.duckStringHash64("doc_id::VARCHAR")} % 100 AS b FROM documents)

@@ -401,4 +401,35 @@ class OpsSpec extends SparkSpec {
     val top = graft.ops.Similarity.queries("x_ann_lsh_multiprobe")(spark, sf).head
     assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0)
   }
+
+  test("line dedup: first occurrence of a repeated line wins, later copies drop") {
+    import spark.implicits._
+    val footer = "f0 f1 f2 f3 f4 f5 f6 f7"
+    val tiny = Seq(
+      (1L, s"u1a u1b u1c u1d u1e u1f u1g u1h $footer"),
+      (2L, s"u2a u2b u2c u2d u2e u2f u2g u2h $footer"),
+      (3L, s"$footer u3a u3b u3c u3d u3e u3f u3g u3h")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.Curation.lineDedup(tiny, 8).orderBy(col("doc_id")).collect()
+    val byId = res.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 keeps both its lines (unique line + first footer sighting)
+    assert(byId(1L)._2 === 2L && byId(1L)._3.contains(footer))
+    // docs 2 and 3 lose the footer but keep their unique line
+    assert(byId(2L)._2 === 1L && !byId(2L)._3.contains(footer))
+    assert(byId(3L)._2 === 1L && !byId(3L)._3.contains(footer))
+    assert(byId(3L)._3.startsWith("u3a"), "rebuild preserves line order")
+  }
+
+  test("mixture weights: shares sum to 1 and weights rebalance to uniform") {
+    val docs = t(spark, sf, "documents")
+    val res = graft.ops.Curation.mixtureWeights(docs).collect()
+    val nLangs = res.length
+    val shares = res.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    // weight × actual share ≈ the uniform target share for every lang
+    res.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getDouble(2) - 1.0 / nLangs) < 1e-4)
+    }
+  }
 }
