@@ -51,20 +51,28 @@ object Bench {
     // (build.sbt outputStrategy): the driver json-parses this line from
     // a 2000-char tail of the run output, so it must be short, free of
     // the sbt "[info] " prefix, and as close to the end as possible.
-    // Precision adapts: the most decimals that keep the line <= 1900
-    // chars (2000-char tail minus sbt's trailing "[success]" line).
-    def fmt(v: Double, dec: Int): String = {
-      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
+    // The full-precision per-query map always goes to BENCH_DETAIL.json
+    // (repo cwd); the stdout line carries the total plus as many of the
+    // SLOWEST queries as fit in <= 1900 chars (2000-char tail minus
+    // sbt's trailing "[success]" line) — the audit-relevant tail of the
+    // distribution survives truncation, the rest is on disk.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}\n""")
+    val bySlowest = results.sortBy(-_._2)
+    def line(n: Int): String = {
+      val qs = bySlowest.take(n)
+        .map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+        s""""shown":$n,"of":${results.length},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     }
-    val out = (3 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    val out = (results.length to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
     spark.stop()
     println(out)
   }
