@@ -34,9 +34,17 @@ object Embedder {
   val Prime = 1000003L
   val DefaultDim = 64
 
-  /** Polynomial hash of one token (portable: exact integer arithmetic,
-    * no engine-specific hash function). */
+  /** Polynomial hash of one string, spaces included (portable: exact
+    * integer arithmetic, no engine-specific hash function). Native
+    * zero-allocation loop; [[tokenHashHof]] is the HOF twin
+    * (NativeParitySpec). */
   def tokenHash(tok: Column): Column =
+    graft.vector.Kernels.ofExpr(
+      graft.vector.PolyStringHash(graft.vector.Kernels.exprOf(tok), 31L, Prime))
+
+  /** HOF twin of [[tokenHash]] — documents the fold the DuckDB oracle
+    * mirrors (`duckStringHash`). */
+  def tokenHashHof(tok: Column): Column =
     aggregate(
       split(tok, ""),
       lit(0L),

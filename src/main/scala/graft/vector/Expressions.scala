@@ -489,6 +489,30 @@ case class PqDecode(
 
 /** MinHash signature from shingle hashes (Dedup.minhashSig twin):
   * sig_i = min_h ((2i+3)h + 7i+1) mod P. Null on empty input. */
+/** Polynomial rolling hash of the WHOLE string, spaces included —
+  * the scalar sibling of [[PolyTokenHashes]] for hashing lines /
+  * shingles / n-grams that already contain separators. The HOF twin
+  * is `Embedder.tokenHash` (split per char → ascii → fold), which
+  * allocates a one-char-string array per value; this loop does the
+  * same fold over code points with zero allocation (NativeParitySpec
+  * pins the equality). */
+case class PolyStringHash(child: Expression, mult: Long, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % prime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinhashSignature(child: Expression, k: Int, prime: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

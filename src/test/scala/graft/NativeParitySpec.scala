@@ -113,6 +113,21 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("tokenHash (whole-string poly hash): native == HOF on documents and edge strings") {
+    val d = docs
+      .select(Embedder.tokenHash(col("text")).as("a"),
+        Embedder.tokenHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+    import spark.implicits._
+    val edges = Seq("", " ", "a", "multi word line", "a  b", " lead trail ")
+      .toDF("s")
+      .select(Embedder.tokenHash(col("s")).as("a"),
+        Embedder.tokenHashHof(col("s")).as("b"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("simhash: native == HOF on documents") {
     val d = docs
       .select(Dedup.simhash(col("text")).as("a"), Dedup.simhashHof(col("text")).as("b"))
