@@ -208,6 +208,99 @@ class VectorCollection private (
   def search(queryVec: Seq[Float], k: Int, filter: graft.search.Filter): DataFrame =
     search(queryVec, k, filter.toColumn)
 
+  private def ivfPath = path + "_ivf"
+  private def centroidsPath = s"$ivfPath/_graft_centroids.txt"
+
+  /** Build (or rebuild) a persisted IVF index for this collection —
+    * the engine-side analog of Qdrant's background ANN indexing past
+    * `indexing_threshold`. Seeds are drawn by content-stable hash
+    * (reproducible, uncorrelated with ingest order), refined with
+    * `lloydIters` rounds of Lloyd's algorithm, then every point is
+    * assigned by a narrow per-row argmax (no shuffle) and written
+    * `partitionBy(cluster_id)` beside the collection; payload columns
+    * ride into the index so filtered probes need no join. Centroids
+    * persist in a sidecar so [[searchAnn]] works after reopen.
+    * Returns the index path. */
+  def buildIvfIndex(nClusters: Int, lloydIters: Int = 2): String = {
+    require(!config.multiVector, "IVF index on a multi-vector collection")
+    val pts = asPoints
+    val seeds = pts
+      .select(col("vec_id"), col("embedding"),
+        graft.index.Embedder.stringHash64(
+          concat(lit("ivf:"), col("vec_id"))).as("_h"))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(nClusters)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+      .toSeq
+    val trained = graft.ops.Similarity.ivfRefineCentroids(pts, seeds, lloydIters)
+    val centCols = trained.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
+    val idx = pts.select(col("*"),
+      graft.ops.Similarity.ivfClusterId(col("embedding"), centCols).as("cluster_id"))
+    idx.write.mode("overwrite").partitionBy("cluster_id").parquet(ivfPath)
+    val sidecar = trained
+      .map { case (id, v) => s"$id,${v.mkString(",")}" }
+      .mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(centroidsPath), sidecar)
+    ivfPath
+  }
+
+  private def loadCentroids(): Seq[(Long, Array[Float])] = {
+    val p = java.nio.file.Paths.get(centroidsPath)
+    require(java.nio.file.Files.exists(p),
+      s"no IVF index for $path — call buildIvfIndex first")
+    java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.split(",")
+        (parts.head.toLong, parts.tail.map(_.toFloat))
+      }
+  }
+
+  /** ANN top-k through the persisted IVF index: centroids rank
+    * driver-side (an index-time constant, like the reference's
+    * driver-side query embedding), the read prunes to the best
+    * `nprobe` cluster partitions, and scoring + top-k run only over
+    * the probed subtrees. `filter` composes like exact [[search]] —
+    * payload rides in the index. Approximate by construction; raise
+    * `nprobe` to trade latency for recall (the x_ann_recall query
+    * measures this curve on the fixture index). */
+  def searchAnn(
+      queryVec: Seq[Float], k: Int = 5, nprobe: Int = 1,
+      filter: Column = lit(true)): DataFrame = {
+    require(!config.multiVector, "ANN search on a multi-vector collection")
+    require(queryVec.length == config.dim,
+      s"query dim ${queryVec.length} != collection dim ${config.dim}")
+    val probes = graft.ops.Similarity
+      .rankCentroids(loadCentroids(), queryVec.toArray)
+      .take(nprobe)
+    spark.read.parquet(ivfPath)
+      .filter(col("cluster_id").isInCollection(probes) && filter)
+      .select(col("vec_id").as(config.idCol),
+        round(graft.vector.Kernels.cosine(col("embedding"),
+          typedlit(queryVec.map(_.toDouble))), 6).as("score"))
+      .orderBy(col("score").desc, col(config.idCol).asc)
+      .limit(k)
+  }
+
+  /** Qdrant `set_payload`: set one key on every point matching the
+    * filter (map-typed payload column). File-granular rewrite. */
+  def setPayload(filter: Column, payloadCol: String, key: String, value: String): Long =
+    Sink.updatePayload(spark, path, filter, payloadCol,
+      p => map_concat(
+        map_filter(p, (k, _) => k =!= key),
+        map(lit(key), lit(value))))
+
+  /** Qdrant `delete_payload`: drop one key from matching points. */
+  def deletePayloadKey(filter: Column, payloadCol: String, key: String): Long =
+    Sink.updatePayload(spark, path, filter, payloadCol,
+      p => map_filter(p, (k, _) => k =!= key))
+
+  /** Qdrant `clear_payload`: empty the payload of matching points. */
+  def clearPayload(filter: Column, payloadCol: String): Long =
+    Sink.updatePayload(spark, path, filter, payloadCol,
+      p => map().cast("map<string,string>"))
+
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */
   def snapshot(snapPath: String): Int = Sink.snapshot(spark, path, snapPath)

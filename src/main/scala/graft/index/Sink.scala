@@ -198,6 +198,46 @@ object Sink {
     fs.delete(retired, true)
   }
 
+  /** Qdrant `set_payload` / `delete_payload` / `clear_payload`:
+    * rewrite the payload COLUMN of points matching `cond`, vectors and
+    * ids untouched. `update` maps the old payload value to the new one
+    * (set = remove key + concat, delete = map_filter, clear = empty
+    * map — the facade provides these). Same file-granular MERGE shape
+    * as [[deleteMatching]]: only parquet files CONTAINING a matching
+    * row are rewritten, so cost is O(touched files), not
+    * O(collection). Returns rows updated. Single-writer. */
+  def updatePayload(
+      spark: SparkSession,
+      path: String,
+      cond: org.apache.spark.sql.Column,
+      payloadCol: String,
+      update: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    val existing = spark.read.parquet(path)
+    val cols = existing.columns.toSeq
+    require(cols.contains(payloadCol), s"no payload column $payloadCol in $path")
+    val touched = existing.withColumn("_file", input_file_name())
+      .filter(cond)
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return 0L
+    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
+    val nUpd = touchedData.filter(cond).count()
+    val rewritten = touchedData.select(cols.map { c =>
+      if (c == payloadCol)
+        when(coalesce(cond, lit(false)), update(col(c))).otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+    rewritten.write.mode(SaveMode.Append).parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    touchedData.unpersist()
+    nUpd
+  }
+
   /** Qdrant collection aliases (`update_collection_aliases`): a stable
     * name that can be atomically repointed at a different collection —
     * the blue/green primitive for zero-downtime reindexing (build v2

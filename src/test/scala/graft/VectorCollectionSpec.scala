@@ -162,4 +162,69 @@ class VectorCollectionSpec extends SparkSpec {
       CollectionConfig("point_id", "embedding", 64, multiVector = false))
     intercept[IllegalArgumentException] { c.search(Seq(1f, 2f, 3f)) }
   }
+
+  test("IVF index: build once, ANN probe prunes partitions and finds the query point") {
+    val dir = s"${tmp()}/col"
+    val e = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"), col("label"))
+    val c = VectorCollection.ensure(spark, dir, e,
+      CollectionConfig("pid", "embedding", 64, multiVector = false))
+    c.upsert(e)
+    // searchAnn before build fails by name
+    val q = e.filter(col("pid") === 7).head.getSeq[Float](1)
+    intercept[IllegalArgumentException] { c.searchAnn(q) }
+    c.buildIvfIndex(nClusters = 8, lloydIters = 1)
+    // a stored point probing its own cluster must surface itself at 1.0
+    val hits = c.searchAnn(q, k = 5, nprobe = 1).collect()
+    assert(hits.head.getLong(0) === 7L && hits.head.getDouble(1) === 1.0)
+    // partition pruning is real: the probe plan carries a cluster_id
+    // partition filter
+    val plan = c.searchAnn(q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"ANN probe must prune cluster partitions:\n$plan")
+    // wider probe can only add candidates (recall is monotone in nprobe)
+    val r1 = c.searchAnn(q, k = 50, nprobe = 1).count()
+    val r2 = c.searchAnn(q, k = 50, nprobe = 4).count()
+    assert(r2 >= r1)
+    // filtered probe composes with payload predicates
+    val filtered = c.searchAnn(q, k = 5, nprobe = 8, filter = col("label") === 3)
+    assert(filtered.collect().forall(_.getDouble(1) <= 1.0))
+    // index survives reopen (sidecar centroids)
+    val reopened = VectorCollection.open(spark, dir)
+    assert(reopened.searchAnn(q, k = 1, nprobe = 1).head.getLong(0) === 7L)
+  }
+
+  test("payload mutation: set/delete/clear payload keys by filter (file-granular)") {
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"),
+        map(lit("src"), concat(lit("s"), col("vec_id") % 3)).as("payload"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val n = c.count
+    // set: add reviewed=yes on pid < 100
+    val nSet = c.setPayload(col("pid") < 100, "payload", "reviewed", "yes")
+    assert(nSet === 100)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === n, "payload update must not change row count")
+    assert(after.filter(element_at(col("payload"), "reviewed") === "yes").count() === 100)
+    assert(after.filter(col("pid") < 100 &&
+      element_at(col("payload"), "src").isNull).count() === 0,
+      "set_payload keeps other keys")
+    // set again on same rows overwrites, not duplicates
+    c.setPayload(col("pid") < 100, "payload", "reviewed", "no")
+    val again = spark.read.parquet(dir)
+    assert(again.filter(element_at(col("payload"), "reviewed") === "no").count() === 100)
+    // delete key
+    val nDel = c.deletePayloadKey(col("pid") < 50, "payload", "reviewed")
+    assert(nDel === 50)
+    assert(spark.read.parquet(dir)
+      .filter(element_at(col("payload"), "reviewed").isNotNull).count() === 50)
+    // clear
+    c.clearPayload(col("pid") >= 400, "payload")
+    assert(spark.read.parquet(dir)
+      .filter(col("pid") >= 400 && size(col("payload")) =!= 0).count() === 0)
+  }
 }
