@@ -76,7 +76,59 @@ object Relational {
 
   // -- query/oracle registry ---------------------------------------
 
+  /** Interval (range) join without an equi-key, bucketed so it scales:
+    * pairs of events where 0 < ts(b) − ts(a) ≤ `windowUs`. The naive
+    * formulation — join on the inequality alone — has no equi-key, so
+    * Spark plans a nested-loop/cartesian join: O(n²) and a driver OOM
+    * at any real size (the DuckDB oracle states exactly that naive
+    * semantics, which its IEJoin executes fine at oracle scale). The
+    * scale formulation buckets time into `windowUs`-wide cells: a
+    * match can only sit in a's cell or the next one, so the left side
+    * fans out to 2 bucket keys, the join is a plain EQUI-join on the
+    * bucket (shuffle-partitionable, AQE-skew-splittable), and the
+    * exact inequality filters the candidates. Integer micros
+    * throughout — no float time math. */
+  def rangeJoinBucketed(events: DataFrame, windowUs: Long): DataFrame = {
+    val ev = events.select(col("event_id"), expr("ts div 1000").as("tus"))
+    val a = ev.select(col("event_id").as("a_id"), col("tus").as("ta"),
+      explode(array(expr(s"tus div $windowUs"),
+        expr(s"tus div $windowUs") + 1)).as("bkt"))
+    val b = ev.select(col("event_id").as("b_id"), col("tus").as("tb"),
+      expr(s"tus div $windowUs").as("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("tb") > col("ta") && col("tb") <= col("ta") + windowUs)
+      .select(col("a_id"), col("b_id"), (col("tb") - col("ta")).as("gap_us"))
+  }
+
+  /** Batch sessionization (gaps-and-islands): a new session starts at
+    * every gap > `gapUs` within a user's ordered events; sessions are
+    * the running sum of start flags. The batch twin of the streaming
+    * `s_sessionize` operator — one shuffle on user_id, windows ordered
+    * by (ts, event_id) for a total per-user order, all-integer math. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("tus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    ev
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_range_join" -> ((s, dir) =>
+      rangeJoinBucketed(t(s, dir, "events"), windowUs = 600L * 1000000L)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "r_gaps_islands" -> ((s, dir) =>
+      sessionizeBatch(t(s, dir, "events"), gapUs = 1800L * 1000000L)
+        .orderBy(col("user_id"), col("sess"))),
+
     "r_q1_pricing" -> ((s, dir) =>
       pricingSummary(t(s, dir, "lineitem"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -203,6 +255,27 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "r_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id, b.tus - a.tus AS gap_us
+        |FROM ev a JOIN ev b
+        |  ON b.tus > a.tus AND b.tus <= a.tus + 600000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "r_gaps_islands" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id, sess, min(tus) AS start_us, max(tus) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
     "r_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(sum(l_quantity), 2) AS sum_qty,

@@ -321,6 +321,18 @@ object TextAnalysis {
     "x_unigram_logprob" -> ((s, dir) =>
       unigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // Vocabulary size per language — exact count(distinct) here (the
+    // oracle-checkable definition); at true scale the same query runs
+    // with approx_count_distinct (HLL++, one pass, mergeable sketches,
+    // no distinct shuffle) — OpsSpec pins the sketch within 5% of this
+    // exact answer so the swap is evidence-backed.
+    "x_distinct_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_vocab"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("lang"))),
+
     // The fixture's word-soup corpus has no natural repeated 8-grams,
     // so the query plants a deterministic boilerplate footer on every
     // 9th doc in BOTH engines — the miner must surface exactly the
@@ -356,6 +368,11 @@ object TextAnalysis {
     " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
 
   def oracles: Map[String, String] = Map(
+    "x_distinct_tokens" ->
+      s"""SELECT lang, count(DISTINCT tok) AS n_vocab, count(*) AS n_tokens
+         |FROM (SELECT lang, unnest(${duckToks("text")}) AS tok FROM documents) z
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x_unigram_logprob" ->
       s"""WITH tf AS (SELECT doc_id, tok, count(*) AS k FROM (
          |    SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents) z

@@ -421,6 +421,55 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L)._3.startsWith("u3a"), "rebuild preserves line order")
   }
 
+  test("bucketed range join equals the naive inequality join") {
+    val ev = t(spark, sf, "events")
+    val bucketed = graft.ops.Relational.rangeJoinBucketed(ev, 600L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions.expr
+    val e2 = ev.select(col("event_id"), expr("ts div 1000").as("tus"))
+    val naive = e2.as("a").join(e2.as("b"),
+        col("b.tus") > col("a.tus") && col("b.tus") <= col("a.tus") + 600000000L)
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive, "2-bucket fan-out must lose no pair and add none")
+  }
+
+  test("gaps-and-islands sessions: consecutive, non-overlapping, gap-bounded") {
+    val gap = 1800L * 1000000L
+    val sess = graft.ops.Relational.sessionizeBatch(t(spark, sf, "events"), gap)
+      .orderBy(col("user_id"), col("sess")).collect()
+    sess.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      // session ids count 1..n per user
+      assert(rows.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq)
+      // sessions don't overlap and are separated by more than the gap
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) - a.getLong(3) > gap)
+        case _ =>
+      }
+      // a session never contains an internal gap larger than allowed:
+      // its span is at most (n_events - 1) * gap
+      rows.foreach { r =>
+        assert(r.getLong(3) - r.getLong(2) <= (r.getLong(4) - 1) * gap)
+      }
+    }
+  }
+
+  test("approx_count_distinct tracks the exact vocabulary within 5%") {
+    val docs = t(spark, sf, "documents")
+    val toks = docs.select(col("lang"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = toks.groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok")).as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, e) =>
+      assert(math.abs(approx(lang) - e).toDouble / e < 0.05,
+        s"lang=$lang exact=$e approx=${approx(lang)}")
+    }
+  }
+
   test("mixture weights: shares sum to 1 and weights rebalance to uniform") {
     val docs = t(spark, sf, "documents")
     val res = graft.ops.Curation.mixtureWeights(docs).collect()
