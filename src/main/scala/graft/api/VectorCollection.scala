@@ -283,6 +283,38 @@ class VectorCollection private (
       .limit(k)
   }
 
+  /** Append new points into the persisted IVF index WITHOUT a rebuild:
+    * anti-join out ids the index already holds (idempotent re-delivery,
+    * the streaming exactly-once contract), assign clusters with the
+    * same narrow argmax as the build, append into the cluster
+    * partition subtrees. This is the foreachBatch sink of a LIVE ANN
+    * index — Qdrant's background indexing of fresh upserts. Centroids
+    * stay fixed between [[buildIvfIndex]] rebuilds (drift is a
+    * periodic-maintenance concern, like Qdrant's optimizer runs); at
+    * scale the anti-join's id side is the index's id column only
+    * (column-pruned scan), or a bloom filter. Returns rows added. */
+  def upsertAnnIndex(points: DataFrame): Long = {
+    val cents = loadCentroids()
+    val centCols = cents.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
+    val others = points.columns
+      .filterNot(c => c == config.idCol || c == config.vectorCol)
+    val pts = points.select(Seq(col(config.idCol).as("vec_id"),
+      col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
+    val existingIds = spark.read.parquet(ivfPath).select(col("vec_id"))
+    val fresh = pts.join(existingIds, Seq("vec_id"), "left_anti")
+      .select(pts.columns.map(col).toSeq: _*)
+      .cache()
+    val n = fresh.count()
+    if (n > 0) {
+      fresh
+        .select(col("*"),
+          graft.ops.Similarity.ivfClusterId(col("embedding"), centCols).as("cluster_id"))
+        .write.mode("append").partitionBy("cluster_id").parquet(ivfPath)
+    }
+    fresh.unpersist()
+    n
+  }
+
   /** Qdrant `set_payload`: set one key on every point matching the
     * filter (map-typed payload column). File-granular rewrite. */
   def setPayload(filter: Column, payloadCol: String, key: String, value: String): Long =

@@ -43,6 +43,26 @@ object IncrementalIndex {
       checkpoint: String): Long =
     runWith(spark, sfDir, checkpoint, b => { collection.upsertReplace(b); () })
 
+  /** Maintain the collection's persisted IVF ANN index from the same
+    * stream: each micro-batch upserts the collection AND appends its
+    * genuinely-new points into the cluster-partitioned index
+    * ([[VectorCollection.upsertAnnIndex]] — anti-join idempotence, so
+    * checkpoint replays and re-delivered files never duplicate index
+    * rows). The live-index loop the reference approximates by re-running
+    * its indexer on a schedule. Requires [[VectorCollection.buildIvfIndex]]
+    * to have run once (centroids are the trained constant between
+    * periodic rebuilds). */
+  def runAnnIndexing(
+      spark: SparkSession,
+      sfDir: String,
+      collection: VectorCollection,
+      checkpoint: String): Long =
+    runWith(spark, sfDir, checkpoint, b => {
+      collection.upsertIncremental(b)
+      collection.upsertAnnIndex(b)
+      ()
+    })
+
   private def runWith(
       spark: SparkSession,
       sfDir: String,

@@ -52,6 +52,45 @@ class StreamingSpec extends SparkSpec {
     assert(c.search(qv, 5).count() === 5)
   }
 
+  test("live ANN index stream: new points probe-able, re-delivery adds no index rows") {
+    import graft.api.{CollectionConfig, VectorCollection}
+    import graft.streaming.IncrementalIndex
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_annstream").toFile.getAbsolutePath
+    val docs = Tables.t(spark, sf, "documents")
+    // seed the collection with HALF the corpus and build the index on it
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("_th", graft.index.Embedder.tokenHashes(col("text")))
+      .select(graft.index.Embedder.stringHash64(col("text")).as("point_id"),
+        graft.index.Embedder.embedRaw(col("_th")).cast("array<float>").as("embedding"),
+        col("doc_id"), col("source").as("folder"))
+    val c = VectorCollection.ensure(spark, s"$base/col", half.limit(0),
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(half)
+    c.buildIvfIndex(nClusters = 8, lloydIters = 1)
+    val idxBefore = spark.read.parquet(s"$base/col_ivf").count()
+    assert(idxBefore === half.count())
+    // stream the FULL corpus: odd docs are new (collection + index
+    // grow), even docs re-deliver (anti-join keeps both idempotent)
+    IncrementalIndex.runAnnIndexing(spark, sf, c, s"$base/ckpt1")
+    val total = docs.count()
+    assert(c.count === total)
+    val idxAfter = spark.read.parquet(s"$base/col_ivf").count()
+    assert(idxAfter === total, "every point exactly once in the index")
+    // a second full re-delivery adds nothing
+    IncrementalIndex.runAnnIndexing(spark, sf, c, s"$base/ckpt2")
+    assert(spark.read.parquet(s"$base/col_ivf").count() === total)
+    // a streamed-in (odd) doc is findable through the pruned ANN probe
+    val oddDoc = docs.filter(col("doc_id") === 1).head
+    val qv = spark.range(1)
+      .select(graft.index.Embedder.embedRaw(graft.index.Embedder.tokenHashes(
+        lit(oddDoc.getString(oddDoc.fieldIndex("text"))))).as("v"))
+      .head.getSeq[Double](0).map(_.toFloat)
+    val hits = c.searchAnn(qv, k = 3, nprobe = 2).collect()
+    assert(hits.nonEmpty && hits.head.getDouble(1) === 1.0,
+      "the streamed point's own text must probe to similarity 1.0")
+  }
+
   test("replacing index stream: re-delivery replaces points, count stable") {
     import graft.api.{CollectionConfig, VectorCollection}
     import graft.streaming.IncrementalIndex
