@@ -176,6 +176,36 @@ object Curation {
           " ").as("new_text"))
   }
 
+  /** RAG-style overlapping chunking + per-chunk embedding: windows of
+    * `size` words every `stride` words (stride < size ⇒ overlap, so
+    * retrieval never loses a sentence straddling a boundary), each
+    * chunk embedded like a document — the "documents → retrievable
+    * points" prep a RAG pipeline runs before bulk indexing, and the
+    * text analog of the reference's PDF→page fan-out (one PDF → many
+    * indexed page points, `with_colpali_v1.3/...py:143-163`).
+    * Pure narrow map: tokenize once, window via slice, embed per
+    * chunk — no shuffle, scales as a scan. */
+  def chunkEmbed(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= size, "need 0 < stride <= size")
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .filter(org.apache.spark.sql.functions.size(col("_toks")) > 0)
+    base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((org.apache.spark.sql.functions.size(col("_toks")) - 1) / stride).cast("int")),
+          i => slice(col("_toks"), i * stride + 1, lit(size)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("ctoks")).cast("long").as("n_words"),
+        Embedder.embedRaw(transform(col("ctoks"),
+          tk => Embedder.tokenHash(tk))).as("cv"))
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        element_at(col("cv"), 1).as("e0"),
+        round(graft.vector.Kernels.l2norm(col("cv")), 6).as("nrm"))
+  }
+
   /** Mixture rebalancing weights: per-source sampling weight that
     * turns the corpus's actual language shares into a uniform target
     * mixture — weight(lang) = target_share / actual_share. The
@@ -195,6 +225,9 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_chunk_embed" -> ((s, dir) =>
+      chunkEmbed(t(s, dir, "documents"), size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "x_line_dedup" -> ((s, dir) =>
       lineDedup(t(s, dir, "documents"), 8).orderBy(col("doc_id"))),
     "x_mixture_weights" -> ((s, dir) =>
@@ -272,6 +305,20 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    "x_chunk_embed" -> {
+      val toks = TextAnalysis.duckToksPublic("text")
+      val chunkHashes = s"list_transform(u.ct, tok -> ${Embedder.duckStringHash("tok")})"
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, list_transform(range(0, ((len(toks)-1)//24)+1),
+         |    i -> struct_pack(cid := i, ct := toks[(i*24+1):(i*24+32)])) AS cl FROM b),
+         |x AS (SELECT doc_id, unnest(cl) AS u FROM c),
+         |h AS (SELECT doc_id, u.cid::BIGINT AS chunk_id, len(u.ct)::BIGINT AS n_words,
+         |    ${Embedder.duckEmbedRaw(chunkHashes)} AS cv FROM x)
+         |SELECT doc_id, chunk_id, n_words, cv[1] AS e0,
+         |  ROUND(sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)), 6) AS nrm
+         |FROM h ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
     "x_line_dedup" -> {
       val toks = TextAnalysis.duckToksPublic("text")
       s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),

@@ -132,6 +132,27 @@ object Relational {
     "r_q1_pricing" -> ((s, dir) =>
       pricingSummary(t(s, dir, "lineitem"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Correlated-aggregate subquery shape (orders above their
+    // customer's average): the oracle states the correlated form; the
+    // engine states the DECORRELATED plan a scale-out engine must run
+    // — one window-avg over the per-customer partition, then a filter.
+    // No per-row subquery execution, one shuffle on the correlation
+    // key.
+    "r_above_avg_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+      o.withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          // 6dp, NOT 2dp: a money average lands on exact .xx5 halves,
+          // where DuckDB rounds the binary double down and Spark's
+          // round goes through the decimal string and rounds up; at
+          // 6dp a multiple of 1/1200 can never hit a halfway point
+          round(col("cust_avg"), 6).as("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    }),
     "r_q3_top_orders" -> ((s, dir) =>
       topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
 
@@ -255,6 +276,15 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "r_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+        |  ROUND((SELECT avg(o2.o_totalprice) FROM orders o2
+        |         WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "r_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id, b.tus - a.tus AS gap_us
