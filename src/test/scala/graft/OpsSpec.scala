@@ -470,6 +470,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk embed: stride windows cover every token and overlap by size-stride") {
+    import spark.implicits._
+    val words = (0 until 80).map(i => s"w$i").mkString(" ")
+    val tiny = Seq((1L, words)).toDF("doc_id", "text")
+    val chunks = graft.ops.Curation.chunkEmbed(tiny, size = 32, stride = 24)
+      .orderBy(col("chunk_id")).collect()
+    // starts at 0,24,48,72 → 4 chunks; last is the 8-word tail
+    assert(chunks.length === 4)
+    assert(chunks.map(_.getLong(2)).toSeq === Seq(32L, 32L, 32L, 8L))
+    // full coverage: last chunk reaches the last token (72 + 8 = 80)
+    // and every start is within stride of the previous chunk's end
+    val docs = t(spark, sf, "documents")
+    val out = graft.ops.Curation.chunkEmbed(docs, 32, 24)
+    // every doc with text produces ceil-ish chunk count and unit chunk
+    // ids 0..n-1
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("chunk_id")).as("mx")).collect()
+    perDoc.foreach(r => assert(r.getLong(2) === r.getLong(1) - 1))
+  }
+
   test("mixture weights: shares sum to 1 and weights rebalance to uniform") {
     val docs = t(spark, sf, "documents")
     val res = graft.ops.Curation.mixtureWeights(docs).collect()
