@@ -32,7 +32,11 @@ final case class CollectionConfig(
     idCol: String,
     vectorCol: String,
     dim: Int,
-    multiVector: Boolean)
+    multiVector: Boolean,
+    /** Qdrant custom sharding (`shard_key_selector`): when set, writes
+      * partition the collection directory by this payload column and
+      * shard-routed searches prune to the shard's subtree. */
+    shardCol: Option[String] = None)
 
 class VectorCollection private (
     val spark: SparkSession,
@@ -45,22 +49,30 @@ class VectorCollection private (
     * by this call; the reference's `processed == points_count` parity
     * check is `count` (kept separate so per-batch writes don't pay an
     * O(collection) scan). */
-  def upsert(points: DataFrame): Long = Sink.append(points, path)
+  def upsert(points: DataFrame): Long =
+    Sink.append(points, path, config.shardCol.toSeq)
 
   /** Incremental upsert: skip ids already present (fixes the
     * reference's duplicate-on-reindex; SURVEY.md §7.6). Returns rows
     * actually written (0 when everything already existed). */
   def upsertIncremental(points: DataFrame): Long = {
     val fresh = Sink.incremental(points, table, config.idCol)
-    Sink.append(fresh, path)
+    Sink.append(fresh, path, config.shardCol.toSeq)
   }
 
   /** True Qdrant upsert: REPLACE points whose id already exists, append
     * the rest (`client.upsert` overwrites by id — the semantics a
     * re-index-after-edit needs). File-level MERGE; see
     * [[graft.index.Sink.upsertReplace]]. */
-  def upsertReplace(points: DataFrame): Long =
+  def upsertReplace(points: DataFrame): Long = {
+    // the file-granular MERGE appends unpartitioned survivors, which
+    // would corrupt a directory-partitioned shard layout — fail loudly
+    // rather than quietly flatten the collection
+    require(config.shardCol.isEmpty,
+      "upsertReplace on a sharded collection is not supported; " +
+        "delete+upsert within the shard instead")
     Sink.upsertReplace(spark, points, path, config.idCol)
+  }
 
   /** points_count. */
   def count: Long = table.count()
@@ -175,6 +187,19 @@ class VectorCollection private (
     val q = queries.toDF("q_id", "qv")
     graft.ops.Similarity.knnJoin(asPoints, q, k)
       .withColumnRenamed("vec_id", config.idCol)
+  }
+
+  /** D1 search routed to one shard (Qdrant `shard_key_selector`): on a
+    * sharded collection the shard predicate is a directory-partition
+    * filter, so the scan reads only the selected shard's subtree —
+    * per-shard latency independent of collection size (asserted in
+    * VectorCollectionSpec). */
+  def searchShard(
+      queryVec: Seq[Float], shardKey: Any, k: Int = 5,
+      filter: Column = lit(true)): DataFrame = {
+    require(config.shardCol.nonEmpty,
+      "searchShard on a collection without a configured shardCol")
+    search(queryVec, k, col(config.shardCol.get) === lit(shardKey) && filter)
   }
 
   /** Qdrant MMR diversity search (`query` with an mmr object): top-k
@@ -360,9 +385,11 @@ object VectorCollection {
       config: CollectionConfig): VectorCollection = {
     val created = Sink.ensureCollection(spark, path, like)
     if (created) {
+      val shard = config.shardCol
+        .map(c => s""","shardCol":"$c"""").getOrElse("")
       val json =
         s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
-          s""""dim":${config.dim},"multiVector":${config.multiVector}}"""
+          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
     }
     new VectorCollection(spark, path, config)
@@ -378,8 +405,10 @@ object VectorCollection {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath(path)))
     def field(k: String): String =
       json.split(s""""$k":""")(1).split("[,}]")(0).replaceAll("\"", "")
+    val shard =
+      if (json.contains("\"shardCol\":")) Some(field("shardCol")) else None
     val cfg = CollectionConfig(field("idCol"), field("vectorCol"),
-      field("dim").toInt, field("multiVector").toBoolean)
+      field("dim").toInt, field("multiVector").toBoolean, shard)
     new VectorCollection(spark, path, cfg)
   }
 }

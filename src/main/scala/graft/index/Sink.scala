@@ -36,10 +36,18 @@ object Sink {
     * separate full-collection count the caller runs when wanted —
     * doing it here would make every streaming micro-batch pay an
     * O(collection) scan. */
-  def append(points: DataFrame, path: String): Long = {
+  def append(points: DataFrame, path: String): Long =
+    append(points, path, Nil)
+
+  /** [[append]] into a shard-partitioned layout: `shardCols` become
+    * directory-encoded partition columns (Qdrant's custom sharding —
+    * `shard_key_selector` routing), so a shard-routed read prunes to
+    * the shard's subtree without touching other shards' bytes. */
+  def append(points: DataFrame, path: String, shardCols: Seq[String]): Long = {
     val staged = points.cache()
     val written = staged.count()
-    staged.write.mode(SaveMode.Append).parquet(path)
+    val w = staged.write.mode(SaveMode.Append)
+    (if (shardCols.nonEmpty) w.partitionBy(shardCols: _*) else w).parquet(path)
     staged.unpersist()
     written
   }

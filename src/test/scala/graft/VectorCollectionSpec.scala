@@ -163,6 +163,36 @@ class VectorCollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c.search(Seq(1f, 2f, 3f)) }
   }
 
+  test("sharded collection: writes partition by shard key, routed search prunes") {
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"),
+        concat(lit("t"), col("vec_id") % 4).as("tenant"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "embedding", 64, multiVector = false,
+        shardCol = Some("tenant")))
+    c.upsert(pts)
+    // layout: one subtree per shard value
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("tenant=")).sorted
+    assert(subdirs.toSeq === Seq("tenant=t0", "tenant=t1", "tenant=t2", "tenant=t3"))
+    // shard config survives reopen
+    val re = VectorCollection.open(spark, dir)
+    assert(re.config.shardCol === Some("tenant"))
+    // routed search prunes to the shard's partition subtree
+    val q = pts.filter(col("pid") === 0).head.getSeq[Float](1)
+    val routed = re.searchShard(q, "t1", k = 5)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tenant"),
+      s"shard predicate must be a partition filter:\n$plan")
+    // routed results equal the unsharded filter formulation
+    val expect = re.search(q, 5, col("tenant") === "t1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(routed.collect().map(_.getLong(0)).toSeq === expect)
+    // replace is refused on sharded layouts (would flatten partitions)
+    intercept[IllegalArgumentException] { re.upsertReplace(pts.limit(1)) }
+  }
+
   test("IVF index: build once, ANN probe prunes partitions and finds the query point") {
     val dir = s"${tmp()}/col"
     val e = t(spark, sf, "embeddings")
