@@ -284,6 +284,35 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // k-NN classification: predict each query point's label by
+    // majority vote of its 5 nearest OTHER points (the standard
+    // embedding-space sanity check of label coherence). Vote counting
+    // is a tiny aggregate over the k-NN join's output; argmax via
+    // max_by-style struct ordering (votes desc, label asc) — no second
+    // window. Self-matches excluded so the vote is honest.
+    "x_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("true_label"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val votes = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("q_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy(col("q_id"), col("true_label"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("best"))
+        .select(col("q_id"), col("true_label"),
+          (-col("best.nl")).cast("long").as("predicted"),
+          col("best.votes").as("votes"))
+        .orderBy(col("q_id"))
+    }),
+
     // k-NN join: 10 query vectors × top-3 neighbors each.
     "x_knn_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -448,6 +477,24 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_knn_classify" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+         |  FROM embeddings WHERE vec_id < 20),
+         |sc AS (SELECT q_id, true_label, e.vec_id, e.label,
+         |    ROUND(${duckCosSim("e.embedding", "qv")}, 6) AS score
+         |  FROM embeddings e, qs WHERE e.vec_id <> q_id),
+         |r AS (SELECT q_id, true_label, vec_id, label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM sc),
+         |v AS (SELECT q_id, true_label, label, count(*) AS votes
+         |  FROM r WHERE rnk <= 5 GROUP BY q_id, true_label, label),
+         |b AS (SELECT q_id, true_label,
+         |    max(struct_pack(votes := votes, nl := -label)) AS best
+         |  FROM v GROUP BY q_id, true_label)
+         |SELECT q_id, true_label, (-best.nl)::BIGINT AS predicted,
+         |  best.votes AS votes
+         |FROM b ORDER BY q_id""".stripMargin,
+
     "x_embed_knn_docs" -> {
       import graft.index.Embedder
       s"""WITH emb AS (SELECT doc_id, ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),

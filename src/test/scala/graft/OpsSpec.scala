@@ -490,6 +490,25 @@ class OpsSpec extends SparkSpec {
     perDoc.foreach(r => assert(r.getLong(2) === r.getLong(1) - 1))
   }
 
+  test("degenerate inputs: empty and token-free corpora return empty, never throw (ANSI)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    for (df <- Seq(empty, blank)) {
+      assert(graft.ops.Curation.lineDedup(df, 8).count() === 0)
+      assert(graft.ops.Curation.chunkEmbed(df, 32, 24).count() === 0)
+      assert(graft.ops.TextAnalysis.unigramLogprob(df).count() === 0)
+      assert(graft.ops.Retrieval.bm25(df, Seq("hash")).count() === 0)
+    }
+    // mixture weights over an empty frame: no strata, no division
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(graft.ops.Curation.mixtureWeights(emptyLang).count() === 0)
+    // knn classify with a single point: no other points → no vote rows
+    val one = Seq((0L, Seq.fill(4)(1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val qs = one.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    assert(graft.ops.Similarity.knnJoin(one.filter(col("vec_id") < 0), qs, 3).count() === 0)
+  }
+
   test("mixture weights: shares sum to 1 and weights rebalance to uniform") {
     val docs = t(spark, sf, "documents")
     val res = graft.ops.Curation.mixtureWeights(docs).collect()
