@@ -57,5 +57,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(args(2), "n_bits", "sign_bits"))))
     ext.injectFunction(fd("l2_normalize", 1, classOf[L2Normalize],
       args => L2Normalize(args(0))))
+    ext.injectOptimizerRule(_ => NormalizedCosineToDot)
   }
+}
+
+/** Optimizer rule: `cosine_sim(l2_normalize(x), l2_normalize(y))` →
+  * `dot_product(l2_normalize(x), l2_normalize(y))`.
+  *
+  * Algebraically exact, not approximate: a normalized vector has unit
+  * norm, so the cosine's per-row denominator is 1 — but CosineSim
+  * still folds both squared-norm sums per row. On the Qdrant storage
+  * layout (vectors normalized once at ingest — E1) this rule removes
+  * 2/3 of the scoring FLOPs for every query that writes the idiomatic
+  * `cosine_sim` call. Null behavior is preserved: l2_normalize maps
+  * the zero vector to null, and both CosineSim and DotProduct are
+  * null-propagating, so no zero-denominator case survives to differ.
+  * Equality of results and plan shape are pinned in SqlSurfaceSpec. */
+object NormalizedCosineToDot
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSim(a @ L2Normalize(_), b @ L2Normalize(_)) =>
+        DotProduct(a, b)
+    }
 }

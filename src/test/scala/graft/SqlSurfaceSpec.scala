@@ -57,6 +57,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() === 0L)
   }
 
+  test("optimizer rule: cosine over pre-normalized vectors rewrites to dot product") {
+    Tables.t(spark, sf, "embeddings").createOrReplaceTempView("sql_emb")
+    val q = spark.sql(
+      """SELECT e.vec_id,
+        |  ROUND(cosine_sim(l2_normalize(e.embedding), l2_normalize(q.embedding)), 6) AS score
+        |FROM sql_emb e,
+        |  (SELECT embedding FROM sql_emb WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("cosinesim"),
+      s"CosineSim over two L2Normalize inputs must rewrite away:\n$optimized")
+    assert(optimized.toLowerCase.contains("dotproduct"),
+      s"rewritten plan must score with DotProduct:\n$optimized")
+    // the rewrite is algebraically exact: same rows, same scores as
+    // the unrewritten cosine over raw vectors
+    val plain = spark.sql(
+      """SELECT e.vec_id,
+        |  ROUND(cosine_sim(e.embedding, q.embedding), 6) AS score
+        |FROM sql_emb e,
+        |  (SELECT embedding FROM sql_emb WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin)
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      plain.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // cosine over NON-normalized inputs is untouched
+    val raw = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) FROM sql_emb LIMIT 1")
+    assert(raw.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesim"))
+  }
+
   test("wrong arity is rejected with the function name and expected count") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D))").collect()
