@@ -157,7 +157,7 @@ object TextAnalysis {
   /** CTE chain ending in q(doc_id, mean_word_len, stop_ratio, quality)
     * — the single SQL source of the quality formula; every oracle that
     * scores quality (x_quality_score, x_domain_cap) builds on it. */
-  private[ops] def duckQualityCtes: String = duckQualityCtesFor("documents")
+  private[graft] def duckQualityCtes: String = duckQualityCtesFor("documents")
 
   /** Same CTE chain over an arbitrary source relation (must expose
     * doc_id + text) — lets composed pipelines score a filtered

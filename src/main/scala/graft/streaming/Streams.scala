@@ -288,7 +288,29 @@ object Streams {
       col("c_id").as("click_id"), col("p_id").as("purchase_id")))
   }
 
+  /** Streaming corpus-curation gate: documents arrive on a stream,
+    * each scored with the SAME quality formula as the batch operator
+    * (`TextAnalysis.qualityScore` — one definition, two execution
+    * modes), and only rows passing `minQuality` reach the curated
+    * sink. Stateless narrow projection + filter: append mode with no
+    * watermark and no state store, so the gate scales as a pure map
+    * over arriving files — the continuous-ingest filter a training
+    * pipeline runs in front of its corpus store. */
+  def streamingQualityGate(
+      spark: SparkSession, sfDir: String, minQuality: Double): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val gated = graft.ops.TextAnalysis.qualityScore(stream)
+      .filter(col("quality") >= minQuality)
+    runToParquet(spark, gated)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_quality_gate" -> ((s, dir) =>
+      streamingQualityGate(s, dir, minQuality = 0.7)
+        .orderBy(col("doc_id"))),
     "s_stream_window" -> ((s, dir) =>
       eventWindowCountsStreaming(s, dir)
         .orderBy(col("window_start"), col("event_type"))),
@@ -311,6 +333,12 @@ object Streams {
   /** Batch-SQL oracles: streaming over a bounded source must agree
     * with the equivalent batch window/sessionization SQL. */
   def oracles: Map[String, String] = Map(
+    // the streaming gate must equal the batch quality cut — one
+    // formula, verified across execution modes
+    "s_quality_gate" ->
+      s"""WITH ${graft.ops.TextAnalysis.duckQualityCtes}
+         |SELECT doc_id, mean_word_len, stop_ratio, quality
+         |FROM q WHERE quality >= 0.7 ORDER BY doc_id""".stripMargin,
     "s_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n, ROUND(sum(value), 6) AS total_value
