@@ -127,9 +127,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("k"))
-    val cnt = tf.groupBy(col("tok")).agg(sum(col("k")).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("tc"))
-    tf.join(cnt, Seq("tok"))
+    // corpus count per token as a WINDOW over the tf rows — not a
+    // groupBy+self-join, which would recompute tf and shuffle it twice
+    // more (ScaleDesignSpec counts the exchanges). Skew profile is the
+    // same as the join's shuffle on tok.
+    val tot = tf.agg(sum(col("k")).as("tc"))
+    tf.withColumn("c", sum(col("k")).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("tok"), col("k"),
         (col("k").cast("double") *

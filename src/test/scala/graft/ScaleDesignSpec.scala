@@ -328,6 +328,21 @@ class ScaleDesignSpec extends SparkSpec {
       s"boosting must not add a shuffle:\n$qbPlan")
   }
 
+  test("chunk embed is exchange-free; unigram LM shuffles exactly tf + doc-agg + tok-count") {
+    val docs = t(spark, sf, "documents")
+    val chunkPlan = graft.ops.Curation.chunkEmbed(docs, 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking+embedding must stay a narrow map:\n$chunkPlan")
+    val uniPlan = graft.ops.TextAnalysis.unigramLogprob(docs)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(uniPlan).length
+    assert(nEx <= 4,
+      s"unigram LM should shuffle on (doc,tok), tok-window, doc — got $nEx:\n$uniPlan")
+    assert(uniPlan.contains("BroadcastExchange"),
+      s"the one-row corpus total must broadcast:\n$uniPlan")
+  }
+
   test("bucketed range join is an equi-join — no nested-loop/cartesian plan") {
     val q = Relational.rangeJoinBucketed(t(spark, sf, "events"), 600L * 1000000L)
     val plan = q.queryExecution.executedPlan.toString
