@@ -93,7 +93,42 @@ object Multimodal {
           concat(col("doc_id"), lit(":"), col("frame_idx"))).as("frame_sig"))
   }
 
+  /** Audio window segmentation: fixed-length overlapping analysis
+    * windows over a PCM stream — one row per (clip, window) with
+    * sample offsets and a deterministic window signature, the unit a
+    * per-window audio-embedding stage consumes (speech/music feature
+    * extractors all run on windows, not whole files). The sample count
+    * is a stub container-metadata read like [[decodeFeatures]]; the
+    * windowing math — start offsets every `hop` samples, last partial
+    * window dropped (a real STFT's behavior), fan-out capped at
+    * `maxWindows` — is the real workload-shaping plumbing. Narrow
+    * end-to-end like [[sampleFrames]]: no shuffle, bounded fan-out
+    * regardless of clip length. */
+  def audioWindows(
+      media: DataFrame,
+      windowSamples: Int = 400,
+      hop: Int = 160,
+      maxWindows: Int = 8): DataFrame = {
+    // stub "sample count" from the blob bytes (≈ seconds * rate scale)
+    val nSamples = (length(col("text").cast("binary")) * 7 + 300).cast("long")
+    media.select(col("doc_id"), nSamples.as("n_samples"))
+      .filter(col("n_samples") >= windowSamples)
+      .select(col("doc_id"), col("n_samples"),
+        explode(transform(
+          sequence(lit(0L),
+            least(expr(s"(n_samples - $windowSamples) div $hop"),
+              lit(maxWindows - 1).cast("long"))),
+          i => i * hop)).as("start_sample"))
+      .select(col("doc_id"), col("n_samples"), col("start_sample"),
+        (col("start_sample") + windowSamples).as("end_sample"),
+        graft.index.Embedder.stringHash64(
+          concat(col("doc_id"), lit("@"), col("start_sample"))).as("win_sig"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_audio_windows" -> ((s, dir) =>
+      audioWindows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("start_sample"))),
     "m_media_features" -> ((s, dir) =>
       decodeFeatures(withBlob(t(s, dir, "documents"))).toDF()
         .orderBy(col("doc_id"))),
@@ -104,6 +139,18 @@ object Multimodal {
 
   /** Oracle mirrors the stub decode arithmetic over the blob bytes. */
   def oracles: Map[String, String] = Map(
+    "m_audio_windows" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    (octet_length(text::BLOB) * 7 + 300)::BIGINT AS n_samples FROM documents),
+         |w AS (SELECT doc_id, n_samples,
+         |    unnest(list_transform(range(0, least((n_samples - 400) // 160, 7) + 1),
+         |      i -> i * 160))::BIGINT AS start_sample
+         |  FROM m WHERE n_samples >= 400)
+         |SELECT doc_id, n_samples, start_sample,
+         |  (start_sample + 400)::BIGINT AS end_sample,
+         |  ${graft.index.Embedder.duckStringHash64("doc_id::VARCHAR || '@' || start_sample::VARCHAR")} AS win_sig
+         |FROM w ORDER BY doc_id, start_sample""".stripMargin,
+
     "m_media_features" ->
       """SELECT doc_id, octet_length(text::BLOB)::INT AS byte_len,
         |  (32 + octet_length(text::BLOB) % 64)::INT AS width,
