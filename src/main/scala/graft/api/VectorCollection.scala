@@ -122,14 +122,27 @@ class VectorCollection private (
     table.filter(col(config.idCol) > afterId)
       .orderBy(col(config.idCol)).limit(limit)
 
+  /** The file-granular rewrite operators (delete, payload mutation)
+    * re-read touched files by leaf path, which loses a shard layout's
+    * directory-encoded partition column — refuse rather than fail
+    * mid-rewrite or flatten the layout (same stance as
+    * [[upsertReplace]]). */
+  private def requireUnsharded(op: String): Unit =
+    require(config.shardCol.isEmpty,
+      s"$op on a sharded collection is not supported; operate per shard")
+
   /** Qdrant `client.delete` with a points selector: delete by id set.
     * File-granular rewrite; see [[graft.index.Sink.deleteMatching]]. */
-  def delete(ids: Seq[Long]): Long =
+  def delete(ids: Seq[Long]): Long = {
+    requireUnsharded("delete")
     Sink.deleteMatching(spark, path, col(config.idCol).isInCollection(ids))
+  }
 
   /** Qdrant `client.delete` with a payload filter. */
-  def deleteByFilter(filter: Column): Long =
+  def deleteByFilter(filter: Column): Long = {
+    requireUnsharded("deleteByFilter")
     Sink.deleteMatching(spark, path, filter)
+  }
 
   /** Collection rows under the (vec_id, embedding) names the query-API
     * operators use, payload columns untouched. */
@@ -299,9 +312,14 @@ class VectorCollection private (
     val probes = graft.ops.Similarity
       .rankCentroids(loadCentroids(), queryVec.toArray)
       .take(nprobe)
+    // restore the configured id name BEFORE the payload filter so a
+    // filter written against exact search's schema (col(idCol) …)
+    // works unchanged here; the rename is a projection, filters still
+    // push through it to the scan
     spark.read.parquet(ivfPath)
+      .withColumnRenamed("vec_id", config.idCol)
       .filter(col("cluster_id").isInCollection(probes) && filter)
-      .select(col("vec_id").as(config.idCol),
+      .select(col(config.idCol),
         round(graft.vector.Kernels.cosine(col("embedding"),
           typedlit(queryVec.map(_.toDouble))), 6).as("score"))
       .orderBy(col("score").desc, col(config.idCol).asc)
@@ -341,22 +359,31 @@ class VectorCollection private (
   }
 
   /** Qdrant `set_payload`: set one key on every point matching the
-    * filter (map-typed payload column). File-granular rewrite. */
-  def setPayload(filter: Column, payloadCol: String, key: String, value: String): Long =
+    * filter (map-typed payload column). File-granular rewrite. A NULL
+    * stored payload coalesces to an empty map first — Qdrant creates
+    * the payload on set; without the coalesce map_concat(NULL, …)
+    * would silently no-op while still reporting the row as updated. */
+  def setPayload(filter: Column, payloadCol: String, key: String, value: String): Long = {
+    requireUnsharded("setPayload")
     Sink.updatePayload(spark, path, filter, payloadCol,
       p => map_concat(
-        map_filter(p, (k, _) => k =!= key),
+        map_filter(coalesce(p, map().cast("map<string,string>")), (k, _) => k =!= key),
         map(lit(key), lit(value))))
+  }
 
   /** Qdrant `delete_payload`: drop one key from matching points. */
-  def deletePayloadKey(filter: Column, payloadCol: String, key: String): Long =
+  def deletePayloadKey(filter: Column, payloadCol: String, key: String): Long = {
+    requireUnsharded("deletePayloadKey")
     Sink.updatePayload(spark, path, filter, payloadCol,
-      p => map_filter(p, (k, _) => k =!= key))
+      p => map_filter(coalesce(p, map().cast("map<string,string>")), (k, _) => k =!= key))
+  }
 
   /** Qdrant `clear_payload`: empty the payload of matching points. */
-  def clearPayload(filter: Column, payloadCol: String): Long =
+  def clearPayload(filter: Column, payloadCol: String): Long = {
+    requireUnsharded("clearPayload")
     Sink.updatePayload(spark, path, filter, payloadCol,
-      p => map().cast("map<string,string>"))
+      _ => map().cast("map<string,string>"))
+  }
 
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */

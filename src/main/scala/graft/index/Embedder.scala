@@ -43,12 +43,17 @@ object Embedder {
       graft.vector.PolyStringHash(graft.vector.Kernels.exprOf(tok), 31L, Prime))
 
   /** HOF twin of [[tokenHash]] — documents the fold the DuckDB oracle
-    * mirrors (`duckStringHash`). */
+    * mirrors (`duckStringHash`). Iterates CODE POINTS via
+    * substring/ascii (both code-point-based in Spark), matching the
+    * native loop and DuckDB's string_split(s, '') — a split("")-based
+    * twin would fold UTF-16 surrogate halves separately and diverge on
+    * any non-BMP character. */
   def tokenHashHof(tok: Column): Column =
     aggregate(
-      split(tok, ""),
+      transform(sequence(lit(1), length(tok)),
+        i => ascii(tok.substr(i, lit(1)))),
       lit(0L),
-      (a, c) => (a * lit(31L) + ascii(c)) % lit(Prime))
+      (a, c) => (a * lit(31L) + c) % lit(Prime))
 
   /** array<long> of token hashes for a text column (native one-pass
     * tokenizer+hasher; [[tokenHashesHof]] is the HOF twin). */

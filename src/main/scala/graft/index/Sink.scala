@@ -251,11 +251,13 @@ object Sink {
     * the blue/green primitive for zero-downtime reindexing (build v2
     * under a new path, switch the alias, drop v1). An alias is a tiny
     * pointer file `<root>/_aliases/<alias>` holding the target path;
-    * the switch writes a temp file and renames over the old pointer
-    * (rename is the atomic op every Hadoop FS guarantees per-file), so
-    * readers resolve either the old or the new target — never a torn
-    * state. Resolution cost is one small-file read per open, nothing
-    * per query. */
+    * the switch writes a temp file, deletes the old pointer, and
+    * renames the temp in (HDFS rename refuses an existing
+    * destination, so delete-first is unavoidable). A reader never sees
+    * a TORN pointer — rename is per-file atomic — but there is a
+    * sub-ms no-pointer window between delete and rename, which
+    * [[resolveAlias]] absorbs with a bounded retry. Resolution cost is
+    * one small-file read per open, nothing per query. */
   def setAlias(spark: SparkSession, root: String, alias: String, target: String): Unit = {
     require(!alias.contains("/"), s"alias must be a bare name: $alias")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -271,11 +273,17 @@ object Sink {
   }
 
   /** Resolve an alias to its current target path (fails by name for an
-    * unknown alias — Qdrant's 404). */
+    * unknown alias — Qdrant's 404). [[setAlias]] must delete the old
+    * pointer before renaming the new one in (HDFS rename refuses an
+    * existing destination), so a concurrent switch has a sub-ms window
+    * with no pointer file; a short bounded retry rides it out instead
+    * of surfacing a spurious unknown-alias to a reader mid-switch. */
   def resolveAlias(spark: SparkSession, root: String, alias: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "_aliases"), alias)
     val fs = p.getFileSystem(conf)
+    var attempts = 0
+    while (!fs.exists(p) && attempts < 5) { Thread.sleep(20); attempts += 1 }
     require(fs.exists(p), s"unknown alias: $alias")
     val in = fs.open(p)
     try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")

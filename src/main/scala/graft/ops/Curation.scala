@@ -159,7 +159,11 @@ object Curation {
           sequence(lit(0), ((size(col("_toks")) - 1) / lineWords).cast("int")),
           i => array_join(slice(col("_toks"), i * lineWords + 1, lit(lineWords)), " "))))
       .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("line"))
-      .withColumn("h", Embedder.tokenHash(col("line")))
+      // line IDENTITY takes the 60-bit md5-prefix id, NOT the ~2^20
+      // poly hash (feature-bucket width): at corpus line counts a
+      // poly-hash collision is guaranteed and would silently delete a
+      // genuinely distinct line (CLAUDE.md identity-vs-bucket rule)
+      .withColumn("h", Embedder.stringHash64(col("line")))
       .withColumn("k", col("doc_id") * lit(1048576L) + col("idx"))
     val first = lines.groupBy(col("h")).agg(min(col("k")).as("first_k"))
     lines.join(first, Seq("h"))
@@ -327,7 +331,7 @@ object Curation {
          |  FROM b),
          |x AS (SELECT doc_id, unnest(cl) AS u FROM c),
          |l AS (SELECT doc_id, u.idx::BIGINT AS idx, u.line AS line,
-         |    ${Embedder.duckStringHash("u.line")} AS h,
+         |    ${Embedder.duckStringHash64("u.line")} AS h,
          |    doc_id * 1048576 + u.idx AS k FROM x),
          |f AS (SELECT h, min(k) AS first_k FROM l GROUP BY h),
          |g AS (SELECT l.doc_id, l.idx, l.line, l.k = f.first_k AS kept

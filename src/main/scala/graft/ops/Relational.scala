@@ -302,9 +302,9 @@ object Relational {
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM f)
-        |SELECT user_id, sess, min(tus) AS start_us, max(tus) AS end_us,
+        |SELECT user_id, sess::BIGINT AS sess, min(tus) AS start_us, max(tus) AS end_us,
         |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+        |FROM s GROUP BY sess, user_id ORDER BY user_id, sess""".stripMargin,
 
     "r_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

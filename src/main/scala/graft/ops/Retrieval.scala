@@ -123,22 +123,27 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc).limit(n)
     val bcut = bm25(docs, terms)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(n)
-    def muSigma(cut: DataFrame, c: String): DataFrame =
+    // ONE evaluation of the cut: collect it into a single row, derive
+    // μ/σ beside the list, explode back out normalized. The naive
+    // cut-crossJoin-aggregate(cut) shape re-executes the whole
+    // retriever subplan (corpus scan + scoring) for the one-row μ/σ —
+    // top-k cuts get no exchange reuse. The single-row stage is safe
+    // at any scale because the cut is ≤n rows by construction.
+    def normalized(cut: DataFrame, c: String, outName: String): DataFrame =
       cut.agg(sort_array(collect_list(struct(col("doc_id"), col(c).as("s")))).as("l"))
-        .select(
+        .select(col("l"),
           aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("s")).as("sm"),
           aggregate(col("l"), lit(0.0),
             (a, x) => a + x.getField("s") * x.getField("s")).as("sq"),
           size(col("l")).cast("double").as("cnt"))
-        .select((col("sm") / col("cnt")).as("mu"),
+        .select(col("l"), (col("sm") / col("cnt")).as("mu"),
           sqrt(greatest(
             col("sq") / col("cnt") - (col("sm") / col("cnt")) * (col("sm") / col("cnt")),
             lit(0.0))).as("sg"))
-    def normalized(cut: DataFrame, c: String, outName: String): DataFrame =
-      cut.crossJoin(broadcast(muSigma(cut, c)))
-        .select(col("doc_id"),
+        .select(explode(col("l")).as("e"), col("mu"), col("sg"))
+        .select(col("e.doc_id").as("doc_id"),
           when(col("sg") > 0.0,
-            (col(c) - (col("mu") - lit(3.0) * col("sg"))) / (lit(6.0) * col("sg")))
+            (col("e.s") - (col("mu") - lit(3.0) * col("sg"))) / (lit(6.0) * col("sg")))
             .otherwise(lit(0.0)).as(outName))
     normalized(vcut, "score", "nv")
       .join(normalized(bcut, "bm25", "nb"), Seq("doc_id"), "full_outer")

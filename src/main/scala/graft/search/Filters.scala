@@ -78,7 +78,11 @@ case class Filter(
     val s =
       if (should.isEmpty) Nil
       else Seq(should.map(_.toColumn).reduce(_ || _))
-    val n = mustNot.map(c => !c.toColumn)
+    // NOT under three-valued logic would DROP rows whose key is NULL
+    // (NOT(NULL) = NULL); Qdrant keeps them — a missing key fails the
+    // forbidden condition, which is exactly what must_not wants. The
+    // coalesce pins "condition did not match" for NULLs.
+    val n = mustNot.map(c => !coalesce(c.toColumn, lit(false)))
     (m ++ s ++ n).reduceOption(_ && _).getOrElse(lit(true))
   }
 }

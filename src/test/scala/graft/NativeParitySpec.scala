@@ -120,7 +120,9 @@ class NativeParitySpec extends SparkSpec {
       .filter(col("a") =!= col("b"))
     assert(d.count() === 0L)
     import spark.implicits._
-    val edges = Seq("", " ", "a", "multi word line", "a  b", " lead trail ")
+    // includes a non-BMP char: the fold must walk CODE POINTS (like
+    // DuckDB string_split(s, '')), not UTF-16 surrogate halves
+    val edges = Seq("", " ", "a", "multi word line", "a  b", " lead trail ", "a😀b")
       .toDF("s")
       .select(Embedder.tokenHash(col("s")).as("a"),
         Embedder.tokenHashHof(col("s")).as("b"))

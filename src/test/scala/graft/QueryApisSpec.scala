@@ -317,6 +317,16 @@ class QueryApisSpec extends SparkSpec {
     val mustOnly = Filter(must = Seq(MatchValue("label", 3)))
     assert(emb.filter(mustOnly.toColumn).count() ===
       emb.filter(col("label") === 3).count())
+    // mustNot on a NULL key KEEPS the row (Qdrant: a missing key fails
+    // the forbidden condition) — three-valued NOT would drop it
+    import spark.implicits._
+    val withNulls = Seq((1L, Some(1)), (2L, None), (3L, Some(2)))
+      .toDF("id", "tag")
+    val kept = withNulls
+      .filter(Filter(mustNot = Seq(MatchAnyOf("tag", Seq(1)))).toColumn)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L),
+      "null-tag row must survive must_not; only the matching row drops")
   }
 
   test("unigram logprob: common-token docs score higher than rare-token docs") {

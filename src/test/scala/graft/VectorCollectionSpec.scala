@@ -189,8 +189,13 @@ class VectorCollectionSpec extends SparkSpec {
     val expect = re.search(q, 5, col("tenant") === "t1")
       .collect().map(_.getLong(0)).toSeq
     assert(routed.collect().map(_.getLong(0)).toSeq === expect)
-    // replace is refused on sharded layouts (would flatten partitions)
+    // file-granular rewrites are refused on sharded layouts (the
+    // leaf-file re-read loses the directory-encoded shard column)
     intercept[IllegalArgumentException] { re.upsertReplace(pts.limit(1)) }
+    intercept[IllegalArgumentException] { re.delete(Seq(1L)) }
+    intercept[IllegalArgumentException] {
+      re.setPayload(col("pid") < 10, "payload", "k", "v")
+    }
   }
 
   test("IVF index: build once, ANN probe prunes partitions and finds the query point") {
@@ -220,6 +225,10 @@ class VectorCollectionSpec extends SparkSpec {
     // filtered probe composes with payload predicates
     val filtered = c.searchAnn(q, k = 5, nprobe = 8, filter = col("label") === 3)
     assert(filtered.collect().forall(_.getDouble(1) <= 1.0))
+    // a filter written against the COLLECTION's id name (as exact
+    // search accepts) must work on the ANN path too
+    val byId = c.searchAnn(q, k = 5, nprobe = 8, filter = col("pid") < 100)
+    assert(byId.collect().forall(_.getLong(0) < 100))
     // index survives reopen (sidecar centroids)
     val reopened = VectorCollection.open(spark, dir)
     assert(reopened.searchAnn(q, k = 1, nprobe = 1).head.getLong(0) === 7L)
@@ -256,5 +265,17 @@ class VectorCollectionSpec extends SparkSpec {
     c.clearPayload(col("pid") >= 400, "payload")
     assert(spark.read.parquet(dir)
       .filter(col("pid") >= 400 && size(col("payload")) =!= 0).count() === 0)
+    // set on a NULL payload creates it (Qdrant set_payload semantics)
+    val nullPay = t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000).as("pid"), col("embedding"),
+        lit(null).cast("map<string,string>").as("payload"))
+    c.upsert(nullPay)
+    val nNull = c.setPayload(col("pid") >= 10000, "payload", "fresh", "yes")
+    assert(nNull === 3)
+    assert(spark.read.parquet(dir)
+      .filter(col("pid") >= 10000 &&
+        element_at(col("payload"), "fresh") === "yes").count() === 3,
+      "set_payload must create the payload map when it was NULL")
   }
 }
