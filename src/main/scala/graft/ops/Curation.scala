@@ -189,7 +189,16 @@ object Curation {
     * indexed page points, `with_colpali_v1.3/...py:143-163`).
     * Pure narrow map: tokenize once, window via slice, embed per
     * chunk — no shuffle, scales as a scan. */
-  def chunkEmbed(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+  def chunkEmbed(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    chunkVectors(docs, size, stride)
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        element_at(col("cv"), 1).as("e0"),
+        round(graft.vector.Kernels.l2norm(col("cv")), 6).as("nrm"))
+
+  /** Chunk rows with their full embedding vectors — the index-ready
+    * shape ([[chunkEmbed]] projects the same rows down to audit
+    * scalars). */
+  def chunkVectors(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= size, "need 0 < stride <= size")
     val base = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
@@ -200,14 +209,33 @@ object Curation {
             ((org.apache.spark.sql.functions.size(col("_toks")) - 1) / stride).cast("int")),
           i => slice(col("_toks"), i * stride + 1, lit(size)))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-        col("col").as("ctoks"))
-      .select(col("doc_id"), col("chunk_id"),
-        org.apache.spark.sql.functions.size(col("ctoks")).cast("long").as("n_words"),
-        Embedder.embedRaw(transform(col("ctoks"),
+        org.apache.spark.sql.functions.size(col("col")).cast("long").as("n_words"),
+        Embedder.embedRaw(transform(col("col"),
           tk => Embedder.tokenHash(tk))).as("cv"))
-      .select(col("doc_id"), col("chunk_id"), col("n_words"),
-        element_at(col("cv"), 1).as("e0"),
-        round(graft.vector.Kernels.l2norm(col("cv")), 6).as("nrm"))
+  }
+
+  /** The composed RAG retrieval path, end-to-end under one oracle:
+    * documents → overlapping chunks → per-chunk embeddings → cosine
+    * against an embedded text query → each document ranked by its BEST
+    * chunk → top-k documents. This is what "index the corpus, retrieve
+    * for the LLM" actually runs: chunk-level recall with doc-level
+    * results. Narrow chunk fan-out (no shuffle), broadcast query, one
+    * map-side-combinable max per doc, TakeOrderedAndProject cut. */
+  def ragSearch(docs: DataFrame, queryText: String, size: Int, stride: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val q = spark.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit(queryText))).as("qv"))
+    chunkVectors(docs, size, stride)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("chunk_id"),
+        round(graft.vector.Kernels.cosine(col("cv"), col("qv")), 6).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), (-col("chunk_id")).as("nc"))).as("best"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), col("best.score").as("score"),
+        (-col("best.nc")).cast("long").as("best_chunk"), col("n_chunks"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Mixture rebalancing weights: per-source sampling weight that
@@ -229,6 +257,9 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rag_search" -> ((s, dir) =>
+      ragSearch(t(s, dir, "documents"), "hash join merge",
+        size = 32, stride = 24, k = 5)),
     "x_chunk_embed" -> ((s, dir) =>
       chunkEmbed(t(s, dir, "documents"), size = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -309,6 +340,28 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    "x_rag_search" -> {
+      val toks = TextAnalysis.duckToksPublic("text")
+      val chunkHashes = s"list_transform(u.ct, tok -> ${Embedder.duckStringHash("tok")})"
+      val qEmbed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("'hash join merge'"))
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, list_transform(range(0, ((len(toks)-1)//24)+1),
+         |    i -> struct_pack(cid := i, ct := toks[(i*24+1):(i*24+32)])) AS cl FROM b),
+         |x AS (SELECT doc_id, unnest(cl) AS u FROM c),
+         |h AS (SELECT doc_id, u.cid::BIGINT AS chunk_id,
+         |    ${Embedder.duckEmbedRaw(chunkHashes)} AS cv FROM x),
+         |q AS (SELECT $qEmbed AS qv),
+         |sc AS (SELECT doc_id, chunk_id,
+         |    ROUND(list_cosine_similarity(cv::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+         |  FROM h),
+         |g AS (SELECT doc_id,
+         |    max(struct_pack(score := score, nc := -chunk_id)) AS best,
+         |    count(*) AS n_chunks
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, best.score AS score, (-best.nc)::BIGINT AS best_chunk, n_chunks
+         |FROM g ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
+    },
+
     "x_chunk_embed" -> {
       val toks = TextAnalysis.duckToksPublic("text")
       val chunkHashes = s"list_transform(u.ct, tok -> ${Embedder.duckStringHash("tok")})"
