@@ -148,6 +148,35 @@ object TextAnalysis {
           6).as("avg_logp"))
   }
 
+  // -- distinctive vocabulary --------------------------------------
+
+  /** Top-`k` distinctive tokens per language by lift — the PMI-style
+    * "what words characterize this slice" summary a corpus report
+    * leads with: lift(tok, lang) = P(tok | lang) / P(tok). One
+    * (lang,tok) aggregation; the per-lang and per-tok totals are
+    * WINDOW sums over those rows (no self-joins, no recompute — the
+    * unigram-LM lesson); only the global total is a broadcast scalar.
+    * `minCount` suppresses one-off noise. Integral counts, one
+    * rounded division chain, (lift desc, tok asc) rank ties. */
+  def topicWords(docs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    val tf = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("tc"))
+    val withTotals = tf
+      .withColumn("lang_c", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("tok_c", sum(col("c")).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("c") >= minCount)
+      .select(col("lang"), col("tok"), col("c"),
+        round((col("c").cast("double") / col("lang_c").cast("double")) /
+          (col("tok_c").cast("double") / col("tc").cast("double")), 6).as("lift"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lift").desc, col("tok").asc)
+    withTotals.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   // -- query/oracle registry ---------------------------------------
 
   private def duckToks(e: String) =
@@ -324,6 +353,10 @@ object TextAnalysis {
     "x_unigram_logprob" -> ((s, dir) =>
       unigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    "x_topic_words" -> ((s, dir) =>
+      topicWords(t(s, dir, "documents"), k = 5, minCount = 5L)
+        .orderBy(col("lang"), col("rnk"))),
+
     // Vocabulary size per language — exact count(distinct) here (the
     // oracle-checkable definition); at true scale the same query runs
     // with approx_count_distinct (HLL++, one pass, mergeable sketches,
@@ -371,6 +404,24 @@ object TextAnalysis {
     " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
 
   def oracles: Map[String, String] = Map(
+    "x_topic_words" ->
+      s"""WITH tf AS (SELECT lang, tok, count(*) AS c FROM (
+         |    SELECT lang, unnest(${duckToks("text")}) AS tok FROM documents) z
+         |  GROUP BY lang, tok),
+         |t AS (SELECT sum(c)::BIGINT AS tc FROM tf),
+         |wt AS (SELECT lang, tok, c,
+         |    sum(c) OVER (PARTITION BY lang) AS lang_c,
+         |    sum(c) OVER (PARTITION BY tok) AS tok_c
+         |  FROM tf),
+         |lf AS (SELECT lang, tok, c,
+         |    ROUND((c::DOUBLE / lang_c::DOUBLE) / (tok_c::DOUBLE / tc::DOUBLE), 6) AS lift
+         |  FROM wt, t WHERE c >= 5),
+         |r AS (SELECT lang, tok, c, lift,
+         |    row_number() OVER (PARTITION BY lang ORDER BY lift DESC, tok ASC) AS rnk
+         |  FROM lf)
+         |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin,
+
     "x_distinct_tokens" ->
       s"""SELECT lang, count(DISTINCT tok) AS n_vocab, count(*) AS n_tokens
          |FROM (SELECT lang, unnest(${duckToks("text")}) AS tok FROM documents) z
