@@ -108,6 +108,34 @@ object TextAnalysis {
         size(array_distinct(col("gh"))).cast("long").as("fp_card"))
   }
 
+  // -- winnowing ---------------------------------------------------
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03, the MOSS signature): the minimum 5-gram hash of every
+    * `w`-wide sliding window, deduplicated. Guarantees any shared run
+    * of ≥ w+4 tokens between two documents shares a fingerprint,
+    * while storing ~2/(w+1) of the grams — the overlap-detection
+    * signature a plagiarism/near-dup stage actually stores. Pure
+    * narrow map over the gram-hash array (min over a slice per
+    * position); docs shorter than 5 tokens have no grams and drop. */
+  def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(toks) - 4),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))
+    docs
+      .filter(size(toks) >= 5)
+      .withColumn("gh", transform(grams, g => Embedder.tokenHash(g)))
+      .withColumn("sel", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("gh")) - (w - 1), lit(1))),
+        i => array_min(slice(col("gh"), i, lit(w))))))
+      .select(col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_fp"),
+        array_min(col("sel")).as("fp_min"),
+        array_max(col("sel")).as("fp_max"))
+  }
+
   // -- unigram language-model scoring ------------------------------
 
   /** Corpus-unigram log-probability per document — the cheap stand-in
@@ -357,6 +385,9 @@ object TextAnalysis {
       topicWords(t(s, dir, "documents"), k = 5, minCount = 5L)
         .orderBy(col("lang"), col("rnk"))),
 
+    "x_winnow" -> ((s, dir) =>
+      winnow(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // Vocabulary size per language — exact count(distinct) here (the
     // oracle-checkable definition); at true scale the same query runs
     // with approx_count_distinct (HLL++, one pass, mergeable sketches,
@@ -404,6 +435,25 @@ object TextAnalysis {
     " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
 
   def oracles: Map[String, String] = Map(
+    "x_winnow" -> {
+      val gramExpr = (1 to 5).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH b AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, len(toks) - 4 + 1), i -> $gramExpr) AS grams
+         |  FROM b WHERE len(toks) >= 5),
+         |h AS (SELECT doc_id,
+         |    list_transform(grams, g -> ${Embedder.duckStringHash("g")}) AS gh
+         |  FROM g),
+         |s AS (SELECT doc_id, len(gh)::BIGINT AS n_grams,
+         |    list_distinct(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+         |      i -> list_aggregate(gh[i:i+3], 'min'))) AS sel
+         |  FROM h)
+         |SELECT doc_id, n_grams, len(sel)::BIGINT AS n_fp,
+         |  list_aggregate(sel, 'min') AS fp_min,
+         |  list_aggregate(sel, 'max') AS fp_max
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "x_topic_words" ->
       s"""WITH tf AS (SELECT lang, tok, count(*) AS c FROM (
          |    SELECT lang, unnest(${duckToks("text")}) AS tok FROM documents) z
