@@ -255,6 +255,19 @@ object Relational {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // CUBE with an explicit grouping-id column: the bitmask
+    // disambiguates "NULL because subtotal" from a genuinely NULL
+    // dimension value — the correctness detail rollup reports usually
+    // get wrong. Both engines assign bit 2^0 to the LAST grouping
+    // column.
+    "r_cube_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("gid"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // set operators: segment customers who did / did not place orders.
     "r_setops_customers" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
@@ -386,6 +399,13 @@ object Relational {
         |  ROUND(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "r_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  ROUND(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "r_setops_customers" ->
       """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
