@@ -352,7 +352,8 @@ object Curation {
          |    ${Embedder.duckEmbedRaw(chunkHashes)} AS cv FROM x),
          |q AS (SELECT $qEmbed AS qv),
          |sc AS (SELECT doc_id, chunk_id,
-         |    ROUND(list_cosine_similarity(cv::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+         |    ROUND(CASE WHEN list_sum(list_transform(cv::DOUBLE[], x -> x*x)) = 0 THEN NULL
+         |      ELSE list_cosine_similarity(cv::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]) END, 6) AS score
          |  FROM h),
          |g AS (SELECT doc_id,
          |    max(struct_pack(score := score, nc := -chunk_id)) AS best,

@@ -118,7 +118,18 @@ object TextAnalysis {
     * signature a plagiarism/near-dup stage actually stores. Pure
     * narrow map over the gram-hash array (min over a slice per
     * position); docs shorter than 5 tokens have no grams and drop. */
-  def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
+  def winnow(docs: DataFrame, w: Int = 4): DataFrame =
+    winnowSelected(docs, w)
+      .select(col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_fp"),
+        array_min(col("sel")).as("fp_min"),
+        array_max(col("sel")).as("fp_max"))
+
+  /** The selected fingerprint SETS behind [[winnow]] — (doc_id, gh,
+    * sel); the spec asserts the SIGMOD'03 guarantee (shared ≥ w+4
+    * token run ⇒ non-empty fingerprint intersection) on these. */
+  private[graft] def winnowSelected(docs: DataFrame, w: Int): DataFrame = {
     val toks = tokens(col("text"))
     val grams = transform(sequence(lit(1), size(toks) - 4),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
@@ -129,11 +140,6 @@ object TextAnalysis {
       .withColumn("sel", array_distinct(transform(
         sequence(lit(1), greatest(size(col("gh")) - (w - 1), lit(1))),
         i => array_min(slice(col("gh"), i, lit(w))))))
-      .select(col("doc_id"),
-        size(col("gh")).cast("long").as("n_grams"),
-        size(col("sel")).cast("long").as("n_fp"),
-        array_min(col("sel")).as("fp_min"),
-        array_max(col("sel")).as("fp_max"))
   }
 
   // -- unigram language-model scoring ------------------------------

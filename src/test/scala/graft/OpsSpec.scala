@@ -516,28 +516,64 @@ class OpsSpec extends SparkSpec {
       (1L, s"a1 a2 a3 a4 a5 $shared b1 b2"),
       (2L, s"c1 c2 $shared d1 d2 d3")
     ).toDF("doc_id", "text")
-    // compute each doc's selected fingerprint SET via the same op
     val rows = graft.ops.TextAnalysis.winnow(tiny, 4).collect()
     assert(rows.length === 2)
-    // guarantee check needs the actual sets — recompute per doc pair
-    // with the public op on singleton frames and compare min/max spans
-    val s1 = graft.ops.TextAnalysis.winnow(tiny.filter(col("doc_id") === 1), 4)
-    val s2 = graft.ops.TextAnalysis.winnow(tiny.filter(col("doc_id") === 2), 4)
     // density: selected fingerprints are far fewer than grams
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1),
         "selected fingerprints cannot exceed gram count")
       assert(r.getLong(2) >= 1)
     }
-    // the winnowing guarantee on the full fixture: identical docs
-    // (same text planted twice) share their entire fingerprint set —
-    // min and max agree
+    // THE winnowing guarantee: the 8-token shared run (>= w+4 with
+    // w=4) forces a common fingerprint in both docs' SELECTED sets,
+    // despite different surrounding context and offsets
+    val sets = graft.ops.TextAnalysis.winnowSelected(tiny, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("sel")).toSet)
+      .toMap
+    assert((sets(1L) & sets(2L)).nonEmpty,
+      s"docs sharing a >= w+4 token run must share a fingerprint; " +
+        s"got disjoint sets ${sets(1L)} vs ${sets(2L)}")
+    // and identical docs share their entire fingerprint set
     val dup = Seq((10L, shared + " t1 t2 t3"), (11L, shared + " t1 t2 t3"))
       .toDF("doc_id", "text")
-    val dres = graft.ops.TextAnalysis.winnow(dup, 4).collect()
-      .map(r => (r.getLong(3), r.getLong(4))).distinct
-    assert(dres.length === 1, "identical docs must have identical fingerprints")
-    assert(s1.count() === 1 && s2.count() === 1)
+    val dsets = graft.ops.TextAnalysis.winnowSelected(dup, 4).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("sel")).toSet).distinct
+    assert(dsets.length === 1, "identical docs must have identical fingerprint sets")
+  }
+
+  test("rag search: a doc containing the query verbatim wins via its matching chunk") {
+    val docs = t(spark, sf, "documents")
+    // plant the query text as an extra tail chunk on one mid-corpus doc
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === 123,
+        concat(col("text"), lit(" needle alpha needle beta needle gamma")))
+        .otherwise(col("text")))
+    val hits = graft.ops.Curation.ragSearch(planted,
+      "needle alpha needle beta needle gamma", size = 8, stride = 8, k = 3).collect()
+    assert(hits.head.getLong(0) === 123L,
+      "the doc with the verbatim chunk must rank first")
+    // its best chunk is the LAST chunk (the planted tail)
+    val nChunks = hits.head.getLong(3)
+    assert(hits.head.getLong(2) === nChunks - 1,
+      "best_chunk must point at the planted tail chunk")
+    // and the winning score strictly beats every other doc's
+    assert(hits.head.getDouble(1) > hits(1).getDouble(1))
+  }
+
+  test("topic words: a token exclusive to one language tops that language's lift ranking") {
+    val docs = t(spark, sf, "documents")
+    // plant an exclusive token 6 times into 'es' docs only (> minCount)
+    val planted = docs.withColumn("text",
+      when(col("lang") === "es" && col("doc_id") % 83 === 0,
+        concat(col("text"), lit(" zzexclusivo zzexclusivo zzexclusivo " +
+          "zzexclusivo zzexclusivo zzexclusivo")))
+        .otherwise(col("text")))
+    val top = graft.ops.TextAnalysis.topicWords(planted, k = 5, minCount = 5L)
+      .filter(col("lang") === "es").orderBy(col("rnk")).collect()
+    assert(top.head.getString(1) === "zzexclusivo",
+      s"an es-exclusive token has maximal lift; got ${top.head.getString(1)}")
+    // exclusivity means lift = 1/P(lang-share): strictly above 1
+    assert(top.head.getDouble(3) > 1.0)
   }
 
   test("mixture weights: shares sum to 1 and weights rebalance to uniform") {
