@@ -49,7 +49,8 @@ object PlanDump {
       "x_unigram_logprob" -> "unigram LM: corpus counts derived from the tf rows (no second corpus pass), one-row total broadcast",
       "r_range_join" -> "interval join without an equi-key: 2-bucket fan-out makes it a plain equi-join — no CartesianProduct/BroadcastNestedLoopJoin anywhere",
       "r_above_avg_orders" -> "correlated-aggregate subquery decorrelated to one window over the correlation key — no per-row subquery execution",
-      "x_chunk_embed" -> "RAG chunking + per-chunk embedding: pure narrow map (tokenize once, window, embed), zero shuffles")
+      "x_chunk_embed" -> "RAG chunking + per-chunk embedding: pure narrow map (tokenize once, window, embed), zero shuffles",
+      "x_rag_search" -> "composed RAG retrieval: narrow chunk fan-out, broadcast query, one map-side-combinable per-doc max, TakeOrderedAndProject cut")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")

@@ -291,8 +291,10 @@ object QueryApis {
       idCol: String,
       afterValue: Long,
       afterId: Long,
-      limit: Int): DataFrame =
+      limit: Int,
+      filter: Column = lit(true)): DataFrame =
     points
+      .filter(filter)
       .filter(col(orderCol) > afterValue ||
         (col(orderCol) === afterValue && col(idCol) > afterId))
       .select(col(idCol), col(orderCol))
@@ -328,6 +330,13 @@ object QueryApis {
     "q_scroll_sorted" -> ((s, dir) =>
       scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
         afterValue = 300L, afterId = 0L, limit = 20)),
+    // Qdrant scroll with scroll_filter: the payload predicate AND the
+    // keyset cursor both push to the scan — a filtered page is still
+    // O(page)
+    "q_scroll_filtered" -> ((s, dir) =>
+      scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
+        afterValue = 300L, afterId = 0L, limit = 20,
+        filter = col("lang") === "en")),
     "q_mmr" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qRow = e.filter(col("vec_id") === 0).head
@@ -418,6 +427,11 @@ object QueryApis {
     "q_scroll_sorted" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 0)
+        |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_scroll_filtered" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE lang = 'en' AND (n_chars > 300 OR (n_chars = 300 AND doc_id > 0))
         |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin,
 
     "q_mmr" -> {
