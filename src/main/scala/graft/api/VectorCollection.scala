@@ -166,6 +166,13 @@ class VectorCollection private (
     graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `recommend_batch`: N recommend requests, one collection
+    * pass (broadcast request frame + request-keyed rank window). */
+  def recommendBatch(
+      requests: Seq[(Long, Seq[Long], Seq[Long])], k: Int = 5): DataFrame =
+    graft.search.QueryApis.recommendBatch(asPoints, requests, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
   /** Qdrant discovery search: rank by satisfied (positive, negative)
     * context pairs, then similarity to the target point. */
   def discover(targetId: Long, contextPairs: Seq[(Long, Long)], k: Int = 5): DataFrame =

@@ -87,6 +87,45 @@ object QueryApis {
       .limit(k)
   }
 
+  /** Qdrant `recommend_batch`: N recommendation requests answered in
+    * ONE pass over the collection. Each request's average_vector query
+    * and its example-exclusion list are driver-side constants (tiny,
+    * like B5 query embedding); they broadcast as one small frame, the
+    * corpus is scanned once with a per-request exclusion filter, and
+    * the per-request top-k is a rank window over request-keyed groups
+    * — the searchBatch shape, not N separate scans. */
+  def recommendBatch(
+      points: DataFrame,
+      requests: Seq[(Long, Seq[Long], Seq[Long])],
+      k: Int): DataFrame = {
+    require(requests.nonEmpty, "recommendBatch needs at least one request")
+    requests.foreach { case (rid, pos, _) =>
+      require(pos.nonEmpty, s"request $rid needs at least one positive example") }
+    val allIds = requests.flatMap { case (_, p, n) => p ++ n }.distinct
+    val vecs = fetchVecs(points, allIds)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val reqRows = requests.map { case (rid, pos, neg) =>
+      val avgPos = meanVec(pos.map(vecs))
+      val qv =
+        if (neg.isEmpty) avgPos
+        else {
+          val avgNeg = meanVec(neg.map(vecs))
+          Array.tabulate(avgPos.length)(i => avgPos(i) * 2.0 - avgNeg(i))
+        }
+      (rid, qv.toSeq, (pos ++ neg).distinct)
+    }
+    val reqs = reqRows.toDF("req_id", "qv", "excl")
+    val w = Window.partitionBy(col("req_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    points.crossJoin(broadcast(reqs))
+      .filter(!array_contains(col("excl"), col("vec_id")))
+      .select(col("req_id"), col("vec_id"),
+        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Qdrant discovery search: rank by how many (positive, negative)
     * context pairs a candidate satisfies — `round6(cos(v, pos)) ≥
     * round6(cos(v, neg))` — then by similarity to the target, then id.

@@ -117,4 +117,71 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(ham.filter(col("self") =!= 0).count() === 0L)
     assert(ham.filter(col("one") =!= 1).count() === 0L)
   }
+
+  test("string poly hash: native == HOF == reference fold, range-bounded, on random strings") {
+    // printable-ASCII strings plus spaces (the fixture's alphabet) —
+    // code-point parity on non-BMP chars has its own NativeParitySpec
+    // edge case
+    val strGen: Gen[String] = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.choose('!', '~')))
+        .map(_.mkString))
+    val strs = samples(strGen, 80)
+    def refHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000003L)
+    val rows = strs.toDF("s").select(col("s"),
+        graft.index.Embedder.tokenHash(col("s")).as("nat"),
+        graft.index.Embedder.tokenHashHof(col("s")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val expected = refHash(r.getString(0))
+      assert(r.getLong(1) === expected, s"native diverges on '${r.getString(0)}'")
+      assert(r.getLong(2) === expected, s"HOF diverges on '${r.getString(0)}'")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 1000003L)
+    }
+  }
+
+  test("filter DSL compiles to the documented boolean semantics on random filters") {
+    import graft.search._
+    val rows = (0 until 120).map { i =>
+      (i.toLong, if (i % 11 == 0) null else java.lang.Integer.valueOf(i % 7))
+    }
+    val df = rows.toDF("id", "tag")
+    val condGen: Gen[Cond] = Gen.oneOf(
+      Gen.choose(0, 6).map(v => MatchValue("tag", v)),
+      Gen.listOfN(2, Gen.choose(0, 6)).map(vs => MatchAnyOf("tag", vs.distinct)),
+      Gen.listOfN(2, Gen.choose(0, 6)).map(vs => MatchExcept("tag", vs.distinct)),
+      for { lo <- Gen.choose(0L, 60L); hi <- Gen.choose(60L, 120L) }
+        yield RangeCond("id", gte = Some(lo), lt = Some(hi)),
+      Gen.const(IsNullCond("tag")))
+    val filterGen: Gen[Filter] = for {
+      m <- Gen.listOfN(1, condGen); s <- Gen.choose(0, 2).flatMap(Gen.listOfN(_, condGen))
+      n <- Gen.choose(0, 1).flatMap(Gen.listOfN(_, condGen))
+    } yield Filter(m, s, n)
+    // reference evaluation: Qdrant's documented boolean model over the
+    // raw rows, with "missing key fails every field condition"
+    def evalCond(c: Cond, id: Long, tag: Option[Int]): Boolean = c match {
+      case MatchValue(_, v) => tag.contains(v)
+      case MatchAnyOf(_, vs) => tag.exists(t => vs.contains(t))
+      case MatchExcept(_, vs) => tag.exists(t => !vs.contains(t))
+      case RangeCond(_, gte, gt, lte, lt) =>
+        gte.forall(v => id >= v.asInstanceOf[Long]) &&
+          gt.forall(v => id > v.asInstanceOf[Long]) &&
+          lte.forall(v => id <= v.asInstanceOf[Long]) &&
+          lt.forall(v => id < v.asInstanceOf[Long])
+      case IsNullCond(_) => tag.isEmpty
+    }
+    samples(filterGen, 40).foreach { f =>
+      val expected = rows.collect {
+        case (id, tag) if {
+          val t = Option(tag).map(_.intValue)
+          f.must.forall(evalCond(_, id, t)) &&
+            (f.should.isEmpty || f.should.exists(evalCond(_, id, t))) &&
+            !f.mustNot.exists(evalCond(_, id, t))
+        } => id
+      }.toSet
+      val got = df.filter(f.toColumn).collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"filter $f compiled wrong")
+    }
+  }
 }

@@ -48,6 +48,22 @@ class QueryApisSpec extends SparkSpec {
     assert(!hits.map(_.getLong(0)).toSet.exists(Set(1L, 2L).contains))
   }
 
+  test("recommendBatch equals per-request recommend in one pass") {
+    val reqs = Seq(
+      (100L, Seq(1L, 2L), Seq(3L)),
+      (200L, Seq(5L), Seq.empty[Long]),
+      (300L, Seq(7L, 8L, 9L), Seq(10L, 11L)))
+    val batch = QueryApis.recommendBatch(emb, reqs, 5).collect()
+      .groupBy(_.getLong(0))
+    reqs.foreach { case (rid, pos, neg) =>
+      val single = QueryApis.recommend(emb, pos, neg, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(rid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch === single, s"request $rid must match single-request recommend")
+    }
+  }
+
   test("discover counts satisfied context pairs and ranks by (hits, target sim)") {
     val hits = QueryApis.discover(emb, 0L, Seq((1L, 2L), (3L, 4L)), 10).collect()
     assert(hits.length === 10)
