@@ -73,6 +73,42 @@ object Similarity {
     data.select(col("*"), ivfClusterId(col("embedding"), cents).as("cluster_id"))
   }
 
+  /** Approximate k-NN JOIN for a LARGE query side — the scale path
+    * when the query set is itself corpus-sized and cannot broadcast
+    * (dataset-vs-dataset linkage, recommendation backfills). Both
+    * sides hash into the shared banded sign-LSH buckets; candidates
+    * are matches in ANY band — a shuffle EQUI-join on the (band, bval)
+    * key, never a cross join — deduplicated BEFORE the vector fetch
+    * (the Dedup lesson: verify each candidate pair once), then
+    * cosine-verified and ranked per query. Approximate by
+    * construction; OpsSpec measures recall against the exact
+    * broadcast join on the fixture. */
+  def knnJoinLsh(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bands: Int = 10,
+      planesPerBand: Int = 5): DataFrame = {
+    val qb = queries.select(col("q_id"),
+        posexplode(bandedBuckets(col("qv"), bands, planesPerBand)))
+      .select(col("q_id"), col("pos").as("band"), col("col").as("bval"))
+    val db = data.select(col("vec_id"),
+        posexplode(bandedBuckets(col("embedding"), bands, planesPerBand)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bval"))
+    val cand = qb.join(db, Seq("band", "bval"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(data.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Top-`p` nearest-centroid ids for one vector, best-first — the
     * distributed analog of [[rankCentroids]] for a query SET: each
     * query row carries its own probe list, so a batch of queries scans
@@ -321,6 +357,15 @@ object Similarity {
       knnJoin(e, qs, 3).orderBy(col("q_id"), col("rnk"))
     }),
 
+    // LSH-bucketed k-NN join: 50 queries through the shuffle-join
+    // scale path (no broadcast of the query side at size).
+    "x_knn_join_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      knnJoinLsh(e, qs, 3).orderBy(col("q_id"), col("rnk"))
+    }),
+
     // IVF ANN: probe the persisted cluster-partitioned index — the
     // query vector's cluster is ranked driver-side (8 centroid dots,
     // like the reference's driver-side query embedding) and the read
@@ -477,6 +522,23 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_knn_join_lsh" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |bb AS (${duckBandedBuckets(10, 5)}),
+         |qb AS (SELECT vec_id AS q_id, band, bval FROM bb WHERE vec_id < 50),
+         |cand AS (SELECT DISTINCT qb.q_id, bb.vec_id
+         |  FROM qb JOIN bb USING (band, bval) WHERE bb.vec_id <> qb.q_id),
+         |sc AS (SELECT c.q_id, c.vec_id,
+         |    ROUND(${duckCosSim("e.embedding", "q.embedding")}, 6) AS score
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.q_id),
+         |r AS (SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
     "x_knn_classify" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
          |  FROM embeddings WHERE vec_id < 20),

@@ -541,6 +541,21 @@ class OpsSpec extends SparkSpec {
     assert(dsets.length === 1, "identical docs must have identical fingerprint sets")
   }
 
+  test("LSH knn join: non-vacuous recall vs the exact broadcast join") {
+    val e = t(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact = graft.ops.Similarity.knnJoin(e, qs, 3)
+      .filter(col("q_id") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.ops.Similarity.knnJoinLsh(e, qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3,
+      s"banded-LSH join recall degenerated to $recall — the scale path finds almost nothing")
+    assert(approx.nonEmpty && exact.nonEmpty)
+  }
+
   test("rag search: a doc containing the query verbatim wins via its matching chunk") {
     val docs = t(spark, sf, "documents")
     // plant the query text as an extra tail chunk on one mid-corpus doc
