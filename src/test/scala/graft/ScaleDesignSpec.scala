@@ -343,6 +343,17 @@ class ScaleDesignSpec extends SparkSpec {
       s"the one-row corpus total must broadcast:\n$uniPlan")
   }
 
+  test("LSH knn join plans as bucket equi-joins — no nested-loop/cartesian") {
+    val e = t(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val plan = Similarity.knnJoinLsh(e, qs, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the large-query-side join must ride the (band,bval) equi-key:\n$plan")
+  }
+
   test("bucketed range join is an equi-join — no nested-loop/cartesian plan") {
     val q = Relational.rangeJoinBucketed(t(spark, sf, "events"), 600L * 1000000L)
     val plan = q.queryExecution.executedPlan.toString
