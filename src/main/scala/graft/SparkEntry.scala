@@ -51,6 +51,14 @@ object SparkEntry {
       TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5)
     }),
 
+    // D1 with Qdrant's score_threshold: hits below the floor drop
+    // before the cut, so fewer than k rows may return.
+    "d1_score_threshold" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 20,
+        scoreThreshold = Some(0.3))
+    }),
+
     // E4: payload-filtered search — metadata predicate below scoring,
     // pushed down to the parquet scan.
     "e4_topk_filtered" -> ((s, dir) => {
@@ -520,6 +528,13 @@ object SparkEntry {
     "e4_topk_filtered" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
          |FROM embeddings WHERE label = 3 ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d1_score_threshold" ->
+      s"""WITH sc AS (SELECT vec_id,
+         |    ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
+         |  FROM embeddings)
+         |SELECT vec_id, score FROM sc WHERE score >= 0.3
+         |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "f1_cosine_scores" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score

@@ -30,13 +30,19 @@ object TopK {
       vecCol: String,
       k: Int,
       queryVecCol: String = "q",
-      payloadFilter: Column = lit(true)): DataFrame = {
-    points
+      payloadFilter: Column = lit(true),
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    val scored = points
       .filter(payloadFilter)
       .crossJoin(broadcast(query))
       .select(
         col(idCol),
         round(Kernels.cosine(col(vecCol), col(queryVecCol)), 6).as("score"))
+    // Qdrant score_threshold: drop hits below the floor BEFORE the
+    // cut — fewer than k rows may return. The filter sits inside the
+    // same projection stage, so it costs nothing and SHRINKS the
+    // per-partition top-k heaps.
+    scoreThreshold.fold(scored)(t => scored.filter(col("score") >= t))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
