@@ -357,6 +357,42 @@ object Similarity {
       knnJoin(e, qs, 3).orderBy(col("q_id"), col("rnk"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup blocked by k-means
+    // clusters — within each IVF cluster, a point is DROPPED when an
+    // earlier point sits above the cosine threshold. The cluster block
+    // bounds the pairwise work to per-cluster volumes (the paper's
+    // trick for web scale); the self-join repartitions both sides on
+    // cluster_id per the plan-hygiene rule. Emits the per-cluster
+    // keep/drop census a curation run reports.
+    "x_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // plant near-dups exactly like the other dedup queries
+      // (perturbed copies of every 20th vector, Dedup.DupOffset ids) —
+      // without them the census would pass vacuously with 0 drops
+      val dups = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(dups)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = ivfAssign(corpus, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      val a = asg.select(col("cluster_id"), col("vec_id").as("i"),
+        col("embedding").as("va")).repartition(col("cluster_id"))
+      val b = asg.select(col("cluster_id"), col("vec_id").as("j"),
+        col("embedding").as("vb")).repartition(col("cluster_id"))
+      val dropped = a.join(b, Seq("cluster_id"))
+        .filter(col("i") < col("j"))
+        .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
+        .select(col("j")).distinct()
+      asg.join(dropped.withColumn("is_dup", lit(1L)),
+          asg("vec_id") === dropped("j"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // LSH-bucketed k-NN join: 50 queries through the shuffle-join
     // scale path (no broadcast of the query side at size).
     "x_knn_join_lsh" -> ((s, dir) => {
@@ -522,6 +558,28 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_semdedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding[1:63] || [0.5::FLOAT] AS embedding
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM corpus e, c),
+         |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |p AS (SELECT b.vec_id AS j
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${duckCosSim("a.embedding", "b.embedding")}, 6) >= 0.9),
+         |d AS (SELECT DISTINCT j FROM p)
+         |SELECT cluster_id, count(*) AS n_points,
+         |  sum(CASE WHEN d.j IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+         |FROM asg LEFT JOIN d ON asg.vec_id = d.j
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     "x_knn_join_lsh" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |bb AS (${duckBandedBuckets(10, 5)}),

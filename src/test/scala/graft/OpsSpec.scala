@@ -541,6 +541,18 @@ class OpsSpec extends SparkSpec {
     assert(dsets.length === 1, "identical docs must have identical fingerprint sets")
   }
 
+  test("semdedup: planted near-duplicate copies are dropped, originals kept") {
+    val res = graft.ops.Similarity.queries("x_semdedup")(spark, sf).collect()
+    val dropped = res.map(_.getLong(2)).sum
+    val points = res.map(_.getLong(1)).sum
+    assert(dropped > 0, "the census must not pass vacuously with 0 drops")
+    val planted = t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(dropped <= planted,
+      "only perturbed copies can be dropped (unperturbed fixture has no 0.9 pairs)")
+    assert(points === t(spark, sf, "embeddings").count() + planted)
+  }
+
   test("LSH knn join: non-vacuous recall vs the exact broadcast join") {
     val e = t(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") < 50)
