@@ -169,6 +169,44 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental dedup: flag NEW documents that near-duplicate the
+    * EXISTING corpus — the nightly-crawl-vs-history gate, distinct
+    * from self-dedup (new×new pairs are a separate pass; history×
+    * history was settled when history was ingested). At scale the
+    * history side's (band, bval) table is a persisted index built
+    * once and reused per batch — each run shuffles only the new
+    * batch's bands into it; candidate verification is the same
+    * allocation-free sorted-set Jaccard as [[minhashPairs]], verified
+    * before the distinct so only real matches pay the dedup shuffle. */
+  def dedupAgainstHistory(
+      history: DataFrame,
+      fresh: DataFrame,
+      k: Int = 8,
+      jaccardMin: Double = 0.5): DataFrame = {
+    def bandsOf(df: DataFrame, idName: String, hsName: String): (DataFrame, DataFrame) = {
+      val withSig = withShingleHashes(df)
+        .withColumn("sig", minhashSig(col("hs"), k))
+      val hsTable = withSig.select(col("doc_id").as(idName), col("hs").as(hsName))
+      val bands = withSig.select(col("doc_id").as(idName),
+        posexplode(transform(sequence(lit(0), lit(k / 2 - 1)),
+          j => concat_ws(":",
+            element_at(col("sig"), j * 2 + 1),
+            element_at(col("sig"), j * 2 + 2)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      (bands, hsTable)
+    }
+    val (hb, hhs) = bandsOf(history, "hist_id", "hs_h")
+    val (fb, fhs) = bandsOf(fresh, "new_id", "hs_f")
+    fb.join(hb, Seq("band", "bval"))
+      .select(col("new_id"), col("hist_id"))
+      .join(fhs, Seq("new_id"))
+      .join(hhs, Seq("hist_id"))
+      .select(col("new_id"), col("hist_id"),
+        round(jaccard(col("hs_f"), col("hs_h")), 6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+      .distinct()
+  }
+
   // -- SimHash -----------------------------------------------------
 
   /** 32-bit SimHash from token poly-hashes: bit j of the fingerprint
@@ -495,6 +533,25 @@ object Dedup {
     "x_dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // incremental gate: history = doc_id < 400; the new batch is the
+    // rest PLUS planted perturbed copies of history docs (+2000000
+    // ids) that MUST be flagged against their sources — non-vacuous
+    // by construction
+    "x_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val history = d.filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val planted = history.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val fresh = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .repartition(col("doc_id"))
+      dedupAgainstHistory(history, fresh)
+        .orderBy(col("new_id"), col("hist_id"))
+    }),
     // Pairs → connected components → keeper: the grouping step that
     // makes pairwise near-dup output actionable (transitivity closure
     // over the MinHash pair graph, then one keeper per cluster).
@@ -539,6 +596,32 @@ object Dedup {
          |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
+    "x_dedup_incremental" -> {
+      val hs = (src: String) =>
+        s"""SELECT doc_id, list_distinct(list_transform(sh, s -> ${Embedder.duckStringHash("s")})) AS hs FROM (
+           |    SELECT doc_id, ${duckShingles("text")} AS sh FROM $src) z""".stripMargin
+      val bands = (sigsCte: String) =>
+        s"""SELECT doc_id, hs, j AS band,
+           |    sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
+           |  FROM $sigsCte, (SELECT unnest(range(0, 4)) AS j) js""".stripMargin
+      s"""WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' zz yy xx' AS text
+         |  FROM documents WHERE doc_id < 400 AND doc_id % 25 = 0),
+         |hsig AS (SELECT doc_id, hs, ${duckMinhashSig("hs", 8)} AS sig FROM (${hs("history")}) y),
+         |fsig AS (SELECT doc_id, hs, ${duckMinhashSig("hs", 8)} AS sig FROM (${hs("fresh")}) y),
+         |hb AS (${bands("hsig")}),
+         |fb AS (${bands("fsig")})
+         |SELECT DISTINCT fb.doc_id AS new_id, hb.doc_id AS hist_id,
+         |  ROUND(len(list_intersect(fb.hs, hb.hs))::DOUBLE /
+         |    len(list_distinct(fb.hs || hb.hs))::DOUBLE, 6) AS jaccard
+         |FROM fb JOIN hb ON fb.band = hb.band AND fb.bval = hb.bval
+         |WHERE ROUND(len(list_intersect(fb.hs, hb.hs))::DOUBLE /
+         |    len(list_distinct(fb.hs || hb.hs))::DOUBLE, 6) >= 0.5
+         |ORDER BY new_id, hist_id""".stripMargin
+    },
     "x_dedup_simhash" -> duckSimhashPairs(),
     "x_dedup_ngram" -> duckNgramJaccardPairs(),
     "x_dedup_embedding" -> duckEmbeddingPairs(),
