@@ -77,13 +77,18 @@ class VectorCollection private (
   /** points_count. */
   def count: Long = table.count()
 
-  /** D1+E4: dense top-k cosine search with optional payload filter. */
-  def search(queryVec: Seq[Float], k: Int = 5, filter: Column = lit(true)): DataFrame = {
+  /** D1+E4: dense top-k cosine search with optional payload filter and
+    * Qdrant's `score_threshold` (hits below the floor drop before the
+    * cut — fewer than k rows may return). */
+  def search(
+      queryVec: Seq[Float], k: Int = 5, filter: Column = lit(true),
+      scoreThreshold: Option[Double] = None): DataFrame = {
     require(!config.multiVector, "dense search on a multi-vector collection")
     require(queryVec.length == config.dim,
       s"query dim ${queryVec.length} != collection dim ${config.dim}")
     val q = spark.range(1).select(typedlit(queryVec).as("q"))
-    TopK.dense(table, q, config.idCol, config.vectorCol, k, payloadFilter = filter)
+    TopK.dense(table, q, config.idCol, config.vectorCol, k,
+      payloadFilter = filter, scoreThreshold = scoreThreshold)
   }
 
   /** D2: MaxSim late-interaction top-k for multi-vector collections. */

@@ -118,20 +118,31 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     Kernels.ofExpr(graft.vector.JaccardSorted(Kernels.exprOf(a), Kernels.exprOf(b)))
 
-  def minhashPairs(corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+  /** Shared signature→bands derivation: (bands(id, band, bval),
+    * hs(id, hs)) for one corpus — the ONE banding definition
+    * [[minhashPairs]] and [[dedupAgainstHistory]] both build on
+    * (callers pick their own shuffle). */
+  private def sigBands(
+      corpus: DataFrame, k: Int,
+      idName: String, hsName: String): (DataFrame, DataFrame) = {
     val withSig = withShingleHashes(corpus)
       .withColumn("sig", minhashSig(col("hs"), k))
-    val hsTable = withSig.select(col("doc_id"), col("hs"))
+    val hsTable = withSig.select(col("doc_id").as(idName), col("hs").as(hsName))
     val bands = withSig.select(
-      col("doc_id"),
+      col("doc_id").as(idName),
       posexplode(transform(sequence(lit(0), lit(k / 2 - 1)),
         j => concat_ws(":",
           element_at(col("sig"), j * 2 + 1),
           element_at(col("sig"), j * 2 + 2)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      // shuffle on the bucket key: computes signatures once; both join
-      // sides reuse the exchange
-      .repartition(col("band"), col("bval"))
+    (bands, hsTable)
+  }
+
+  def minhashPairs(corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+    val (rawBands, hsTable) = sigBands(corpus, k, "doc_id", "hs")
+    // shuffle on the bucket key: computes signatures once; both join
+    // sides reuse the exchange
+    val bands = rawBands.repartition(col("band"), col("bval"))
     // candidate ids (duplicated across colliding bands — NOT distinct
     // here: deduping first would shuffle every raw candidate pair,
     // which dwarfs re-running the allocation-free Jaccard on the ≤4
@@ -155,14 +166,23 @@ object Dedup {
       .distinct()
   }
 
+  /** DuckDB twins of [[sigBands]] — one definition feeding both the
+    * self-dedup and against-history oracles. */
+  private def duckSigsCte(src: String, k: Int): String =
+    s"""SELECT doc_id, hs, ${duckMinhashSig("hs", k)} AS sig FROM (
+       |  SELECT doc_id, list_distinct(list_transform(sh, s -> ${Embedder.duckStringHash("s")})) AS hs FROM (
+       |    SELECT doc_id, ${duckShingles("text")} AS sh FROM $src) z
+       |  ) y""".stripMargin
+
+  private def duckBandsCte(sigs: String, k: Int): String =
+    s"""SELECT doc_id, hs, j AS band,
+       |    sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
+       |  FROM $sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js""".stripMargin
+
   def duckMinhashPairs(k: Int = 8, jaccardMin: Double = 0.5): String =
     s"""WITH corpus AS ($duckCorpusWithDups),
-       |sigs AS (SELECT doc_id, hs, ${duckMinhashSig("hs", k)} AS sig FROM (
-       |  SELECT doc_id, list_distinct(list_transform(sh, s -> ${Embedder.duckStringHash("s")})) AS hs FROM (
-       |    SELECT doc_id, ${duckShingles("text")} AS sh FROM corpus) z
-       |  ) y),
-       |bands AS (SELECT doc_id, hs, j AS band, sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
-       |  FROM sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js),
+       |sigs AS (${duckSigsCte("corpus", k)}),
+       |bands AS (${duckBandsCte("sigs", k)}),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    ROUND(len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
@@ -183,20 +203,8 @@ object Dedup {
       fresh: DataFrame,
       k: Int = 8,
       jaccardMin: Double = 0.5): DataFrame = {
-    def bandsOf(df: DataFrame, idName: String, hsName: String): (DataFrame, DataFrame) = {
-      val withSig = withShingleHashes(df)
-        .withColumn("sig", minhashSig(col("hs"), k))
-      val hsTable = withSig.select(col("doc_id").as(idName), col("hs").as(hsName))
-      val bands = withSig.select(col("doc_id").as(idName),
-        posexplode(transform(sequence(lit(0), lit(k / 2 - 1)),
-          j => concat_ws(":",
-            element_at(col("sig"), j * 2 + 1),
-            element_at(col("sig"), j * 2 + 2)))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      (bands, hsTable)
-    }
-    val (hb, hhs) = bandsOf(history, "hist_id", "hs_h")
-    val (fb, fhs) = bandsOf(fresh, "new_id", "hs_f")
+    val (hb, hhs) = sigBands(history, k, "hist_id", "hs_h")
+    val (fb, fhs) = sigBands(fresh, k, "new_id", "hs_f")
     fb.join(hb, Seq("band", "bval"))
       .select(col("new_id"), col("hist_id"))
       .join(fhs, Seq("new_id"))
@@ -308,16 +316,38 @@ object Dedup {
 
   // -- embedding cosine near-dup -----------------------------------
 
+  /** Embedding fixture with planted near-duplicates (perturbed copies
+    * of every 20th vector, [[DupOffset]] ids) — the ONE definition all
+    * embedding-dedup queries share (label-blocked, LSH, semdedup), so
+    * the plant can never diverge between them or from
+    * [[duckEmbCorpusWithDups]]. `withLabel` keeps the block key for
+    * the label-blocked variant. */
+  private[ops] def embCorpusWithDups(emb: DataFrame, withLabel: Boolean): DataFrame = {
+    val labelCols = if (withLabel) Seq(col("label")) else Nil
+    val dups = emb.filter(col("vec_id") % 20 === 0)
+      .select(Seq((col("vec_id") + DupOffset).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding")) ++
+        labelCols: _*)
+    emb.select(Seq(col("vec_id"), col("embedding")) ++ labelCols: _*)
+      .unionByName(dups)
+  }
+
+  /** DuckDB twin of [[embCorpusWithDups]]. */
+  private[ops] def duckEmbCorpusWithDups(withLabel: Boolean): String = {
+    val lbl = if (withLabel) ", label" else ""
+    s"""SELECT vec_id, embedding$lbl FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $DupOffset AS vec_id,
+       |    embedding[1:63] || [0.5::FLOAT] AS embedding$lbl
+       |  FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+  }
+
   /** Embedding-space near-dup: perturbed copies of every 20th vector
     * (last component replaced) joined back through a label block, kept
     * at cosine ≥ simMin. Label plays the coarse ANN bucket; the scale
     * path swaps in the LSH sign-sketch (Similarity.signBucket). */
   def embeddingPairs(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
-    val dups = emb.filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + DupOffset).as("vec_id"),
-        concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"),
-        col("label"))
-    val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).unionByName(dups)
+    val corpus = embCorpusWithDups(emb, withLabel = true)
       // shuffle once on the block key; both join sides reuse the exchange
       .repartition(col("label"))
     val a = corpus.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
@@ -330,11 +360,7 @@ object Dedup {
   }
 
   def duckEmbeddingPairs(simMin: Double = 0.9): String =
-    s"""WITH corpus AS (
-       |  SELECT vec_id, embedding, label FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 1000000 AS vec_id, embedding[1:63] || [0.5::FLOAT] AS embedding, label
-       |  FROM embeddings WHERE vec_id % 20 = 0),
+    s"""WITH corpus AS (${duckEmbCorpusWithDups(withLabel = true)}),
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
        |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -355,10 +381,7 @@ object Dedup {
       simMin: Double = 0.9,
       bands: Int = 10,
       planesPerBand: Int = 5): DataFrame = {
-    val dups = emb.filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + DupOffset).as("vec_id"),
-        concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"))
-    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(dups)
+    val corpus = embCorpusWithDups(emb, withLabel = false)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     // (band, bval, vec_id) — the narrow exploded candidate key; the
     // embedding stays behind in `vecs` so the bucket shuffle moves ids,
@@ -597,23 +620,16 @@ object Dedup {
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
     "x_dedup_incremental" -> {
-      val hs = (src: String) =>
-        s"""SELECT doc_id, list_distinct(list_transform(sh, s -> ${Embedder.duckStringHash("s")})) AS hs FROM (
-           |    SELECT doc_id, ${duckShingles("text")} AS sh FROM $src) z""".stripMargin
-      val bands = (sigsCte: String) =>
-        s"""SELECT doc_id, hs, j AS band,
-           |    sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
-           |  FROM $sigsCte, (SELECT unnest(range(0, 4)) AS j) js""".stripMargin
       s"""WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          |fresh AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
          |  UNION ALL
          |  SELECT doc_id + 2000000 AS doc_id, text || ' zz yy xx' AS text
          |  FROM documents WHERE doc_id < 400 AND doc_id % 25 = 0),
-         |hsig AS (SELECT doc_id, hs, ${duckMinhashSig("hs", 8)} AS sig FROM (${hs("history")}) y),
-         |fsig AS (SELECT doc_id, hs, ${duckMinhashSig("hs", 8)} AS sig FROM (${hs("fresh")}) y),
-         |hb AS (${bands("hsig")}),
-         |fb AS (${bands("fsig")})
+         |hsig AS (${duckSigsCte("history", 8)}),
+         |fsig AS (${duckSigsCte("fresh", 8)}),
+         |hb AS (${duckBandsCte("hsig", 8)}),
+         |fb AS (${duckBandsCte("fsig", 8)})
          |SELECT DISTINCT fb.doc_id AS new_id, hb.doc_id AS hist_id,
          |  ROUND(len(list_intersect(fb.hs, hb.hs))::DOUBLE /
          |    len(list_distinct(fb.hs || hb.hs))::DOUBLE, 6) AS jaccard

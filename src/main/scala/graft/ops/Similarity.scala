@@ -366,13 +366,9 @@ object Similarity {
     // keep/drop census a curation run reports.
     "x_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // plant near-dups exactly like the other dedup queries
-      // (perturbed copies of every 20th vector, Dedup.DupOffset ids) —
-      // without them the census would pass vacuously with 0 drops
-      val dups = e.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          concat(slice(col("embedding"), 1, 63), array(lit(0.5f))).as("embedding"))
-      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(dups)
+      // the SHARED planted-dup corpus (Dedup.embCorpusWithDups) —
+      // without the plant the census would pass vacuously with 0 drops
+      val corpus = Dedup.embCorpusWithDups(e, withLabel = false)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       val asg = ivfAssign(corpus, cents)
@@ -381,15 +377,18 @@ object Similarity {
         col("embedding").as("va")).repartition(col("cluster_id"))
       val b = asg.select(col("cluster_id"), col("vec_id").as("j"),
         col("embedding").as("vb")).repartition(col("cluster_id"))
+      // carry the cluster with the dropped id so the census aggregates
+      // the already-shuffled sides — no third pass over the assignment
       val dropped = a.join(b, Seq("cluster_id"))
         .filter(col("i") < col("j"))
         .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
-        .select(col("j")).distinct()
-      asg.join(dropped.withColumn("is_dup", lit(1L)),
-          asg("vec_id") === dropped("j"), "left")
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_points"),
-          sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"))
+        .select(col("cluster_id"), col("j")).distinct()
+      val nDropped = dropped.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_dropped"))
+      a.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_points"))
+        .join(nDropped, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_points"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
         .orderBy(col("cluster_id"))
     }),
 
@@ -559,26 +558,22 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "x_semdedup" ->
-      s"""WITH corpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id, embedding[1:63] || [0.5::FLOAT] AS embedding
-         |  FROM embeddings WHERE vec_id % 20 = 0),
+      s"""WITH corpus AS (${Dedup.duckEmbCorpusWithDups(withLabel = false)}),
          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |scored AS (SELECT e.vec_id, e.embedding, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
          |  FROM corpus e, c),
          |asg AS (SELECT vec_id, embedding, c_id AS cluster_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
          |  WHERE rn = 1),
-         |p AS (SELECT b.vec_id AS j
+         |d AS (SELECT DISTINCT b.cluster_id, b.vec_id AS j
          |  FROM asg a JOIN asg b
          |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
          |  WHERE ROUND(${duckCosSim("a.embedding", "b.embedding")}, 6) >= 0.9),
-         |d AS (SELECT DISTINCT j FROM p)
-         |SELECT cluster_id, count(*) AS n_points,
-         |  sum(CASE WHEN d.j IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
-         |FROM asg LEFT JOIN d ON asg.vec_id = d.j
-         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+         |nd AS (SELECT cluster_id, count(*)::BIGINT AS n_dropped FROM d GROUP BY cluster_id)
+         |SELECT asg.cluster_id, count(*) AS n_points,
+         |  coalesce(any_value(nd.n_dropped), 0)::BIGINT AS n_dropped
+         |FROM asg LEFT JOIN nd ON asg.cluster_id = nd.cluster_id
+         |GROUP BY asg.cluster_id ORDER BY asg.cluster_id""".stripMargin,
 
     "x_knn_join_lsh" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),

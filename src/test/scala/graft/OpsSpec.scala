@@ -541,6 +541,25 @@ class OpsSpec extends SparkSpec {
     assert(dsets.length === 1, "identical docs must have identical fingerprint sets")
   }
 
+  test("incremental dedup: every planted copy flags against its history source") {
+    val d = t(spark, sf, "documents")
+    val history = d.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+    val planted = history.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    val fresh = d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val matches = graft.ops.Dedup.dedupAgainstHistory(history, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedSelfMatches = history.filter(col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0))
+      .map(id => (id + 2000000L, id)).toSet
+    assert(expectedSelfMatches.subsetOf(matches),
+      s"missing planted matches: ${expectedSelfMatches -- matches}")
+    // no new-batch-internal pairs leak in: every flagged partner is history
+    assert(matches.forall(_._2 < 400))
+  }
+
   test("semdedup: planted near-duplicate copies are dropped, originals kept") {
     val res = graft.ops.Similarity.queries("x_semdedup")(spark, sf).collect()
     val dropped = res.map(_.getLong(2)).sum

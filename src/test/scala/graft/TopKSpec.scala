@@ -50,6 +50,22 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("SortExec"))
   }
 
+  test("score threshold: floor drops tail hits BEFORE the cut, never reorders") {
+    import graft.Tables.t
+    val e = t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val plain = TopK.dense(e, q, "vec_id", "embedding", 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val floored = TopK.dense(e, q, "vec_id", "embedding", 20,
+      scoreThreshold = Some(0.3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the floored result is exactly the plain prefix that clears 0.3
+    assert(floored.toSeq === plain.takeWhile(_._2 >= 0.3).toSeq)
+    assert(floored.nonEmpty && floored.length < plain.length,
+      "the fixture threshold must actually bite (non-vacuous)")
+    assert(floored.forall(_._2 >= 0.3))
+  }
+
   test("formatResults: null payload becomes 'Unknown'") {
     import spark.implicits._
     val hits = Seq((1L, 0.5, null.asInstanceOf[String]), (2L, 0.4, "f"))
