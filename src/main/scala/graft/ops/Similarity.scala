@@ -32,9 +32,16 @@ object Similarity {
 
   /** k-NN join: for every query row, the k nearest rows of `data` by
     * cosine. Query side is broadcast (small); ranking window is
-    * partitioned by query id. */
+    * partitioned by query id — the ONLY shuffle on this path, and it
+    * carries (q_id, vec_id, score) triples, never embeddings. The
+    * corpus is scored straight off its scan partitions: at 100 TB the
+    * scan is thousands of file splits and re-exchanging 64-float
+    * vectors to "spread" it would itself be the bottleneck (the
+    * round-4 finding). Fixture parallelism is the caller's concern —
+    * see [[fanOutIfNarrow]]. Plan-asserted in ScaleDesignSpec: every
+    * hash exchange in this plan keys on q_id. */
   def knnJoin(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = data.repartition(col("vec_id")).crossJoin(broadcast(queries))
+    val scored = data.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
     val w = Window.partitionBy(col("q_id"))
@@ -42,6 +49,19 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
+  /** Fixture shim for EXPENSIVE per-row work (embedding) on a narrow
+    * input: the test parquet is one file with one row group, so its
+    * scan is a single task no matter how the reader splits bytes. When
+    * the input has fewer partitions than the session's default
+    * parallelism, fan out round-robin BEFORE the expensive map; on a
+    * real corpus (many files / row groups) the condition is false and
+    * this is a no-op — scan parallelism comes from file splits, never
+    * from re-exchanging the corpus. */
+  def fanOutIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Nearest-centroid id for one vector: every centroid cosine is
@@ -303,8 +323,8 @@ object Similarity {
     // pipeline (embedder → broadcast query side → ranking window).
     "x_embed_knn_docs" -> ((s, dir) => {
       import graft.index.Embedder
-      val emb = t(s, dir, "documents")
-        .repartition(col("doc_id"))
+      // fanOutIfNarrow: the embed is the expensive stage; see scaladoc
+      val emb = fanOutIfNarrow(t(s, dir, "documents"))
         .withColumn("_th", Embedder.tokenHashes(col("text")))
         .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
       val qs = emb.filter(col("doc_id") < 5)

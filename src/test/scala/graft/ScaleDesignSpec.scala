@@ -343,6 +343,21 @@ class ScaleDesignSpec extends SparkSpec {
       s"the one-row corpus total must broadcast:\n$uniPlan")
   }
 
+  test("broadcast-query knn join: corpus scores off its scan, only the q_id window shuffles") {
+    val e = t(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val plan = Similarity.knnJoin(e, qs, 3).queryExecution.executedPlan.toString
+    // the round-4 finding: no Exchange may sit between the scan and the
+    // scoring projection — at 100 TB that exchange moves every embedding.
+    // The ranking window's q_id shuffle is the single permitted exchange,
+    // and it carries (q_id, vec_id, score) triples only.
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "q_id"),
+      s"only the q_id ranking window may shuffle on the broadcast-query path:\n$plan")
+  }
+
   test("LSH knn join plans as bucket equi-joins — no nested-loop/cartesian") {
     val e = t(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") < 50)
