@@ -445,10 +445,9 @@ object Dedup {
     * table plus a min-aggregate — both keyed shuffles that scale
     * horizontally; rounds = graph diameter. Near-dup components are
     * dense (near-cliques around a shared source document), so diameter
-    * is small — 2–3 rounds in practice; for adversarially long chains
-    * the published fix is star-contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14), which
-    * this simple propagation converts to directly. Lineage is
+    * is small — 2–3 rounds in practice; when a graph exhausts the
+    * round cap (chain-shaped components), the call falls back to
+    * [[clustersStar]], the O(log n)-round star contraction. Lineage is
     * truncated every round with an eager `localCheckpoint` (on a
     * cluster: `checkpoint` to a reliable store), so the plan does not
     * grow with iteration count.
@@ -482,21 +481,86 @@ object Dedup {
       iter += 1
     }
     adj.unpersist()
-    // fail loudly rather than return a silently-split component: a
-    // chain longer than maxIters hops means this graph needs the
-    // star-contraction variant (O(log n) rounds), not a bigger cap
+    // a component deeper than the round cap (chain-shaped graphs:
+    // templated spam chains, serial near-copies) converges in
+    // O(diameter) here but O(log n) under star contraction — switch
+    // algorithms instead of failing or raising the cap
+    if (converged) labels else clustersStar(pairs)
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — O(log n) rounds regardless of component
+    * diameter, where [[clusters]]' label propagation needs O(diameter)
+    * rounds. The scale path for chain-shaped duplicate graphs.
+    *
+    * Each round is two keyed shuffles over the CURRENT edge set (which
+    * only shrinks toward one star edge per non-root node):
+    *  - large-star: every node points its LARGER neighbors at its
+    *    minimum neighbor — emit (v, m(u)) for v ∈ Γ(u), v > u, with
+    *    m(u) = min(Γ(u) ∪ {u});
+    *  - small-star: orient edges toward the smaller endpoint, then
+    *    every node points its smaller neighbors AND itself at the
+    *    minimum — emit (v, m(u)) for v ∈ Γ⁻(u) ∪ {u}.
+    * Both preserve connectivity (the paper's Lemmas 1–2); the fixpoint
+    * is a forest of stars centered at each component's minimum id.
+    * Lineage is truncated per round with `localCheckpoint` (on a
+    * cluster: `checkpoint` to reliable storage).
+    *
+    * Same contract as [[clusters]]: returns (id, cluster_id) for every
+    * node appearing in at least one pair. */
+  def clustersStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star over both edge directions: (b, m(a)) for b > a
+      val dir = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = dir.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val large = dir.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star over min-oriented edges: (v, m(a)) for v ∈ Γ⁻(a) ∪ {a}
+      val oriented = large.select(
+        greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins2 = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = oriented.join(mins2, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0L
+      edges = next
+      iter += 1
+    }
     require(converged,
-      s"clusters() did not converge within $maxIters rounds — component " +
-        "diameter exceeds the cap; use star-contraction for chain-shaped graphs")
-    labels
+      s"clustersStar() did not converge within $maxIters rounds — " +
+        "O(log n) contraction should never need this many; check the input")
+    // fixpoint edges are (node → component root); roots label themselves
+    nodes.join(edges.groupBy(col("a")).agg(min(col("b")).as("cid")),
+        nodes("id") === col("a"), "left")
+      .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
   }
 
   /** Cluster + keeper selection in one pass: label every clustered doc,
     * then per cluster pick the longest text (doc_id-asc tiebreak) as
     * the keeper and count members — a single shuffle on cluster_id
     * (both window functions and the count share the partition). */
-  def clustersWithKeeper(corpus: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = clusters(pairs)
+  def clustersWithKeeper(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    keeperize(corpus, clusters(pairs))
+
+  /** Keeper selection over a (id, cluster_id) labeling — shared by the
+    * propagation and star-contraction paths so both emit the same
+    * report shape. */
+  private[ops] def keeperize(corpus: DataFrame, cc: DataFrame): DataFrame = {
     val labeled = cc
       .join(corpus.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("len"))
@@ -584,6 +648,17 @@ object Dedup {
         .orderBy(col("cluster_id"), col("doc_id"))
     }),
 
+    // Same components through the O(log n) star contraction — the
+    // scale path for chain-shaped graphs, oracle-gated against the
+    // identical recursive-CTE labeling so both algorithms are held to
+    // the same answer on the same pair list.
+    "x_dedup_clusters_star" -> ((s, dir) => {
+      val corpus = corpusWithDups(t(s, dir, "documents"))
+      keeperize(corpus,
+          clustersStar(minhashPairs(corpus).select(col("id_a"), col("id_b"))))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
     // Dedup quality gate: recall of the banded-LSH candidate path
     // against the label-blocked exact pairs (which contain every
     // planted near-dup, since a perturbed copy keeps its label). The
@@ -642,6 +717,7 @@ object Dedup {
     "x_dedup_ngram" -> duckNgramJaccardPairs(),
     "x_dedup_embedding" -> duckEmbeddingPairs(),
     "x_dedup_clusters" -> duckClustersWithKeeper(duckMinhashPairs()),
+    "x_dedup_clusters_star" -> duckClustersWithKeeper(duckMinhashPairs()),
     "x_dedup_lsh_recall" ->
       s"""WITH e AS (${duckEmbeddingPairs()}), l AS (${duckEmbeddingPairsLsh()})
          |SELECT n_exact, n_lsh, n_common,

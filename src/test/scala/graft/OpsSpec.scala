@@ -73,18 +73,38 @@ class OpsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("clusters: over-diameter graph fails loudly instead of splitting components") {
+  test("clusters: over-diameter graph falls back to star contraction, never splits") {
     import spark.implicits._
-    // a 9-node path needs 8 propagation rounds; cap at 3 → must throw,
-    // never silently report a split component
+    // a 9-node path needs 8 propagation rounds; cap at 3 → the call
+    // must switch to star contraction and still resolve one component
     val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
-      Dedup.clusters(chain, maxIters = 3)
-    }
-    // with the default cap the same chain resolves to one component
-    val cc = Dedup.clusters(chain).collect().map(_.getLong(1)).toSet
-    assert(cc === Set(1L))
+    val cc = Dedup.clusters(chain, maxIters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 9 && cc.forall(_._2 === 1L))
+  }
+
+  test("star contraction resolves a 50-long chain min-label would exhaust") {
+    import spark.implicits._
+    // non-consecutive ids so the component min isn't an artifact of
+    // dense numbering; diameter 50 > the 25-round propagation cap
+    val ids = (0 to 50).map(i => i * 7L + 3L)
+    val chain = ids.sliding(2).map(s => (s.last, s.head)).toSeq
+      .toDF("id_a", "id_b")
+    val star = Dedup.clustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(star.length === 51 && star.forall(_._2 === 3L),
+      "every chain node must label with the component minimum")
+    // the propagation entry point agrees via its internal fallback
+    val viaFallback = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(viaFallback === star)
+    // and on a shallow branchy graph the two algorithms agree too
+    val bushy = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val a = Dedup.clusters(bushy).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Dedup.clustersStar(bushy).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a === b)
   }
 
   test("clustersWithKeeper: longest text wins, members counted per component") {
