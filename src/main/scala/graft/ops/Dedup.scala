@@ -314,6 +314,99 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
        |ORDER BY id_a, id_b""".stripMargin
 
+  // -- exact-substring dedup (Lee et al. 2022) ----------------------
+
+  /** Token length of the planted shared span and the span itself — a
+    * fixed 60-token boilerplate appended to every 97th document, so
+    * otherwise-unrelated docs share one long verbatim run (the case
+    * exact-substring dedup exists for: license headers, templated
+    * footers, quoted passages — docs MinHash won't pair because the
+    * rest differs). */
+  private val SpanTokens = 60
+  val SharedSpan: String =
+    (0 until SpanTokens).map(i => "sp" + i).mkString(" ")
+
+  def corpusWithSpan(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 97 === 0, concat(col("text"), lit(" " + SharedSpan)))
+        .otherwise(col("text")).as("text"))
+
+  private[ops] val duckCorpusWithSpan: String =
+    s"SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN text || ' $SharedSpan' " +
+      "ELSE text END AS text FROM documents"
+
+  private val WinM = 2147483647L // 2^31-1: window-hash modulus
+
+  /** Exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): report document pairs
+    * sharing at least `minShared` verbatim token windows of length
+    * `window` — the dedup family that catches long copied spans inside
+    * otherwise-different documents (MinHash pairs whole near-dup docs;
+    * line dedup catches exact lines; neither sees a 60-token quote).
+    *
+    * Lee et al. build a corpus-wide suffix array — inherently
+    * sequential. The Spark-native equivalent buckets by rolling window
+    * hash: every doc emits the poly hash of each `window`-token
+    * sliding window ((h·31+tok) mod 2^31−1 over [[Embedder]] token
+    * hashes), pairs form per shared hash bucket, and a pair's
+    * `n_shared` counts distinct shared windows (a span of L tokens
+    * yields L−window+1 of them). Never all-pairs: candidates ride the
+    * whash equi-join, and buckets larger than `maxBucket` docs are
+    * dropped before pairing (boilerplate shared by thousands of docs
+    * would square into the pair count; such spans are corpus-wide
+    * artifacts for line/cluster dedup, not pairwise reporting — the
+    * cap is the documented coverage bound). Window hashing is O(n·W)
+    * per doc with W constant — linear, not the quadratic re-evaluation
+    * the HOF rule bans. */
+  def substringPairs(
+      corpus: DataFrame,
+      window: Int = 20,
+      minShared: Int = 5,
+      maxBucket: Int = 100): DataFrame = {
+    val wins = when(size(col("_th")) >= window,
+      transform(sequence(lit(0), size(col("_th")) - window),
+        i => aggregate(slice(col("_th"), i + 1, lit(window)), lit(0L),
+          (h, t) => (h * 31L + t) % WinM)))
+      .otherwise(array().cast("array<bigint>"))
+    val dw = corpus
+      .withColumn("_th", Embedder.tokenHashes(col("text")))
+      .select(col("doc_id"), explode(wins).as("whash"))
+      .distinct() // a doc repeating its own span pairs once, not n²
+      .repartition(col("whash"))
+    val ok = dw.groupBy(col("whash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select(col("whash"))
+    val b = dw.join(ok, Seq("whash"))
+    b.select(col("whash"), col("doc_id").as("id_a"))
+      .join(b.select(col("whash"), col("doc_id").as("id_b")), Seq("whash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[substringPairs]] over [[duckCorpusWithSpan]]. */
+  def duckSubstringPairs(
+      window: Int = 20,
+      minShared: Int = 5,
+      maxBucket: Int = 100): String =
+    s"""WITH corpus AS ($duckCorpusWithSpan),
+       |tok AS (SELECT doc_id, ${Embedder.duckTokenHashes("text")} AS th FROM corpus),
+       |wi AS (SELECT doc_id, th,
+       |    unnest(range(0, greatest(len(th) - ${window - 1}, 0))) AS i FROM tok),
+       |dw AS (SELECT DISTINCT doc_id,
+       |    list_reduce(th[i + 1 : i + $window], (h, t) -> (h * 31 + t) % $WinM) AS whash
+       |  FROM wi),
+       |ok AS (SELECT whash FROM dw GROUP BY whash
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |b AS (SELECT doc_id, whash FROM dw JOIN ok USING (whash)),
+       |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |  FROM b x JOIN b y USING (whash) WHERE x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -- embedding cosine near-dup -----------------------------------
 
   /** Embedding fixture with planted near-duplicates (perturbed copies
@@ -659,6 +752,14 @@ object Dedup {
         .orderBy(col("cluster_id"), col("doc_id"))
     }),
 
+    // Exact-substring dedup: unrelated docs sharing one long verbatim
+    // span pair up on shared window hashes. The planted 60-token span
+    // yields 41 shared 20-token windows per planted pair — far above
+    // minShared, and invisible to whole-doc MinHash.
+    "x_substring_dedup" -> ((s, dir) =>
+      substringPairs(corpusWithSpan(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Dedup quality gate: recall of the banded-LSH candidate path
     // against the label-blocked exact pairs (which contain every
     // planted near-dup, since a perturbed copy keeps its label). The
@@ -718,6 +819,7 @@ object Dedup {
     "x_dedup_embedding" -> duckEmbeddingPairs(),
     "x_dedup_clusters" -> duckClustersWithKeeper(duckMinhashPairs()),
     "x_dedup_clusters_star" -> duckClustersWithKeeper(duckMinhashPairs()),
+    "x_substring_dedup" -> duckSubstringPairs(),
     "x_dedup_lsh_recall" ->
       s"""WITH e AS (${duckEmbeddingPairs()}), l AS (${duckEmbeddingPairsLsh()})
          |SELECT n_exact, n_lsh, n_common,

@@ -107,6 +107,28 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("substring dedup: a shared 60-token span pairs unrelated docs; nothing else pairs") {
+    import spark.implicits._
+    val span = graft.ops.Dedup.SharedSpan
+    // three docs: two unrelated texts carrying the same 60-token span,
+    // one without it; the span is the ONLY verbatim overlap
+    val corpus = Seq(
+      (1L, ("alpha " * 30).trim + " " + span),
+      (2L, ("omega " * 40).trim + " " + span),
+      (3L, ("gamma " * 50).trim)).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // span of 60 tokens → 60-20+1 = 41 distinct shared windows
+    assert(pairs.toSeq === Seq((1L, 2L, 41L)),
+      "exactly the planted pair, with one shared window per span offset")
+    // fixture census: planted % 97 docs all pair with each other
+    val planted = docs.filter(col("doc_id") % 97 === 0).count()
+    val found = Dedup.substringPairs(Dedup.corpusWithSpan(docs))
+      .filter(col("id_a") % 97 === 0 && col("id_b") % 97 === 0).count()
+    assert(found === planted * (planted - 1) / 2,
+      "every planted pair must be reported — non-vacuous census")
+  }
+
   test("clustersWithKeeper: longest text wins, members counted per component") {
     import spark.implicits._
     val corpus = Seq(
