@@ -68,6 +68,149 @@ case class IsNullCond(key: String) extends Cond {
   def toColumn: Column = col(key).isNull
 }
 
+/** Datetime range (Qdrant DatetimeRange): bounds are date / datetime
+  * strings ('1996-01-01' or '1996-01-01 12:30:00') compiled to
+  * TIMESTAMP literals via a foldable cast — Catalyst folds the bound
+  * to a constant before pushdown, so the comparison reaches
+  * PushedFilters against the column's natural timestamp type
+  * (plan-asserted in ScaleDesignSpec, same rule as [[RangeCond]]). */
+case class DatetimeRange(
+    key: String,
+    gte: Option[String] = None,
+    gt: Option[String] = None,
+    lte: Option[String] = None,
+    lt: Option[String] = None) extends Cond {
+  private def ts(v: String): Column = lit(v).cast("timestamp")
+  def toColumn: Column =
+    Seq(
+      gte.map(v => col(key) >= ts(v)),
+      gt.map(v => col(key) > ts(v)),
+      lte.map(v => col(key) <= ts(v)),
+      lt.map(v => col(key) < ts(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+}
+
+/** Geo bounding box (Qdrant GeoBoundingBox): `topLeft` carries the
+  * box's max latitude and min (west) longitude, `bottomRight` the min
+  * latitude and max (east) longitude, degrees. A box whose west
+  * longitude exceeds its east longitude crosses the antimeridian and
+  * compiles to the OR of the two half-ranges, exactly Qdrant's
+  * semantics. Every comparison is column-vs-double-literal, so the
+  * whole box reaches PushedFilters on a double lat/lon layout. */
+case class GeoBoundingBox(
+    latKey: String,
+    lonKey: String,
+    topLeft: (Double, Double),
+    bottomRight: (Double, Double)) extends Cond {
+  def toColumn: Column = {
+    val latC = col(latKey) <= lit(topLeft._1) && col(latKey) >= lit(bottomRight._1)
+    val lonC =
+      if (topLeft._2 <= bottomRight._2)
+        col(lonKey) >= lit(topLeft._2) && col(lonKey) <= lit(bottomRight._2)
+      else // antimeridian-crossing box
+        col(lonKey) >= lit(topLeft._2) || col(lonKey) <= lit(bottomRight._2)
+    latC && lonC
+  }
+}
+
+/** Geo radius (Qdrant GeoRadius): points within `radiusMeters` of
+  * (`lat`, `lon`) on the R=6371 km sphere (haversine). Compiles to the
+  * standard spatial-index plan: a PUSHDOWN-able bounding-box prefilter
+  * derived driver-side from center+radius (the cheap rectangle the
+  * scan can prune on) AND the exact haversine residual — at 100 TB the
+  * scan skips row groups outside the rectangle and the trig runs only
+  * on survivors. Near the poles or for radii spanning >180° of
+  * longitude the lon prefilter drops out (correctly, conservatively);
+  * the exact test always stands. */
+case class GeoRadius(
+    latKey: String,
+    lonKey: String,
+    lat: Double,
+    lon: Double,
+    radiusMeters: Double) extends Cond {
+  import GeoRadius._
+
+  /** Driver-computed rectangle around the cap: (top, bottom) latitude
+    * band, plus the (west, east) longitude span when the band stays
+    * clear of the poles and the radius spans under 180° of longitude —
+    * the widest parallel inside the band decides the span, so the
+    * rectangle always CONTAINS the circle. */
+  private lazy val rect: (Double, Double, Option[(Double, Double)]) = {
+    val latDelta = math.toDegrees(radiusMeters / EarthR)
+    val top = math.min(90.0, lat + latDelta)
+    val bottom = math.max(-90.0, lat - latDelta)
+    val maxAbsLat = math.max(math.abs(top), math.abs(bottom))
+    val lonSpan =
+      if (maxAbsLat >= 89.9) None
+      else {
+        val lonDelta = math.toDegrees(
+          radiusMeters / (EarthR * math.cos(math.toRadians(maxAbsLat))))
+        if (lonDelta >= 180.0) None
+        else Some((wrapLon(lon - lonDelta), wrapLon(lon + lonDelta)))
+      }
+    (top, bottom, lonSpan)
+  }
+
+  private def prefilter: Column = {
+    val (top, bottom, lonSpan) = rect
+    val latC = col(latKey) <= lit(top) && col(latKey) >= lit(bottom)
+    lonSpan match {
+      case Some((west, east)) =>
+        latC && GeoBoundingBox(latKey, lonKey, (top, west), (bottom, east)).toColumn
+      case None => latC
+    }
+  }
+
+  def toColumn: Column =
+    prefilter && haversineMeters(col(latKey), col(lonKey), lat, lon) <= lit(radiusMeters)
+
+  /** DuckDB twin of [[toColumn]] — replicates the prefilter with the
+    * SAME driver-computed bounds plus the exact haversine, so oracle
+    * and engine apply identical predicates even where the rectangle is
+    * conservative. */
+  def duckSql: String = {
+    val (top, bottom, lonSpan) = rect
+    val lonC = lonSpan match {
+      case Some((west, east)) if west <= east =>
+        s" AND $lonKey >= $west AND $lonKey <= $east"
+      case Some((west, east)) =>
+        s" AND ($lonKey >= $west OR $lonKey <= $east)"
+      case None => ""
+    }
+    s"($latKey <= $top AND $latKey >= $bottom$lonC AND " +
+      s"${duckHaversineMeters(latKey, lonKey, lat, lon)} <= $radiusMeters)"
+  }
+}
+
+object GeoRadius {
+  val EarthR = 6371000.0
+
+  private def wrapLon(l: Double): Double =
+    if (l < -180.0) l + 360.0 else if (l > 180.0) l - 360.0 else l
+
+  /** Haversine distance in meters — multiplication form (sin·sin, not
+    * pow) so the DuckDB twin [[duckHaversineMeters]] is the same IEEE
+    * op sequence. */
+  def haversineMeters(latC: Column, lonC: Column, lat: Double, lon: Double): Column = {
+    val dLat = (radians(latC) - lit(math.toRadians(lat))) / 2
+    val dLon = (radians(lonC) - lit(math.toRadians(lon))) / 2
+    val a = sin(dLat) * sin(dLat) +
+      lit(math.cos(math.toRadians(lat))) * cos(radians(latC)) * sin(dLon) * sin(dLon)
+    lit(2 * EarthR) * asin(sqrt(a))
+  }
+
+  /** DuckDB twin of [[haversineMeters]]. */
+  def duckHaversineMeters(latExpr: String, lonExpr: String, lat: Double, lon: Double): String = {
+    val latR = math.toRadians(lat)
+    val cosLat = math.cos(latR)
+    s"(2 * $EarthR) * asin(sqrt(" +
+      s"sin((radians($latExpr) - $latR) / 2) * sin((radians($latExpr) - $latR) / 2) + " +
+      s"$cosLat * cos(radians($latExpr)) * " +
+      s"sin((radians($lonExpr) - ${math.toRadians(lon)}) / 2) * " +
+      s"sin((radians($lonExpr) - ${math.toRadians(lon)}) / 2)))"
+  }
+}
+
 /** The filter root: three clause lists, all optional. */
 case class Filter(
     must: Seq[Cond] = Nil,
@@ -97,7 +240,44 @@ object Filters {
     should = Seq(MatchAnyOf("label", Seq(1, 3, 5)), MatchValue("label", 7)),
     mustNot = Seq(MatchAnyOf("vec_id", Seq(120L, 230L))))
 
+  /** The e4_geo_filter fixture: a rectangle over mid-latitudes plus a
+    * 5000 km radius around (10°N, 20°E), on deterministic integer-math
+    * coordinates derived from c_custkey — both engines build identical
+    * doubles. */
+  val GeoFixtureRadius: GeoRadius = GeoRadius("lat", "lon", 10.0, 20.0, 5000000.0)
+  val GeoFixtureBox: GeoBoundingBox =
+    GeoBoundingBox("lat", "lon", topLeft = (70.0, -150.0), bottomRight = (-70.0, 150.0))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Qdrant DatetimeRange in the DSL: timestamp bounds push to the
+    // scan with the column's natural type, composed with a numeric
+    // range and a must_not — all three clause kinds over orders.
+    "e4_datetime_filter" -> ((s, dir) => {
+      val f = Filter(
+        must = Seq(
+          DatetimeRange("o_orderdate", gte = Some("1996-03-01"), lt = Some("1996-06-01")),
+          RangeCond("o_totalprice", gte = Some(50000.0))),
+        mustNot = Seq(MatchValue("o_orderstatus", "F")))
+      t(s, dir, "orders").filter(f.toColumn)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Qdrant GeoBoundingBox + GeoRadius: box prefilter pushes to the
+    // scan, exact haversine runs as the residual. Coordinates derive
+    // from c_custkey by integer math so both engines see bit-identical
+    // doubles.
+    "e4_geo_filter" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 6763 % 35000) / 100.0 - 175.0).as("lon"))
+      val f = Filter(must = Seq(GeoFixtureBox, GeoFixtureRadius))
+      c.filter(f.toColumn)
+        .select(col("c_custkey"),
+          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // E4 via the composed filter DSL: dense top-k under the compiled
     // three-clause predicate (pushed to the scan like any literal
     // filter — the DSL is free at execution time).
@@ -114,6 +294,25 @@ object Filters {
   )
 
   def oracles: Map[String, String] = Map(
+    "e4_datetime_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND o_totalprice >= 50000.0
+        |  AND NOT coalesce(o_orderstatus = 'F', false)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "e4_geo_filter" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |    (c_custkey * 3571 % 17000) / 100.0 - 85.0 AS lat,
+         |    (c_custkey * 6763 % 35000) / 100.0 - 175.0 AS lon
+         |  FROM customer)
+         |SELECT c_custkey, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon
+         |FROM c
+         |WHERE lat <= 70.0 AND lat >= -70.0 AND lon >= -150.0 AND lon <= 150.0
+         |  AND ${GeoFixtureRadius.duckSql}
+         |ORDER BY c_custkey""".stripMargin,
+
     "e4_filter_dsl" ->
       s"""SELECT vec_id,
          |  ROUND(list_cosine_similarity(embedding::DOUBLE[],

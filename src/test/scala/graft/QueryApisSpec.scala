@@ -345,6 +345,40 @@ class QueryApisSpec extends SparkSpec {
       "null-tag row must survive must_not; only the matching row drops")
   }
 
+  test("geo/datetime conditions: haversine accuracy, radius membership, antimeridian box") {
+    import graft.search._
+    import spark.implicits._
+    // Paris (48.8566, 2.3522) → London (51.5074, -0.1278): ~343.5 km
+    val pts = Seq(
+      (1L, 51.5074, -0.1278),   // London
+      (2L, 40.7128, -74.0060),  // New York
+      (3L, 179.0, 0.0),         // impossible lat, exercises no-crash
+      (4L, -36.8485, 174.7633), // Auckland (near the antimeridian, east)
+      (5L, -17.0, -179.5)       // Fiji-ish (west side of the antimeridian)
+    ).toDF("id", "lat", "lon")
+    val d = pts.filter(col("id") === 1).select(
+      GeoRadius.haversineMeters(col("lat"), col("lon"), 48.8566, 2.3522).as("m"))
+      .head.getDouble(0)
+    assert(math.abs(d - 343500) < 2000, s"Paris→London haversine off: $d")
+    // 400 km around Paris keeps London, drops New York
+    val near = pts.filter(
+      GeoRadius("lat", "lon", 48.8566, 2.3522, 400000.0).toColumn)
+      .collect().map(_.getLong(0)).toSet
+    assert(near === Set(1L))
+    // an antimeridian-crossing box (west 170° → east -170°) keeps both
+    // sides of the line and nothing else
+    val box = GeoBoundingBox("lat", "lon", topLeft = (0.0, 170.0), bottomRight = (-40.0, -170.0))
+    assert(pts.filter(box.toColumn).collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+    // datetime range: half-open, string bounds, natural timestamp type
+    val evs = Seq((1L, "1996-02-15 00:00:00"), (2L, "1996-03-01 00:00:00"),
+      (3L, "1996-05-31 23:59:59"), (4L, "1996-06-01 00:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("t"))
+    val in = evs.filter(
+      DatetimeRange("t", gte = Some("1996-03-01"), lt = Some("1996-06-01")).toColumn)
+      .collect().map(_.getLong(0)).toSet
+    assert(in === Set(2L, 3L))
+  }
+
   test("unigram logprob: common-token docs score higher than rare-token docs") {
     import graft.ops.TextAnalysis
     import spark.implicits._

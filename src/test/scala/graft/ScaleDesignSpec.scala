@@ -306,6 +306,43 @@ class ScaleDesignSpec extends SparkSpec {
       s"should-clause OR must push:\n$plan")
   }
 
+  test("datetime + geo filter conditions push to the scan (bounds keep natural types)") {
+    import graft.search.{DatetimeRange, Filter, GeoRadius}
+    // a point table with real (not derived) coordinate and time columns
+    // — the layout a geo/datetime payload has when stored
+    val dir = Files.createTempDirectory("graft_geo").toFile.getAbsolutePath + "/pts"
+    t(spark, sf, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 6763 % 35000) / 100.0 - 175.0).as("lon"),
+        timestamp_seconds(lit(820454400L) + col("c_custkey") * 211 % 30000 * 3600)
+          .as("event_time"))
+      .write.parquet(dir)
+    val f = Filter(must = Seq(
+      DatetimeRange("event_time", gte = Some("1996-03-01"), lt = Some("1996-06-01")),
+      GeoRadius("lat", "lon", 10.0, 20.0, 5000000.0)))
+    val q = spark.read.parquet(dir).filter(f.toColumn).select(col("id"))
+    // the plan's display string truncates PushedFilters; read the scan
+    // node's metadata for the untruncated list
+    val pushed = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+        fs.metadata("PushedFilters")
+    }.get
+    // timestamp bounds fold to constants and reach the scan
+    assert(pushed.contains("GreaterThanOrEqual(event_time"),
+      s"datetime lower bound must push: $pushed")
+    assert(pushed.contains("LessThan(event_time"),
+      s"datetime upper bound must push: $pushed")
+    // the radius' rectangle prefilter reaches the scan on all four sides
+    for (b <- Seq("LessThanOrEqual(lat", "GreaterThanOrEqual(lat",
+        "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"))
+      assert(pushed.contains(b), s"geo prefilter bound $b must push: $pushed")
+    // each condition keeps rows on its own — the predicates are live,
+    // not vacuously false (their conjunction may be empty at tiny SF)
+    val pts = spark.read.parquet(dir)
+    for (c <- f.must)
+      assert(pts.filter(c.toColumn).count() > 0, s"$c must keep rows")
+  }
+
   test("random sample plans as TakeOrderedAndProject over a narrow projection") {
     val q = graft.search.QueryApis.randomSample(t(spark, sf, "embeddings"), 20)
     val plan = q.queryExecution.executedPlan.toString
