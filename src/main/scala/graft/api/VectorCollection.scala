@@ -36,7 +36,15 @@ final case class CollectionConfig(
     /** Qdrant custom sharding (`shard_key_selector`): when set, writes
       * partition the collection directory by this payload column and
       * shard-routed searches prune to the shard's subtree. */
-    shardCol: Option[String] = None)
+    shardCol: Option[String] = None,
+    /** Qdrant named vectors (`vectors_config` as a name→VectorParams
+      * map): each name maps to (column, dim). The Spark-native layout
+      * is ONE COLUMN PER NAME, not a map column — a search `using` one
+      * name column-prunes to that vector's bytes at the scan, so a
+      * point carrying five embeddings pays for one (plan-asserted in
+      * VectorCollectionSpec). `vectorCol`/`dim` stay the default
+      * (unnamed) vector; named vectors are additive. */
+    namedVectors: Map[String, (String, Int)] = Map.empty)
 
 class VectorCollection private (
     val spark: SparkSession,
@@ -96,6 +104,24 @@ class VectorCollection private (
     require(config.multiVector, "maxsim search on a dense collection")
     val q = spark.range(1).select(typedlit(queryVecs).as("q"))
     TopK.maxSim(table, q, config.idCol, config.vectorCol, k)
+  }
+
+  /** D1 search selecting a NAMED vector (Qdrant `query_points(...,
+    * using="name")`): identical plan to [[search]] but scored against
+    * the name's column — the other named vectors' bytes never leave
+    * the scan (column pruning). */
+  def searchUsing(
+      name: String, queryVec: Seq[Float], k: Int = 5,
+      filter: Column = lit(true), scoreThreshold: Option[Double] = None): DataFrame = {
+    val (vecCol, dim) = config.namedVectors.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown vector name '$name'; configured: " +
+          config.namedVectors.keys.toSeq.sorted.mkString(", ")))
+    require(queryVec.length == dim,
+      s"query dim ${queryVec.length} != '$name' vector dim $dim")
+    val q = spark.range(1).select(typedlit(queryVec).as("q"))
+    TopK.dense(table, q, config.idCol, vecCol, k,
+      payloadFilter = filter, scoreThreshold = scoreThreshold)
   }
 
   /** Hybrid search over a collection whose payload carries the source
@@ -426,9 +452,16 @@ object VectorCollection {
     if (created) {
       val shard = config.shardCol
         .map(c => s""","shardCol":"$c"""").getOrElse("")
+      // named vectors serialize as "n1=col1:dim1;n2=col2:dim2" — flat
+      // enough for the split-based reader in [[open]]
+      val named =
+        if (config.namedVectors.isEmpty) ""
+        else config.namedVectors.toSeq.sortBy(_._1)
+          .map { case (n, (c, d)) => s"$n=$c:$d" }
+          .mkString(""","namedVectors":"""", ";", "\"")
       val json =
         s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
-          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard}"""
+          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
     }
     new VectorCollection(spark, path, config)
@@ -446,8 +479,15 @@ object VectorCollection {
       json.split(s""""$k":""")(1).split("[,}]")(0).replaceAll("\"", "")
     val shard =
       if (json.contains("\"shardCol\":")) Some(field("shardCol")) else None
+    val named =
+      if (!json.contains("\"namedVectors\":")) Map.empty[String, (String, Int)]
+      else field("namedVectors").split(";").map { ent =>
+        val Array(n, cd) = ent.split("=", 2)
+        val Array(c, d) = cd.split(":", 2)
+        n -> (c, d.toInt)
+      }.toMap
     val cfg = CollectionConfig(field("idCol"), field("vectorCol"),
-      field("dim").toInt, field("multiVector").toBoolean, shard)
+      field("dim").toInt, field("multiVector").toBoolean, shard, named)
     new VectorCollection(spark, path, cfg)
   }
 }

@@ -401,7 +401,26 @@ object QueryApis {
     // + a map-side-combinable count
     "q_count_filtered" -> ((s, dir) =>
       t(s, dir, "embeddings").filter(col("label") === 3)
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // Qdrant named vectors: one column per name (v_full 64-dim,
+    // v_head = its 32-dim prefix), search `using` the head vector and
+    // report both names' scores for the hits — per-point multi-vector
+    // coexistence with per-name scoring, the data model feature the
+    // reference's five separate collections stand in for.
+    "q_named_vectors" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pts = e.select(col("vec_id"), col("embedding").as("v_full"),
+        slice(col("embedding"), 1, 32).as("v_head"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(slice(col("embedding"), 1, 32).as("qh"), col("embedding").as("qf"))
+      pts.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Kernels.cosine(col("v_head"), col("qh")), 6).as("score"),
+          round(Kernels.cosine(col("v_full"), col("qf")), 6).as("score_full"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    })
   )
 
   private def duckVec(id: Long): String =
@@ -457,6 +476,15 @@ object QueryApis {
          |SELECT grp_rank, grp, best, vec_id, score, hit_rank
          |FROM gr JOIN h USING (grp) WHERE hit_rank <= 2
          |ORDER BY grp_rank, hit_rank""".stripMargin,
+
+    "q_named_vectors" ->
+      s"""WITH q AS (SELECT embedding[1:32] AS qh, embedding AS qf
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ROUND(${duckCos("embedding[1:32]", "(SELECT qh FROM q)")}, 6) AS score,
+         |  ROUND(${duckCos("embedding", "(SELECT qf FROM q)")}, 6) AS score_full
+         |FROM embeddings
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "q_facet" ->
       """SELECT lang AS value, count(*) AS n FROM documents

@@ -278,4 +278,43 @@ class VectorCollectionSpec extends SparkSpec {
         element_at(col("payload"), "fresh") === "yes").count() === 3,
       "set_payload must create the payload map when it was NULL")
   }
+
+  test("named vectors: per-name search parity, config round-trip, column pruning") {
+    val dir = s"${tmp()}/col"
+    // one point, two named embeddings: 'full' is the default vector,
+    // 'head' is its 32-dim prefix under its own column
+    val pts = points
+      .select(col("point_id"), col("embedding"),
+        col("embedding").as("v_full"),
+        slice(col("embedding"), 1, 32).as("v_head"))
+      .cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false,
+        namedVectors = Map("full" -> ("v_full", 64), "head" -> ("v_head", 32))))
+    c.upsert(pts)
+    val qv = spark.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit("fast table scan merge"))).as("v"))
+      .head.getSeq[Double](0).map(_.toFloat)
+    // using='full' ranks exactly like the unnamed default vector
+    val viaName = c.searchUsing("full", qv, k = 5).collect().map(_.getLong(0)).toSeq
+    val viaDefault = c.search(qv, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(viaName === viaDefault)
+    // using='head' validates ITS dim and scores its own column
+    intercept[IllegalArgumentException] { c.searchUsing("head", qv, k = 5) }
+    intercept[IllegalArgumentException] { c.searchUsing("nope", qv.take(32), k = 5) }
+    val headHits = c.searchUsing("head", qv.take(32), k = 5)
+    assert(headHits.count() === 5)
+    // the scale property of per-name COLUMNS: searching one name never
+    // reads the other names' bytes
+    val read = headHits.queryExecution.executedPlan.toString
+    assert(read.contains("v_head") && !read.contains("v_full"),
+      s"search using 'head' must column-prune 'v_full' from the scan:\n$read")
+    // config survives reopen
+    val reopened = VectorCollection.open(spark, dir)
+    assert(reopened.config.namedVectors ===
+      Map("full" -> ("v_full", 64), "head" -> ("v_head", 32)))
+    assert(reopened.searchUsing("head", qv.take(32), k = 5)
+      .collect().map(_.getLong(0)).toSeq ===
+      headHits.collect().map(_.getLong(0)).toSeq)
+  }
 }
