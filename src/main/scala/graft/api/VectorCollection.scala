@@ -51,7 +51,7 @@ class VectorCollection private (
     val path: String,
     val config: CollectionConfig) {
 
-  private def table: DataFrame = spark.read.parquet(path)
+  private[api] def table: DataFrame = spark.read.parquet(path)
 
   /** C2: synchronous batch upsert. Returns the number of rows written
     * by this call; the reference's `processed == points_count` parity
@@ -217,6 +217,20 @@ class VectorCollection private (
       groupSize: Int = 3, limit: Int = 5): DataFrame =
     graft.search.QueryApis.searchGroups(
       asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** Qdrant `search_groups` with `with_lookup`: each group carries the
+    * matching record of `lookup` (another collection), joined on group
+    * key = lookup id, `lk_`-prefixed. See
+    * [[graft.search.QueryApis.searchGroupsWithLookup]] for the
+    * two-broadcast plan. */
+  def searchGroupsWithLookup(
+      queryVec: Seq[Float], groupCol: String,
+      lookup: VectorCollection, lookupCols: Seq[String],
+      groupSize: Int = 3, limit: Int = 5): DataFrame =
+    graft.search.QueryApis.searchGroupsWithLookup(
+      asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit,
+      lookup.table, lookup.config.idCol, lookupCols)
       .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant facet API: value counts for a payload key under a filter. */

@@ -188,6 +188,38 @@ object QueryApis {
         col("vec_id"), col("score"), col("hit_rank"))
   }
 
+  /** [[searchGroups]] with Qdrant's `with_lookup`: attach columns of a
+    * SECOND collection's record whose id equals the group key (the
+    * canonical use: chunks grouped by document id, lookup fetches the
+    * document). Two broadcast joins, no lookup shuffle:
+    *  1. the ≤`limit` surviving group keys broadcast INTO the lookup
+    *     collection's scan (map-side semi-join — the 100 TB lookup
+    *     table is never exchanged, and only matching rows survive);
+    *  2. the fetched ≤`limit` lookup rows broadcast back onto the
+    *     group hits as a LEFT join — Qdrant returns a group with a
+    *     null lookup when the id is missing, so groups never drop.
+    * Lookup columns come back `lk_`-prefixed to keep the hit schema
+    * collision-free. Plan-asserted in ScaleDesignSpec. */
+  def searchGroupsWithLookup(
+      points: DataFrame,
+      queryVec: Seq[Double],
+      groupCol: String,
+      groupSize: Int,
+      limit: Int,
+      lookup: DataFrame,
+      lookupIdCol: String,
+      lookupCols: Seq[String]): DataFrame = {
+    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit)
+    val lk = lookup.select(
+      col(lookupIdCol).cast("long").as("_lk_id") +:
+        lookupCols.map(c => col(c).as(s"lk_$c")): _*)
+    val fetched = lk.join(
+      broadcast(groups.select(col("grp")).distinct()),
+      col("_lk_id") === col("grp")).drop("grp")
+    groups.join(broadcast(fetched), col("grp") === col("_lk_id"), "left")
+      .drop("_lk_id")
+  }
+
   /** Qdrant facet API: value counts for one payload key under a
     * filter. The filter pushes to the scan; the count is one map-side
     * combinable aggregation; the top cut is TakeOrderedAndProject. */
@@ -364,6 +396,18 @@ object QueryApis {
       searchGroups(e, qv, "label", groupSize = 2, limit = 5)
         .orderBy(col("grp_rank"), col("hit_rank"))
     }),
+    // search_groups with_lookup: embeddings group by label, the label
+    // doubles as a document id into the lookup collection (Qdrant's
+    // chunks→document shape).
+    "q_groups_lookup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val qv = qRow.getSeq[Float](qRow.fieldIndex("embedding")).map(_.toDouble)
+      searchGroupsWithLookup(e, qv, "label", groupSize = 2, limit = 5,
+        lookup = t(s, dir, "documents"), lookupIdCol = "doc_id",
+        lookupCols = Seq("lang", "n_chars"))
+        .orderBy(col("grp_rank"), col("hit_rank"))
+    }),
     "q_facet" -> ((s, dir) =>
       facet(t(s, dir, "documents"), "lang", col("n_chars") >= 300, 10)),
     "q_scroll_sorted" -> ((s, dir) =>
@@ -485,6 +529,23 @@ object QueryApis {
          |  ROUND(${duckCos("embedding", "(SELECT qf FROM q)")}, 6) AS score_full
          |FROM embeddings
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_groups_lookup" ->
+      s"""WITH sc AS (SELECT vec_id, label::BIGINT AS grp,
+         |    ROUND(${duckCos("embedding", duckVec(0))}, 6) AS score FROM embeddings),
+         |g AS (SELECT grp, max(score) AS best FROM sc GROUP BY grp
+         |  ORDER BY best DESC, grp ASC LIMIT 5),
+         |gr AS (SELECT grp, best,
+         |  row_number() OVER (ORDER BY best DESC, grp ASC) AS grp_rank FROM g),
+         |h AS (SELECT grp, vec_id, score,
+         |  row_number() OVER (PARTITION BY grp ORDER BY score DESC, vec_id ASC) AS hit_rank
+         |  FROM sc)
+         |SELECT grp_rank, grp, best, vec_id, score, hit_rank,
+         |  d.lang AS lk_lang, d.n_chars AS lk_n_chars
+         |FROM gr JOIN h USING (grp)
+         |LEFT JOIN documents d ON d.doc_id = grp
+         |WHERE hit_rank <= 2
+         |ORDER BY grp_rank, hit_rank""".stripMargin,
 
     "q_facet" ->
       """SELECT lang AS value, count(*) AS n FROM documents

@@ -256,6 +256,20 @@ class ScaleDesignSpec extends SparkSpec {
       s"surviving groups must broadcast to the hit side:\n$plan")
   }
 
+  test("groups with_lookup: both lookup joins broadcast, lookup table never shuffles") {
+    val q = graft.search.QueryApis.queries("q_groups_lookup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // join 1: surviving group keys broadcast INTO the lookup scan;
+    // join 2: the fetched handful broadcasts back onto the hits — a
+    // sort-merge join would mean the lookup collection got exchanged
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"group keys and fetched lookup rows must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the lookup collection must never shuffle for a ≤limit-key fetch:\n$plan")
+    assert(q.collect().forall(r => !r.isNullAt(r.fieldIndex("lk_lang"))),
+      "fixture labels all resolve in the lookup collection")
+  }
+
   test("IVF+PQ probe: partition-pruned read, shuffle-free ADC scan, TakeOrdered cuts") {
     val q = graft.ops.Similarity.queries("x_ann_ivfpq")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString

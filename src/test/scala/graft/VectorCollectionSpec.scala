@@ -279,6 +279,30 @@ class VectorCollectionSpec extends SparkSpec {
       "set_payload must create the payload map when it was NULL")
   }
 
+  test("search_groups with_lookup joins the second collection's record onto each group") {
+    val dir = s"${tmp()}/col"
+    val lkDir = s"${tmp()}/lk"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val docs = t(spark, sf, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val lk = VectorCollection.ensure(spark, lkDir, docs,
+      CollectionConfig("doc_id", "doc_id", 1, multiVector = false))
+    lk.upsert(docs)
+    val qv = spark.range(1)
+      .select(Embedder.embedRaw(Embedder.tokenHashes(lit("fast table scan merge"))).as("v"))
+      .head.getSeq[Double](0).map(_.toFloat)
+    val out = c.searchGroupsWithLookup(qv, "doc_id", lk, Seq("lang", "n_chars"),
+      groupSize = 1, limit = 5).collect()
+    assert(out.length === 5)
+    // every group resolved its document and the lookup id matches
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("lk_lang"))))
+    val langs = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall(r =>
+      langs(r.getLong(r.fieldIndex("grp"))) == r.getString(r.fieldIndex("lk_lang"))))
+  }
+
   test("named vectors: per-name search parity, config round-trip, column pruning") {
     val dir = s"${tmp()}/col"
     // one point, two named embeddings: 'full' is the default vector,
