@@ -123,11 +123,22 @@ object Similarity {
       .join(queries, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // bounded-heap ranking instead of a row_number window: the window
+    // buffers and sorts EVERY candidate per query; the O(k) aggregate
+    // pre-reduces each map task's candidates to k pairs before the
+    // q_id shuffle (ObjectHashAggregate partial mode — plan-asserted)
+    scored.groupBy(col("q_id"))
+      .agg(topKHits(col("score"), col("vec_id"), k).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** Column form of the [[graft.vector.TopKHits]] bounded-heap
+    * aggregate: best `k` (score, id) pairs, score DESC / id ASC. */
+  def topKHits(score: Column, id: Column, k: Int): Column =
+    Kernels.ofExpr(graft.vector.TopKHits(
+      Kernels.exprOf(score), Kernels.exprOf(id), k).toAggregateExpression())
 
   /** Top-`p` nearest-centroid ids for one vector, best-first — the
     * distributed analog of [[rankCentroids]] for a query SET: each

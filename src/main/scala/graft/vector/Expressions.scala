@@ -686,3 +686,99 @@ case class PolyTokenHashes(child: Expression, mult: Long, prime: Long)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Bounded top-k aggregate: keeps the best `k` (score, id) pairs per
+  * group in an O(k) heap — the aggregate the LSH k-NN join ranks with
+  * instead of a row_number window, which would buffer and sort EVERY
+  * candidate per query before cutting. As a TypedImperativeAggregate
+  * it participates in partial aggregation (ObjectHashAggregate): each
+  * map task pre-reduces its candidate stream to k pairs, so the
+  * per-query shuffle payload is O(k), not O(candidates) — the same
+  * map-side-combine argument as a partial sum, applied to ranking.
+  *
+  * Order: score DESC, id ASC on ties — identical to the window
+  * formulation and the DuckDB oracle's ORDER BY, so results are
+  * bit-equal. Eval emits the heap sorted best-first as
+  * array<struct<score, vec_id>>; posexplode turns position into rank.
+  */
+case class TopKHits(
+    scoreChild: Expression,
+    idChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "top-k aggregate needs k > 0")
+
+  // dequeue removes the max of the ordering — rank the WORST pair
+  // (lowest score, then highest id) as the maximum so trimming evicts it
+  private def worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, id) => (-s, id) }
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
+    scala.collection.mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null) {
+      buf.enqueue((s.asInstanceOf[Double], id.asInstanceOf[Long]))
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      other: scala.collection.mutable.PriorityQueue[(Double, Long)])
+      : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { p =>
+      buf.enqueue(p)
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
+    val best = buf.toArray.sortBy { case (s, id) => (-s, id) }
+    new GenericArrayData(best.map { case (s, id) =>
+      org.apache.spark.sql.catalyst.InternalRow(s, id)
+    })
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, id) => bb.putDouble(s); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("vec_id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  override def prettyName: String = "topk_hits"
+  override def withNewMutableAggBufferOffset(offset: Int): TopKHits =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKHits =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(scoreChild = newChildren(0), idChild = newChildren(1))
+}

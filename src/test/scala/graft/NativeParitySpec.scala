@@ -193,4 +193,30 @@ class NativeParitySpec extends SparkSpec {
       .filter(col("a") =!= col("b"))
     assert(d.count() === 0L)
   }
+
+  test("topk_hits heap aggregate == row_number window on tied scores") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    // 1dp rounding collapses thousands of candidates onto shared score
+    // values, so the id-ASC tie-break path is genuinely exercised
+    val scored = emb.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        round(Kernels.cosine(col("embedding"), col("qv")), 1).as("score"))
+    val ties = scored.groupBy("q_id", "score").count()
+      .filter(col("count") > 1).count()
+    assert(ties > 0, "fixture must contain tied scores for this test to bite")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val win = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 7)
+    val agg = scored.groupBy(col("q_id"))
+      .agg(Similarity.topKHits(col("score"), col("vec_id"), 7).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+    assert(win.exceptAll(agg).count() === 0L)
+    assert(agg.exceptAll(win).count() === 0L)
+  }
 }

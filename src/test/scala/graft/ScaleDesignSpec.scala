@@ -418,6 +418,12 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the large-query-side join must ride the (band,bval) equi-key:\n$plan")
+    // ranking is the O(k) bounded-heap aggregate with map-side combine,
+    // never a window that buffers and sorts all candidates per query
+    assert(plan.contains("partial_topk_hits"),
+      s"candidate ranking must pre-reduce map-side to k pairs:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no candidate-buffering window on the LSH rank path:\n$plan")
   }
 
   test("bucketed range join is an equi-join — no nested-loop/cartesian plan") {
