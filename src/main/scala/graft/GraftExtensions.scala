@@ -64,22 +64,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Optimizer rule: `cosine_sim(l2_normalize(x), l2_normalize(y))` →
   * `dot_product(l2_normalize(x), l2_normalize(y))`.
   *
-  * Algebraically exact, not approximate: a normalized vector has unit
-  * norm, so the cosine's per-row denominator is 1 — but CosineSim
-  * still folds both squared-norm sums per row. On the Qdrant storage
-  * layout (vectors normalized once at ingest — E1) this rule removes
-  * 2/3 of the scoring FLOPs for every query that writes the idiomatic
-  * `cosine_sim` call. Null behavior is preserved: l2_normalize maps
-  * the zero vector to null, and both CosineSim and DotProduct are
-  * null-propagating, so no zero-denominator case survives to differ.
-  * Equality of results and plan shape are pinned in SqlSurfaceSpec. */
+  * Exact in REAL arithmetic (unit denominators), but l2_normalize
+  * emits finite-precision doubles whose norm is ~1, not exactly 1, so
+  * skipping the denominator fold can change low-order result bits —
+  * enough to flip a ROUND(x, 6) boundary or reorder a tied top-k in
+  * arbitrary user SQL. Since the rule is injected session-wide, it is
+  * gated on `spark.graft.rewrite.normalizedCosineToDot` (default true)
+  * so a user who needs bit-stable cosine output can opt out per
+  * session or per statement (`SET spark.graft.rewrite.…=false`). On
+  * the Qdrant storage layout (vectors normalized once at ingest — E1)
+  * the rewrite removes 2/3 of the scoring FLOPs for every query that
+  * writes the idiomatic `cosine_sim` call. Null behavior is preserved:
+  * l2_normalize maps the zero vector to null, and both CosineSim and
+  * DotProduct are null-propagating, so no zero-denominator case
+  * survives to differ. Result equality on the fixture, plan shape, and
+  * both sides of the config gate are pinned in SqlSurfaceSpec. */
 object NormalizedCosineToDot
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  val confKey = "spark.graft.rewrite.normalizedCosineToDot"
   override def apply(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformAllExpressions {
+    if (!conf.getConfString(confKey, "true").toBoolean) plan
+    else plan.transformAllExpressions {
       case CosineSim(a @ L2Normalize(_), b @ L2Normalize(_)) =>
         DotProduct(a, b)
     }

@@ -213,7 +213,17 @@ object Sink {
     * map — the facade provides these). Same file-granular MERGE shape
     * as [[deleteMatching]]: only parquet files CONTAINING a matching
     * row are rewritten, so cost is O(touched files), not
-    * O(collection). Returns rows updated. Single-writer. */
+    * O(collection). Returns rows updated. Single-writer.
+    *
+    * Crash safety: the rewrite stages under `_payload_staging`
+    * (underscore prefix — invisible to parquet readers), then writes a
+    * `_payload_commit` marker listing the superseded originals, then
+    * moves the staged files in and deletes the originals. A crash
+    * before the marker leaves only invisible staging debris; a crash
+    * after it leaves at worst transiently duplicated rows WITH the
+    * marker naming exactly which originals to drop — either state is
+    * detected and finished/aborted by [[repairPayloadUpdate]], which
+    * also runs automatically at the start of the next update. */
   def updatePayload(
       spark: SparkSession,
       path: String,
@@ -221,6 +231,7 @@ object Sink {
       payloadCol: String,
       update: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    repairPayloadUpdate(spark, path)
     val existing = spark.read.parquet(path)
     val cols = existing.columns.toSeq
     require(cols.contains(payloadCol), s"no payload column $payloadCol in $path")
@@ -236,14 +247,69 @@ object Sink {
         when(coalesce(cond, lit(false)), update(col(c))).otherwise(col(c)).as(c)
       else col(c)
     }: _*)
-    rewritten.write.mode(SaveMode.Append).parquet(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    touched.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).delete(p, false)
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    rewritten.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
     touchedData.unpersist()
+    // commit point: once the marker exists the update is logically
+    // durable — any interruption from here is FINISHED by repair, not
+    // rolled back
+    val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
+    val mOut = fs.create(marker, true)
+    try mOut.write(touched.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    finishPayloadUpdate(fs, root)
     nUpd
+  }
+
+  private val PayloadStagingDir = "_payload_staging"
+  private val PayloadCommitMarker = "_payload_commit"
+
+  /** Detect and resolve an interrupted [[updatePayload]]: with the
+    * commit marker present the staged rewrite is complete, so finish it
+    * (move staged files in, drop the superseded originals it lists);
+    * without the marker any staging debris is a pre-commit abort, so
+    * discard it. Idempotent; returns whether anything needed repair. */
+  def repairPayloadUpdate(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
+    val staging = new org.apache.hadoop.fs.Path(root, PayloadStagingDir)
+    if (fs.exists(marker)) { finishPayloadUpdate(fs, root); true }
+    else if (fs.exists(staging)) { fs.delete(staging, true); true }
+    else false
+  }
+
+  /** Post-commit half of [[updatePayload]]: move staged data files
+    * into the collection, delete the originals the marker lists, then
+    * clear staging + marker. Every step is idempotent (skip-if-moved,
+    * delete-if-present) so a repair can itself be interrupted. */
+  private def finishPayloadUpdate(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
+    val staging = new org.apache.hadoop.fs.Path(root, PayloadStagingDir)
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            !fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, name)))
+          throw new java.io.IOException(
+            s"payload update: failed to move staged file ${st.getPath} into $root")
+      }
+    }
+    val in = fs.open(marker)
+    val listed =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    listed.split("\n").filter(_.nonEmpty).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.delete(staging, true)
+    fs.delete(marker, false)
   }
 
   /** Qdrant collection aliases (`update_collection_aliases`): a stable
@@ -268,8 +334,16 @@ object Sink {
     val out = fs.create(tmp, true)
     try out.write(target.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, alias)
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    // rename can fail without throwing (racing writer recreated dst,
+    // permissions) — a silently missing/stale pointer would surface
+    // later as a spurious unknown-alias, so fail the SWITCH instead
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new java.io.IOException(
+        s"alias switch failed: could not delete old pointer $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"alias switch failed: rename $tmp -> $dst returned false " +
+          "(racing writer or permissions); old pointer was removed - retry setAlias")
   }
 
   /** Resolve an alias to its current target path (fails by name for an

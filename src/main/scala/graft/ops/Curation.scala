@@ -164,7 +164,15 @@ object Curation {
       // poly-hash collision is guaranteed and would silently delete a
       // genuinely distinct line (CLAUDE.md identity-vs-bucket rule)
       .withColumn("h", Embedder.stringHash64(col("line")))
-      .withColumn("k", col("doc_id") * lit(1048576L) + col("idx"))
+      // the packed key is exact only while idx < 2^20 (~8.4M tokens at
+      // lineWords=8): a longer document would silently collide into the
+      // next doc_id's key range and corrupt first-occurrence selection,
+      // so overflow fails LOUDLY instead (ADVICE r4)
+      .withColumn("k", col("doc_id") * lit(1048576L) +
+        when(col("idx") < lit(1048576L), col("idx"))
+          .otherwise(raise_error(concat(
+            lit("lineDedup: document "), col("doc_id"),
+            lit(" has >= 2^20 lines - packed (doc_id,idx) key would collide")))))
     val first = lines.groupBy(col("h")).agg(min(col("k")).as("first_k"))
     lines.join(first, Seq("h"))
       .withColumn("kept", col("k") === col("first_k"))

@@ -463,6 +463,21 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L)._3.startsWith("u3a"), "rebuild preserves line order")
   }
 
+  test("line dedup: a document over the 2^20-line packing bound fails loudly") {
+    import spark.implicits._
+    // lineWords=1 makes every token a line, so ~2^20+2 single-char
+    // tokens overflow the packed (doc_id, idx) key — which must raise,
+    // not silently collide into doc 2's key range
+    val big = ("x " * ((1 << 20) + 2)).trim
+    val df = Seq((1L, big), (2L, "y z")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.ops.Curation.lineDedup(df, 1).collect()
+    }
+    assert(e.getMessage.contains("2^20") ||
+      Option(e.getCause).exists(_.getMessage.contains("2^20")),
+      s"overflow must name the packing bound: ${e.getMessage}")
+  }
+
   test("bucketed range join equals the naive inequality join") {
     val ev = t(spark, sf, "events")
     val bucketed = graft.ops.Relational.rangeJoinBucketed(ev, 600L * 1000000L)

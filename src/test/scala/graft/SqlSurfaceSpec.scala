@@ -86,6 +86,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(raw.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesim"))
   }
 
+  test("normalized-cosine rewrite honors its session opt-out config") {
+    Tables.t(spark, sf, "embeddings").createOrReplaceTempView("sql_emb")
+    val sql =
+      """SELECT vec_id,
+        |  ROUND(cosine_sim(l2_normalize(embedding), l2_normalize(embedding)), 6) AS s
+        |FROM sql_emb""".stripMargin
+    // opted out: the ulp-sensitive user keeps the exact cosine fold
+    spark.conf.set(NormalizedCosineToDot.confKey, "false")
+    try {
+      val off = spark.sql(sql).queryExecution.optimizedPlan.toString.toLowerCase
+      assert(off.contains("cosinesim") && !off.contains("dotproduct"),
+        s"rule must be inert when ${NormalizedCosineToDot.confKey}=false:\n$off")
+    } finally spark.conf.unset(NormalizedCosineToDot.confKey)
+    // default: rewrite applies
+    val on = spark.sql(sql).queryExecution.optimizedPlan.toString.toLowerCase
+    assert(on.contains("dotproduct") && !on.contains("cosinesim"))
+  }
+
   test("wrong arity is rejected with the function name and expected count") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D))").collect()

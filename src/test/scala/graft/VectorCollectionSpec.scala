@@ -279,6 +279,56 @@ class VectorCollectionSpec extends SparkSpec {
       "set_payload must create the payload map when it was NULL")
   }
 
+  test("payload update crash recovery: committed update finishes, uncommitted aborts") {
+    import org.apache.hadoop.fs.Path
+    import graft.index.Sink
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"),
+        map(lit("src"), lit("orig")).as("payload"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val n = c.count
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir, "_payload_staging")
+    val marker = new Path(dir, "_payload_commit")
+
+    // hand-build the state a crash leaves right AFTER the commit
+    // marker: rewrite staged, originals still in place, nothing moved
+    val touched = spark.read.parquet(dir)
+      .withColumn("_f", input_file_name()).filter(col("pid") < 100)
+      .select(col("_f")).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty)
+    spark.read.parquet(touched.toIndexedSeq: _*)
+      .select(col("pid"), col("embedding"),
+        when(col("pid") < 100, map(lit("src"), lit("orig"), lit("crash"), lit("yes")))
+          .otherwise(col("payload")).as("payload"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+    val out = fs.create(marker, true)
+    try out.write(touched.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // staging + marker are underscore-prefixed: readers still see the
+    // pre-update collection, no torn state
+    assert(spark.read.parquet(dir).count() === n)
+    assert(spark.read.parquet(dir)
+      .filter(element_at(col("payload"), "crash") === "yes").count() === 0)
+
+    // repair finishes the committed update exactly once
+    assert(Sink.repairPayloadUpdate(spark, dir))
+    val after = spark.read.parquet(dir)
+    assert(after.count() === n, "repair must not duplicate or drop rows")
+    assert(after.filter(element_at(col("payload"), "crash") === "yes").count() === 100)
+    assert(!fs.exists(marker) && !fs.exists(staging))
+    assert(!Sink.repairPayloadUpdate(spark, dir), "clean collection needs no repair")
+
+    // a crash BEFORE the marker (staging debris only) aborts cleanly
+    after.limit(5).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    assert(Sink.repairPayloadUpdate(spark, dir))
+    assert(!fs.exists(staging))
+    assert(spark.read.parquet(dir).count() === n, "abort must leave data untouched")
+  }
+
   test("search_groups with_lookup joins the second collection's record onto each group") {
     val dir = s"${tmp()}/col"
     val lkDir = s"${tmp()}/lk"
