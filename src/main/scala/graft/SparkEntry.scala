@@ -51,6 +51,19 @@ object SparkEntry {
       TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5)
     }),
 
+    // D1 under Qdrant Distance.EUCLID: same scan→score→cut plan, but
+    // distance ranks ASC (smaller = closer).
+    "d1_topk_euclid" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5, metric = "euclid")
+    }),
+
+    // D1 under Qdrant Distance.MANHATTAN.
+    "d1_topk_manhattan" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5, metric = "manhattan")
+    }),
+
     // D1 with Qdrant's score_threshold: hits below the floor drop
     // before the cut, so fewer than k rows may return.
     "d1_score_threshold" -> ((s, dir) => {
@@ -524,6 +537,22 @@ object SparkEntry {
     "d1_topk_dense" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d1_topk_euclid" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ROUND(sqrt(list_sum(list_transform(range(1, 65),
+         |    i -> ((e.embedding::DOUBLE[])[i] - qv[i]) * ((e.embedding::DOUBLE[])[i] - qv[i])))), 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d1_topk_manhattan" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ROUND(list_sum(list_transform(range(1, 65),
+         |    i -> abs((e.embedding::DOUBLE[])[i] - qv[i]))), 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
 
     "e4_topk_filtered" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score

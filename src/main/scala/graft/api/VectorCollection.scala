@@ -44,7 +44,11 @@ final case class CollectionConfig(
       * point carrying five embeddings pays for one (plan-asserted in
       * VectorCollectionSpec). `vectorCol`/`dim` stay the default
       * (unnamed) vector; named vectors are additive. */
-    namedVectors: Map[String, (String, Int)] = Map.empty)
+    namedVectors: Map[String, (String, Int)] = Map.empty,
+    /** Qdrant `Distance` for the default vector: `cosine` (default),
+      * `dot`, `euclid`, or `manhattan`. Distance metrics rank ASC and
+      * flip score_threshold to a ceiling — see [[TopK.dense]]. */
+    distance: String = "cosine")
 
 class VectorCollection private (
     val spark: SparkSession,
@@ -96,7 +100,8 @@ class VectorCollection private (
       s"query dim ${queryVec.length} != collection dim ${config.dim}")
     val q = spark.range(1).select(typedlit(queryVec).as("q"))
     TopK.dense(table, q, config.idCol, config.vectorCol, k,
-      payloadFilter = filter, scoreThreshold = scoreThreshold)
+      payloadFilter = filter, scoreThreshold = scoreThreshold,
+      metric = config.distance)
   }
 
   /** D2: MaxSim late-interaction top-k for multi-vector collections. */
@@ -121,7 +126,8 @@ class VectorCollection private (
       s"query dim ${queryVec.length} != '$name' vector dim $dim")
     val q = spark.range(1).select(typedlit(queryVec).as("q"))
     TopK.dense(table, q, config.idCol, vecCol, k,
-      payloadFilter = filter, scoreThreshold = scoreThreshold)
+      payloadFilter = filter, scoreThreshold = scoreThreshold,
+      metric = config.distance)
   }
 
   /** Hybrid search over a collection whose payload carries the source
@@ -473,9 +479,12 @@ object VectorCollection {
         else config.namedVectors.toSeq.sortBy(_._1)
           .map { case (n, (c, d)) => s"$n=$c:$d" }
           .mkString(""","namedVectors":"""", ";", "\"")
+      val dist =
+        if (config.distance == "cosine") ""
+        else s""","distance":"${config.distance}""""
       val json =
         s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
-          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named}"""
+          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named$dist}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
     }
     new VectorCollection(spark, path, config)
@@ -500,8 +509,10 @@ object VectorCollection {
         val Array(c, d) = cd.split(":", 2)
         n -> (c, d.toInt)
       }.toMap
+    val dist =
+      if (json.contains("\"distance\":")) field("distance") else "cosine"
     val cfg = CollectionConfig(field("idCol"), field("vectorCol"),
-      field("dim").toInt, field("multiVector").toBoolean, shard, named)
+      field("dim").toInt, field("multiVector").toBoolean, shard, named, dist)
     new VectorCollection(spark, path, cfg)
   }
 }

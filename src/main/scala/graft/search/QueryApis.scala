@@ -372,6 +372,45 @@ object QueryApis {
       .orderBy(col(orderCol).asc, col(idCol).asc)
       .limit(limit)
 
+  /** Qdrant Universal Query API multi-stage search (`query_points`
+    * with `prefetch=[Prefetch(query=dense, limit=N)]` and a rescoring
+    * `query`): stage 1 ranks a CHEAP dense representation (e.g. the
+    * mean-pooled token matrix — the documented ColBERT/ColPali serving
+    * pattern) and keeps `prefetchN` candidates; stage 2 rescores ONLY
+    * those with full MaxSim late interaction.
+    *
+    * Scale design: stage 1 is the D1 plan over the dense column alone
+    * (the token matrices never leave the parquet scan — column
+    * pruning), TakeOrderedAndProject cut to N rows on the driver side
+    * of the plan; stage 2 re-reads matrices for the N survivors via a
+    * BROADCAST join on the candidate ids (N ≈ 10–100 rows), so the
+    * expensive MaxSim touches N rows, not the corpus. At 100 TB the
+    * matrix column is ~10× the dense column; this is the difference
+    * between scanning both and scanning one. */
+  def prefetchRescore(
+      docs: DataFrame,
+      qDense: DataFrame,
+      qMulti: DataFrame,
+      idCol: String,
+      denseCol: String,
+      vecsCol: String,
+      prefetchN: Int,
+      k: Int): DataFrame = {
+    val cands = docs
+      .crossJoin(broadcast(qDense))
+      .select(col(idCol),
+        round(Kernels.cosine(col(denseCol), col("qd")), 6).as("prefetch_score"))
+      .orderBy(col("prefetch_score").desc, col(idCol).asc)
+      .limit(prefetchN)
+    docs
+      .join(broadcast(cands.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(qMulti))
+      .select(col(idCol),
+        round(Kernels.maxsim(col("qm"), col(vecsCol)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -- query/oracle registry ---------------------------------------
 
   private val RecPos = Seq(1L, 2L)
@@ -464,6 +503,18 @@ object QueryApis {
           round(Kernels.cosine(col("v_full"), col("qf")), 6).as("score_full"))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(5)
+    }),
+
+    // Universal Query API multi-stage search: mean-pooled dense
+    // prefetch (top-20) → full MaxSim rescore (top-5) — the
+    // ColBERT/ColPali serving pattern.
+    "q_prefetch_rescore" -> ((s, dir) => {
+      val docs = graft.Tables.multiVectorDocs(t(s, dir, "embeddings"))
+        .withColumn("dense", Kernels.meanPool(col("vecs"), 64))
+      val qd = docs.filter(col("doc_id") === 0).select(col("dense").as("qd"))
+      val qm = docs.filter(col("doc_id") === 0).select(col("vecs").as("qm"))
+      prefetchRescore(docs, qd, qm, "doc_id", "dense", "vecs",
+        prefetchN = 20, k = 5)
     })
   )
 
@@ -529,6 +580,23 @@ object QueryApis {
          |  ROUND(${duckCos("embedding", "(SELECT qf FROM q)")}, 6) AS score_full
          |FROM embeddings
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // mean-pool sums left-to-right over vecs (list order), dividing
+    // once at the end — the same fold Kernels.meanPool writes
+    "q_prefetch_rescore" ->
+      s"""WITH docs AS (${graft.Tables.duckMultiVectorDocs}),
+         |dd AS (SELECT doc_id, vecs, list_transform(range(1, 65), i ->
+         |    list_sum(list_transform(vecs, v -> (v::DOUBLE[])[i])) / len(vecs)) AS dense
+         |  FROM docs),
+         |qd AS (SELECT dense AS qdv FROM dd WHERE doc_id = 0),
+         |qm AS (SELECT vecs AS qvecs FROM docs WHERE doc_id = 0),
+         |cand AS (SELECT d.doc_id, d.vecs,
+         |    ROUND(${duckCos("d.dense", "qdv")}, 6) AS ps
+         |  FROM dd d CROSS JOIN qd
+         |  ORDER BY ps DESC, d.doc_id ASC LIMIT 20)
+         |SELECT c.doc_id, ROUND(list_reduce(list_transform(qvecs, qv ->
+         |  list_aggregate(list_transform(c.vecs, dv -> ${duckCos("qv", "dv")}), 'max')), (a,b) -> a+b), 6) AS score
+         |FROM cand c CROSS JOIN qm ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
 
     "q_groups_lookup" ->
       s"""WITH sc AS (SELECT vec_id, label::BIGINT AS grp,

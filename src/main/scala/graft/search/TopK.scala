@@ -22,6 +22,13 @@ object TopK {
   /** Dense top-k (D1): score every row of `points` against the single
     * query vector in the one-row `query` frame, return best k.
     * Deterministic total order: score DESC, id ASC tiebreak.
+    *
+    * `metric` selects the Qdrant Distance: `cosine` / `dot` rank
+    * similarity DESC; `euclid` / `manhattan` are distances and rank
+    * ASC (smaller = closer), with `scoreThreshold` flipping to a
+    * ceiling — Qdrant's own threshold semantics per metric. Every
+    * metric shares the same plan shape: codegen'd scoring projection
+    * over the scan, TakeOrderedAndProject cut.
     */
   def dense(
       points: DataFrame,
@@ -31,19 +38,29 @@ object TopK {
       k: Int,
       queryVecCol: String = "q",
       payloadFilter: Column = lit(true),
-      scoreThreshold: Option[Double] = None): DataFrame = {
+      scoreThreshold: Option[Double] = None,
+      metric: String = "cosine"): DataFrame = {
+    val (scoreOf, asc): ((Column, Column) => Column, Boolean) = metric match {
+      case "cosine" => (Kernels.cosine, false)
+      case "dot" => (Kernels.dot, false)
+      case "euclid" => (Kernels.euclidean, true)
+      case "manhattan" => (Kernels.manhattan, true)
+      case other => throw new IllegalArgumentException(
+        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
+    }
     val scored = points
       .filter(payloadFilter)
       .crossJoin(broadcast(query))
       .select(
         col(idCol),
-        round(Kernels.cosine(col(vecCol), col(queryVecCol)), 6).as("score"))
-    // Qdrant score_threshold: drop hits below the floor BEFORE the
-    // cut — fewer than k rows may return. The filter sits inside the
-    // same projection stage, so it costs nothing and SHRINKS the
-    // per-partition top-k heaps.
-    scoreThreshold.fold(scored)(t => scored.filter(col("score") >= t))
-      .orderBy(col("score").desc, col(idCol).asc)
+        round(scoreOf(col(vecCol), col(queryVecCol)), 6).as("score"))
+    // Qdrant score_threshold: drop hits past the floor (similarity) /
+    // ceiling (distance) BEFORE the cut — fewer than k rows may
+    // return. The filter sits inside the same projection stage, so it
+    // costs nothing and SHRINKS the per-partition top-k heaps.
+    scoreThreshold.fold(scored)(t =>
+        scored.filter(if (asc) col("score") <= t else col("score") >= t))
+      .orderBy(if (asc) col("score").asc else col("score").desc, col(idCol).asc)
       .limit(k)
   }
 

@@ -264,6 +264,24 @@ object NativeKernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else dot / denom
   }
+
+  /** One-pass Minkowski distance for the Qdrant Euclid/Manhattan
+    * metrics: p=2 → √Σ(aᵢ−bᵢ)², p=1 → Σ|aᵢ−bᵢ|. Null on length
+    * mismatch like the other kernels. Java-callable for codegen. */
+  def minkowskiJava(
+      a: ArrayData, b: ArrayData, aT: Int, bT: Int,
+      manhattan: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = elem(a, aT, i) - elem(b, bT, i)
+      acc += (if (manhattan) math.abs(d) else d * d)
+      i += 1
+    }
+    java.lang.Double.valueOf(if (manhattan) acc else math.sqrt(acc))
+  }
 }
 
 /** Cosine similarity over two numeric arrays; null if lengths differ
@@ -308,6 +326,71 @@ case class DotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     NativeKernels.dotNorms(a, ae, b, be)._1
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance √Σ(aᵢ−bᵢ)² — the Qdrant `Distance.EUCLID`
+  * metric. Null on length mismatch; smaller = closer, so top-k ranks
+  * ASC. Codegen'd call into the pre-compiled loop like MaxSim. */
+case class EuclideanDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val res = NativeKernels.minkowskiJava(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      NativeKernels.typeFlag(ae), NativeKernels.typeFlag(be), manhattan = false)
+    if (res == null) null else res.doubleValue()
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val aF = NativeKernels.typeFlag(ae)
+    val bF = NativeKernels.typeFlag(be)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("euclid")
+      s"""
+         |java.lang.Double $r = graft.vector.NativeKernels.minkowskiJava($a, $b, $aF, $bF, false);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Manhattan (L1) distance Σ|aᵢ−bᵢ| — the Qdrant `Distance.MANHATTAN`
+  * metric. Null on length mismatch; ranks ASC like Euclid. */
+case class ManhattanDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val ae = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val be = right.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val res = NativeKernels.minkowskiJava(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      NativeKernels.typeFlag(ae), NativeKernels.typeFlag(be), manhattan = true)
+    if (res == null) null else res.doubleValue()
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val aF = NativeKernels.typeFlag(ae)
+    val bF = NativeKernels.typeFlag(be)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("manhat")
+      s"""
+         |java.lang.Double $r = graft.vector.NativeKernels.minkowskiJava($a, $b, $aF, $bF, true);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -64,6 +64,31 @@ object Kernels {
     when(denom =!= 0.0, dotHof(a, b) / denom)
   }
 
+  /** Euclidean (L2) distance — Qdrant `Distance.EUCLID`; smaller =
+    * closer, so top-k over it ranks ASC. Native expression;
+    * [[euclideanHof]] is the oracle-semantics twin. */
+  def euclidean(a: Column, b: Column): Column =
+    ofExpr(EuclideanDist(exprOf(a), exprOf(b)))
+
+  /** HOF twin of [[euclidean]] (same left-to-right squared-diff fold). */
+  def euclideanHof(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (s, x) => s + x))
+
+  /** Manhattan (L1) distance — Qdrant `Distance.MANHATTAN`; ranks ASC
+    * like Euclid. Native expression; [[manhattanHof]] is the twin. */
+  def manhattan(a: Column, b: Column): Column =
+    ofExpr(ManhattanDist(exprOf(a), exprOf(b)))
+
+  /** HOF twin of [[manhattan]]. */
+  def manhattanHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => abs(x - y)),
+      lit(0.0),
+      (s, x) => s + x)
+
   /** L2-normalize: a / ‖a‖ (Qdrant normalizes cosine collections at
     * upload — SURVEY.md §2 E1). Zero vectors map to null. Native
     * expression; the HOF twin re-evaluates the norm aggregate per
@@ -92,6 +117,20 @@ object Kernels {
       q,
       lit(0.0),
       (s, qv) => s + array_max(transform(d, dv => cosineHof(qv, dv))))
+
+  /** Element-wise mean of a token matrix (`array<array<float>>` →
+    * `array<double>`): ColBERT-style mean pooling, the dense
+    * `prefetch` representation for multi-vector points. ONE zip_with
+    * fold in row order — never an aggregate inside a per-element
+    * lambda (the quadratic re-evaluation trap) — and the same
+    * left-to-right sum the DuckDB oracle writes, so 6dp rounds agree.
+    * Null on an empty matrix (guarded division, ANSI-safe). */
+  def meanPool(vecs: Column, dim: Int): Column =
+    when(size(vecs) > 0,
+      transform(
+        aggregate(vecs, array_repeat(lit(0.0), dim),
+          (acc, v) => zip_with(acc, toDouble(v), (a, b) => a + b)),
+        x => x / size(vecs)))
 
   /** MaxSim over pre-normalized token vectors (cosine == dot): cheaper
     * inner loop for the hot path when ingest normalized (E1). */

@@ -194,6 +194,24 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("euclidean: native == HOF on all fixture pairs vs vector 0") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val d = emb.crossJoin(broadcast(q))
+      .select(Kernels.euclidean(col("embedding"), col("q")).as("a"),
+        Kernels.euclideanHof(col("embedding"), col("q")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
+  test("manhattan: native == HOF on all fixture pairs vs vector 0") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val d = emb.crossJoin(broadcast(q))
+      .select(Kernels.manhattan(col("embedding"), col("q")).as("a"),
+        Kernels.manhattanHof(col("embedding"), col("q")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
   test("topk_hits heap aggregate == row_number window on tied scores") {
     import graft.ops.Similarity
     import org.apache.spark.sql.expressions.Window

@@ -426,6 +426,35 @@ class ScaleDesignSpec extends SparkSpec {
       s"no candidate-buffering window on the LSH rank path:\n$plan")
   }
 
+  test("prefetch→rescore: stage 1 never reads the token matrices, stage 2 broadcasts candidates") {
+    import graft.search.QueryApis
+    val dir = Files.createTempDirectory("prefetch").toString
+    graft.Tables.multiVectorDocs(t(spark, sf, "embeddings"))
+      .withColumn("dense",
+        graft.vector.Kernels.meanPool(col("vecs"), 64).cast("array<float>"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val qd = stored.filter(col("doc_id") === 0).select(col("dense").as("qd"))
+    val qm = stored.filter(col("doc_id") === 0).select(col("vecs").as("qm"))
+    val out = QueryApis.prefetchRescore(
+      stored, qd, qm, "doc_id", "dense", "vecs", prefetchN = 20, k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the dense prefetch branch column-prunes to (doc_id, dense) — at
+    // 100 TB the matrix column is ~10x the dense column and must never
+    // leave the scan in stage 1
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,dense:array<float>>"),
+      s"prefetch stage must scan only (doc_id, dense):\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,vecs:array<array<float>>>"),
+      s"rescore stage must scan only (doc_id, vecs):\n$plan")
+    assert(!plan.contains("vecs:array<array<float>>,dense"),
+      s"no scan may read matrices and dense together:\n$plan")
+    // the candidate id list joins back by BROADCAST (N≈20 rows), so
+    // MaxSim touches candidates only and the corpus never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join must broadcast:\n$plan")
+    assert(out.count() === 5)
+  }
+
   test("bucketed range join is an equi-join — no nested-loop/cartesian plan") {
     val q = Relational.rangeJoinBucketed(t(spark, sf, "events"), 600L * 1000000L)
     val plan = q.queryExecution.executedPlan.toString

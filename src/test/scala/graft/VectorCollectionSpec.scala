@@ -279,6 +279,31 @@ class VectorCollectionSpec extends SparkSpec {
       "set_payload must create the payload map when it was NULL")
   }
 
+  test("distance metric config: euclid collection ranks ASC and survives reopen") {
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "embedding", 64, multiVector = false,
+        distance = "euclid"))
+    c.upsert(pts)
+    val q = t(spark, sf, "embeddings").filter(col("vec_id") === 0)
+      .head.getSeq[Float](1)
+    val hits = c.search(q, k = 5).collect()
+    // the query point itself is distance 0 and must rank first
+    assert(hits.head.getLong(0) === 0L && hits.head.getDouble(1) === 0.0)
+    val scores = hits.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted, "euclid ranks ascending (smaller = closer)")
+    // distance threshold flips to a CEILING for distance metrics
+    val capped = c.search(q, k = 100, filter = lit(true),
+      scoreThreshold = Some(scores(2)))
+    assert(capped.collect().forall(_.getDouble(1) <= scores(2)))
+    // the metric persists in _graft_meta.json across open()
+    val reopened = VectorCollection.open(spark, dir)
+    assert(reopened.config.distance === "euclid")
+    assert(reopened.search(q, k = 1).head.getLong(0) === 0L)
+  }
+
   test("payload update crash recovery: committed update finishes, uncommitted aborts") {
     import org.apache.hadoop.fs.Path
     import graft.index.Sink
