@@ -58,6 +58,35 @@ object TextAnalysis {
         6).as("quality"))
   }
 
+  /** fastText-style linear quality classifier — the model-based filter
+    * family (binary quality classifiers over hashed bag-of-words are
+    * the standard corpus-selection step after heuristic rules). Each
+    * token hashes into one of `dim` feature buckets; the bucket weight
+    * here is a fixed deterministic mix of the bucket id (a stand-in
+    * for trained weights — no training in this environment; in
+    * production swap `bucketWeight` for a broadcast-joined learned
+    * table, same plan shape). score = σ(bias + mean token weight);
+    * null on token-free docs (guarded division, ANSI-safe).
+    *
+    * Scale: a narrow per-row map over the scan — the weight is pure
+    * integer arithmetic on the hash (exact in both engines), so there
+    * is no lookup table, no join, no shuffle, and the projection stays
+    * inside whole-stage codegen. */
+  def qualityClassifier(
+      docs: DataFrame, dim: Int = 4096, bias: Double = -0.05,
+      threshold: Double = 0.5): DataFrame = {
+    val th = Embedder.tokenHashes(col("text"))
+    def bucketWeight(h: Column): Column =
+      ((h % dim) * lit(2654435761L) % 2003L - 1001L).cast("double") / 1001.0
+    val wSum = aggregate(th, lit(0.0), (s, h) => s + bucketWeight(h))
+    val nTok = when(size(th) > 0, size(th).cast("double"))
+    val z = lit(bias) + wSum / nTok
+    docs.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("clf_score"))
+      .withColumn("kept", col("clf_score") >= threshold)
+  }
+
   // -- language identification -------------------------------------
 
   /** Train: per-(lang, token) frequency, keep each lang's top-`topN`
@@ -357,6 +386,8 @@ object TextAnalysis {
       tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_quality_score" -> ((s, dir) =>
       qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_clf_quality" -> ((s, dir) =>
+      qualityClassifier(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
@@ -514,6 +545,19 @@ object TextAnalysis {
     "x_quality_score" ->
       s"""WITH $duckQualityCtes
          |SELECT doc_id, mean_word_len, stop_ratio, quality FROM q ORDER BY doc_id""".stripMargin,
+
+    // bucket weight = exact integer mix of (hash % dim); sigmoid over
+    // the token-mean — same left-to-right fold as the Scala aggregate
+    "x_clf_quality" ->
+      s"""WITH toks AS (SELECT doc_id, ${Embedder.duckTokenHashes("text")} AS th FROM documents),
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN len(th) > 0 THEN
+         |    ROUND(1.0 / (1.0 + exp(-(-0.05 +
+         |      list_sum(list_transform(th, h -> ((h % 4096) * 2654435761 % 2003 - 1001)::DOUBLE / 1001.0))
+         |      / len(th)))), 6)
+         |  END AS clf_score FROM toks)
+         |SELECT doc_id, clf_score, clf_score >= 0.5 AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "x_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest(${duckToks("text")}) AS tok FROM documents),

@@ -156,6 +156,64 @@ object QueryApis {
       .limit(k)
   }
 
+  /** Qdrant `recommend` with `strategy=best_score` (the non-default
+    * strategy beside [[recommend]]'s average_vector): every candidate
+    * is scored against EVERY example; its positive score is the max
+    * over positives, and if the best negative beats it the candidate
+    * scores −(best negative) — points nearer a negative than any
+    * positive sink below every in-context point. Scores round at 6dp
+    * BEFORE the max/compare (the portability pin, as in [[discover]]).
+    * Still the D1 plan: example vectors are literals in one codegen'd
+    * projection, TakeOrderedAndProject cut. */
+  def recommendBestScore(
+      points: DataFrame,
+      posIds: Seq[Long],
+      negIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val vecs = fetchVecs(points, posIds ++ negIds)
+    def sims(ids: Seq[Long]): Seq[Column] = ids.map(id =>
+      round(Kernels.cosine(col("embedding"), typedlit(vecs(id).toSeq)), 6))
+    val bestPos = sims(posIds).reduce((a, b) => greatest(a, b))
+    val score =
+      if (negIds.isEmpty) bestPos
+      else {
+        val bestNeg = sims(negIds).reduce((a, b) => greatest(a, b))
+        when(bestPos > bestNeg, bestPos).otherwise(-bestNeg)
+      }
+    points
+      .filter(!col("vec_id").isInCollection(posIds ++ negIds))
+      .select(col("vec_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Qdrant context search (`query=ContextQuery(pairs)` — discovery's
+    * sibling with NO target): score = Σ_pairs min(0, sim(pos_i) −
+    * sim(neg_i)), so a point on the positive side of every pair scores
+    * exactly 0 ("inside the context") and violations subtract their
+    * margin. Qdrant breaks ties among in-context points randomly; this
+    * engine pins id ASC for determinism. Same scan-shaped plan as
+    * [[discover]]. */
+  def contextSearch(
+      points: DataFrame,
+      contextPairs: Seq[(Long, Long)],
+      k: Int): DataFrame = {
+    require(contextPairs.nonEmpty, "context search needs at least one pair")
+    val ids = contextPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val vecs = fetchVecs(points, ids)
+    val loss = contextPairs.map { case (p, n) =>
+      least(lit(0.0),
+        round(Kernels.cosine(col("embedding"), typedlit(vecs(p).toSeq)), 6) -
+          round(Kernels.cosine(col("embedding"), typedlit(vecs(n).toSeq)), 6))
+    }.reduce(_ + _)
+    points
+      .filter(!col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), round(loss, 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Qdrant `search_groups`: the top `limit` groups (by their best
     * hit's score), each with its top `groupSize` hits. Group selection
     * is an aggregate + TakeOrdered cut over ONE row per group; the
@@ -428,6 +486,10 @@ object QueryApis {
       recommend(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
     "q_discover" -> ((s, dir) =>
       discover(t(s, dir, "embeddings"), DiscTarget, DiscPairs, 10)),
+    "q_recommend_best" -> ((s, dir) =>
+      recommendBestScore(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    "q_context_search" -> ((s, dir) =>
+      contextSearch(t(s, dir, "embeddings"), DiscPairs, 10)),
     "q_search_groups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qRow = e.filter(col("vec_id") === 0).head
@@ -556,6 +618,36 @@ object QueryApis {
          |  ROUND(${duckCos("embedding", duckVec(DiscTarget))}, 6) AS sim
          |FROM embeddings WHERE vec_id NOT IN (${ids.mkString(", ")})
          |ORDER BY ctx_hits DESC, sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_recommend_best" -> {
+      val exCols =
+        (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
+          RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
+          .mkString(", ")
+      val bp = RecPos.indices.map(i => s"ROUND(${duckCos("embedding", s"p$i")}, 6)")
+        .mkString("greatest(", ", ", ")")
+      val bn = RecNeg.indices.map(i => s"ROUND(${duckCos("embedding", s"n$i")}, 6)")
+        .mkString("greatest(", ", ", ")")
+      val excl = (RecPos ++ RecNeg).mkString(", ")
+      s"""WITH ex AS (SELECT $exCols),
+         |sc AS (SELECT vec_id, $bp AS bp, $bn AS bn
+         |  FROM embeddings CROSS JOIN ex WHERE vec_id NOT IN ($excl))
+         |SELECT vec_id, ROUND(CASE WHEN bp > bn THEN bp ELSE -bn END, 6) AS score
+         |FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_context_search" -> {
+      val ids = DiscPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val exCols = DiscPairs.zipWithIndex.map { case ((p, n), i) =>
+        s"${duckVec(p)} AS p$i, ${duckVec(n)} AS n$i" }.mkString(", ")
+      val loss = DiscPairs.indices.map(i =>
+        s"least(0.0, ROUND(${duckCos("embedding", s"p$i")}, 6) - " +
+          s"ROUND(${duckCos("embedding", s"n$i")}, 6))").mkString(" + ")
+      s"""WITH ex AS (SELECT $exCols)
+         |SELECT vec_id, ROUND($loss, 6) AS score
+         |FROM embeddings CROSS JOIN ex WHERE vec_id NOT IN (${ids.mkString(", ")})
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 
     "q_search_groups" ->

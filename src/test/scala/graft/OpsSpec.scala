@@ -186,6 +186,22 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("hashed linear classifier: sigmoid-bounded, discriminative, threshold-consistent") {
+    val scored = TextAnalysis.qualityClassifier(docs).cache()
+    val bad = scored
+      .filter(col("clf_score") < 0.0 || col("clf_score") > 1.0).count()
+    assert(bad === 0L)
+    // the hashed features genuinely discriminate on this corpus — both
+    // classes occur, so the kept flag is not vacuous
+    val kept = scored.filter(col("kept")).count()
+    val dropped = scored.filter(!col("kept")).count()
+    assert(kept > 0L && dropped > 0L,
+      s"classifier must split the corpus (kept=$kept dropped=$dropped)")
+    // kept is exactly score >= threshold
+    assert(scored.filter(col("kept") =!= (col("clf_score") >= 0.5)).count() === 0L)
+    scored.unpersist()
+  }
+
   test("ivf k-means refinement: inertia never increases across Lloyd iterations") {
     val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq

@@ -48,6 +48,51 @@ class QueryApisSpec extends SparkSpec {
     assert(!hits.map(_.getLong(0)).toSet.exists(Set(1L, 2L).contains))
   }
 
+  test("recommendBestScore matches brute-force max-over-examples semantics") {
+    val pos = Seq(1L, 2L); val neg = Seq(3L)
+    val hits = QueryApis.recommendBestScore(emb, pos, neg, 10).collect()
+    assert(hits.length === 10)
+    assert(!hits.map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L).contains))
+    val ex = vecsById(pos ++ neg)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val truth = emb.select(col("vec_id"), col("embedding")).collect()
+      .filter(r => !Set(1L, 2L, 3L).contains(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val bp = pos.map(id => r6(cosine(v, ex(id)))).max
+        val bn = neg.map(id => r6(cosine(v, ex(id)))).max
+        (r.getLong(0), r6(if (bp > bn) bp else -bn))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq === truth.toSeq)
+    // a point nearer its negative than any positive must carry a
+    // NEGATIVE score — the strategy's defining behavior
+    assert(truth.map(_._2).forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("contextSearch: in-context points score 0, violations subtract their margin") {
+    val pairs = Seq((1L, 2L), (3L, 4L))
+    val hits = QueryApis.contextSearch(emb, pairs, 10).collect()
+    assert(hits.length === 10)
+    assert(!hits.map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L, 4L).contains))
+    // scores are Σ min(0, ·) — never positive, best-first
+    val scores = hits.map(_.getDouble(1)).toSeq
+    assert(scores.forall(_ <= 0.0))
+    assert(scores === scores.sorted.reverse)
+    // census: the fixture genuinely has in-context points (score 0) —
+    // the assertion is not vacuous
+    val ex = vecsById(pairs.flatMap(p => Seq(p._1, p._2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val nInside = emb.select(col("vec_id"), col("embedding")).collect()
+      .filter(r => !Set(1L, 2L, 3L, 4L).contains(r.getLong(0)))
+      .count { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        pairs.forall { case (p, n) => r6(cosine(v, ex(p))) >= r6(cosine(v, ex(n))) }
+      }
+    if (nInside >= 10) assert(scores.forall(_ === 0.0))
+    else assert(scores.take(nInside).forall(_ === 0.0))
+  }
+
   test("recommendBatch equals per-request recommend in one pass") {
     val reqs = Seq(
       (100L, Seq(1L, 2L), Seq(3L)),
