@@ -50,7 +50,11 @@ object PlanDump {
       "r_range_join" -> "interval join without an equi-key: 2-bucket fan-out makes it a plain equi-join — no CartesianProduct/BroadcastNestedLoopJoin anywhere",
       "r_above_avg_orders" -> "correlated-aggregate subquery decorrelated to one window over the correlation key — no per-row subquery execution",
       "x_chunk_embed" -> "RAG chunking + per-chunk embedding: pure narrow map (tokenize once, window, embed), zero shuffles",
-      "x_rag_search" -> "composed RAG retrieval: narrow chunk fan-out, broadcast query, one map-side-combinable per-doc max, TakeOrderedAndProject cut")
+      "x_rag_search" -> "composed RAG retrieval: narrow chunk fan-out, broadcast query, one map-side-combinable per-doc max, TakeOrderedAndProject cut",
+      "x_knn_join_lsh" -> "LSH k-NN join: band-bucket equi-join, candidates deduped before vector fetch, bounded-heap topk_hits aggregate with map-side partial aggregation (no candidate-buffering window)",
+      "q_prefetch_rescore" -> "prefetch→rescore: dense stage-1 column-prunes the token matrices; candidate ids broadcast back so MaxSim touches ~20 rows, not the corpus",
+      "d1_topk_euclid" -> "Euclid metric search: same scan → codegen'd distance projection → TakeOrderedAndProject plan as cosine, ranked ASC",
+      "x_clf_quality" -> "hashed linear classifier: weights are integer arithmetic on the token hash — no lookup join, pure narrow map in whole-stage codegen")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
