@@ -205,6 +205,62 @@ object Dedup {
       jaccardMin: Double = 0.5): DataFrame = {
     val (hb, hhs) = sigBands(history, k, "hist_id", "hs_h")
     val (fb, fhs) = sigBands(fresh, k, "new_id", "hs_f")
+    verifyBandMatches(fb, fhs, hb, hhs, jaccardMin)
+  }
+
+  /** [[dedupAgainstHistory]] against a PERSISTED band/shingle index —
+    * the at-scale form its scaladoc promises: the history side is the
+    * (hist_id, band, bval) + (hist_id, hs_h) tables appended to as
+    * batches commit, so each run pays O(new batch), never a
+    * re-shingling of the whole history. The streaming near-dup gate
+    * ([[graft.streaming.Streams.streamingNearDupGate]]) maintains that
+    * index batch-over-batch. */
+  def dedupAgainstBandIndex(
+      histBands: DataFrame,
+      histHs: DataFrame,
+      fresh: DataFrame,
+      k: Int = 8,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val (fb, fhs) = sigBands(fresh, k, "new_id", "hs_f")
+    verifyBandMatches(fb, fhs, histBands, histHs, jaccardMin)
+  }
+
+  /** Fresh-side bands for maintaining a persisted history index. */
+  private[graft] def freshBands(fresh: DataFrame, k: Int = 8): (DataFrame, DataFrame) =
+    sigBands(fresh, k, "hist_id", "hs_h")
+
+  /** DuckDB oracle for the STREAMING near-dup gate
+    * (`graft.streaming.Streams.streamingNearDupGate`): identical
+    * banding over the 3-batch corpus, with batch provenance recovered
+    * from the id (planted ids ≥ 1000000 are batch 2, otherwise
+    * doc_id % 2) and a doc flagging against STRICTLY earlier batches
+    * only — the first-seen-wins arrival semantics the stream enforces
+    * by construction. Lives here because it shares the private
+    * sig/band CTE builders with the batch dedup oracles. */
+  private[graft] def duckStreamingGate(
+      k: Int = 8, jaccardMin: Double = 0.5): String = {
+    def batch(id: String) = s"(CASE WHEN $id >= 1000000 THEN 2 ELSE $id % 2 END)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |sigs AS (${duckSigsCte("corpus", k)}),
+       |bands AS (${duckBandsCte("sigs", k)})
+       |SELECT DISTINCT f.doc_id AS new_id, h.doc_id AS hist_id,
+       |  ROUND(len(list_intersect(f.hs, h.hs))::DOUBLE /
+       |    len(list_distinct(f.hs || h.hs))::DOUBLE, 6) AS jaccard
+       |FROM bands f JOIN bands h ON f.band = h.band AND f.bval = h.bval
+       |  AND ${batch("h.doc_id")} < ${batch("f.doc_id")}
+       |WHERE ROUND(len(list_intersect(f.hs, h.hs))::DOUBLE /
+       |    len(list_distinct(f.hs || h.hs))::DOUBLE, 6) >= $jaccardMin
+       |ORDER BY new_id, hist_id""".stripMargin
+  }
+
+  private def verifyBandMatches(
+      fb: DataFrame, fhs: DataFrame,
+      hb: DataFrame, hhs: DataFrame,
+      jaccardMin: Double): DataFrame =
     fb.join(hb, Seq("band", "bval"))
       .select(col("new_id"), col("hist_id"))
       .join(fhs, Seq("new_id"))
@@ -213,7 +269,6 @@ object Dedup {
         round(jaccard(col("hs_f"), col("hs_h")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
       .distinct()
-  }
 
   // -- SimHash -----------------------------------------------------
 

@@ -307,7 +307,77 @@ object Streams {
     runToParquet(spark, gated)
   }
 
+  /** Streaming near-dup ingest gate — the continuous form of the
+    * nightly-crawl-vs-history dedup ([[graft.ops.Dedup
+    * .dedupAgainstHistory]]): documents arrive in micro-batches; each
+    * batch's MinHash bands join the PERSISTED history band index
+    * (appended to as batches commit), matches are Jaccard-verified and
+    * flagged, and the batch's own bands become history for everything
+    * after it. First-seen wins across batches by construction.
+    *
+    * Scale: per-batch work is O(batch + matched candidates) — the
+    * history is touched only through the (band, bval) equi-join
+    * against its persisted index, never re-shingled. At 100 TB the
+    * band index would additionally be bucketed by (band, bval) so each
+    * batch's bands shuffle INTO the bucket layout instead of
+    * re-exchanging the index; the parquet-append form here keeps the
+    * same join key and cost shape. The 3-file fixture (even ids, odd
+    * ids, then planted +1000000 perturbed copies) arrives in
+    * mtime-pinned order with maxFilesPerTrigger=1, so batch identity
+    * is deterministic and the planted copies MUST flag against their
+    * batch-0/1 sources — non-vacuous by construction. */
+  def streamingNearDupGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_neardup_src")
+    def stage(df: DataFrame, name: String, mtimeSec: Long): Unit = {
+      val dest = src.resolve(name).toString
+      writeSingleFile(spark, df, dest)
+      // pin arrival order: the file source orders by modification time
+      Files.setLastModifiedTime(
+        Paths.get(dest), FileTime.fromMillis(mtimeSec * 1000L))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "00_batch0.parquet", 1000)
+    stage(docs.filter(col("doc_id") % 2 === 1), "01_batch1.parquet", 2000)
+    stage(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")),
+      "02_batch2.parquet", 3000)
+    val work = Files.createTempDirectory("graft_neardup_work")
+    val bandsPath = s"$work/bands"; val hsPath = s"$work/hs"
+    val outPath = s"$work/flagged"; val ckpt = s"$work/ckpt"
+    Streams.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (Files.exists(Paths.get(bandsPath))) {
+              graft.ops.Dedup.dedupAgainstBandIndex(
+                  spark.read.parquet(bandsPath),
+                  spark.read.parquet(hsPath), batch)
+                .write.mode("append").parquet(outPath)
+            }
+            val (hb, hhs) = graft.ops.Dedup.freshBands(batch)
+            hb.write.mode("append").parquet(bandsPath)
+            hhs.write.mode("append").parquet(hsPath)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    spark.read.parquet(outPath).orderBy(col("new_id"), col("hist_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_neardup_gate" -> ((s, dir) => streamingNearDupGate(s, dir)),
     "s_quality_gate" -> ((s, dir) =>
       streamingQualityGate(s, dir, minQuality = 0.7)
         .orderBy(col("doc_id"))),
@@ -333,6 +403,10 @@ object Streams {
   /** Batch-SQL oracles: streaming over a bounded source must agree
     * with the equivalent batch window/sessionization SQL. */
   def oracles: Map[String, String] = Map(
+    // streaming near-dup gate == batch SQL over the same 3-batch
+    // corpus with strictly-earlier-batch matching (oracle lives in
+    // Dedup beside the banding CTEs it shares)
+    "s_neardup_gate" -> graft.ops.Dedup.duckStreamingGate(),
     // the streaming gate must equal the batch quality cut — one
     // formula, verified across execution modes
     "s_quality_gate" ->

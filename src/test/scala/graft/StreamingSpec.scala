@@ -213,4 +213,25 @@ class StreamingSpec extends SparkSpec {
     assert(s.filter(col("n_events") < 1 || col("last_ts") < col("first_ts")).count() === 0L)
     assert(s.count() > 0)
   }
+
+  test("streaming near-dup gate: every planted copy flags against its earlier-batch source") {
+    val flagged = Streams.streamingNearDupGate(spark, sf).cache()
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    // census: each planted (+1000000) copy arrived in batch 2 and must
+    // match its batch-0/1 source — the gate cannot pass vacuously
+    val hits = flagged
+      .filter(col("new_id") >= 1000000L)
+      .select(col("new_id"), col("hist_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { id =>
+      assert(hits.contains((id + 1000000L, id)),
+        s"planted copy of $id must flag against its source") }
+    // matches only point BACKWARD in arrival order: history ids are
+    // never planted batch-2 ids
+    assert(flagged.filter(col("hist_id") >= 1000000L).count() === 0L)
+    flagged.unpersist()
+  }
 }
