@@ -22,6 +22,28 @@ import graft.index.Embedder
   */
 object Curation {
 
+  /** Deterministic global training-order shuffle — the pass that runs
+    * before sequence packing so a model never sees a crawl's documents
+    * in source order. Seeded content-stable hash (no `rand()`: the
+    * permutation is reproducible run-over-run and changes wholesale
+    * with the seed), bucketed into `nShards` shards with a per-shard
+    * position — the layout a packed-dataset writer consumes directly.
+    *
+    * Scale: the key is a narrow map; positions are per-SHARD windows
+    * (parallel, bounded state), never one global row_number that would
+    * drag the corpus to a single partition. Writers then
+    * `partitionBy(shard)` and read shards in (shard, pos) order. */
+  def shuffleShards(
+      docs: DataFrame, nShards: Int = 16, seed: String = "s1"): DataFrame = {
+    val skey = graft.index.Embedder.stringHash64(
+      concat_ws(":", lit(seed), col("doc_id")))
+    docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", (col("skey") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("long"))
+  }
+
   /** Split assignment from the 60-bit md5 id hash, mod 100:
     * <90 train, <95 valid, else test. */
   def withSplit(docs: DataFrame): DataFrame = {
@@ -280,6 +302,9 @@ object Curation {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"), col("lang"))),
+    "x_corpus_shuffle" -> ((s, dir) =>
+      shuffleShards(t(s, dir, "documents"))
+        .orderBy(col("shard"), col("pos"))),
     "x_domain_cap" -> ((s, dir) =>
       domainCap(t(s, dir, "documents"), 3)
         .orderBy(col("source"), col("rnk"))),
@@ -417,6 +442,14 @@ object Curation {
          |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
          |  lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
          |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "x_corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${Embedder.duckStringHash64("'s1:' || doc_id::VARCHAR")} AS skey
+         |  FROM documents)
+         |SELECT doc_id, skey, (skey % 16)::BIGINT AS shard,
+         |  row_number() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id)::BIGINT AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
 
     "x_pack_sequences" ->
       s"""WITH tc AS (SELECT doc_id, lang,

@@ -211,6 +211,48 @@ object TextAnalysis {
           6).as("avg_logp"))
   }
 
+  /** Corpus-bigram conditional log-probability per document — the
+    * Markov-1 upgrade of [[unigramLogprob]]: avg_logp2 =
+    * (Σ k·ln P(w₂|w₁)) / n_bigrams with P(w₂|w₁) = c(w₁w₂)/c₁(w₁),
+    * where c₁ sums bigram counts BY PREFIX so the conditional
+    * normalizes exactly and every observed bigram has nonzero
+    * probability — no smoothing constant to pin across engines.
+    * Fluent text (common word transitions) scores higher than
+    * word-salad with the same vocabulary, which unigram scoring
+    * cannot distinguish.
+    *
+    * Scale: one (doc, bigram) shuffle; both corpus counts are WINDOW
+    * sums over those rows (no second corpus pass, no self-join); the
+    * per-doc float fold runs over the bigram-sorted term list
+    * (association pinned, the unigram/BM25 rule). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    tf
+      .withColumn("c2", sum(col("k")).over(Window.partitionBy(col("bg"))))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("c1", sum(col("k")).over(Window.partitionBy(col("w1"))))
+      .select(col("doc_id"), col("bg"), col("k"),
+        (col("k").cast("double") *
+          log(col("c2").cast("double") / col("c1").cast("double"))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("bg"), col("v")))).as("l"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")) /
+            col("n_bigrams").cast("double"),
+          6).as("avg_logp2"))
+  }
+
   // -- distinctive vocabulary --------------------------------------
 
   /** Top-`k` distinctive tokens per language by lift — the PMI-style
@@ -388,6 +430,8 @@ object TextAnalysis {
       qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_clf_quality" -> ((s, dir) =>
       qualityClassifier(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_bigram_logprob" -> ((s, dir) =>
+      bigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
@@ -527,6 +571,25 @@ object TextAnalysis {
          |    list(v ORDER BY tok) AS l FROM terms GROUP BY doc_id)
          |SELECT doc_id, n_toks,
          |  ROUND(list_reduce(l, (a,b) -> a+b) / n_toks::DOUBLE, 6) AS avg_logp
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "x_bigram_logprob" ->
+      s"""WITH tf AS (SELECT doc_id, bg, count(*) AS k FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |    FROM (SELECT doc_id, ${duckToks("text")} AS tk FROM documents) y) z
+         |  GROUP BY doc_id, bg),
+         |c2t AS (SELECT bg, sum(k)::BIGINT AS c2 FROM tf GROUP BY bg),
+         |c1t AS (SELECT string_split(bg, ' ')[1] AS w1, sum(k)::BIGINT AS c1
+         |  FROM tf GROUP BY 1),
+         |terms AS (SELECT doc_id, bg, k,
+         |    k::DOUBLE * ln(c2::DOUBLE / c1::DOUBLE) AS v
+         |  FROM tf JOIN c2t USING (bg)
+         |  JOIN c1t ON string_split(tf.bg, ' ')[1] = c1t.w1),
+         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+         |    list(v ORDER BY bg) AS l FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  ROUND(list_reduce(l, (a,b) -> a+b) / n_bigrams::DOUBLE, 6) AS avg_logp2
          |FROM agg ORDER BY doc_id""".stripMargin,
 
     "x_boilerplate" ->

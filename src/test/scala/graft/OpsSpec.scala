@@ -186,6 +186,49 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("bigram LM: nonpositive scores, n_bigrams = tokens-1, fluent beats word-salad") {
+    import spark.implicits._
+    val scored = TextAnalysis.bigramLogprob(docs).cache()
+    assert(scored.filter(col("avg_logp2") > 1e-12).count() === 0L,
+      "conditional probabilities are <= 1, so logprobs are <= 0")
+    // every doc with >= 2 tokens contributes exactly tokens-1 bigrams
+    val counts = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    val bad = scored.join(counts, "doc_id")
+      .filter(col("n_bigrams") =!= col("n_ws_tokens") - 1).count()
+    assert(bad === 0L)
+    scored.unpersist()
+    // consistent transitions score higher than the same word multiset
+    // with scattered transitions — the signal unigram scoring lacks
+    val tiny = Seq((1L, "x y x y x y"), (2L, "x x y y x y")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLogprob(tiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) > m(2L),
+      s"repeated 'x y' (${m(1L)}) must beat the scattered form (${m(2L)})")
+  }
+
+  test("corpus shuffle: seeded permutation is reproducible, complete, seed-sensitive") {
+    import graft.ops.Curation
+    val s1 = Curation.shuffleShards(docs).cache()
+    assert(s1.count() === docs.count())
+    assert(s1.select(col("doc_id")).distinct().count() === docs.count(),
+      "shuffle is a permutation — every doc exactly once")
+    // per-shard positions are dense 1..n (pack-writer contract)
+    val holes = s1.groupBy(col("shard"))
+      .agg(max(col("pos")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(holes === 0L)
+    // reproducible run-over-run, wholesale different under a new seed
+    assert(s1.exceptAll(Curation.shuffleShards(docs)).count() === 0L)
+    val other = Curation.shuffleShards(docs, seed = "s2")
+      .select(col("doc_id"), col("shard").as("sh2"), col("pos").as("p2"))
+    val moved = s1.join(other, "doc_id")
+      .filter(col("shard") =!= col("sh2") || col("pos") =!= col("p2")).count()
+    assert(moved > docs.count() / 2,
+      s"a new seed must reshuffle most docs (moved=$moved)")
+    s1.unpersist()
+  }
+
   test("hashed linear classifier: sigmoid-bounded, discriminative, threshold-consistent") {
     val scored = TextAnalysis.qualityClassifier(docs).cache()
     val bad = scored
