@@ -286,6 +286,68 @@ object Curation {
           col("n_docs").cast("double"), 6).as("weight"))
   }
 
+  /** Temperature-scaled (α-)sampling mixture — the multilingual-LM
+    * standard (Conneau et al. XLM-R, α = 0.3; Raffel et al. T5 use
+    * the same form over corpora): sampling weight q_l ∝ p_l^α with
+    * p_l the language's corpus share. α < 1 flattens the mixture —
+    * low-resource languages are oversampled (boost = q/p > 1), head
+    * languages damped — without the hard uniform target of
+    * [[mixtureWeights]].
+    *
+    * Determinism: p is an exact integral division; p^α rounds at 6dp
+    * BEFORE the normalizer sum, and that sum folds in lang order (the
+    * BM25 pin) — `pow` is the only libm call and its ulp noise dies in
+    * the rounding. One tiny aggregate; nothing corpus-sized moves. */
+  def temperatureMixture(docs: DataFrame, alpha: Double): DataFrame = {
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = byLang.agg(sum(col("n_docs")).as("total"))
+    val pa = byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total").cast("double")).as("p"))
+      .withColumn("pa", round(pow(col("p"), lit(alpha)), 6))
+    val z = pa
+      .agg(sort_array(collect_list(struct(col("lang"), col("pa")))).as("l"))
+      .select(aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("pa"))
+        .as("z"))
+    pa.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("share"),
+        round(col("pa") / col("z"), 6).as("weight"),
+        round(col("pa") / col("z") / col("p"), 6).as("boost"))
+  }
+
+  /** Intra-document paragraph dedup — the Gopher/RefinedWeb cleaning
+    * step that strips text REPEATED WITHIN one document (templated
+    * headers, copy-paste runs) while [[lineDedup]] handles cross-doc
+    * repetition. "Paragraphs" here are fixed `chunkWords`-word windows
+    * (the fixture corpus has no newlines); the first occurrence of
+    * each chunk survives in original order. Emits the census a
+    * cleaning report needs (chunks before/after) plus an md5 signature
+    * and length of the cleaned text.
+    *
+    * Scale: a PURE NARROW MAP — chunking is arithmetic on the token
+    * array and `array_distinct` is one hash-set pass per document
+    * (first-occurrence order preserved), so no shuffle, no state, and
+    * per-doc cost is linear in document length. */
+  def intraDocDedup(docs: DataFrame, chunkWords: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / chunkWords).cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        array_distinct(col("chunks")).as("kept"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        md5(col("clean").cast("binary")).as("clean_sig"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_rag_search" -> ((s, dir) =>
       ragSearch(t(s, dir, "documents"), "hash join merge",
@@ -297,6 +359,22 @@ object Curation {
       lineDedup(t(s, dir, "documents"), 8).orderBy(col("doc_id"))),
     "x_mixture_weights" -> ((s, dir) =>
       mixtureWeights(t(s, dir, "documents")).orderBy(col("lang"))),
+    "x_mixture_temp" -> ((s, dir) =>
+      temperatureMixture(t(s, dir, "documents"), alpha = 0.3)
+        .orderBy(col("lang"))),
+    // The word-salad fixture rarely repeats an 8-word chunk inside one
+    // doc, so the query plants a duplicate in BOTH engines: every 10th
+    // doc gets its own first 8 words PREPENDED — chunk 0 and chunk 1
+    // of the planted doc are then verbatim equal regardless of the
+    // doc's length, and the dedup must strip exactly one of them.
+    "x_intradoc_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(array_join(slice(toks, 1, 8), " "), lit(" "), col("text")))
+          .otherwise(col("text")))
+      intraDocDedup(planted, 8).orderBy(col("doc_id"))
+    }),
     "x_split_train_test" -> ((s, dir) =>
       withSplit(t(s, dir, "documents"))
         .groupBy(col("split"), col("lang"))
@@ -435,6 +513,40 @@ object Curation {
         |SELECT lang, n_docs, ROUND(n_docs::DOUBLE / total::DOUBLE, 6) AS share,
         |  ROUND((total::DOUBLE / n_langs::DOUBLE) / n_docs::DOUBLE, 6) AS weight
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    "x_mixture_temp" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total FROM b),
+        |pa AS (SELECT lang, n_docs, n_docs::DOUBLE / total::DOUBLE AS p,
+        |    ROUND(pow(n_docs::DOUBLE / total::DOUBLE, 0.3), 6) AS pa FROM b, t),
+        |z AS (SELECT list_reduce(list_prepend(0.0, list(pa ORDER BY lang)),
+        |    (a, b) -> a + b) AS z FROM pa)
+        |SELECT lang, n_docs, ROUND(p, 6) AS share,
+        |  ROUND(pa / z, 6) AS weight, ROUND(pa / z / p, 6) AS boost
+        |FROM pa, z ORDER BY lang""".stripMargin,
+
+    "x_intradoc_dedup" -> {
+      val toks = TextAnalysis.duckToksPublic("text")
+      s"""WITH base AS (SELECT doc_id, text, $toks AS tk0 FROM documents),
+         |planted AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN array_to_string(tk0[1:8], ' ') || ' ' || text
+         |    ELSE text END AS text FROM base),
+         |tk AS (SELECT doc_id, $toks AS toks FROM planted),
+         |ch AS (SELECT doc_id, list_transform(
+         |    range(0, cast(ceil(len(toks) / 8.0) AS INT)),
+         |    i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS chunks FROM tk),
+         |ex AS (SELECT doc_id, unnest(chunks) AS chunk,
+         |    generate_subscripts(chunks, 1) AS ord FROM ch),
+         |firsts AS (SELECT doc_id, chunk, min(ord) AS ord
+         |  FROM ex GROUP BY doc_id, chunk),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |    array_to_string(list(chunk ORDER BY ord), ' ') AS clean
+         |  FROM firsts GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.chunks)::BIGINT AS n_chunks,
+         |  a.n_kept::BIGINT AS n_kept,
+         |  length(a.clean)::BIGINT AS clean_chars, md5(a.clean) AS clean_sig
+         |FROM ch c JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "x_split_train_test" ->
       s"""WITH s AS (SELECT lang, n_chars,

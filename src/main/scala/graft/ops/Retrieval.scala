@@ -197,6 +197,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Sparse top-k under Qdrant's `Modifier.IDF` (sparse-vector
+    * collections configured with `modifier=idf` rescale every QUERY
+    * weight by idf(dim) = ln(1 + (N − df + 0.5)/(df + 0.5)) at search
+    * time — document weights stay raw tf, which is how Qdrant turns a
+    * plain tf sparse index into BM15-style scoring without rewriting
+    * the stored vectors).
+    *
+    * Scale: identical plan shape to [[sparseSearch]] — the query's
+    * IN-list still prunes the postings scan — plus one tiny df
+    * aggregate over the ALREADY-pruned posting rows (≤|query dims|
+    * result rows, broadcast back; no second corpus pass) and the
+    * one-row corpus count N. Determinism: w/qw/df/N are integral; the
+    * per-doc float sum folds over the dim-sorted partial products
+    * (association written down — the BM25/unigram pin). */
+  def sparseSearchIdf(docs: DataFrame, queryText: String, dim: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val qw = spark.range(1)
+      .select(explode(Embedder.tokenHashes(lit(queryText))).as("h"))
+      .select(pmod(col("h"), lit(dim.toLong)).as("sdim"))
+      .groupBy(col("sdim")).agg(count(lit(1)).as("qw"))
+    val qdims = qw.select(col("sdim")).collect().map(_.getLong(0)).toSeq
+    val post = sparsePostings(docs, dim)
+      .filter(col("sdim").isInCollection(qdims))
+    // N counts EVERY collection point (docs with none of the query's
+    // dims included — Qdrant's idf is collection-global), one scalar
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val df = post.groupBy(col("sdim"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val qidf = qw.join(df, Seq("sdim")).crossJoin(broadcast(nDocs))
+      .select(col("sdim"),
+        (col("qw").cast("double") *
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .as("qi"))
+    post.join(broadcast(qidf), Seq("sdim"))
+      .select(col("doc_id"), col("sdim"), (col("w").cast("double") * col("qi")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("sdim"), col("p")))).as("l"))
+      .select(col("doc_id"),
+        round(aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("p")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // -- query/oracle registry ---------------------------------------
 
   private val QueryText = "hash join merge"
@@ -213,7 +257,9 @@ object Retrieval {
     "x_hybrid_dbsf" -> ((s, dir) =>
       hybridDbsf(t(s, dir, "documents"), QueryText, n = 100, k = 10)),
     "x_sparse_topk" -> ((s, dir) =>
-      sparseSearch(t(s, dir, "documents"), QueryText, SparseDim, 10))
+      sparseSearch(t(s, dir, "documents"), QueryText, SparseDim, 10)),
+    "x_sparse_idf" -> ((s, dir) =>
+      sparseSearchIdf(t(s, dir, "documents"), QueryText, SparseDim, 10))
   )
 
   private def duckBm25Ctes: String = {
@@ -252,6 +298,26 @@ object Retrieval {
          |SELECT doc_id, sum(w * qw)::BIGINT AS score
          |FROM post JOIN qp USING (sdim)
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "x_sparse_idf" ->
+      s"""WITH post AS (SELECT doc_id, h % $SparseDim AS sdim, count(*) AS w FROM (
+         |    SELECT doc_id, unnest(${Embedder.duckTokenHashes("text")}) AS h FROM documents) z
+         |  GROUP BY doc_id, h % $SparseDim),
+         |qp AS (SELECT h % $SparseDim AS sdim, count(*) AS qw FROM (
+         |    SELECT unnest(${Embedder.duckTokenHashes(s"'$QueryText'")}) AS h) z
+         |  GROUP BY h % $SparseDim),
+         |pruned AS (SELECT * FROM post WHERE sdim IN (SELECT sdim FROM qp)),
+         |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |dfq AS (SELECT sdim, count(*)::DOUBLE AS df FROM pruned GROUP BY sdim),
+         |qidf AS (SELECT sdim,
+         |    qw::DOUBLE * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS qi
+         |  FROM qp JOIN dfq USING (sdim), nd),
+         |parts AS (SELECT doc_id,
+         |    list(w::DOUBLE * qi ORDER BY sdim) AS l
+         |  FROM pruned JOIN qidf USING (sdim) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ROUND(list_reduce(list_prepend(0.0, l), (a, b) -> a + b), 6) AS score
+         |FROM parts ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "x_hybrid_dbsf" -> {
       val embed = Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))

@@ -253,6 +253,85 @@ object TextAnalysis {
           6).as("avg_logp2"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    * each language's documents split into head / middle / tail
+    * terciles by language-model score — the standard recipe for
+    * quality-stratifying a web crawl before sampling (head = most
+    * fluent third). The LM here is [[unigramLogprob]] (higher
+    * avg_logp = more probable text); buckets are RANK-based
+    * (`ntile(3)` over (score desc, doc_id)), which is exactly CCNet's
+    * sort-then-cut-in-thirds and is integer-deterministic across
+    * engines — no float boundary to pin.
+    *
+    * Scale: the ntile window sorts each language's scores on a single
+    * partition — fine to ~100M docs/lang, but at full corpus scale use
+    * [[pplBucketsApprox]]: tercile BOUNDARIES from
+    * `percentile_approx` (one mergeable-sketch pass), bucketing as a
+    * broadcast join + narrow map, no global sort. OpsSpec pins the
+    * approx census against this exact one. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    scored.withColumn("nt", ntile(3).over(w))
+      .select(col("lang"),
+        when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("avg_logp"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_logp")).as("min_lp"),
+        max(col("avg_logp")).as("max_lp"))
+  }
+
+  /** The 100 TB twin of [[pplBuckets]]: per-lang tercile boundaries
+    * from one `percentile_approx` sketch pass (mergeable, no sort),
+    * then a broadcast boundary join and a narrow bucket map. Bucket
+    * edges are value-based here, so score ties at a boundary may land
+    * one bucket over vs the rank-based exact cut — OpsSpec bounds the
+    * census drift. */
+  def pplBucketsApprox(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bounds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("avg_logp"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("qs"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("lang"),
+        when(col("avg_logp") >= element_at(col("qs"), 2), "head")
+          .when(col("avg_logp") >= element_at(col("qs"), 1), "middle")
+          .otherwise("tail").as("bucket"),
+        col("avg_logp"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_logp")).as("min_lp"),
+        max(col("avg_logp")).as("max_lp"))
+  }
+
+  /** First step of byte-pair-encoding tokenizer training (Sennrich et
+    * al., ACL 2016): corpus-wide frequencies of ADJACENT CHARACTER
+    * PAIRS inside words — the statistic BPE maximizes when picking its
+    * next merge (here over raw characters, i.e. the first merge
+    * round; iterating = re-running over progressively merged symbol
+    * streams). Top-k merge candidates by (count desc, pair asc).
+    *
+    * Scale: one narrow explode to a (pair) stream and one map-side-
+    * combinable count — the classic word-count shape; the top-k cut is
+    * TakeOrderedAndProject. Counts are integral: no float pins. */
+  def bpePairs(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .select(explode(
+        when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   // -- distinctive vocabulary --------------------------------------
 
   /** Top-`k` distinctive tokens per language by lift — the PMI-style
@@ -509,11 +588,36 @@ object TextAnalysis {
           round(expr("percentile(nt, 0.5)"), 6).as("p50"),
           round(expr("percentile(nt, 0.75)"), 6).as("p75"),
           count(lit(1)).as("n"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    "x_ppl_buckets" -> ((s, dir) =>
+      pplBuckets(t(s, dir, "documents"))
+        .orderBy(col("lang"), col("bucket"))),
+
+    "x_bpe_pairs" -> ((s, dir) =>
+      bpePairs(t(s, dir, "documents"), k = 20))
   )
 
   private val FooterMarker =
     " foot0 foot1 foot2 foot3 foot4 foot5 foot6 foot7"
+
+  /** Unigram-LM CTE chain ending in lp(doc_id, n_toks, avg_logp) —
+    * the single SQL source of the LM-score formula; x_unigram_logprob
+    * and x_ppl_buckets both build on it so they cannot diverge. */
+  private def duckUnigramCtes: String =
+    s"""tf AS (SELECT doc_id, tok, count(*) AS k FROM (
+       |    SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents) z
+       |  GROUP BY doc_id, tok),
+       |cnt AS (SELECT tok, sum(k)::BIGINT AS c FROM tf GROUP BY tok),
+       |tot AS (SELECT sum(c)::BIGINT AS tc FROM cnt),
+       |terms AS (SELECT doc_id, tok, k,
+       |    k::DOUBLE * ln(c::DOUBLE / tc::DOUBLE) AS v
+       |  FROM tf JOIN cnt USING (tok), tot),
+       |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_toks,
+       |    list(v ORDER BY tok) AS l FROM terms GROUP BY doc_id),
+       |lp AS (SELECT doc_id, n_toks,
+       |  ROUND(list_reduce(l, (a,b) -> a+b) / n_toks::DOUBLE, 6) AS avg_logp
+       |  FROM agg)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x_winnow" -> {
@@ -559,19 +663,26 @@ object TextAnalysis {
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x_unigram_logprob" ->
-      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS k FROM (
-         |    SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents) z
-         |  GROUP BY doc_id, tok),
-         |cnt AS (SELECT tok, sum(k)::BIGINT AS c FROM tf GROUP BY tok),
-         |tot AS (SELECT sum(c)::BIGINT AS tc FROM cnt),
-         |terms AS (SELECT doc_id, tok, k,
-         |    k::DOUBLE * ln(c::DOUBLE / tc::DOUBLE) AS v
-         |  FROM tf JOIN cnt USING (tok), tot),
-         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_toks,
-         |    list(v ORDER BY tok) AS l FROM terms GROUP BY doc_id)
-         |SELECT doc_id, n_toks,
-         |  ROUND(list_reduce(l, (a,b) -> a+b) / n_toks::DOUBLE, 6) AS avg_logp
-         |FROM agg ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckUnigramCtes
+         |SELECT doc_id, n_toks, avg_logp
+         |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "x_ppl_buckets" ->
+      s"""WITH $duckUnigramCtes,
+         |lg AS (SELECT lp.doc_id, lp.avg_logp, d.lang
+         |  FROM lp JOIN documents d USING (doc_id)),
+         |nt AS (SELECT lang, avg_logp, ntile(3) OVER (
+         |    PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS nt FROM lg)
+         |SELECT lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, min(avg_logp) AS min_lp, max(avg_logp) AS max_lp
+         |FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "x_bpe_pairs" ->
+      s"""SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+         |  FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents) w) z
+         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
 
     "x_bigram_logprob" ->
       s"""WITH tf AS (SELECT doc_id, bg, count(*) AS k FROM (

@@ -43,7 +43,8 @@ object QueryApis {
     val found = e.filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray)
       .toMap
     val missing = ids.distinct.filterNot(found.contains)
     require(missing.isEmpty,
@@ -71,16 +72,49 @@ object QueryApis {
       negIds: Seq[Long],
       k: Int): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
-    val vecs = fetchVecs(points, posIds ++ negIds)
-    val avgPos = meanVec(posIds.map(vecs))
-    val qv =
-      if (negIds.isEmpty) avgPos
-      else {
-        val avgNeg = meanVec(negIds.map(vecs))
-        Array.tabulate(avgPos.length)(i => avgPos(i) * 2.0 - avgNeg(i))
-      }
+    val qv = averageVector(fetchVecs(points, posIds ++ negIds), posIds, negIds)
     points
       .filter(!col("vec_id").isInCollection(posIds ++ negIds))
+      .select(col("vec_id"),
+        round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** average_vector strategy query: 2·avg_pos − avg_neg (avg_pos alone
+    * with no negatives), component folds in written id order. */
+  private def averageVector(
+      vecs: Map[Long, Array[Double]],
+      posIds: Seq[Long],
+      negIds: Seq[Long]): Array[Double] = {
+    val avgPos = meanVec(posIds.map(vecs))
+    if (negIds.isEmpty) avgPos
+    else {
+      val avgNeg = meanVec(negIds.map(vecs))
+      Array.tabulate(avgPos.length)(i => avgPos(i) * 2.0 - avgNeg(i))
+    }
+  }
+
+  /** Qdrant `recommend` with `lookup_from`: the positive/negative
+    * example ids name points in a DIFFERENT collection (same vector
+    * dimensionality), the recommendation query is built from THAT
+    * collection's vectors, and the search still runs over `points`.
+    * The canonical use is a user-profile collection steering search
+    * over an item collection. Examples are NOT excluded from the
+    * results — exclusion only applies when the example ids live in
+    * the searched collection itself (the id spaces differ here),
+    * which is Qdrant's behavior too. Same plan as [[recommend]]: the
+    * lookup fetch is a tiny driver-side constant (B5 semantics), the
+    * corpus is scanned once, TakeOrderedAndProject cut. */
+  def recommendLookup(
+      points: DataFrame,
+      lookup: DataFrame,
+      posIds: Seq[Long],
+      negIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val qv = averageVector(fetchVecs(lookup, posIds ++ negIds), posIds, negIds)
+    points
       .select(col("vec_id"),
         round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -480,10 +514,23 @@ object QueryApis {
   private val MmrLambda = 0.5
   private val MatrixMod = 10
   private val MatrixK = 3
+  private val LookupPos = Seq(3L, 11L)
+  private val LookupNeg = Seq(7L)
+
+  /** documents embedded as a second collection in (vec_id, embedding)
+    * shape — the `lookup_from` fixture (ids are DOC ids). */
+  private def docLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("vec_id"),
+      graft.index.Embedder.embedRaw(
+        graft.index.Embedder.tokenHashes(col("text"))).as("embedding"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recommend" -> ((s, dir) =>
       recommend(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    "q_recommend_lookup" -> ((s, dir) =>
+      recommendLookup(
+        t(s, dir, "embeddings"), docLookup(s, dir), LookupPos, LookupNeg, 10)),
     "q_discover" -> ((s, dir) =>
       discover(t(s, dir, "embeddings"), DiscTarget, DiscPairs, 10)),
     "q_recommend_best" -> ((s, dir) =>
@@ -605,6 +652,29 @@ object QueryApis {
          |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)
          |SELECT vec_id, ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
          |FROM embeddings WHERE vec_id NOT IN ($excl)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_recommend_lookup" -> {
+      // example vectors come from the DOCUMENTS collection (embedded
+      // text), searched collection is embeddings; no exclusion — the
+      // id spaces differ (Qdrant lookup_from semantics)
+      val emb = graft.index.Embedder.duckEmbedRaw(
+        graft.index.Embedder.duckTokenHashes("text"))
+      def dv(id: Long): String =
+        s"(SELECT $emb FROM documents WHERE doc_id = $id)"
+      val exCols =
+        (LookupPos.zipWithIndex.map { case (id, i) => s"${dv(id)} AS p$i" } ++
+          LookupNeg.zipWithIndex.map { case (id, i) => s"${dv(id)} AS n$i" })
+          .mkString(",\n  ")
+      val posSum = LookupPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
+      val negSum = LookupNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
+      val component =
+        s"(($posSum) / ${LookupPos.length}.0) * 2.0 - (($negSum) / ${LookupNeg.length}.0)"
+      s"""WITH ex AS (SELECT $exCols),
+         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)
+         |SELECT vec_id, ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
+         |FROM embeddings
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 

@@ -749,4 +749,75 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) * r.getDouble(2) - 1.0 / nLangs) < 1e-4)
     }
   }
+
+  test("temperature mixture: weights normalize, alpha<1 boosts tail langs over head") {
+    val res = graft.ops.Curation.temperatureMixture(docs, alpha = 0.3).collect()
+    val weights = res.map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 1e-4)
+    val byShare = res.sortBy(_.getLong(1))
+    // boost (= q/p) is strictly decreasing in corpus share: the
+    // smallest language is oversampled hardest, the head language least
+    val boosts = byShare.map(_.getDouble(4))
+    assert(boosts.zip(boosts.tail).forall { case (lo, hi) => lo >= hi },
+      s"boost must fall as share grows: ${byShare.map(r => r.getString(0) -> r.getDouble(4)).toSeq}")
+    assert(boosts.head > boosts.last)
+    // the head language is damped below proportional sampling
+    assert(boosts.last < 1.0)
+  }
+
+  test("intra-doc dedup: repeated chunk drops, first occurrence and order survive") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d a b c d e f g h")).toDF("doc_id", "text")
+    val r = graft.ops.Curation.intraDocDedup(d, 4).head
+    assert(r.getLong(1) === 3L, "3 chunks of 4 words")
+    assert(r.getLong(2) === 2L, "the repeated 'a b c d' collapses to one")
+    // cleaned text = first occurrences in original order
+    val expected = "a b c d e f g h"
+    assert(r.getLong(3) === expected.length.toLong)
+    assert(r.getString(4) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("intra-doc dedup: every planted doc loses at least one chunk (non-vacuous census)") {
+    val res = graft.ops.Curation.queries("x_intradoc_dedup")(spark, sf).collect()
+    val planted = res.filter(_.getLong(0) % 10 == 0)
+    assert(planted.nonEmpty)
+    assert(planted.forall(r => r.getLong(2) < r.getLong(1)),
+      "prepending a doc's own first 8 words must create a removable chunk")
+  }
+
+  test("ppl buckets: each language cuts into thirds; head scores dominate tail") {
+    val res = TextAnalysis.pplBuckets(docs).collect()
+    val byLang = res.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === 3, s"$lang must have head/middle/tail")
+      val n = rows.map(_.getLong(2))
+      assert(n.max - n.min <= 1, s"$lang tercile sizes differ by <=1: ${n.toSeq}")
+      val m = rows.map(r => r.getString(1) -> r).toMap
+      // rank-based cut: head's worst score >= middle's best, etc.
+      assert(m("head").getDouble(3) >= m("middle").getDouble(4), lang)
+      assert(m("middle").getDouble(3) >= m("tail").getDouble(4), lang)
+    }
+  }
+
+  test("ppl buckets: approx boundary variant tracks the exact census") {
+    val exact = TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = TextAnalysis.pplBucketsApprox(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= 3,
+        s"$k: exact $n vs approx ${approx(k)} — boundary-tie drift only")
+    }
+  }
+
+  test("bpe pairs: counts are per-occurrence adjacent character pairs inside words") {
+    import spark.implicits._
+    val d = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val res = TextAnalysis.bpePairs(d, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res === Map("ab" -> 3L, "bc" -> 1L))
+  }
 }

@@ -42,6 +42,26 @@ class QueryApisSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSeq === all.map(_._1).toSeq)
   }
 
+  test("recommendLookup: examples resolve in the lookup collection, no exclusion") {
+    // lookup_from pointed at the collection itself must score every
+    // non-example point exactly like plain recommend — and, unlike
+    // recommend, keep the example points in the candidate set
+    val pos = Seq(1L, 2L); val neg = Seq(3L)
+    val all = emb.count().toInt + 1 // k past the collection: no cut
+    val viaLookup = QueryApis.recommendLookup(emb, emb, pos, neg, all).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = QueryApis.recommend(emb, pos, neg, all).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (id, s) =>
+      assert(viaLookup(id) === s, s"score mismatch for $id")
+    }
+    (pos ++ neg).foreach { id =>
+      assert(!plain.contains(id), "recommend excludes its examples")
+      assert(viaLookup.contains(id),
+        "lookup_from ids live in another id space — no exclusion")
+    }
+  }
+
   test("recommend with no negatives searches by avg(positives)") {
     val hits = QueryApis.recommend(emb, Seq(1L, 2L), Nil, 5).collect()
     assert(hits.length === 5)

@@ -77,4 +77,25 @@ class RetrievalSpec extends SparkSpec {
     assert(p.length === 2)
     assert(p.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("sparse IDF modifier: a rare query term outranks a common one at equal tf") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "rare alpha beta"), // the only 'rare' holder
+      (2L, "common alpha beta"), // 'common' appears in 3 docs
+      (3L, "common gamma delta"),
+      (4L, "common epsilon zeta"))
+      .toDF("doc_id", "text")
+    // plain tf dot: all four docs tie at score 1 on query 'rare common'
+    val plain = Retrieval.sparseSearch(d, "rare common", 1024, 10).collect()
+    assert(plain.map(_.getLong(1)).distinct.toSeq === Seq(1L))
+    // idf reweighting: doc 1 scores ln(1+3.5/1.5)·1, docs 2-4
+    // ln(1+1.5/3.5)·1 — the rare term dominates
+    val idf = Retrieval.sparseSearchIdf(d, "rare common", 1024, 10).collect()
+    val byId = idf.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(idf.head.getLong(0) === 1L, "rare-term doc must rank first")
+    assert(math.abs(byId(1L) - math.log(1.0 + 3.5 / 1.5)) < 1e-6)
+    assert(math.abs(byId(2L) - math.log(1.0 + 1.5 / 3.5)) < 1e-6)
+    assert(byId(2L) === byId(3L) && byId(3L) === byId(4L))
+  }
 }

@@ -488,4 +488,16 @@ class ScaleDesignSpec extends SparkSpec {
     assert(inPos > plan.indexOf("partial_count"),
       s"postings filter must sit below the postings partial aggregate:\n$plan")
   }
+
+  test("sparse IDF search keeps the pruned-postings plan: IN-list below, stats broadcast") {
+    val q = graft.ops.Retrieval.queries("x_sparse_idf")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"sparse idf top-k cut:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-dim idf·qw weights must broadcast onto the postings:\n$plan")
+    val inPos = math.max(plan.indexOf("INSET"), plan.indexOf(" IN ("))
+    assert(inPos >= 0, s"query-dim IN-list must appear in the plan:\n$plan")
+    assert(inPos > plan.indexOf("partial_count"),
+      s"the df/score passes must both sit on pruned postings:\n$plan")
+  }
 }
