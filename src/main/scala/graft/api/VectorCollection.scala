@@ -203,6 +203,17 @@ class VectorCollection private (
     graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `client.recommend` with `lookup_from`: the example ids
+    * resolve in `lookup` (another collection of the same vector
+    * dimensionality) and the search runs over THIS collection; no
+    * example exclusion — the id spaces differ. */
+  def recommendFrom(
+      lookup: VectorCollection,
+      posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
+    graft.search.QueryApis.recommendLookup(
+      asPoints, lookup.asPoints, posIds, negIds, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
   /** Qdrant `recommend_batch`: N recommend requests, one collection
     * pass (broadcast request frame + request-keyed rank window). */
   def recommendBatch(

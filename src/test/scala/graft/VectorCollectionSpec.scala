@@ -33,6 +33,32 @@ class VectorCollectionSpec extends SparkSpec {
     assert(col1.count === n)
   }
 
+  test("recommendFrom: examples resolve in the lookup collection, search runs here") {
+    val dirA = s"${tmp()}/col_a"; val dirB = s"${tmp()}/col_b"
+    val pts = points.cache()
+    val a = VectorCollection.ensure(spark, dirA, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    a.upsert(pts)
+    // lookup collection: embeddings fixture under its own id space
+    val embPts = t(spark, sf, "embeddings").select(
+      col("vec_id").as("point_id"), col("embedding"))
+    val b = VectorCollection.ensure(spark, dirB, embPts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    b.upsert(embPts)
+    val hits = a.recommendFrom(b, posIds = Seq(1L, 2L), negIds = Seq(3L), k = 5)
+    assert(hits.count() === 5)
+    // parity: the same lookup-resolved query driven through QueryApis
+    // over collection A's points directly
+    val expect = graft.search.QueryApis.recommendLookup(
+      pts.select(col("point_id").as("vec_id"), col("embedding")),
+      embPts.select(col("point_id").as("vec_id"), col("embedding")),
+      Seq(1L, 2L), Seq(3L), 5).collect()
+    val got = hits.collect()
+    assert(got.map(_.getLong(0)).toSeq === expect.map(_.getLong(0)).toSeq)
+    assert(got.map(_.getDouble(1)).toSeq === expect.map(_.getDouble(1)).toSeq)
+    assert(hits.columns.head === "point_id")
+  }
+
   test("incremental upsert is idempotent; plain upsert duplicates (reference semantics)") {
     val dir = s"${tmp()}/col"
     val pts = points.cache()
