@@ -454,6 +454,31 @@ class VectorCollection private (
       _ => map().cast("map<string,string>"))
   }
 
+  /** Qdrant `update_vectors`: replace the stored vector of each named
+    * point (payload and ids untouched) — the re-embed-in-place call a
+    * model upgrade uses when only SOME points change (full re-index is
+    * [[upsertReplace]]). Rides the same staged file-granular rewrite
+    * as payload mutation: only parquet files containing an updated id
+    * are rewritten, crash-safe behind the commit marker, O(touched
+    * files) not O(collection). Returns points updated. */
+  def updateVectors(newVecs: Map[Long, Seq[Float]]): Long = {
+    requireUnsharded("updateVectors")
+    require(newVecs.nonEmpty, "update_vectors needs at least one point")
+    newVecs.foreach { case (id, v) =>
+      require(v.length == config.dim,
+        s"vector for point $id has dim ${v.length}, collection is ${config.dim}")
+    }
+    val ids = newVecs.keys.toSeq
+    // deterministic when-chain in id order; evaluated per matching row
+    val replacement = newVecs.toSeq.sortBy(_._1)
+      .foldLeft(col(config.vectorCol)) { case (acc, (id, v)) =>
+        when(col(config.idCol) === id,
+          typedlit(v).cast("array<float>")).otherwise(acc)
+      }
+    Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
+      config.vectorCol, _ => replacement)
+  }
+
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */
   def snapshot(snapPath: String): Int = Sink.snapshot(spark, path, snapPath)

@@ -216,6 +216,13 @@ class ScaleDesignSpec extends SparkSpec {
       s"hash-bucket sampling must not shuffle:\n$plan")
   }
 
+  test("intra-doc dedup is a pure narrow map: zero exchanges") {
+    val q = graft.ops.Curation.intraDocDedup(t(spark, sf, "documents"), 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc chunk dedup must not shuffle:\n$plan")
+  }
+
   test("pq rerank: both cuts are TakeOrderedAndProject, encode is shuffle-free") {
     val q = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString

@@ -260,6 +260,36 @@ class VectorCollectionSpec extends SparkSpec {
     assert(reopened.searchAnn(q, k = 1, nprobe = 1).head.getLong(0) === 7L)
   }
 
+  test("update_vectors: named points re-vectorized in place, payload/count untouched") {
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"),
+        map(lit("src"), concat(lit("s"), col("vec_id") % 3)).as("payload"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val n = c.count
+    val v1 = Seq.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val v2 = Seq.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val nUpd = c.updateVectors(Map(5L -> v1, 9L -> v2))
+    assert(nUpd === 2)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === n, "update_vectors must not change row count")
+    val got5 = after.filter(col("pid") === 5).head
+    assert(got5.getSeq[Float](got5.fieldIndex("embedding")) === v1)
+    val got9 = after.filter(col("pid") === 9).head
+    assert(got9.getSeq[Float](got9.fieldIndex("embedding")) === v2)
+    // payload untouched on updated rows; other vectors untouched
+    assert(got5.getMap[String, String](got5.fieldIndex("payload"))("src") === "s2")
+    val before7 = pts.filter(col("pid") === 7).head.getSeq[Float](1)
+    val after7 = after.filter(col("pid") === 7).head
+    assert(after7.getSeq[Float](after7.fieldIndex("embedding")) === before7)
+    // dim mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      c.updateVectors(Map(1L -> Seq(1f, 2f)))
+    }
+  }
+
   test("payload mutation: set/delete/clear payload keys by filter (file-granular)") {
     val dir = s"${tmp()}/col"
     val pts = t(spark, sf, "embeddings")
