@@ -253,6 +253,75 @@ object TextAnalysis {
           6).as("avg_logp2"))
   }
 
+  /** DSIR importance weight per document (Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * log-likelihood ratio of a TARGET (in-domain) hashed-n-gram
+    * unigram model over the RAW corpus model,
+    *
+    *   w(doc) = (1/n) Σ_g k_g · [ ln p̂_t(bucket(g)) − ln p̂_r(bucket(g)) ]
+    *
+    * over unigram+bigram features hashed into `buckets` buckets
+    * (the paper's hashed n-gram parameterization), each distribution
+    * add-1 smoothed over the bucket space. Positive weight = the doc
+    * looks more like the target than like the average of the corpus —
+    * the score DSIR resamples on to select pretraining data matching
+    * a high-quality domain.
+    *
+    * Scale: one (doc, bucket) shuffle; both bucket counts are WINDOW
+    * sums over those rows (target counts ride the same rows under a
+    * flag — no second corpus pass); totals broadcast; the per-doc
+    * float fold runs over the bucket-sorted term list (association
+    * pinned, the unigram-LM rule). The bucket table is `buckets`
+    * rows no matter the corpus size — the hashing is what lets DSIR
+    * run at 100 TB where an exact-vocabulary ratio model couldn't.
+    *
+    * Determinism: bucket = polynomial token hash (CLAUDE.md portable
+    * hash) mod `buckets`; all counts integer; the only float math is
+    * the final ln/divide on pinned integers. */
+  def dsirWeights(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 10007): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(concat(toks, bgArr)).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        (Embedder.tokenHash(col("g")) % buckets).as("b"))
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val tot = tf.agg(
+      sum(col("k")).as("rt"),
+      sum(when(col("is_target"), col("k")).otherwise(0L)).as("tt"))
+    val wb = Window.partitionBy(col("b"))
+    tf
+      .withColumn("cr", sum(col("k")).over(wb))
+      .withColumn("ct",
+        sum(when(col("is_target"), col("k")).otherwise(0L)).over(wb))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("b"), col("k"),
+        (col("k").cast("double") *
+          (log((col("ct") + 1).cast("double") /
+              (col("tt") + buckets).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("rt") + buckets).cast("double")))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_grams"),
+        sort_array(collect_list(struct(col("b"), col("v")))).as("l"))
+      .select(col("doc_id"), col("n_grams"),
+        round(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")) /
+            col("n_grams").cast("double"),
+          6).as("dsir_weight"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
     * each language's documents split into head / middle / tail
     * terciles by language-model score — the standard recipe for
@@ -541,6 +610,14 @@ object TextAnalysis {
     "x_unigram_logprob" -> ((s, dir) =>
       unigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // DSIR data selection: English as the stand-in target domain (the
+    // paper's "formal text" target); every doc scored by how much more
+    // likely its hashed n-grams are under the target model than the
+    // corpus model. The en/non-en weight gap is spec-asserted.
+    "x_dsir_weights" -> ((s, dir) =>
+      dsirWeights(t(s, dir, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     "x_topic_words" -> ((s, dir) =>
       topicWords(t(s, dir, "documents"), k = 5, minCount = 5L)
         .orderBy(col("lang"), col("rnk"))),
@@ -666,6 +743,29 @@ object TextAnalysis {
       s"""WITH $duckUnigramCtes
          |SELECT doc_id, n_toks, avg_logp
          |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "x_dsir_weights" ->
+      s"""WITH base AS (SELECT doc_id, lang = 'en' AS ist, ${duckToks("text")} AS tk
+         |    FROM documents),
+         |g AS (SELECT doc_id, ist, unnest(list_concat(tk,
+         |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS g
+         |  FROM base),
+         |tf AS (SELECT doc_id, ist, (${Embedder.duckStringHash("g")}) % 10007 AS b,
+         |    count(*) AS k
+         |  FROM g GROUP BY 1, 2, 3),
+         |cb AS (SELECT b, sum(k)::BIGINT AS cr,
+         |    sum(CASE WHEN ist THEN k ELSE 0 END)::BIGINT AS ct
+         |  FROM tf GROUP BY b),
+         |tot AS (SELECT sum(cr)::BIGINT AS rt, sum(ct)::BIGINT AS tt FROM cb),
+         |terms AS (SELECT doc_id, b, k,
+         |    k::DOUBLE * (ln((ct + 1)::DOUBLE / (tt + 10007)::DOUBLE)
+         |               - ln((cr + 1)::DOUBLE / (rt + 10007)::DOUBLE)) AS v
+         |  FROM tf JOIN cb USING (b), tot),
+         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_grams,
+         |    list(v ORDER BY b) AS l FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_grams,
+         |  ROUND(list_reduce(l, (a, x) -> a + x) / n_grams::DOUBLE, 6) AS dsir_weight
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "x_ppl_buckets" ->
       s"""WITH $duckUnigramCtes,

@@ -68,6 +68,97 @@ case class IsNullCond(key: String) extends Cond {
   def toColumn: Column = col(key).isNull
 }
 
+/** Array payload key missing, null, or `[]` (Qdrant IsEmpty — matches
+  * points that "don't have a value" for the key). */
+case class IsEmptyCond(key: String) extends Cond {
+  def toColumn: Column = col(key).isNull || size(col(key)) === 0
+}
+
+/** Point-id membership (Qdrant HasId — the one condition that targets
+  * ids, not payload; `idKey` names the collection's id column). */
+case class HasIdCond(idKey: String, ids: Seq[Long]) extends Cond {
+  def toColumn: Column = col(idKey).isInCollection(ids)
+}
+
+/** Bounds on the NUMBER of values under an array payload key (Qdrant
+  * ValuesCount: gt/gte/lt/lte, each optional). A missing key has no
+  * count and fails every bound — `size(NULL)` is NULL under ANSI mode
+  * and the comparison stays NULL → filtered, exactly Qdrant. */
+case class ValuesCountCond(
+    key: String,
+    gte: Option[Int] = None,
+    gt: Option[Int] = None,
+    lte: Option[Int] = None,
+    lt: Option[Int] = None) extends Cond {
+  def toColumn: Column = {
+    val n = size(col(key))
+    Seq(
+      gte.map(v => n >= lit(v)),
+      gt.map(v => n > lit(v)),
+      lte.map(v => n <= lit(v)),
+      lt.map(v => n < lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** Token-exact full-text match (Qdrant MatchText under the word
+  * tokenizer): the payload string contains `token` as a whole
+  * whitespace token — not a substring LIKE, which would match inside
+  * longer words. */
+case class MatchTextCond(key: String, token: String) extends Cond {
+  def toColumn: Column = array_contains(split(col(key), " "), token)
+}
+
+/** Consecutive-token phrase match (Qdrant MatchPhrase): the payload
+  * string contains the words of `phrase` ADJACENT and in order.
+  * Compiled as padded-substring containment on the space-delimited
+  * text — ' w1 w2 ' can only occur where the tokens are consecutive. */
+case class MatchPhraseCond(key: String, phrase: String) extends Cond {
+  def toColumn: Column =
+    concat(lit(" "), col(key), lit(" ")).contains(lit(s" $phrase "))
+}
+
+/** Condition on ONE element of a nested array-of-objects payload —
+  * the inner clause language of [[NestedCond]]. */
+sealed trait ElemCond {
+  def on(el: Column): Column
+}
+
+/** `element.field == value` inside a nested payload. */
+case class ElemMatch(field: String, value: Any) extends ElemCond {
+  def on(el: Column): Column = el.getField(field) === lit(value)
+}
+
+/** Numeric range on `element.field` inside a nested payload; bounds
+  * keep their natural type (the [[RangeCond]] rule). */
+case class ElemRange(
+    field: String,
+    gte: Option[Any] = None,
+    gt: Option[Any] = None,
+    lte: Option[Any] = None,
+    lt: Option[Any] = None) extends ElemCond {
+  def on(el: Column): Column =
+    Seq(
+      gte.map(v => el.getField(field) >= lit(v)),
+      gt.map(v => el.getField(field) > lit(v)),
+      lte.map(v => el.getField(field) <= lit(v)),
+      lt.map(v => el.getField(field) < lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+}
+
+/** Nested object filter (Qdrant NestedCondition): the array payload
+  * under `key` holds objects, and AT LEAST ONE element satisfies ALL
+  * the inner conditions — the "same element" semantics that separate
+  * `nested` from a conjunction of independent per-field conditions
+  * (which could match on DIFFERENT elements). Compiles to a single
+  * `exists` higher-order function: per-row, no explode, no join, stays
+  * inside whole-stage codegen. */
+case class NestedCond(key: String, must: Seq[ElemCond]) extends Cond {
+  require(must.nonEmpty, "nested condition needs at least one inner clause")
+  def toColumn: Column =
+    exists(col(key), el => must.map(_.on(el)).reduce(_ && _))
+}
+
 /** Datetime range (Qdrant DatetimeRange): bounds are date / datetime
   * strings ('1996-01-01' or '1996-01-01 12:30:00') compiled to
   * TIMESTAMP literals via a foldable cast — Catalyst folds the bound
@@ -278,6 +369,53 @@ object Filters {
         .orderBy(col("c_custkey"))
     }),
 
+    // Qdrant NestedCondition + ValuesCount + IsEmpty + HasId — the
+    // array-of-objects payload family. Points are orders carrying
+    // their lineitems as a nested `items` array (the shape a Qdrant
+    // user stores variants/reviews/diffs in); the filter wants an
+    // order with ≥6 items, at least one item that is BOTH returned
+    // AND high-quantity (same element — the nested semantics a plain
+    // field-condition pair can't express), where high-quantity items
+    // are either absent or come in pairs, minus two pinned ids.
+    "e4_nested_filter" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"))).as("items"))
+      val pts = t(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("items_hi",
+          filter(col("items"), x => x.getField("l_quantity") >= lit(49.0)))
+      val f = Filter(
+        must = Seq(
+          NestedCond("items", Seq(
+            ElemMatch("l_returnflag", "R"),
+            ElemRange("l_quantity", gte = Some(45.0)))),
+          ValuesCountCond("items", gte = Some(6))),
+        should = Seq(
+          IsEmptyCond("items_hi"),
+          ValuesCountCond("items_hi", gte = Some(2))),
+        mustNot = Seq(HasIdCond("o_orderkey", Seq(41L, 157L))))
+      pts.filter(f.toColumn)
+        .select(col("o_orderkey"), size(col("items")).cast("long").as("n_items"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Qdrant MatchText (word tokenizer) + MatchPhrase inside the DSL:
+    // token-exact containment AND a consecutive-token phrase — the
+    // phrase cuts 393 token matches to 28, so adjacency is doing real
+    // work (a bag-of-words AND would not).
+    "e4_text_dsl" -> ((s, dir) => {
+      val f = Filter(
+        must = Seq(
+          MatchTextCond("text", "merge"),
+          MatchPhraseCond("text", "table value")),
+        mustNot = Seq(MatchValue("lang", "de")))
+      t(s, dir, "documents").filter(f.toColumn)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E4 via the composed filter DSL: dense top-k under the compiled
     // three-clause predicate (pushed to the scan like any literal
     // filter — the DSL is free at execution time).
@@ -294,6 +432,24 @@ object Filters {
   )
 
   def oracles: Map[String, String] = Map(
+    "e4_nested_filter" ->
+      """WITH li AS (SELECT l_orderkey, count(*)::BIGINT AS n_items,
+        |    bool_or(l_returnflag = 'R' AND l_quantity >= 45.0) AS hit,
+        |    sum(CASE WHEN l_quantity >= 49.0 THEN 1 ELSE 0 END) AS n_hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, n_items
+        |FROM orders JOIN li ON o_orderkey = l_orderkey
+        |WHERE hit AND n_items >= 6 AND (n_hi = 0 OR n_hi >= 2)
+        |  AND NOT coalesce(o_orderkey IN (41, 157), false)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "e4_text_dsl" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge')
+        |  AND contains(' ' || text || ' ', ' table value ')
+        |  AND NOT coalesce(lang = 'de', false)
+        |ORDER BY doc_id""".stripMargin,
+
     "e4_datetime_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-03-01'

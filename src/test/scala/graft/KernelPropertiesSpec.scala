@@ -184,4 +184,44 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(got === expected, s"filter $f compiled wrong")
     }
   }
+
+  test("nested / values-count / is-empty / has-id / text / phrase conditions") {
+    import graft.search._
+    def ids(c: Cond, df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(c.toColumn).collect().map(_.getLong(0)).toSet
+    val df = Seq(
+      NfPoint(1L, Seq(NfItem("R", 50.0), NfItem("N", 10.0)), "alpha beta gamma"),
+      // flag matches on one element, qty on ANOTHER — the case that
+      // separates NestedCond from two independent field conditions
+      NfPoint(2L, Seq(NfItem("R", 10.0), NfItem("N", 50.0)), "beta alpha"),
+      NfPoint(3L, Seq.empty, "alpha"),
+      NfPoint(4L, Seq(NfItem("R", 45.0)), "gamma beta alpha"),
+      NfPoint(5L, null, "delta alphabet")
+    ).toDF()
+
+    val nested = NestedCond("items",
+      Seq(ElemMatch("flag", "R"), ElemRange("qty", gte = Some(45.0))))
+    assert(ids(nested, df) === Set(1L, 4L), "same-element semantics")
+    assert(ids(ValuesCountCond("items", gte = Some(2)), df) === Set(1L, 2L))
+    assert(ids(ValuesCountCond("items", gte = Some(1), lt = Some(2)), df) === Set(4L))
+    assert(ids(IsEmptyCond("items"), df) === Set(3L, 5L), "empty OR null array")
+    assert(ids(HasIdCond("id", Seq(1L, 4L)), df) === Set(1L, 4L))
+    assert(ids(MatchTextCond("text", "alpha"), df) === Set(1L, 2L, 3L, 4L),
+      "token-exact: 'alphabet' must not match 'alpha'")
+    assert(ids(MatchPhraseCond("text", "alpha beta"), df) === Set(1L),
+      "phrase needs ADJACENT tokens in order")
+    assert(ids(MatchPhraseCond("text", "beta alpha"), df) === Set(2L, 4L))
+    // composed through the Filter root, mustNot NULL-safety included
+    val f = Filter(
+      must = Seq(ValuesCountCond("items", gte = Some(1))),
+      mustNot = Seq(NestedCond("items", Seq(ElemRange("qty", gt = Some(45.0))))))
+    // rows 1 and 2 both hold a qty>45 element → excluded; row 4's 45.0
+    // fails the strict bound → kept; rows 3/5 fail the must count
+    assert(df.filter(f.toColumn).collect().map(_.getLong(0)).toSet === Set(4L))
+  }
 }
+
+/** Public top-level row shapes for the nested-filter truth table
+  * (Dataset encoders need public case classes). */
+case class NfItem(flag: String, qty: Double)
+case class NfPoint(id: Long, items: Seq[NfItem], text: String)

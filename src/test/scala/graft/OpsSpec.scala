@@ -207,6 +207,34 @@ class OpsSpec extends SparkSpec {
       s"repeated 'x y' (${m(1L)}) must beat the scattered form (${m(2L)})")
   }
 
+  test("dsir: target-domain docs outscore off-domain; weights bounded; self-target ranks itself") {
+    import spark.implicits._
+    val w = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id").cache()
+    // every tokenized doc is scored, with finite weights
+    assert(w.count() === docs.count())
+    assert(w.filter(col("dsir_weight").isNull ||
+      isnan(col("dsir_weight"))).count() === 0L)
+    // the point of DSIR: docs FROM the target domain average a higher
+    // importance weight than docs outside it — the model was fitted on
+    // them. Margin keeps the assertion non-vacuous (fixture gap ~0.04).
+    val byDomain = w.groupBy((col("lang") === "en").as("t"))
+      .agg(avg(col("dsir_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byDomain(true) > byDomain(false) + 0.02,
+      s"en ${byDomain(true)} must clearly beat non-en ${byDomain(false)}")
+    w.unpersist()
+    // sharp fixture: with a one-doc target, that doc must be the top
+    // weight in a tiny corpus (its grams ARE the target model)
+    val tiny = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon zeta delta"),
+      (3L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val top = TextAnalysis.dsirWeights(tiny, col("doc_id") === 1L)
+      .orderBy(col("dsir_weight").desc).collect()
+    assert(top.head.getLong(0) === 1L)
+  }
+
   test("corpus shuffle: seeded permutation is reproducible, complete, seed-sensitive") {
     import graft.ops.Curation
     val s1 = Curation.shuffleShards(docs).cache()
