@@ -64,6 +64,14 @@ object SparkEntry {
       TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5, metric = "manhattan")
     }),
 
+    // D1 under Qdrant Distance.DOT on RAW (unnormalized) vectors —
+    // magnitude matters, so the ranking can differ from cosine's
+    // (unlike d1_topk_prenorm, where dot IS cosine by construction).
+    "d1_topk_dot" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TopK.dense(e, queryVec(e, 0), "vec_id", "embedding", 5, metric = "dot")
+    }),
+
     // D1 with Qdrant's score_threshold: hits below the floor drop
     // before the cut, so fewer than k rows may return.
     "d1_score_threshold" -> ((s, dir) => {
@@ -553,6 +561,14 @@ object SparkEntry {
          |    i -> abs((e.embedding::DOUBLE[])[i] - qv[i]))), 6) AS score
          |FROM embeddings e CROSS JOIN q
          |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "d1_topk_dot" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  ROUND(list_sum(list_transform(range(1, 65),
+         |    i -> (e.embedding::DOUBLE[])[i] * qv[i])), 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "e4_topk_filtered" ->
       s"""SELECT vec_id, ROUND(${duckCos("embedding", "SELECT embedding FROM embeddings WHERE vec_id = 0")}, 6) AS score

@@ -479,6 +479,17 @@ class VectorCollection private (
       config.vectorCol, _ => replacement)
   }
 
+  /** Qdrant `create_payload_index(field)`: make filtered searches on
+    * `field` cheap. Here that is a LAYOUT property, not a tree —
+    * the collection's files are rewritten range-clustered + sorted on
+    * the field, so parquet min/max footer stats prune every file a
+    * pushed filter cannot match (see [[Sink.indexPayload]]; per-file
+    * range disjointness spec-asserted). Returns files written. */
+  def createPayloadIndex(field: String, targetRowsPerFile: Long = 1L << 20): Int = {
+    requireUnsharded("createPayloadIndex")
+    Sink.indexPayload(spark, path, field, targetRowsPerFile)
+  }
+
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */
   def snapshot(snapPath: String): Int = Sink.snapshot(spark, path, snapPath)

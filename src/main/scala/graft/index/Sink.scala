@@ -1,6 +1,7 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Collection DDL + sink operators (SURVEY.md §2 C1–C2).
   *
@@ -382,10 +383,49 @@ object Sink {
     * Single-writer like the upsert path. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
     val data = spark.read.parquet(path)
-    val rows = data.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val nFiles = fileCountFor(data.count(), targetRowsPerFile)
     val staging = path + "_compacting"
     data.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
+    swapInStaged(spark, path, staging)
+  }
+
+  /** Qdrant `create_payload_index(field)` re-expressed for a columnar
+    * store. In Qdrant the payload index is a per-field structure that
+    * lets a filtered search skip non-matching points; on parquet the
+    * same skip comes from DATA LAYOUT — rewrite the collection
+    * range-partitioned AND sorted by `field`, so each file (and each
+    * row group inside it) covers a narrow value interval, equal keys
+    * land in one file, and the engine's ordinary min/max footer
+    * statistics prune every file a pushed filter cannot match. One
+    * O(collection) rewrite buys O(matching bytes) filtered scans —
+    * the cluster-key trade every warehouse makes, and the 100 TB
+    * answer to "index the payload" without any tree structure. Same
+    * rename-aside crash-safe swap as [[compact]]; sidecars survive.
+    * Per-file range disjointness is spec-asserted (IngestSinkSpec).
+    * Returns files written. */
+  def indexPayload(
+      spark: SparkSession,
+      path: String,
+      field: String,
+      targetRowsPerFile: Long = 1L << 20): Int = {
+    val data = spark.read.parquet(path)
+    val nFiles = fileCountFor(data.count(), targetRowsPerFile)
+    val staging = path + "_indexing"
+    data.repartitionByRange(nFiles, col(field))
+      .sortWithinPartitions(col(field))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    swapInStaged(spark, path, staging)
+  }
+
+  private def fileCountFor(rows: Long, targetRowsPerFile: Long): Int =
+    math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+
+  /** Copy sidecars into `staging`, then swap it in over `path` with
+    * the rename-aside dance: at no instant is `path` absent — a crash
+    * leaves either the original (possibly at path_retired) or the
+    * staged dir recoverable by name, never zero copies. Returns the
+    * parquet file count of the swapped-in directory. */
+  private def swapInStaged(spark: SparkSession, path: String, staging: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
@@ -397,9 +437,6 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }
-    // rename-aside swap: at no instant is `path` absent — a crash
-    // leaves either the original (possibly at path_retired) or the
-    // compacted dir recoverable by name, never zero copies
     val retired = new org.apache.hadoop.fs.Path(path + "_retired")
     fs.delete(retired, true)
     fs.rename(dst, retired)

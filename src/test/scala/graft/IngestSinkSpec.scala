@@ -157,6 +157,40 @@ class IngestSinkSpec extends SparkSpec {
     assert(new java.io.File(s"$path/_graft_meta.json").exists())
   }
 
+  test("create_payload_index: range layout gives disjoint per-file ranges, content intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pindex").toString + "/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    Sink.append(pts, path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_graft_meta.json"), "{\"idCol\":\"vec_id\"}")
+    val before = spark.read.parquet(path).select(col("vec_id"), col("label")).cache()
+    before.count() // materialize BEFORE the rewrite swaps the files out
+    val nFiles = Sink.indexPayload(spark, path, "label", targetRowsPerFile = 100)
+    assert(nFiles >= 4, s"want several files to make disjointness non-vacuous, got $nFiles")
+    val after = spark.read.parquet(path)
+    assert(after.select(col("vec_id"), col("label")).exceptAll(before).count() === 0L)
+    assert(before.exceptAll(after.select(col("vec_id"), col("label"))).count() === 0L)
+    assert(new java.io.File(s"$path/_graft_meta.json").exists(), "sidecar survives")
+    // the pruning evidence: per-file [min,max] label ranges are
+    // pairwise disjoint (equal keys land in ONE file), so a filtered
+    // scan's footer check eliminates every non-matching file
+    val ranges = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("label")), max(col("label"))).head
+        if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
+      }.sortBy(_._1)
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    before.unpersist()
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
