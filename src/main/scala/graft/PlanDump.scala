@@ -54,7 +54,11 @@ object PlanDump {
       "x_knn_join_lsh" -> "LSH k-NN join: band-bucket equi-join, candidates deduped before vector fetch, bounded-heap topk_hits aggregate with map-side partial aggregation (no candidate-buffering window)",
       "q_prefetch_rescore" -> "prefetch→rescore: dense stage-1 column-prunes the token matrices; candidate ids broadcast back so MaxSim touches ~20 rows, not the corpus",
       "d1_topk_euclid" -> "Euclid metric search: same scan → codegen'd distance projection → TakeOrderedAndProject plan as cosine, ranked ASC",
-      "x_clf_quality" -> "hashed linear classifier: weights are integer arithmetic on the token hash — no lookup join, pure narrow map in whole-stage codegen")
+      "x_clf_quality" -> "hashed linear classifier: weights are integer arithmetic on the token hash — no lookup join, pure narrow map in whole-stage codegen",
+      "x_substring_dedup" -> "exact-substring dedup: rolling window-hash spans, span-hash bucket EQUI-join — no all-pairs comparison anywhere",
+      "e4_nested_filter" -> "nested payload filter: the same-element exists() evaluates per-row inside codegen — no explode, no join for the nested condition",
+      "x_dsir_weights" -> "DSIR importance weights: ONE (doc,bucket) shuffle; target and raw bucket counts are window sums over the same rows; totals broadcast; bucket-sorted per-doc fold",
+      "q_named_vectors" -> "named-vector search: one column per vector name, so search(using=name) column-prunes to that vector's bytes — the other embeddings never leave the scan")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")

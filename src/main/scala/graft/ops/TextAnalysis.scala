@@ -267,13 +267,15 @@ object TextAnalysis {
     * the score DSIR resamples on to select pretraining data matching
     * a high-quality domain.
     *
-    * Scale: one (doc, bucket) shuffle; both bucket counts are WINDOW
-    * sums over those rows (target counts ride the same rows under a
-    * flag — no second corpus pass); totals broadcast; the per-doc
-    * float fold runs over the bucket-sorted term list (association
-    * pinned, the unigram-LM rule). The bucket table is `buckets`
-    * rows no matter the corpus size — the hashing is what lets DSIR
-    * run at 100 TB where an exact-vocabulary ratio model couldn't.
+    * Scale: one (doc, bucket) corpus shuffle builds tf; the model is
+    * a `buckets`-row table (map-side-combined groupBy, so the b-keyed
+    * exchange carries ≤ buckets rows per task, not tf) BROADCAST back
+    * onto tf — unlike [[unigramLogprob]]'s vocabulary-sized count
+    * table, which can only be a window, the hashed bucket table is
+    * bounded by construction, and that bound is what lets DSIR run at
+    * 100 TB where an exact-vocabulary ratio model couldn't. Totals
+    * broadcast; the per-doc float fold runs over the bucket-sorted
+    * term list (association pinned, the unigram-LM rule).
     *
     * Determinism: bucket = polynomial token hash (CLAUDE.md portable
     * hash) mod `buckets`; all counts integer; the only float math is
@@ -296,14 +298,12 @@ object TextAnalysis {
         (Embedder.tokenHash(col("g")) % buckets).as("b"))
       .groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("k"))
-    val tot = tf.agg(
-      sum(col("k")).as("rt"),
-      sum(when(col("is_target"), col("k")).otherwise(0L)).as("tt"))
-    val wb = Window.partitionBy(col("b"))
+    val cb = tf.groupBy(col("b")).agg(
+      sum(col("k")).as("cr"),
+      sum(when(col("is_target"), col("k")).otherwise(0L)).as("ct"))
+    val tot = cb.agg(sum(col("cr")).as("rt"), sum(col("ct")).as("tt"))
     tf
-      .withColumn("cr", sum(col("k")).over(wb))
-      .withColumn("ct",
-        sum(when(col("is_target"), col("k")).otherwise(0L)).over(wb))
+      .join(broadcast(cb), Seq("b"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("b"), col("k"),
         (col("k").cast("double") *

@@ -223,6 +223,18 @@ class ScaleDesignSpec extends SparkSpec {
       s"per-doc chunk dedup must not shuffle:\n$plan")
   }
 
+  test("dsir: bounded bucket model broadcasts onto tf — no window over the corpus rows") {
+    val q = graft.ops.TextAnalysis.queries("x_dsir_weights")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=10007-row bucket table must broadcast:\n$plan")
+    // the vocabulary-sized LM tables can only be windows; the hashed
+    // bucket table is bounded by construction, so a window here would
+    // re-shuffle the full (doc,bucket) tf on b for nothing
+    assert(!plan.contains("Window"),
+      s"bucket counts must come from the broadcast model, not a window:\n$plan")
+  }
+
   test("pq rerank: both cuts are TakeOrderedAndProject, encode is shuffle-free") {
     val q = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
