@@ -50,6 +50,24 @@ final case class CollectionConfig(
       * flip score_threshold to a ceiling — see [[TopK.dense]]. */
     distance: String = "cosine")
 
+/** Qdrant `get_collection` result: live counters + declared config. */
+final case class CollectionInfo(
+    pointsCount: Long,
+    segmentsCount: Int,
+    config: CollectionConfig)
+
+/** One operation of a Qdrant `batch_update_points` call. */
+sealed trait PointsOp
+final case class UpsertOp(points: DataFrame) extends PointsOp
+final case class UpsertReplaceOp(points: DataFrame) extends PointsOp
+final case class DeleteOp(ids: Seq[Long]) extends PointsOp
+final case class SetPayloadOp(
+    filter: Column, payloadCol: String, key: String, value: String) extends PointsOp
+final case class DeletePayloadOp(
+    filter: Column, payloadCol: String, key: String) extends PointsOp
+final case class ClearPayloadOp(filter: Column, payloadCol: String) extends PointsOp
+final case class UpdateVectorsOp(vecs: Map[Long, Seq[Float]]) extends PointsOp
+
 class VectorCollection private (
     val spark: SparkSession,
     val path: String,
@@ -477,6 +495,58 @@ class VectorCollection private (
       }
     Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
       config.vectorCol, _ => replacement)
+  }
+
+  /** Qdrant `get_collection`: declared config + live counters. Cheap
+    * on a columnar store: points_count is a metadata-only parquet
+    * count, segments_count is the file count (a parquet file is the
+    * closest analog of a Qdrant segment — the unit compaction and
+    * payload indexing rewrite). */
+  def info: CollectionInfo = {
+    val dir = new java.io.File(path)
+    val segs =
+      if (config.shardCol.isDefined)
+        // sharded layout: parquet files live under shard=… subtrees
+        Option(dir.listFiles()).toSeq.flatten.filter(_.isDirectory)
+          .map(d => Option(d.listFiles()).toSeq.flatten
+            .count(_.getName.endsWith(".parquet"))).sum
+      else Option(dir.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    CollectionInfo(count, segs, config)
+  }
+
+  /** Qdrant `delete_vectors`: clear ONE NAMED vector from the given
+    * points — payload, id, and every other vector stay (deleting the
+    * point is [[delete]]). Same file-granular crash-safe rewrite as
+    * payload mutation: only files containing a named id are touched.
+    * Returns points updated. */
+  def deleteVectors(name: String, ids: Seq[Long]): Long = {
+    requireUnsharded("deleteVectors")
+    val (vecCol, _) = config.namedVectors.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown vector name '$name'; configured: " +
+          config.namedVectors.keys.toSeq.sorted.mkString(", ")))
+    require(ids.nonEmpty, "delete_vectors needs at least one point id")
+    Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
+      vecCol, v => lit(null).cast("array<float>"))
+  }
+
+  /** Qdrant `batch_update_points`: a SEQUENCE of mutations applied in
+    * order (upserts, deletes, payload ops) — one client call, ordered
+    * visibility. Returns one count per operation, in order. Each step
+    * is individually crash-safe (they ride the staged single-op
+    * writers); the batch itself is not transactional across steps,
+    * matching Qdrant's per-operation acknowledgement. */
+  def batchUpdate(ops: Seq[PointsOp]): Seq[Long] = ops.map {
+    case UpsertOp(points) => upsert(points)
+    case UpsertReplaceOp(points) => upsertReplace(points)
+    case DeleteOp(ids) => delete(ids)
+    case SetPayloadOp(filter, payloadCol, key, value) =>
+      setPayload(filter, payloadCol, key, value)
+    case DeletePayloadOp(filter, payloadCol, key) =>
+      deletePayloadKey(filter, payloadCol, key)
+    case ClearPayloadOp(filter, payloadCol) => clearPayload(filter, payloadCol)
+    case UpdateVectorsOp(vecs) => updateVectors(vecs)
   }
 
   /** Qdrant `create_payload_index(field)`: make filtered searches on

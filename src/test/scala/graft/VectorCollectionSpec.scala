@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.api.{CollectionConfig, VectorCollection}
+import graft.api.{CollectionConfig, DeleteOp, UpdateVectorsOp, UpsertOp, VectorCollection}
 import graft.index.{Embedder, Ingest}
 import graft.Tables.t
 import java.nio.file.Files
@@ -471,5 +471,62 @@ class VectorCollectionSpec extends SparkSpec {
     assert(reopened.searchUsing("head", qv.take(32), k = 5)
       .collect().map(_.getLong(0)).toSeq ===
       headHits.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("get_collection info: counts, segments, config — and it tracks mutations") {
+    val dir = s"${tmp()}/col"
+    val c = VectorCollection.ensure(spark, dir, points,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(points)
+    val i = c.info
+    assert(i.pointsCount === c.count && i.pointsCount > 0)
+    assert(i.segmentsCount >= 1)
+    assert(i.config.dim === 64 && i.config.distance === "cosine")
+    c.upsert(points) // second append → more points, more segments
+    val i2 = c.info
+    assert(i2.pointsCount === i.pointsCount * 2)
+    assert(i2.segmentsCount >= i.segmentsCount)
+  }
+
+  test("delete_vectors clears ONE named vector; point, payload, other vectors stay") {
+    val dir = s"${tmp()}/col"
+    val pts = points
+      .select(col("point_id"), col("embedding"),
+        col("embedding").as("v_full"),
+        slice(col("embedding"), 1, 32).as("v_head"))
+      .cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false,
+        namedVectors = Map("full" -> ("v_full", 64), "head" -> ("v_head", 32))))
+    c.upsert(pts)
+    val victim = pts.orderBy(col("point_id")).head.getLong(0)
+    val n = c.deleteVectors("head", Seq(victim))
+    assert(n === 1)
+    val row = spark.read.parquet(dir).filter(col("point_id") === victim).head
+    assert(row.isNullAt(row.fieldIndex("v_head")), "named vector cleared")
+    assert(!row.isNullAt(row.fieldIndex("v_full")), "other named vector stays")
+    assert(!row.isNullAt(row.fieldIndex("embedding")), "default vector stays")
+    assert(c.count === pts.count(), "the point itself is NOT deleted")
+    intercept[IllegalArgumentException] { c.deleteVectors("nope", Seq(victim)) }
+  }
+
+  test("batch_update_points applies mixed operations in order") {
+    val dir = s"${tmp()}/col"
+    val pts = points.limit(10).cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    val ids = pts.orderBy(col("point_id")).collect().map(_.getLong(0))
+    val newVec = Seq.tabulate(64)(i => if (i == 2) 1f else 0f)
+    val counts = c.batchUpdate(Seq(
+      UpsertOp(pts),
+      DeleteOp(Seq(ids(0))),
+      UpdateVectorsOp(Map(ids(1) -> newVec))))
+    assert(counts === Seq(10L, 1L, 1L))
+    assert(c.count === 9)
+    val r = c.retrieve(Seq(ids(1))).head
+    assert(r.getSeq[Float](r.fieldIndex("embedding")) === newVec,
+      "later ops see earlier ops' effects (ordered visibility)")
+    // a delete of an id removed earlier in the SAME batch touches 0 points
+    assert(c.batchUpdate(Seq(DeleteOp(Seq(ids(0))))) === Seq(0L))
   }
 }
