@@ -487,11 +487,14 @@ class VectorCollection private (
         s"vector for point $id has dim ${v.length}, collection is ${config.dim}")
     }
     val ids = newVecs.keys.toSeq
+    // cast to the COLUMN'S stored type (float or double layout), not an
+    // assumed one — a mismatched cast would drift the schema of the
+    // rewritten files away from the untouched ones
+    val dt = table.schema(config.vectorCol).dataType.catalogString
     // deterministic when-chain in id order; evaluated per matching row
     val replacement = newVecs.toSeq.sortBy(_._1)
       .foldLeft(col(config.vectorCol)) { case (acc, (id, v)) =>
-        when(col(config.idCol) === id,
-          typedlit(v).cast("array<float>")).otherwise(acc)
+        when(col(config.idCol) === id, typedlit(v).cast(dt)).otherwise(acc)
       }
     Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
       config.vectorCol, _ => replacement)
@@ -527,8 +530,10 @@ class VectorCollection private (
         s"unknown vector name '$name'; configured: " +
           config.namedVectors.keys.toSeq.sorted.mkString(", ")))
     require(ids.nonEmpty, "delete_vectors needs at least one point id")
+    // null in the COLUMN'S stored type — see the updateVectors note
+    val dt = table.schema(vecCol).dataType.catalogString
     Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
-      vecCol, v => lit(null).cast("array<float>"))
+      vecCol, _ => lit(null).cast(dt))
   }
 
   /** Qdrant `batch_update_points`: a SEQUENCE of mutations applied in
