@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.index.Embedder
 import graft.vector.Kernels
 
 /** Similarity-search operators beyond single-query top-k (driver north
@@ -380,6 +381,30 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // Cluster-balanced sampling (the DataComp/SemDeDup companion op):
+    // cap every SEMANTIC cluster's contribution instead of sampling
+    // uniformly — uniform draws mirror the corpus's topic skew, while
+    // a per-cluster quota keeps the tail topics that diversity-seeking
+    // curation wants. Points assign to their IVF cluster (narrow
+    // argmax over broadcast centroids), then each cluster keeps its
+    // `quota` lowest STABLE-HASH draws (reproducible, rand()-free, the
+    // stratified-sample rule — strata here are LEARNED, not metadata).
+    // Scale: one shuffle on cluster_id for the per-cluster window;
+    // cluster count is the parallelism floor, same as the IVF index.
+    "x_cluster_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = ivfAssign(e.select(col("vec_id"), col("embedding")), cents)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(Embedder.stringHash64(col("vec_id").cast("string")).asc,
+          col("vec_id").asc)
+      asg.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("cluster_id"), col("vec_id"), col("rk"))
+        .orderBy(col("cluster_id"), col("rk"))
+    }),
+
     // k-NN join: 10 query vectors × top-3 neighbors each.
     "x_knn_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -658,6 +683,20 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, score, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "x_cluster_sample" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |rk AS (SELECT cluster_id, vec_id, row_number() OVER (
+         |    PARTITION BY cluster_id
+         |    ORDER BY ${Embedder.duckStringHash64("vec_id::VARCHAR")} ASC, vec_id ASC
+         |  )::BIGINT AS rk FROM asg)
+         |SELECT cluster_id, vec_id, rk FROM rk WHERE rk <= 20
+         |ORDER BY cluster_id, rk""".stripMargin,
 
     "x_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

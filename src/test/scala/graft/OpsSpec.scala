@@ -235,6 +235,19 @@ class OpsSpec extends SparkSpec {
     assert(top.head.getLong(0) === 1L)
   }
 
+  test("cluster-balanced sample: quota binds per cluster, covers all clusters, reproducible") {
+    val q = () => Similarity.queries("x_cluster_sample")(spark, sf)
+    val rows = q().collect()
+    val byCluster = rows.groupBy(_.getLong(0))
+    // the quota binds (each fixture cluster has >20 members, so every
+    // cluster contributes EXACTLY 20 — a uniform draw could not)
+    assert(byCluster.size === 8, "every IVF cluster represented")
+    assert(byCluster.values.forall(_.length === 20))
+    // stable-hash draw: identical ids run-over-run
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      q().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("corpus shuffle: seeded permutation is reproducible, complete, seed-sensitive") {
     import graft.ops.Curation
     val s1 = Curation.shuffleShards(docs).cache()
