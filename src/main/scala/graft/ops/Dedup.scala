@@ -624,6 +624,7 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .filter(col("cluster_id") < col("old"))
         .limit(1).count()
+      freeCheckpoint(labels) // superseded round's blocks, see the helper
       labels = next
       converged = changed == 0L
       iter += 1
@@ -633,8 +634,21 @@ object Dedup {
     // templated spam chains, serial near-copies) converges in
     // O(diameter) here but O(log n) under star contraction — switch
     // algorithms instead of failing or raising the cap
-    if (converged) labels else clustersStar(pairs)
+    if (converged) labels
+    else { freeCheckpoint(labels); clustersStar(pairs) }
   }
+
+  /** Free the block-manager storage behind an eager `localCheckpoint`
+    * once the frame is SUPERSEDED. Iterative loops otherwise leave
+    * every round's checkpoint blocks resident for the life of the
+    * session — in a long-lived JVM (a real cluster, or the bench
+    * harness) that accumulation evicts other queries' execution
+    * memory long after the loop finished. Only the final round's
+    * result may stay persisted. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -686,6 +700,7 @@ object Dedup {
         .localCheckpoint()
       converged = next.count() == edges.count() &&
         next.exceptAll(edges).limit(1).count() == 0L
+      freeCheckpoint(edges) // superseded round's blocks
       edges = next
       iter += 1
     }
