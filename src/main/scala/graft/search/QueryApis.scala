@@ -614,6 +614,30 @@ object QueryApis {
         .limit(5)
     }),
 
+    // Matryoshka (MRL) staged search (Kusupati et al., NeurIPS 2022;
+    // Qdrant's recommended pattern with named vectors): stage 1 ranks
+    // on the 16-dim PREFIX of the embedding — MRL models front-load
+    // information, and a prefix scan reads/multiplies 1/4 of the
+    // floats — stage 2 rescores only the top-50 survivors at full
+    // dimension. The dimension-truncation sibling of the int8/PQ
+    // rerank family: same two-cut plan (both TakeOrderedAndProject),
+    // different compression axis.
+    "q_mrl_rescore" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val stage1 = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          round(Kernels.cosine(
+            slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)), 6).as("s1"))
+        .orderBy(col("s1").desc, col("vec_id").asc)
+        .limit(50)
+      stage1
+        .select(col("vec_id"), col("s1"),
+          round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // Universal Query API multi-stage search: mean-pooled dense
     // prefetch (top-20) → full MaxSim rescore (top-5) — the
     // ColBERT/ColPali serving pattern.
@@ -634,6 +658,16 @@ object QueryApis {
     (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
 
   def oracles: Map[String, String] = Map(
+    "q_mrl_rescore" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s1 AS (SELECT vec_id, embedding, qv,
+         |    ROUND(${duckCos("embedding[1:16]", "qv[1:16]")}, 6) AS s1
+         |  FROM embeddings, q
+         |  ORDER BY s1 DESC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, s1, ROUND(${duckCos("embedding", "qv")}, 6) AS score
+         |FROM s1
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
     "q_recommend" -> {
       // DuckDB disallows subqueries inside lambdas, so the example
       // vectors land in an `ex` CTE first and the lambda reads its

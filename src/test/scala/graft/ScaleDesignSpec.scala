@@ -235,6 +235,15 @@ class ScaleDesignSpec extends SparkSpec {
       s"bucket counts must come from the broadcast model, not a window:\n$plan")
   }
 
+  test("mrl rescore: both cuts are TakeOrderedAndProject, no shuffle") {
+    val q = graft.search.QueryApis.queries("q_mrl_rescore")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("TakeOrderedAndProject").length >= 3,
+      s"prefix cut AND full-dim cut must both be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"staged dimension truncation must not shuffle:\n$plan")
+  }
+
   test("pq rerank: both cuts are TakeOrderedAndProject, encode is shuffle-free") {
     val q = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
