@@ -129,6 +129,28 @@ class OpsSpec extends SparkSpec {
       "every planted pair must be reported — non-vacuous census")
   }
 
+  test("substring dedup guarantee: random corpora — every >=24-token shared span pairs, nothing else") {
+    import spark.implicits._
+    // 15 random doc pairs; each pair shares ONE span of 24..53 tokens
+    // (24 = window 20 + minShared 5 - 1, the detection threshold);
+    // fillers draw from per-doc vocabularies, so windows that cross a
+    // span boundary contain a doc-private token and cannot collide
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 15).flatMap { c =>
+      val span = Seq.tabulate(24 + rnd.nextInt(30))(j => s"s${c}v$j")
+      def filler(tag: String) =
+        Seq.tabulate(rnd.nextInt(40))(j => s"$tag${c}f${j}x${rnd.nextInt(5)}")
+      Seq(
+        (2L * c, (filler("a") ++ span ++ filler("b")).mkString(" ")),
+        (2L * c + 1, (filler("c") ++ span ++ filler("d")).mkString(" ")))
+    }
+    val pairs = Dedup.substringPairs(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 15).map(c => (2L * c, 2L * c + 1)).toSet
+    assert((expected -- pairs).isEmpty, s"missed planted spans: ${expected -- pairs}")
+    assert((pairs -- expected).isEmpty, s"spurious pairs: ${pairs -- expected}")
+  }
+
   test("clustersWithKeeper: longest text wins, members counted per component") {
     import spark.implicits._
     val corpus = Seq(
