@@ -577,6 +577,34 @@ object QueryApis {
     "q_matrix_pairs" -> ((s, dir) =>
       matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
         .orderBy(col("id_a"), col("r"))),
+
+    // Qdrant's SECOND distance-matrix response form
+    // (`search_matrix_offsets`): the same pairs flattened to CSR-style
+    // parallel arrays — offsets index into the sorted sample `ids`
+    // list. One result row; the arrays are (id_a, rank)-ordered so
+    // both engines emit bit-identical lists. The sample index is a
+    // tiny window over sample-sized rows, not the corpus.
+    "q_matrix_offsets" -> ((s, dir) => {
+      val pr = matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
+      val ids = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(MatrixMod.toLong)) === 0)
+        .select(col("vec_id"))
+      val idx = ids.select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("ix"))
+      val j = pr
+        .join(idx.select(col("vec_id").as("id_a"), col("ix").as("row_ix")), Seq("id_a"))
+        .join(idx.select(col("vec_id").as("id_b"), col("ix").as("col_ix")), Seq("id_b"))
+        .select(struct(col("id_a"), col("r"), col("row_ix"),
+          col("col_ix"), col("score")).as("t"))
+        .agg(sort_array(collect_list(col("t"))).as("l"))
+        .select(
+          transform(col("l"), x => x.getField("row_ix")).as("offsets_row"),
+          transform(col("l"), x => x.getField("col_ix")).as("offsets_col"),
+          transform(col("l"), x => x.getField("score")).as("scores"))
+      val idArr = idx.agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      j.crossJoin(broadcast(idArr))
+    }),
     "q_random_sample" -> ((s, dir) =>
       randomSample(t(s, dir, "embeddings"), 20)),
     // payload-boosted ranking: +0.1 for the preferred label, a small
@@ -867,6 +895,25 @@ object QueryApis {
          |  FROM p)
          |SELECT id_a, id_b, score, r FROM r WHERE r <= $MatrixK
          |ORDER BY id_a, r""".stripMargin,
+
+    "q_matrix_offsets" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $MatrixMod = 0),
+         |idx AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS ix FROM s),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS score
+         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT id_a, id_b, score,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC)::BIGINT AS r
+         |  FROM p),
+         |j AS (SELECT r.id_a, r.r, ia.ix AS row_ix, ib.ix AS col_ix, r.score
+         |  FROM r JOIN idx ia ON r.id_a = ia.vec_id
+         |  JOIN idx ib ON r.id_b = ib.vec_id
+         |  WHERE r.r <= $MatrixK),
+         |o AS (SELECT list(row_ix ORDER BY id_a, r) AS offsets_row,
+         |    list(col_ix ORDER BY id_a, r) AS offsets_col,
+         |    list(score ORDER BY id_a, r) AS scores FROM j),
+         |i AS (SELECT list(vec_id ORDER BY vec_id) AS ids FROM s)
+         |SELECT offsets_row, offsets_col, scores, ids FROM o, i""".stripMargin,
 
     "q_random_sample" ->
       """SELECT vec_id, ('0x' || substr(md5('sample:' || vec_id), 1, 15))::BIGINT AS h
