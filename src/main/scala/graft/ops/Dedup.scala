@@ -413,16 +413,28 @@ object Dedup {
     * cap is the documented coverage bound). Window hashing is O(n·W)
     * per doc with W constant — linear, not the quadratic re-evaluation
     * the HOF rule bans. */
+  /** All length-`window` rolling hashes of a token-hash array — native
+    * O(L) expression ([[graft.vector.RollingWindowHashes]]); the HOF
+    * twin below is O(L·window) and documents the fold the DuckDB
+    * oracle mirrors (parity-pinned in NativeParitySpec). */
+  def windowHashes(th: Column, window: Int): Column =
+    graft.vector.Kernels.ofExpr(graft.vector.RollingWindowHashes(
+      graft.vector.Kernels.exprOf(th), window, WinM))
+
+  /** HOF twin of [[windowHashes]]. */
+  private[graft] def windowHashesHof(th: Column, window: Int): Column =
+    when(size(th) >= window,
+      transform(sequence(lit(0), size(th) - window),
+        i => aggregate(slice(th, i + 1, lit(window)), lit(0L),
+          (h, t) => (h * 31L + t) % WinM)))
+      .otherwise(array().cast("array<bigint>"))
+
   def substringPairs(
       corpus: DataFrame,
       window: Int = 20,
       minShared: Int = 5,
       maxBucket: Int = 100): DataFrame = {
-    val wins = when(size(col("_th")) >= window,
-      transform(sequence(lit(0), size(col("_th")) - window),
-        i => aggregate(slice(col("_th"), i + 1, lit(window)), lit(0L),
-          (h, t) => (h * 31L + t) % WinM)))
-      .otherwise(array().cast("array<bigint>"))
+    val wins = windowHashes(col("_th"), window)
     val dw = corpus
       .withColumn("_th", Embedder.tokenHashes(col("text")))
       .select(col("doc_id"), explode(wins).as("whash"))

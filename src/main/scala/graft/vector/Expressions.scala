@@ -742,6 +742,45 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All length-`window` rolling poly-hash values of a token-hash array
+  * in ONE O(L) pass — the exact-substring-dedup hot path. out[i] is
+  * the left fold of hashes[i..i+window) with (h*31 + t) mod `mod`,
+  * the same number the HOF twin computes per offset in O(window);
+  * here each next window re-derives from the previous in O(1) via
+  * h' = ((h − t_out·31^{window−1}) · 31 + t_in) mod M. Token hashes
+  * are < 2^21 and mod < 2^31, so every intermediate fits a Long with
+  * headroom. Empty output when the doc is shorter than the window. */
+case class RollingWindowHashes(child: Expression, window: Int, mod: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0, "rolling hash needs a positive window")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // 31^(window-1) mod M — the leading token's weight in the fold
+  private lazy val pow: Long = {
+    var p = 1L; var i = 1
+    while (i < window) { p = p * 31L % mod; i += 1 }
+    p
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < window) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * 31L + arr.getLong(i)) % mod; i += 1 }
+    out(0) = h
+    var s = 0
+    while (s + window < n) {
+      h = ((h - arr.getLong(s) * pow % mod + mod) % mod * 31L +
+        arr.getLong(s + window)) % mod
+      out(s + 1) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Token poly-hashes in one pass (Embedder.tokenHashes twin): split on
   * single spaces, drop empties, fold (a*mult + codepoint) mod prime
   * per token. */

@@ -113,6 +113,32 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("rolling window hashes: native == HOF on documents and length edges") {
+    val d = docs
+      .withColumn("th", Embedder.tokenHashes(col("text")))
+      .select(Dedup.windowHashes(col("th"), 20).as("a"),
+        Dedup.windowHashesHof(col("th"), 20).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+    import spark.implicits._
+    // docs shorter than, exactly at, and one over the window length
+    val edges = Seq(
+      (1L, Seq.fill(19)("w").mkString(" ")),
+      (2L, Seq.fill(20)("w").mkString(" ")),
+      (3L, (0 until 21).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("th", Embedder.tokenHashes(col("text")))
+      .select(col("doc_id"), Dedup.windowHashes(col("th"), 20).as("a"),
+        Dedup.windowHashesHof(col("th"), 20).as("b"))
+      .collect()
+    edges.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    assert(edges.find(_.getLong(0) == 1L).get.getSeq[Long](1).isEmpty)
+    assert(edges.find(_.getLong(0) == 2L).get.getSeq[Long](1).length === 1)
+    assert(edges.find(_.getLong(0) == 3L).get.getSeq[Long](1).length === 2)
+  }
+
   test("tokenHash (whole-string poly hash): native == HOF on documents and edge strings") {
     val d = docs
       .select(Embedder.tokenHash(col("text")).as("a"),
