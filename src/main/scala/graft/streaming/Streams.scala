@@ -288,6 +288,41 @@ object Streams {
       col("c_id").as("click_id"), col("p_id").as("purchase_id")))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click, with its
+    * within-the-hour purchase OR null if none ever arrives. The outer
+    * semantics are what make this harder than the inner join: an
+    * unmatched click can only emit once BOTH watermarks prove no
+    * matching purchase can still arrive (watermark past click_ts + 1h
+    * + delay), so the null verdicts are watermark-finalized state
+    * evictions, not end-of-batch leftovers. On the bounded fixture the
+    * far-future sentinel row is let THROUGH both sides' event_type
+    * filters (a sentinel dropped by a scan-pushed filter never reaches
+    * the EventTimeWatermark node, the watermark never advances, and no
+    * outer row ever emits) and carries user_id −1, so it joins only
+    * itself and is dropped from the read-back. */
+  def streamStreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, schema) = sentinelSourceDir(spark, sfDir)
+    streamStreamJoinOuterFrom(spark, dir, schema, None)
+  }
+
+  private[graft] def streamStreamJoinOuterFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    def side(tp: String, p: String) =
+      eventStream(spark, srcDir, schema, maxFilesPerTrigger)
+        .filter(col("event_type").isin(tp, "__sentinel__"))
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
+      "left_outer")
+    runToParquet(spark, joined.select(col("c_user").as("user_id"),
+      col("c_id").as("click_id"), col("p_id").as("purchase_id")))
+      .filter(col("user_id") >= 0)
+  }
+
   /** Streaming corpus-curation gate: documents arrive on a stream,
     * each scored with the SAME quality formula as the batch operator
     * (`TextAnalysis.qualityScore` — one definition, two execution
@@ -397,7 +432,11 @@ object Streams {
         .orderBy(col("event_type"))),
     "s_stream_join" -> ((s, dir) =>
       streamStreamJoin(s, dir)
-        .orderBy(col("user_id"), col("click_id"), col("purchase_id")))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))),
+    "s_stream_join_outer" -> ((s, dir) =>
+      streamStreamJoinOuter(s, dir)
+        .orderBy(col("user_id"), col("click_id"),
+          col("purchase_id").asc_nulls_first))
   )
 
   /** Batch-SQL oracles: streaming over a bounded source must agree
@@ -439,6 +478,16 @@ object Streams {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // batch LEFT JOIN twin of the outer interval join; NULLS FIRST
+    // pins DuckDB's default NULLS-LAST ordering to Spark's
+    "s_stream_join_outer" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""".stripMargin
   )
 }

@@ -181,6 +181,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getLong(1) === 1L && out.head.getLong(2) === 3L)
   }
 
+  test("outer stream-stream join: unmatched click emits null ONLY after watermark proof") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjo_mb").toString
+    val h = 3600L * 1000000000L
+    def ev(id: Long, tsNs: Long, tp: String) =
+      (id, tsNs, 5L, tp, 1.0, null.asInstanceOf[String])
+    val b1 = Seq(ev(1L, 10 * h, "click"), ev(2L, 20 * h, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // purchase 30min after click 1 (matches); click 2 never matches —
+    // its null verdict needs the watermark to pass 21h + 2h delay,
+    // which only the batch-3 sentinel (26h) provides
+    val b2 = Seq(ev(3L, 10 * h + h / 2, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Streams.writeSingleFile(spark, b1, s"$dir/00_clicks.parquet")
+    Streams.writeSingleFile(spark, b2, s"$dir/01_purchases.parquet")
+    Streams.writeSingleFile(spark,
+      Streams.sentinelRow(spark, 20 * h, 6), s"$dir/02_sentinel.parquet")
+    Seq("00_clicks.parquet", "01_purchases.parquet", "02_sentinel.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+      }
+    val out = Streams.streamStreamJoinOuterFrom(spark, dir, b1.schema, Some(1))
+      .orderBy(col("click_id")).collect()
+    assert(out.length === 2, s"both clicks must emit: ${out.toSeq}")
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 3L, "matched pair")
+    assert(out(1).getLong(1) === 2L && out(1).isNullAt(2),
+      "unmatched click emits with null purchase after watermark eviction")
+  }
+
   test("late in-watermark event extends the open session instead of shrinking it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late_mb").toString
