@@ -185,6 +185,32 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("geo radius: box prefilter is CONSERVATIVE — compiled filter == bare haversine") {
+    import graft.search.GeoRadius
+    // random centers (poles and antimeridian included), random radii
+    // up to ~5000 km, random points: the compiled condition (pushdown
+    // prefilter AND exact residual) must select EXACTLY the points the
+    // bare haversine test selects — a prefilter that clips the circle
+    // would silently drop true hits at the box edge
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 400).map { i =>
+      (i.toLong, rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180)
+    }
+    val df = pts.toDF("id", "lat", "lon").cache()
+    (0 until 12).foreach { _ =>
+      val c = (rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180)
+      val r = (rnd.nextDouble() * 4900 + 100) * 1000
+      val g = GeoRadius("lat", "lon", c._1, c._2, r)
+      val got = df.filter(g.toColumn).collect().map(_.getLong(0)).toSet
+      val want = df.filter(
+        GeoRadius.haversineMeters(col("lat"), col("lon"), c._1, c._2) <= lit(r))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"center=$c r=${r}m: prefilter dropped ${want -- got}, added ${got -- want}")
+    }
+    df.unpersist()
+  }
+
   test("nested / values-count / is-empty / has-id / text / phrase conditions") {
     import graft.search._
     def ids(c: Cond, df: org.apache.spark.sql.DataFrame): Set[Long] =
