@@ -223,6 +223,23 @@ class ScaleDesignSpec extends SparkSpec {
       s"per-doc chunk dedup must not shuffle:\n$plan")
   }
 
+  test("substring dedup plans as span-hash equi-joins — no cartesian anywhere") {
+    val q = graft.ops.Dedup.queries("x_substring_dedup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every candidate pair must come from a window-hash bucket join:\n$plan")
+  }
+
+  test("nested payload condition evaluates per-row — no Generate/explode in the filter") {
+    val q = graft.search.Filters.queries("e4_nested_filter")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the array is FILTERED with exists(); an explode-based evaluation
+    // would fan every order out to its items and re-aggregate
+    assert(!plan.contains("Generate"),
+      s"same-element semantics must stay a scalar exists():\n$plan")
+  }
+
   test("dsir: bounded bucket model broadcasts onto tf — no window over the corpus rows") {
     val q = graft.ops.TextAnalysis.queries("x_dsir_weights")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
