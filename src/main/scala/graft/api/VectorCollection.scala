@@ -148,6 +148,24 @@ class VectorCollection private (
       metric = config.distance)
   }
 
+  /** Qdrant Universal Query API's by-id form
+    * (`query_points(query=<point_id>)`): the k points nearest to a
+    * STORED point's vector, the point itself excluded — "more like
+    * this one" without re-supplying the embedding. The vector fetch is
+    * a driver-side point lookup (the reference's own driver-side query
+    * embedding shape); the search is the ordinary broadcast top-k. */
+  def queryByPointId(
+      id: Long, k: Int = 5, filter: Column = lit(true),
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    val rows = table.filter(col(config.idCol) === id)
+      .select(col(config.vectorCol)).take(1)
+    require(rows.nonEmpty, s"point $id not found in the collection")
+    val v = rows.head.getSeq[Number](0).map(_.floatValue).toSeq
+    search(v, k + 1, filter, scoreThreshold)
+      .filter(col(config.idCol) =!= id)
+      .limit(k)
+  }
+
   /** Hybrid search over a collection whose payload carries the source
     * text: dense (embedded query vs stored vectors is approximated by
     * re-embedding the text payload — same encoder both sides) fused

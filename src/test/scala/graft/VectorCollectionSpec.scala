@@ -473,6 +473,23 @@ class VectorCollectionSpec extends SparkSpec {
       headHits.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("query by point id: nearest to the stored vector, self excluded") {
+    val dir = s"${tmp()}/col"
+    val c = VectorCollection.ensure(spark, dir, points,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(points)
+    val anchor = points.orderBy(col("point_id")).head
+    val id = anchor.getLong(0)
+    val byId = c.queryByPointId(id, k = 5).collect()
+    assert(byId.length === 5)
+    assert(!byId.exists(_.getLong(0) == id), "the anchor never returns itself")
+    // parity: identical to searching with the stored vector, minus self
+    val v = anchor.getSeq[Float](1).toSeq
+    val byVec = c.search(v, k = 6).collect().filter(_.getLong(0) != id).take(5)
+    assert(byId.map(_.getLong(0)).toSeq === byVec.map(_.getLong(0)).toSeq)
+    intercept[IllegalArgumentException] { c.queryByPointId(-999L) }
+  }
+
   test("get_collection info: counts, segments, config — and it tracks mutations") {
     val dir = s"${tmp()}/col"
     val c = VectorCollection.ensure(spark, dir, points,
