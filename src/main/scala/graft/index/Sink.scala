@@ -382,11 +382,28 @@ object Sink {
     * the swap leaves the original intact). Returns the new file count.
     * Single-writer like the upsert path. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    requireUnpartitioned(spark, path, "compact")
     val data = spark.read.parquet(path)
     val nFiles = fileCountFor(data.count(), targetRowsPerFile)
     val staging = path + "_compacting"
     data.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     swapInStaged(spark, path, staging)
+  }
+
+  /** Whole-directory rewrites read `path` flat and would silently
+    * FLATTEN a directory-partitioned (sharded) layout — every routed
+    * search's partition pruning would quietly degrade to full scans.
+    * Refuse loudly instead; sharded collections compact per shard
+    * subtree. */
+  private def requireUnpartitioned(spark: SparkSession, path: String, op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(parts.isEmpty,
+      s"$op on a partitioned collection would flatten its ${parts.head.takeWhile(_ != '=')}= " +
+        s"subtree layout; run $op per shard subtree instead")
   }
 
   /** Qdrant `create_payload_index(field)` re-expressed for a columnar
@@ -408,6 +425,7 @@ object Sink {
       path: String,
       field: String,
       targetRowsPerFile: Long = 1L << 20): Int = {
+    requireUnpartitioned(spark, path, "indexPayload")
     val data = spark.read.parquet(path)
     val nFiles = fileCountFor(data.count(), targetRowsPerFile)
     val staging = path + "_indexing"

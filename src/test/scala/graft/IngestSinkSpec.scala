@@ -191,6 +191,17 @@ class IngestSinkSpec extends SparkSpec {
     before.unpersist()
   }
 
+  test("compact/indexPayload refuse a shard-partitioned layout (would flatten it)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sharded").toString + "/col"
+    t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      .write.partitionBy("label").parquet(path)
+    intercept[IllegalArgumentException] { Sink.compact(spark, path, 100L) }
+    intercept[IllegalArgumentException] { Sink.indexPayload(spark, path, "vec_id") }
+    // the layout is untouched by the refused calls
+    assert(new java.io.File(path).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("label=")) === 10)
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
