@@ -582,8 +582,11 @@ object QueryApis {
     // (`search_matrix_offsets`): the same pairs flattened to CSR-style
     // parallel arrays — offsets index into the sorted sample `ids`
     // list. One result row; the arrays are (id_a, rank)-ordered so
-    // both engines emit bit-identical lists. The sample index is a
-    // tiny window over sample-sized rows, not the corpus.
+    // both engines emit bit-identical lists. Each CSR array is emitted
+    // as ONE comma-joined string column (scores at fixed %.6f) so the
+    // compared output holds only scalar cells — array-typed compared
+    // columns are un-sortable by the gate's pandas compare. The sample
+    // index is a tiny window over sample-sized rows, not the corpus.
     "q_matrix_offsets" -> ((s, dir) => {
       val pr = matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
       val ids = t(s, dir, "embeddings")
@@ -599,10 +602,15 @@ object QueryApis {
           col("col_ix"), col("score")).as("t"))
         .agg(sort_array(collect_list(col("t"))).as("l"))
         .select(
-          transform(col("l"), x => x.getField("row_ix")).as("offsets_row"),
-          transform(col("l"), x => x.getField("col_ix")).as("offsets_col"),
-          transform(col("l"), x => x.getField("score")).as("scores"))
-      val idArr = idx.agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+          array_join(transform(col("l"),
+            x => x.getField("row_ix").cast("string")), ",").as("offsets_row"),
+          array_join(transform(col("l"),
+            x => x.getField("col_ix").cast("string")), ",").as("offsets_col"),
+          array_join(transform(col("l"),
+            x => format_string("%.6f", x.getField("score"))), ",").as("scores"))
+      val idArr = idx.agg(
+        array_join(transform(sort_array(collect_list(col("vec_id"))),
+          _.cast("string")), ",").as("ids"))
       j.crossJoin(broadcast(idArr))
     }),
     "q_random_sample" -> ((s, dir) =>
@@ -909,10 +917,10 @@ object QueryApis {
          |  FROM r JOIN idx ia ON r.id_a = ia.vec_id
          |  JOIN idx ib ON r.id_b = ib.vec_id
          |  WHERE r.r <= $MatrixK),
-         |o AS (SELECT list(row_ix ORDER BY id_a, r) AS offsets_row,
-         |    list(col_ix ORDER BY id_a, r) AS offsets_col,
-         |    list(score ORDER BY id_a, r) AS scores FROM j),
-         |i AS (SELECT list(vec_id ORDER BY vec_id) AS ids FROM s)
+         |o AS (SELECT string_agg(row_ix::VARCHAR, ',' ORDER BY id_a, r) AS offsets_row,
+         |    string_agg(col_ix::VARCHAR, ',' ORDER BY id_a, r) AS offsets_col,
+         |    string_agg(printf('%.6f', score), ',' ORDER BY id_a, r) AS scores FROM j),
+         |i AS (SELECT string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id) AS ids FROM s)
          |SELECT offsets_row, offsets_col, scores, ids FROM o, i""".stripMargin,
 
     "q_random_sample" ->

@@ -4,8 +4,12 @@
 Usage: tools/check.py [sfdir] [outdir]
 Reads each <outdir>/<name> parquet written by graft.Verify, runs the
 matching oracle_sql.json entry in DuckDB with fixture tables registered
-as views, and diffs (columns sorted by name, rows in emitted order,
-floats rounded to 6dp).
+as views, and diffs (columns sorted by name, rows SORTED after
+normalization — mirroring the driver's pandas sort_values — floats
+rounded to 6dp). Array-typed compared columns are a hard FAIL: the
+driver's pandas row-sort throws `unhashable type: numpy.ndarray` on
+them (the r5 q_matrix_offsets gate failure), so any query emitting one
+must be rewritten to scalar cells (array_join / explode) first.
 """
 import json, math, sys
 import duckdb
@@ -13,18 +17,23 @@ import duckdb
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
+class ArrayColumn(Exception):
+    pass
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple)):
+        raise ArrayColumn("array-typed compared cell (driver pandas sort "
+                          "cannot hash it); emit array_join'd strings or "
+                          "explode to rows instead")
     return str(v)
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -48,7 +57,12 @@ def main():
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_fail += 1
             continue
-        g, e = norm_rows(gcols, grows), norm_rows(ecols, erows)
+        try:
+            g, e = norm_rows(gcols, grows), norm_rows(ecols, erows)
+        except ArrayColumn as ac:
+            print(f"FAIL {name}: {ac}")
+            n_fail += 1
+            continue
         if g == e:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
