@@ -32,24 +32,27 @@ import graft.vector.Kernels
 object Similarity {
 
   /** k-NN join: for every query row, the k nearest rows of `data` by
-    * cosine. Query side is broadcast (small); ranking window is
-    * partitioned by query id — the ONLY shuffle on this path, and it
-    * carries (q_id, vec_id, score) triples, never embeddings. The
-    * corpus is scored straight off its scan partitions: at 100 TB the
-    * scan is thousands of file splits and re-exchanging 64-float
-    * vectors to "spread" it would itself be the bottleneck (the
-    * round-4 finding). Fixture parallelism is the caller's concern —
-    * see [[fanOutIfNarrow]]. Plan-asserted in ScaleDesignSpec: every
-    * hash exchange in this plan keys on q_id. */
+    * cosine. Query side is broadcast (small); the corpus is scored
+    * straight off its scan partitions: at 100 TB the scan is thousands
+    * of file splits and re-exchanging 64-float vectors to "spread" it
+    * would itself be the bottleneck (the round-4 finding). Ranking is
+    * the bounded-heap [[topKHits]] aggregate, NOT a row_number window:
+    * the window shape shuffles ALL Q×N scored rows on q_id before
+    * cutting — Q copies of the corpus through the wire — while the
+    * O(k) TypedImperativeAggregate pre-reduces every map task to k
+    * pairs per query BEFORE the q_id shuffle (ObjectHashAggregate
+    * partial mode, plan-asserted in ScaleDesignSpec; tie order score
+    * DESC / id ASC is bit-equal to the window formulation). Fixture
+    * parallelism is the caller's concern — see [[fanOutIfNarrow]]. */
   def knnJoin(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = data.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+    scored.groupBy(col("q_id"))
+      .agg(topKHits(col("score"), col("vec_id"), k).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Fixture shim for EXPENSIVE per-row work (embedding) on a narrow
@@ -344,20 +347,29 @@ object Similarity {
       val scored = emb.crossJoin(broadcast(qs))
         .select(col("q_id"), col("doc_id"),
           round(Kernels.cosine(col("v"), col("qv")), 6).as("score"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("doc_id"), col("score"), col("rnk"))
+      // bounded-heap ranking (same swap as knnJoin): map-side partial
+      // aggregation shuffles O(k) pairs per query, never Q×N rows
+      scored.groupBy(col("q_id"))
+        .agg(topKHits(col("score"), col("doc_id"), 3).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")))
+        .select(col("q_id"), col("col.vec_id").as("doc_id"),
+          col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
     // k-NN classification: predict each query point's label by
     // majority vote of its 5 nearest OTHER points (the standard
-    // embedding-space sanity check of label coherence). Vote counting
-    // is a tiny aggregate over the k-NN join's output; argmax via
-    // max_by-style struct ordering (votes desc, label asc) — no second
-    // window. Self-matches excluded so the vote is honest.
+    // embedding-space sanity check of label coherence). Ranking is the
+    // bounded-heap topKHits aggregate (same swap as knnJoin); the
+    // neighbor's label rides inside the heap's id slot packed as
+    // vec_id*16+label — vec_id is unique per point, so the packed
+    // ordering (score desc, packed asc) equals the window's (score
+    // desc, vec_id asc) tiebreak exactly, and no second corpus scan is
+    // needed to recover labels (fixture labels are 0..9 < 16; the
+    // true_label rides the broadcast query side). Vote counting is a
+    // tiny aggregate over the k×Q output; argmax via max_by-style
+    // struct ordering (votes desc, label asc) — no second window.
+    // Self-matches excluded so the vote is honest.
     "x_knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 20)
@@ -365,12 +377,14 @@ object Similarity {
           col("label").as("true_label"))
       val scored = e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        .select(col("q_id"), col("true_label"),
+          (col("vec_id") * 16 + col("label")).cast("long").as("packed"),
           round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-      val votes = scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      val votes = scored.groupBy(col("q_id"), col("true_label"))
+        .agg(topKHits(col("score"), col("packed"), 5).as("hits"))
+        .select(col("q_id"), col("true_label"), explode(col("hits")).as("h"))
+        .select(col("q_id"), col("true_label"),
+          pmod(col("h.vec_id"), lit(16L)).cast("long").as("label"))
         .groupBy(col("q_id"), col("true_label"), col("label"))
         .agg(count(lit(1)).as("votes"))
       votes.groupBy(col("q_id"), col("true_label"))

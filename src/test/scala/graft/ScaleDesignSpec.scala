@@ -439,19 +439,31 @@ class ScaleDesignSpec extends SparkSpec {
       s"the one-row corpus total must broadcast:\n$uniPlan")
   }
 
-  test("broadcast-query knn join: corpus scores off its scan, only the q_id window shuffles") {
+  test("broadcast-query knn join: corpus scores off its scan, ranks via partial bounded-heap") {
     val e = t(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val plan = Similarity.knnJoin(e, qs, 3).queryExecution.executedPlan.toString
     // the round-4 finding: no Exchange may sit between the scan and the
     // scoring projection — at 100 TB that exchange moves every embedding.
-    // The ranking window's q_id shuffle is the single permitted exchange,
-    // and it carries (q_id, vec_id, score) triples only.
+    // The q_id ranking shuffle is the single permitted exchange, and it
+    // carries O(k) (score, id) pairs per map task, not Q×N triples.
     val keys = "Exchange hashpartitioning\\((\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(keys.nonEmpty && keys.forall(_ == "q_id"),
-      s"only the q_id ranking window may shuffle on the broadcast-query path:\n$plan")
+      s"only the q_id ranking shuffle may appear on the broadcast-query path:\n$plan")
+    // the round-5 finding: ranking must be the bounded-heap aggregate in
+    // partial (map-side) mode — a row_number window would shuffle ALL
+    // Q×N scored rows (Q copies of the corpus through the wire)
+    assert(plan.contains("partial_topk_hits"),
+      s"ranking must pre-reduce map-side to k pairs per query:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no full-shuffle ranking window on the broadcast k-NN path:\n$plan")
+    // the classify/doc twins share the same ranking shape
+    val twin = graft.ops.Similarity.queries("x_knn_classify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(twin.contains("partial_topk_hits") && !twin.contains("Window"),
+      s"x_knn_classify must rank via the partial bounded heap:\n$twin")
   }
 
   test("LSH knn join plans as bucket equi-joins — no nested-loop/cartesian") {
