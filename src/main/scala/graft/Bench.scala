@@ -38,15 +38,16 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val results = names.map { n =>
+    val timed = names.map { n =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
-      n -> times.min
+      (n, times.min, times.max)
     }
+    val results = timed.map { case (n, mn, _) => n -> mn }
     // Compact JSON, printed LAST (after spark.stop()) with raw stdout
     // (build.sbt outputStrategy): the driver json-parses this line from
     // a 2000-char tail of the run output, so it must be short, free of
@@ -61,9 +62,18 @@ object Bench {
     val total = results.map(_._2).sum
     val detail = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // noise qualification for the top-10 slowest queries: the min-max
+    // spread across reps, in seconds. A "regression" smaller than its
+    // query's spread is run-to-run noise (GC, page cache, JIT), not a
+    // plan change — the r5 c2_upsert_replace lesson. Detail-file only;
+    // the driver-parsed stdout line is unchanged.
+    val noise = timed.sortBy { case (_, mn, _) => -mn }.take(10)
+      .map { case (n, mn, mx) => "\"" + n + "\":" + f3(mx - mn) }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,""" +
+        s""""reps":$reps,"noise_top10_spread":$noise,"sf":"$sfDir"}\n""")
     val bySlowest = results.sortBy(-_._2)
     def line(n: Int): String = {
       val qs = bySlowest.take(n)
