@@ -56,6 +56,20 @@ final case class CollectionInfo(
     segmentsCount: Int,
     config: CollectionConfig)
 
+/** Qdrant `with_payload` response selector: all payload columns, none,
+  * or a named subset (unknown names rejected by name — not silently
+  * dropped). Payload columns are everything in the collection schema
+  * that is not the id, the default vector, or a named vector. */
+sealed trait PayloadSelector
+object PayloadSelector {
+  /** `with_payload=True`: every payload column. */
+  case object All extends PayloadSelector
+  /** `with_payload=False`: ids/scores only. */
+  case object NoPayload extends PayloadSelector
+  /** `with_payload=["a","b"]`: the named subset, in the given order. */
+  final case class Subset(cols: Seq[String]) extends PayloadSelector
+}
+
 /** One operation of a Qdrant `batch_update_points` call. */
 sealed trait PointsOp
 final case class UpsertOp(points: DataFrame) extends PointsOp
@@ -595,6 +609,75 @@ class VectorCollection private (
   /** D3: hit projection with 'Unknown' defaults. */
   def formatResults(hits: DataFrame, payloadCols: Seq[String]): DataFrame =
     TopK.formatResults(hits, Seq(config.idCol, "score"), payloadCols)
+
+  /** Payload columns: the schema minus id, default vector, and named
+    * vectors. */
+  private def payloadColumns: Seq[String] = {
+    val vecCols = config.namedVectors.values.map(_._1).toSet + config.vectorCol
+    table.columns.toSeq.filterNot(c => c == config.idCol || vecCols(c))
+  }
+
+  private def resolvePayload(sel: PayloadSelector): Seq[String] = sel match {
+    case PayloadSelector.All => payloadColumns
+    case PayloadSelector.NoPayload => Nil
+    case PayloadSelector.Subset(cols) =>
+      val known = payloadColumns.toSet
+      val unknown = cols.filterNot(known)
+      require(unknown.isEmpty,
+        s"unknown payload column(s): ${unknown.mkString(", ")}; " +
+          s"payload columns: ${payloadColumns.sorted.mkString(", ")}")
+      cols
+  }
+
+  /** Qdrant `with_payload` / `with_vectors` response shaping over a hit
+    * frame holding (idCol, score): attach the selected payload columns
+    * and optionally the stored vector. The k-row hit list BROADCASTS
+    * back onto the collection scan (the search_groups with_lookup
+    * shape), so the fetch is one column-pruned pass that reads only the
+    * selected columns' bytes — the token matrices / unselected payload
+    * never leave the scan. Hit order (score per the collection metric,
+    * id tiebreak) is restored after the join. */
+  def shapeResponse(
+      hits: DataFrame,
+      withPayload: PayloadSelector,
+      withVectors: Boolean): DataFrame = {
+    val extra = resolvePayload(withPayload) ++
+      (if (withVectors) Seq(config.vectorCol) else Nil)
+    if (extra.isEmpty) hits
+    else {
+      val distanceAsc =
+        config.distance == "euclid" || config.distance == "manhattan"
+      table.select((config.idCol +: extra).map(col): _*)
+        .join(broadcast(hits), Seq(config.idCol))
+        .select((Seq(config.idCol, "score") ++ extra).map(col): _*)
+        .orderBy(if (distanceAsc) col("score").asc else col("score").desc,
+          col(config.idCol).asc)
+    }
+  }
+
+  /** [[search]] with Qdrant response-shaping flags. */
+  def search(
+      queryVec: Seq[Float], k: Int, filter: Column,
+      scoreThreshold: Option[Double],
+      withPayload: PayloadSelector,
+      withVectors: Boolean): DataFrame =
+    shapeResponse(search(queryVec, k, filter, scoreThreshold),
+      withPayload, withVectors)
+
+  /** [[scroll]] with Qdrant response-shaping flags (`with_payload` /
+    * `with_vectors` on `client.scroll`). The projection happens BEFORE
+    * the page cut, so unselected columns — above all the vector — are
+    * pruned at the scan, not carried through the sort. */
+  def scroll(
+      afterId: Long, limit: Int,
+      withPayload: PayloadSelector,
+      withVectors: Boolean): DataFrame = {
+    val cols = Seq(config.idCol) ++ resolvePayload(withPayload) ++
+      (if (withVectors) Seq(config.vectorCol) else Nil)
+    table.select(cols.map(col): _*)
+      .filter(col(config.idCol) > afterId)
+      .orderBy(col(config.idCol)).limit(limit)
+  }
 }
 
 object VectorCollection {

@@ -447,7 +447,11 @@ object QueryApis {
   /** Qdrant scroll with `order_by`: one page ordered by a payload
     * field, driven by a (value, id) keyset cursor — the predicate is
     * scan-prunable, so a page costs O(page) at any offset depth (a row
-    * offset would cost O(offset)). */
+    * offset would cost O(offset)). `descending` is order_by
+    * direction=desc: the cursor comparison flips on the VALUE while
+    * the id tiebreak stays ascending (the pinned total order both
+    * engines share), so pages chain by passing the previous page's
+    * last (value, id). */
   def scrollSorted(
       points: DataFrame,
       orderCol: String,
@@ -455,14 +459,23 @@ object QueryApis {
       afterValue: Long,
       afterId: Long,
       limit: Int,
-      filter: Column = lit(true)): DataFrame =
+      filter: Column = lit(true),
+      descending: Boolean = false): DataFrame = {
+    val cursor =
+      if (descending)
+        col(orderCol) < afterValue ||
+          (col(orderCol) === afterValue && col(idCol) > afterId)
+      else
+        col(orderCol) > afterValue ||
+          (col(orderCol) === afterValue && col(idCol) > afterId)
     points
       .filter(filter)
-      .filter(col(orderCol) > afterValue ||
-        (col(orderCol) === afterValue && col(idCol) > afterId))
+      .filter(cursor)
       .select(col(idCol), col(orderCol))
-      .orderBy(col(orderCol).asc, col(idCol).asc)
+      .orderBy(if (descending) col(orderCol).desc else col(orderCol).asc,
+        col(idCol).asc)
       .limit(limit)
+  }
 
   /** Qdrant Universal Query API multi-stage search (`query_points`
     * with `prefetch=[Prefetch(query=dense, limit=N)]` and a rescoring
@@ -568,6 +581,11 @@ object QueryApis {
       scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
         afterValue = 300L, afterId = 0L, limit = 20,
         filter = col("lang") === "en")),
+    // order_by direction=desc: same keyset plan with the value
+    // comparison flipped, id tiebreak still ascending
+    "q_scroll_desc" -> ((s, dir) =>
+      scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
+        afterValue = 300L, afterId = 0L, limit = 20, descending = true)),
     "q_mmr" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qRow = e.filter(col("vec_id") === 0).head
@@ -861,6 +879,11 @@ object QueryApis {
       """SELECT doc_id, n_chars FROM documents
         |WHERE lang = 'en' AND (n_chars > 300 OR (n_chars = 300 AND doc_id > 0))
         |ORDER BY n_chars ASC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_scroll_desc" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 0)
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "q_mmr" -> {
       // greedy selection unrolled as chained CTEs (k is a bounded API

@@ -187,6 +187,30 @@ class QueryApisSpec extends SparkSpec {
     assert((p1 ++ p2).map(_.getLong(0)).toSeq === p40.map(_.getLong(0)).toSeq)
   }
 
+  test("scrollSorted descending: value comparison flips, id tiebreak stays, pages chain") {
+    val top = docs.agg(org.apache.spark.sql.functions.max(col("n_chars")))
+      .head.getLong(0)
+    val p1 = QueryApis.scrollSorted(docs, "n_chars", "doc_id",
+      top + 1, -1L, 20, descending = true).collect()
+    assert(p1.length === 20)
+    val ns1 = p1.map(_.getLong(1))
+    assert(ns1.zip(ns1.tail).forall { case (a, b) => a >= b }, "value DESC")
+    // equal values order id ASC (the pinned tiebreak, same as asc mode)
+    p1.toSeq.groupBy(_.getLong(1)).values.foreach { g =>
+      val ids = g.map(_.getLong(0))
+      assert(ids === ids.sorted)
+    }
+    val (lastV, lastId) = (p1.last.getLong(1), p1.last.getLong(0))
+    val p2 = QueryApis.scrollSorted(docs, "n_chars", "doc_id",
+      lastV, lastId, 20, descending = true).collect()
+    assert(p2.length === 20)
+    assert(p2.forall(r => !p1.map(_.getLong(0)).toSet.contains(r.getLong(0))))
+    val p40 = QueryApis.scrollSorted(docs, "n_chars", "doc_id",
+      top + 1, -1L, 40, descending = true).collect()
+    assert((p1 ++ p2).map(_.getLong(0)).toSeq === p40.map(_.getLong(0)).toSeq,
+      "desc pages chain by (value, id) cursor")
+  }
+
   test("bqBits column twin agrees with the driver-side packing") {
     val rows = emb.limit(50)
       .select(col("vec_id"), col("embedding"),

@@ -546,4 +546,53 @@ class VectorCollectionSpec extends SparkSpec {
     // a delete of an id removed earlier in the SAME batch touches 0 points
     assert(c.batchUpdate(Seq(DeleteOp(Seq(ids(0))))) === Seq(0L))
   }
+
+  test("with_payload / with_vectors shape the search and scroll responses") {
+    import graft.api.PayloadSelector
+    val dir = s"${tmp()}/col"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val qv = Seq.tabulate(64)(i => if (i == 0) 1f else 0f)
+
+    // default search: ids + scores only (with_payload=False shape)
+    val bare = c.search(qv, k = 5)
+    assert(bare.columns.toSeq === Seq("point_id", "score"))
+
+    // with_payload=True: every payload column, never the vector
+    val full = c.search(qv, 5, lit(true), None, PayloadSelector.All,
+      withVectors = false)
+    assert(full.columns.toSeq ===
+      Seq("point_id", "score", "doc_id", "filename", "folder"))
+    // shaping must not change WHICH hits return, nor their order
+    assert(full.select("point_id").collect().map(_.getLong(0)).toSeq ===
+      bare.select("point_id").collect().map(_.getLong(0)).toSeq)
+
+    // with_payload subset keeps the requested order; with_vectors
+    // appends the stored vector
+    val sub = c.search(qv, 5, lit(true), None,
+      PayloadSelector.Subset(Seq("folder")), withVectors = true)
+    assert(sub.columns.toSeq === Seq("point_id", "score", "folder", "embedding"))
+    assert(sub.count() === 5)
+
+    // unknown payload name fails by name, not silently
+    val err = intercept[IllegalArgumentException] {
+      c.search(qv, 5, lit(true), None,
+        PayloadSelector.Subset(Seq("nope")), withVectors = false)
+    }
+    assert(err.getMessage.contains("nope"))
+
+    // scroll flags: payload-only page drops the vector bytes before the
+    // page sort (column-pruned scan), ids page drops everything
+    val page = c.scroll(-1L, 4, PayloadSelector.All, withVectors = false)
+    assert(page.columns.toSeq === Seq("point_id", "doc_id", "filename", "folder"))
+    assert(page.count() === 4)
+    val idsOnly = c.scroll(-1L, 4, PayloadSelector.NoPayload, withVectors = false)
+    assert(idsOnly.columns.toSeq === Seq("point_id"))
+    // the scroll projection prunes the vector column AT THE SCAN
+    val scan = page.queryExecution.executedPlan.toString
+    assert(!scan.contains("embedding"),
+      s"scroll(with_vectors=false) must not read vector bytes:\n$scan")
+  }
 }
