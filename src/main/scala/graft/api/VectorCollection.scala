@@ -259,9 +259,16 @@ class VectorCollection private (
     * example exclusion — the id spaces differ. */
   def recommendFrom(
       lookup: VectorCollection,
-      posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
+      posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame = {
+    // validate the cross-collection contract up front — a mismatch
+    // would otherwise surface as an opaque kernel error mid-execution
+    require(lookup.config.dim == config.dim,
+      s"lookup collection dim ${lookup.config.dim} != this collection's dim ${config.dim}")
+    require(!lookup.config.multiVector && !config.multiVector,
+      "recommend with lookup_from needs dense (single-vector) collections on both sides")
     graft.search.QueryApis.recommendLookup(
       asPoints, lookup.asPoints, posIds, negIds, k)
+  }
       .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `recommend_batch`: N recommend requests, one collection
@@ -523,11 +530,20 @@ class VectorCollection private (
     // assumed one — a mismatched cast would drift the schema of the
     // rewritten files away from the untouched ones
     val dt = table.schema(config.vectorCol).dataType.catalogString
-    // deterministic when-chain in id order; evaluated per matching row
-    val replacement = newVecs.toSeq.sortBy(_._1)
-      .foldLeft(col(config.vectorCol)) { case (acc, (id, v)) =>
-        when(col(config.idCol) === id, typedlit(v).cast(dt)).otherwise(acc)
-      }
+    // ONE flat map literal probed per row, not a when/otherwise per
+    // point: a nested when-chain grows the Catalyst tree linearly with
+    // the batch and stalls analysis/codegen on large re-embed batches.
+    // try_element_at (NULL on miss, even under ANSI) + coalesce keeps
+    // unmatched rows' stored vectors. The literal still ships with the
+    // plan, so corpus-scale re-embeds belong to upsertReplace — bound
+    // it loudly rather than let the task binary bloat quietly.
+    require(newVecs.size <= 65536,
+      s"update_vectors with ${newVecs.size} points exceeds the 65536 " +
+        "plan-literal bound; use upsertReplace for corpus-scale re-embeds")
+    val lookup = typedlit(newVecs)
+    val replacement = coalesce(
+      try_element_at(lookup, col(config.idCol)).cast(dt),
+      col(config.vectorCol))
     Sink.updatePayload(spark, path, col(config.idCol).isInCollection(ids),
       config.vectorCol, _ => replacement)
   }
@@ -538,15 +554,22 @@ class VectorCollection private (
     * closest analog of a Qdrant segment — the unit compaction and
     * payload indexing rewrite). */
   def info: CollectionInfo = {
-    val dir = new java.io.File(path)
+    // Hadoop FileSystem, not java.io.File — the same API every other
+    // maintenance op (compact/snapshot/updatePayload) goes through, so
+    // segments_count works on HDFS/S3 paths too instead of silently
+    // reporting 0 off an empty local-disk lookup
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
     val segs =
       if (config.shardCol.isDefined)
         // sharded layout: parquet files live under shard=… subtrees
-        Option(dir.listFiles()).toSeq.flatten.filter(_.isDirectory)
-          .map(d => Option(d.listFiles()).toSeq.flatten
-            .count(_.getName.endsWith(".parquet"))).sum
-      else Option(dir.listFiles()).toSeq.flatten
-        .count(_.getName.endsWith(".parquet"))
+        fs.listStatus(root).filter(_.isDirectory)
+          .map(d => parquetFiles(d.getPath)).sum
+      else parquetFiles(root)
     CollectionInfo(count, segs, config)
   }
 

@@ -543,9 +543,10 @@ object Curation {
          |    array_to_string(list(chunk ORDER BY ord), ' ') AS clean
          |  FROM firsts GROUP BY doc_id)
          |SELECT c.doc_id, len(c.chunks)::BIGINT AS n_chunks,
-         |  a.n_kept::BIGINT AS n_kept,
-         |  length(a.clean)::BIGINT AS clean_chars, md5(a.clean) AS clean_sig
-         |FROM ch c JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |  COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+         |  length(COALESCE(a.clean, ''))::BIGINT AS clean_chars,
+         |  md5(COALESCE(a.clean, '')) AS clean_sig
+         |FROM ch c LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
     "x_split_train_test" ->
