@@ -307,9 +307,15 @@ class VectorCollection private (
       lookup.table, lookup.config.idCol, lookupCols)
       .withColumnRenamed("vec_id", config.idCol)
 
-  /** Qdrant facet API: value counts for a payload key under a filter. */
-  def facet(key: String, filter: Column = lit(true), limit: Int = 10): DataFrame =
-    graft.search.QueryApis.facet(table, key, filter, limit)
+  /** Qdrant facet API: value counts for a payload key under a filter.
+    * `exact=false` estimates each value's count with a HyperLogLog++
+    * sketch over the point id (column `n_approx` instead of `n`) —
+    * fixed-size commutative aggregation state per value, the Qdrant
+    * speed-over-precision trade; see [[graft.search.QueryApis.facetApprox]]. */
+  def facet(key: String, filter: Column = lit(true), limit: Int = 10,
+      exact: Boolean = true): DataFrame =
+    if (exact) graft.search.QueryApis.facet(table, key, filter, limit)
+    else graft.search.QueryApis.facetApprox(table, key, config.idCol, filter, limit)
 
   /** Qdrant `search_batch`: N query vectors scored in ONE pass over
     * the collection (broadcast query side, ranking window keyed on
@@ -619,6 +625,15 @@ class VectorCollection private (
     requireUnsharded("createPayloadIndex")
     Sink.indexPayload(spark, path, field, targetRowsPerFile)
   }
+
+  /** Maintenance: compact accumulated small part files into
+    * `targetRowsPerFile`-sized ones (Qdrant's segment optimizer).
+    * Unsharded collections rewrite the whole directory; sharded ones
+    * compact each shard subtree independently, preserving the
+    * directory-encoded shard column and its routed-search pruning. */
+  def compact(targetRowsPerFile: Long = 1L << 20): Int =
+    if (config.shardCol.isDefined) Sink.compactShards(spark, path, targetRowsPerFile)
+    else Sink.compact(spark, path, targetRowsPerFile)
 
   /** Qdrant `create_snapshot`: point-in-time file-level copy. Returns
     * files copied. */

@@ -390,11 +390,56 @@ object Sink {
     swapInStaged(spark, path, staging)
   }
 
+  /** [[compact]] for a shard-partitioned layout: each `shard=…`
+    * subtree is compacted independently — the shard is Qdrant's unit
+    * of segment maintenance, and per-subtree rewrites keep the
+    * directory-encoded shard column intact (the flattening hazard
+    * [[requireUnpartitioned]] refuses on the whole-directory path).
+    * Staging and retired directories live OUTSIDE the collection root:
+    * inside it, a concurrent partition-discovering read would parse
+    * `shard=5_retired` as a phantom shard value. Data files under a
+    * shard subtree never contain the shard column (partitionBy
+    * excludes it), so the subtree rewrite preserves file schema
+    * exactly. At 100 TB the shards compact embarrassingly parallel —
+    * each rewrite touches one subtree's bytes. Single-writer, like
+    * [[compact]]. Returns total files written across shards. */
+  def compactShards(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val shards = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(shards.nonEmpty,
+      s"compactShards: no shard=value subtrees under $path " +
+        "(unsharded collections use compact)")
+    val stagingRoot = new org.apache.hadoop.fs.Path(path + "_compact_staging")
+    val retiredRoot = new org.apache.hadoop.fs.Path(path + "_compact_retired")
+    val total = shards.map { st =>
+      val sub = st.getPath
+      val data = spark.read.parquet(sub.toString)
+      val nFiles = fileCountFor(data.count(), targetRowsPerFile)
+      val staging = new org.apache.hadoop.fs.Path(stagingRoot, sub.getName)
+      data.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val retired = new org.apache.hadoop.fs.Path(retiredRoot, sub.getName)
+      fs.delete(retired, true)
+      fs.mkdirs(retiredRoot)
+      require(fs.rename(sub, retired),
+        s"compactShards: failed to retire $sub — collection left intact")
+      require(fs.rename(staging, sub),
+        s"compactShards: failed to swap in $staging; original preserved at $retired")
+      fs.delete(retired, true)
+      fs.listStatus(sub).count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    fs.delete(stagingRoot, true)
+    fs.delete(retiredRoot, true)
+    total
+  }
+
   /** Whole-directory rewrites read `path` flat and would silently
     * FLATTEN a directory-partitioned (sharded) layout — every routed
     * search's partition pruning would quietly degrade to full scans.
     * Refuse loudly instead; sharded collections compact per shard
-    * subtree. */
+    * subtree ([[compactShards]]). */
   private def requireUnpartitioned(spark: SparkSession, path: String, op: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -326,6 +326,31 @@ object QueryApis {
       .orderBy(col("n").desc, col("value").asc)
       .limit(limit)
 
+  /** Qdrant facet with `exact=false`: per-value hit counts estimated
+    * by a HyperLogLog++ sketch over the (unique) point id instead of
+    * an exact counter. Identical plan shape to [[facet]] — pushed
+    * filter, map-side combinable aggregate, TakeOrderedAndProject
+    * cut — but the per-value aggregation state is a fixed-size sketch
+    * whose partials merge commutatively, the trade Qdrant's own
+    * exact=false makes for speed on large collections. `rsd` is the
+    * estimate's relative STANDARD DEVIATION, not a bound — individual
+    * estimates routinely land past 1×rsd — so q_facet_approx runs the
+    * sketch at 1% and gates at 5% (≈5σ): tight enough that silent
+    * drift fails the gate, loose enough that in-spec HLL++ noise
+    * passes it. */
+  def facetApprox(
+      points: DataFrame,
+      key: String,
+      idCol: String,
+      filter: Column,
+      limit: Int,
+      rsd: Double = 0.01): DataFrame =
+    points.filter(filter)
+      .groupBy(col(key).as("value"))
+      .agg(approx_count_distinct(col(idCol), rsd).as("n_approx"))
+      .orderBy(col("n_approx").desc, col("value").asc)
+      .limit(limit)
+
   /** Qdrant formula-based score boosting (`query` with a formula
     * object): the final rank key is an arithmetic combination of the
     * similarity score and payload-derived terms — e.g. boost exact
@@ -571,6 +596,18 @@ object QueryApis {
     }),
     "q_facet" -> ((s, dir) =>
       facet(t(s, dir, "documents"), "lang", col("n_chars") >= 300, 10)),
+    // facet exact=false, gated like the ANN recall queries: the HLL++
+    // estimate must sit within the declared rsd of the exact count for
+    // every value — a vacuous-pass-proof check both engines can state
+    "q_facet_approx" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val exact = facet(d, "lang", col("n_chars") >= 300, 10)
+      val approx = facetApprox(d, "lang", "doc_id", col("n_chars") >= 300, 10)
+      exact.join(approx, Seq("value"))
+        .select(col("value"),
+          (abs(col("n_approx") - col("n")) <= col("n") * 0.05).as("within_rsd"))
+        .orderBy(col("value"))
+    }),
     "q_scroll_sorted" -> ((s, dir) =>
       scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
         afterValue = 300L, afterId = 0L, limit = 20)),
@@ -869,6 +906,14 @@ object QueryApis {
       """SELECT lang AS value, count(*) AS n FROM documents
         |WHERE n_chars >= 300 GROUP BY lang
         |ORDER BY n DESC, value ASC LIMIT 10""".stripMargin,
+
+    // exact=false gate: the oracle states the exact counts and demands
+    // the engine's HLL++ estimate landed within rsd of each — `true`
+    // per value, which the Spark side must EARN, not assume
+    "q_facet_approx" ->
+      """SELECT lang AS value, true AS within_rsd FROM documents
+        |WHERE n_chars >= 300 GROUP BY lang
+        |ORDER BY value ASC LIMIT 10""".stripMargin,
 
     "q_scroll_sorted" ->
       """SELECT doc_id, n_chars FROM documents

@@ -202,6 +202,40 @@ class IngestSinkSpec extends SparkSpec {
       f.isDirectory && f.getName.startsWith("label=")) === 10)
   }
 
+  test("compactShards: per-subtree compaction keeps the shard layout and its pruning") {
+    val path = java.nio.file.Files.createTempDirectory("graft_shcomp").toString + "/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), (col("label") % 4).as("shard"))
+    // 6 small sharded appends -> many part files per shard subtree
+    (0 until 6).foreach(i =>
+      Sink.append(pts.filter(col("vec_id") % 6 === i), path, Seq("shard")))
+    val before = spark.read.parquet(path).cache()
+    val nRows = before.count()
+    def partFiles(): Int = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val nBefore = partFiles()
+    val nAfter = Sink.compactShards(spark, path, targetRowsPerFile = nRows)
+    assert(nAfter < nBefore && nAfter === partFiles())
+    assert(nAfter <= 8, s"4 shards at one-file target should stay small, got $nAfter")
+    // shard subtrees survive; no staging/retired residue inside or
+    // beside the root
+    assert(new java.io.File(path).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("shard=")) === 4)
+    assert(!new java.io.File(path + "_compact_staging").exists())
+    assert(!new java.io.File(path + "_compact_retired").exists())
+    // content identical, shard column (directory-encoded) included
+    val after = spark.read.parquet(path)
+    assert(after.exceptAll(before).count() === 0L)
+    assert(before.exceptAll(after).count() === 0L)
+    // a shard-routed read still prunes: one shard's scan lists only
+    // that subtree's files
+    val plan = after.filter(col("shard") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"routed read must keep partition pruning after compaction:\n$plan")
+    before.unpersist()
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
