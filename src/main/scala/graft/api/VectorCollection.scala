@@ -318,8 +318,9 @@ class VectorCollection private (
     else graft.search.QueryApis.facetApprox(table, key, config.idCol, filter, limit)
 
   /** Qdrant `search_batch`: N query vectors scored in ONE pass over
-    * the collection (broadcast query side, ranking window keyed on
-    * query id) — per-query top-k without per-query scans. */
+    * the collection (broadcast query side, bounded-heap topk_hits
+    * ranking — map-side partial, O(k) per query through the shuffle)
+    * — per-query top-k without per-query scans. */
   def searchBatch(queries: Seq[(Long, Seq[Float])], k: Int = 5): DataFrame = {
     require(!config.multiVector, "batch search on a multi-vector collection")
     val badDim = queries.collectFirst {

@@ -54,15 +54,20 @@ object Curation {
 
   /** Keep the `k` best-quality documents per source domain
     * (quality-desc, doc_id-asc tiebreak on the rounded score so the
-    * cut is reproducible across engines). */
+    * cut is reproducible across engines). Ranking is the bounded-heap
+    * topk_hits aggregate, not a per-source window: the window would
+    * shuffle AND sort every document's row per source before cutting
+    * to k, while the heap pre-reduces each map task to k (quality,
+    * doc_id) pairs — the per-source shuffle payload is O(k·sources),
+    * independent of corpus size. */
   def domainCap(docs: DataFrame, k: Int): DataFrame = {
     val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
     docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("source"), col("doc_id"), col("quality"), col("rnk"))
+      .groupBy(col("source"))
+      .agg(graft.vector.Kernels.topKHits(col("quality"), col("doc_id"), k).as("hits"))
+      .select(col("source"), posexplode(col("hits")))
+      .select(col("source"), col("col.vec_id").as("doc_id"),
+        col("col.score").as("quality"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Token-budget sequence packing, contiguous-fill: within each shard

@@ -141,8 +141,7 @@ object Similarity {
   /** Column form of the [[graft.vector.TopKHits]] bounded-heap
     * aggregate: best `k` (score, id) pairs, score DESC / id ASC. */
   def topKHits(score: Column, id: Column, k: Int): Column =
-    Kernels.ofExpr(graft.vector.TopKHits(
-      Kernels.exprOf(score), Kernels.exprOf(id), k).toAggregateExpression())
+    Kernels.topKHits(score, id, k)
 
   /** Top-`p` nearest-centroid ids for one vector, best-first — the
     * distributed analog of [[rankCentroids]] for a query SET: each

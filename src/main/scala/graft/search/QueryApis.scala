@@ -126,8 +126,9 @@ object QueryApis {
     * and its example-exclusion list are driver-side constants (tiny,
     * like B5 query embedding); they broadcast as one small frame, the
     * corpus is scanned once with a per-request exclusion filter, and
-    * the per-request top-k is a rank window over request-keyed groups
-    * — the searchBatch shape, not N separate scans. */
+    * the per-request top-k is the bounded-heap topk_hits aggregate —
+    * map-side partial, O(k) per request through the shuffle — not N
+    * separate scans, not a window buffering every scored row. */
   def recommendBatch(
       points: DataFrame,
       requests: Seq[(Long, Seq[Long], Seq[Long])],
@@ -150,14 +151,18 @@ object QueryApis {
       (rid, qv.toSeq, (pos ++ neg).distinct)
     }
     val reqs = reqRows.toDF("req_id", "qv", "excl")
-    val w = Window.partitionBy(col("req_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+    // bounded-heap ranking (the knnJoin shape): each map task
+    // pre-reduces to k pairs per request before the req_id shuffle —
+    // never N copies of the corpus through the wire
     points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+      .groupBy(col("req_id"))
+      .agg(Kernels.topKHits(col("score"), col("vec_id"), k).as("hits"))
+      .select(col("req_id"), posexplode(col("hits")))
+      .select(col("req_id"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Qdrant discovery search: rank by how many (positive, negative)
@@ -250,9 +255,12 @@ object QueryApis {
 
   /** Qdrant `search_groups`: the top `limit` groups (by their best
     * hit's score), each with its top `groupSize` hits. Group selection
-    * is an aggregate + TakeOrdered cut over ONE row per group; the
-    * per-hit ranking window runs only over rows of surviving groups
-    * (broadcast semi-join), so no global window ever forms. */
+    * is an aggregate + TakeOrdered cut over ONE row per group; per-hit
+    * ranking within surviving groups (broadcast semi-join) is the
+    * bounded-heap topk_hits aggregate — map-side partial, O(groupSize)
+    * per group through the shuffle, so even a pathologically large
+    * single group never buffers its full row set the way a ranking
+    * window would. */
   def searchGroups(
       points: DataFrame,
       queryVec: Seq[Double],
@@ -270,14 +278,14 @@ object QueryApis {
       .withColumn("grp_rank",
         row_number().over(Window.orderBy(col("best").desc, col("grp").asc))
           .cast("long"))
-    val wHit = Window.partitionBy(col("grp"))
-      .orderBy(col("score").desc, col("vec_id").asc)
     scored
       .join(broadcast(gtop), Seq("grp"))
-      .withColumn("hit_rank", row_number().over(wHit).cast("long"))
-      .filter(col("hit_rank") <= groupSize)
+      .groupBy(col("grp"), col("grp_rank"), col("best"))
+      .agg(Kernels.topKHits(col("score"), col("vec_id"), groupSize).as("hits"))
+      .select(col("grp"), col("grp_rank"), col("best"), posexplode(col("hits")))
       .select(col("grp_rank"), col("grp"), col("best"),
-        col("vec_id"), col("score"), col("hit_rank"))
+        col("col.vec_id").as("vec_id"), col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("hit_rank"))
   }
 
   /** [[searchGroups]] with Qdrant's `with_lookup`: attach columns of a

@@ -32,6 +32,15 @@ object Kernels {
   /** Cast a float vector column up to array<double> for stable math. */
   def toDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Column form of the [[TopKHits]] bounded-heap aggregate: best `k`
+    * (score, id) pairs per group, score DESC / id ASC — bit-equal to a
+    * row_number window cut but with O(k) state that pre-reduces
+    * map-side (ObjectHashAggregate partial mode) instead of shuffling
+    * and sorting every candidate per group. The ranking primitive for
+    * every broadcast-query batch operator. */
+  def topKHits(score: Column, id: Column, k: Int): Column =
+    ofExpr(TopKHits(exprOf(score), exprOf(id), k).toAggregateExpression())
+
   /** Sequential-fold dot product: Σ a_i * b_i (native; HOF twin below
     * for oracle documentation + cross-checks). */
   def dot(a: Column, b: Column): Column =

@@ -299,6 +299,10 @@ class ScaleDesignSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"group cut:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"surviving groups must broadcast to the hit side:\n$plan")
+    // per-hit ranking is the bounded heap (map-side partial) — a large
+    // group must never buffer its full row set in a window sort
+    assert(plan.contains("partial_topk_hits"),
+      s"hit ranking must pre-reduce map-side to groupSize pairs:\n$plan")
   }
 
   test("groups with_lookup: both lookup joins broadcast, lookup table never shuffles") {
@@ -464,6 +468,23 @@ class ScaleDesignSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(twin.contains("partial_topk_hits") && !twin.contains("Window"),
       s"x_knn_classify must rank via the partial bounded heap:\n$twin")
+  }
+
+  test("batch recommend and domain cap rank via the partial bounded heap, not windows") {
+    // recommendBatch: N broadcast requests, one corpus pass — the same
+    // QxN blowup class as knnJoin if ranked through a window
+    val e = t(spark, sf, "embeddings")
+    val rec = graft.search.QueryApis.recommendBatch(e,
+      Seq((1L, Seq(1L, 2L), Seq(3L)), (2L, Seq(4L), Nil)), 5)
+      .queryExecution.executedPlan.toString
+    assert(rec.contains("partial_topk_hits") && !rec.contains("Window"),
+      s"recommendBatch must pre-reduce map-side to k pairs per request:\n$rec")
+    // domainCap: per-source corpus ranking — the heap keeps the
+    // per-source shuffle payload at O(k), independent of corpus size
+    val cap = graft.ops.Curation.domainCap(t(spark, sf, "documents"), 3)
+      .queryExecution.executedPlan.toString
+    assert(cap.contains("partial_topk_hits") && !cap.contains("Window"),
+      s"domainCap must pre-reduce map-side to k docs per source:\n$cap")
   }
 
   test("LSH knn join plans as bucket equi-joins — no nested-loop/cartesian") {
