@@ -38,15 +38,31 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val timed = names.map { n =>
-      val times = (1 to reps).map { _ =>
+    // 1-min/5-min/15-min load averages — recorded in both output files so
+    // a bench run poisoned by co-tenant load is self-identifying (the
+    // round-6 lesson: a 4× "regression" that was box contention needed a
+    // judge autopsy to clear; with load >~ cpus/4 the numbers are suspect).
+    def loadavg(): Seq[Double] =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadBefore = loadavg()
+    // Reps are INTERLEAVED across the suite: run the whole suite `reps`
+    // times and take each query's minimum across passes. Back-to-back
+    // per-query reps share any transient contention window (a 30 s load
+    // spike poisons both reps of every query inside it); full-suite
+    // passes are minutes apart, so min-of-N actually rejects transients.
+    val passTimes = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    (1 to reps).foreach { _ =>
+      names.foreach { n =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        passTimes(n) += (System.nanoTime() - t0) / 1e9
       }
-      (n, times.min, times.max)
     }
+    val loadAfter = loadavg()
+    val timed = names.map { n => (n, passTimes(n).min, passTimes(n).max) }
     val results = timed.map { case (n, mn, _) => n -> mn }
     // Compact JSON, printed LAST (after spark.stop()) with raw stdout
     // (build.sbt outputStrategy): the driver json-parses this line from
@@ -70,17 +86,19 @@ object Bench {
     val noise = timed.sortBy { case (_, mn, _) => -mn }.take(10)
       .map { case (n, mn, mx) => "\"" + n + "\":" + f3(mx - mn) }
       .mkString("{", ",", "}")
+    def loadJson(l: Seq[Double]): String = l.map(f2).mkString("[", ",", "]")
+    val loads = s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,""" +
-        s""""reps":$reps,"noise_top10_spread":$noise,"sf":"$sfDir"}\n""")
+        s""""reps":$reps,"interleaved":true,"noise_top10_spread":$noise,$loads,"sf":"$sfDir"}\n""")
     val bySlowest = results.sortBy(-_._2)
     def line(n: Int): String = {
       val qs = bySlowest.take(n)
         .map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-        s""""shown":$n,"of":${results.length},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+        s""""shown":$n,"of":${results.length},$loads,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     }
     val out = (results.length to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
     spark.stop()

@@ -61,8 +61,15 @@ object Curation {
     * doc_id) pairs — the per-source shuffle payload is O(k·sources),
     * independent of corpus size. */
   def domainCap(docs: DataFrame, k: Int): DataFrame = {
+    // Null-quality documents (token-free text: the guarded formula
+    // yields NULL) are excluded BEFORE ranking, mirrored by
+    // `quality IS NOT NULL` in the oracle: the bounded-heap aggregate
+    // skips null scores by construction, and an unscorable doc has no
+    // defensible rank in a quality cap — explicit beats a silent
+    // engine/oracle divergence when a domain has < k scorable docs.
     val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
     docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+      .where(col("quality").isNotNull)
       .groupBy(col("source"))
       .agg(graft.vector.Kernels.topKHits(col("quality"), col("doc_id"), k).as("hits"))
       .select(col("source"), posexplode(col("hits")))
@@ -581,7 +588,7 @@ object Curation {
       s"""WITH ${TextAnalysis.duckQualityCtes},
          |r AS (SELECT d.source, d.doc_id, q.quality,
          |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC) AS rnk
-         |  FROM documents d JOIN q USING (doc_id))
+         |  FROM documents d JOIN q USING (doc_id) WHERE q.quality IS NOT NULL)
          |SELECT source, doc_id, quality, rnk FROM r WHERE rnk <= 3
          |ORDER BY source, rnk""".stripMargin,
 
