@@ -89,7 +89,7 @@ object Relational {
     * exact inequality filters the candidates. Integer micros
     * throughout — no float time math. */
   def rangeJoinBucketed(events: DataFrame, windowUs: Long): DataFrame = {
-    val ev = events.select(col("event_id"), expr("ts div 1000").as("tus"))
+    val ev = events.select(col("event_id"), unix_micros(col("ts")).as("tus"))
     val a = ev.select(col("event_id").as("a_id"), col("tus").as("ta"),
       explode(array(expr(s"tus div $windowUs"),
         expr(s"tus div $windowUs") + 1)).as("bkt"))
@@ -107,7 +107,7 @@ object Relational {
     * by (ts, event_id) for a total per-user order, all-integer math. */
   def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
     val ev = events.select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("tus"))
+      unix_micros(col("ts")).as("tus"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     ev
       .withColumn("new_s",
@@ -122,11 +122,11 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_range_join" -> ((s, dir) =>
-      rangeJoinBucketed(t(s, dir, "events"), windowUs = 600L * 1000000L)
+      rangeJoinBucketed(graft.Tables.events(s, dir), windowUs = 600L * 1000000L)
         .orderBy(col("a_id"), col("b_id"))),
 
     "r_gaps_islands" -> ((s, dir) =>
-      sessionizeBatch(t(s, dir, "events"), gapUs = 1800L * 1000000L)
+      sessionizeBatch(graft.Tables.events(s, dir), gapUs = 1800L * 1000000L)
         .orderBy(col("user_id"), col("sess"))),
 
     "r_q1_pricing" -> ((s, dir) =>

@@ -29,19 +29,23 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
     val raw = spark.read.parquet(src.toString)
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0) // ns-as-long
+    val codec = graft.Tables.tsCodec(raw.schema)
+    val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
     val dir = Files.createTempDirectory("graft_stream_src")
     Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
-    writeSingleFile(spark, sentinelRow(spark, maxTs, sentinelGapHours),
+    writeSingleFile(spark, sentinelRow(spark, codec, maxUs, sentinelGapHours),
       dir.resolve("01_sentinel.parquet").toString)
     (dir.toString, raw.schema)
   }
 
+  /** One far-future row in the fixture's OWN `ts` encoding (the file
+    * source unions it with the fixture file, so schemas must match). */
   private[graft] def sentinelRow(
-      spark: SparkSession, maxTsNs: Long, gapHours: Int): DataFrame =
+      spark: SparkSession, codec: graft.Tables.TsCodec,
+      maxTsUs: Long, gapHours: Int): DataFrame =
     spark.range(1).select(
       lit(-1L).as("event_id"),
-      lit(maxTsNs + gapHours * 3600L * 1000000000L).as("ts"),
+      codec.fromMicros(lit(maxTsUs + gapHours * 3600L * 1000000L)).as("ts"),
       lit(-1L).as("user_id"),
       lit("__sentinel__").as("event_type"),
       lit(0.0).as("value"),
@@ -59,8 +63,9 @@ object Streams {
     Files.move(part.toPath, Paths.get(dest))
   }
 
-  /** Event-time stream over a source directory: restore the ns-as-long
-    * fixture timestamp and declare the watermark. The sentinel row is
+  /** Event-time stream over a source directory: normalize the fixture's
+    * `ts` encoding (schema-adaptive, [[graft.Tables.TsCodec]]) to
+    * TimestampType and declare the watermark. The sentinel row is
     * NOT filtered here — a pre-aggregation filter on event_type gets
     * pushed below the EventTimeWatermark node into the parquet scan
     * (measured: the sentinel then never advances the watermark and the
@@ -78,7 +83,7 @@ object Streams {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.tsCodec(schema).toTimestamp)
       .withWatermark("ts", "2 hours")
   }
 
@@ -222,10 +227,12 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
     val raw = spark.read.parquet(src.toString)
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0) // ns-as-long
+    val codec = graft.Tables.tsCodec(raw.schema)
+    val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
     val dir = Files.createTempDirectory("graft_stream_dedup_src")
     Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
-    writeSingleFile(spark, raw.filter(col("ts") >= maxTs - 3600L * 1000000000L),
+    writeSingleFile(spark,
+      raw.filter(codec.toMicros >= maxUs - 3600L * 1000000L),
       dir.resolve("01_dups.parquet").toString)
     (dir.toString, raw.schema)
   }

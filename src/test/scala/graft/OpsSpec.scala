@@ -601,11 +601,11 @@ class OpsSpec extends SparkSpec {
   }
 
   test("bucketed range join equals the naive inequality join") {
-    val ev = t(spark, sf, "events")
+    val ev = graft.Tables.events(spark, sf)
     val bucketed = graft.ops.Relational.rangeJoinBucketed(ev, 600L * 1000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    import org.apache.spark.sql.functions.expr
-    val e2 = ev.select(col("event_id"), expr("ts div 1000").as("tus"))
+    import org.apache.spark.sql.functions.unix_micros
+    val e2 = ev.select(col("event_id"), unix_micros(col("ts")).as("tus"))
     val naive = e2.as("a").join(e2.as("b"),
         col("b.tus") > col("a.tus") && col("b.tus") <= col("a.tus") + 600000000L)
       .select(col("a.event_id"), col("b.event_id"))
@@ -615,7 +615,7 @@ class OpsSpec extends SparkSpec {
 
   test("gaps-and-islands sessions: consecutive, non-overlapping, gap-bounded") {
     val gap = 1800L * 1000000L
-    val sess = graft.ops.Relational.sessionizeBatch(t(spark, sf, "events"), gap)
+    val sess = graft.ops.Relational.sessionizeBatch(graft.Tables.events(spark, sf), gap)
       .orderBy(col("user_id"), col("sess")).collect()
     sess.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       // session ids count 1..n per user

@@ -534,15 +534,15 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("bucketed range join is an equi-join — no nested-loop/cartesian plan") {
-    val q = Relational.rangeJoinBucketed(t(spark, sf, "events"), 600L * 1000000L)
+    val q = Relational.rangeJoinBucketed(graft.Tables.events(spark, sf), 600L * 1000000L)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the interval join must ride the bucket equi-key, not a nested loop:\n$plan")
     // the naive inequality-only formulation DOES degenerate — this is
     // the trap the bucketing exists to avoid
-    val ev = t(spark, sf, "events")
-      .select(col("event_id"), org.apache.spark.sql.functions.expr("ts div 1000").as("tus"))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), org.apache.spark.sql.functions.unix_micros(col("ts")).as("tus"))
     val naive = ev.as("a").join(ev.as("b"),
       col("b.tus") > col("a.tus") && col("b.tus") <= col("a.tus") + 600000000L)
     val naivePlan = naive.queryExecution.executedPlan.toString

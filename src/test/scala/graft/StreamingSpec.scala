@@ -119,15 +119,16 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.max
     val dir = Files.createTempDirectory("graft_mb").toString
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val (minTs, maxTs) = {
-      val r = raw.agg(org.apache.spark.sql.functions.min(col("ts")), max(col("ts"))).head
+    val codec = Tables.tsCodec(raw.schema)
+    val (minUs, maxUs) = {
+      val r = raw.agg(org.apache.spark.sql.functions.min(codec.toMicros), max(codec.toMicros)).head
       (r.getLong(0), r.getLong(1))
     }
-    val mid = minTs + (maxTs - minTs) / 2
+    val mid = minUs + (maxUs - minUs) / 2
     // time-ordered halves: batch 2 is never late vs batch 1's watermark
-    Streams.writeSingleFile(spark, raw.filter(col("ts") <= mid), s"$dir/00_a.parquet")
-    Streams.writeSingleFile(spark, raw.filter(col("ts") > mid), s"$dir/01_b.parquet")
-    Streams.writeSingleFile(spark, Streams.sentinelRow(spark, maxTs, 6), s"$dir/02_sentinel.parquet")
+    Streams.writeSingleFile(spark, raw.filter(codec.toMicros <= mid), s"$dir/00_a.parquet")
+    Streams.writeSingleFile(spark, raw.filter(codec.toMicros > mid), s"$dir/01_b.parquet")
+    Streams.writeSingleFile(spark, Streams.sentinelRow(spark, codec, maxUs, 6), s"$dir/02_sentinel.parquet")
     // pin mtimes so maxFilesPerTrigger=1 delivers the files in time order
     Seq("00_a.parquet", "01_b.parquet", "02_sentinel.parquet").zipWithIndex.foreach {
       case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
@@ -145,8 +146,9 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup across >=2 micro-batches: replayed tail suppressed, state bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_mb").toString
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
-    val tail = raw.filter(col("ts") >= maxTs - 3600L * 1000000000L)
+    val codec = Tables.tsCodec(raw.schema)
+    val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
+    val tail = raw.filter(codec.toMicros >= maxUs - 3600L * 1000000L)
     Streams.writeSingleFile(spark, raw, s"$dir/00_events.parquet")
     Streams.writeSingleFile(spark, tail, s"$dir/01_dups.parquet")
     Seq("00_events.parquet", "01_dups.parquet").zipWithIndex.foreach {
@@ -197,7 +199,8 @@ class StreamingSpec extends SparkSpec {
     Streams.writeSingleFile(spark, b1, s"$dir/00_clicks.parquet")
     Streams.writeSingleFile(spark, b2, s"$dir/01_purchases.parquet")
     Streams.writeSingleFile(spark,
-      Streams.sentinelRow(spark, 20 * h, 6), s"$dir/02_sentinel.parquet")
+      Streams.sentinelRow(spark, Tables.TsNanosAsLong, 20 * h / 1000, 6),
+      s"$dir/02_sentinel.parquet")
     Seq("00_clicks.parquet", "01_purchases.parquet", "02_sentinel.parquet")
       .zipWithIndex.foreach { case (f, i) =>
         new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
@@ -225,7 +228,9 @@ class StreamingSpec extends SparkSpec {
     Streams.writeSingleFile(spark,
       Seq(ev(3L, 10 * h + h / 2)).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
       s"$dir/01_late.parquet")
-    Streams.writeSingleFile(spark, Streams.sentinelRow(spark, 12 * h, 6), s"$dir/02_sentinel.parquet")
+    Streams.writeSingleFile(spark,
+      Streams.sentinelRow(spark, Tables.TsNanosAsLong, 12 * h / 1000, 6),
+      s"$dir/02_sentinel.parquet")
     Seq("00_a.parquet", "01_late.parquet", "02_sentinel.parquet").zipWithIndex.foreach {
       case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
     }
