@@ -11,6 +11,53 @@ import org.apache.spark.sql.SparkSession
   * number that scales to a long-lived cluster, not JVM cold-start.
   */
 object Bench {
+  /** Interleaved-rep timing loop with LOUD failures.
+    *
+    * Reps are interleaved across the suite: run the whole suite `reps`
+    * times and take each query's minimum across its SUCCESSFUL passes.
+    * Back-to-back per-query reps share any transient contention window
+    * (a 30 s load spike poisons both reps of every query inside it);
+    * full-suite passes are minutes apart, so min-of-N actually rejects
+    * transients.
+    *
+    * Failures never flatter the number (the round-7 lesson: 11 broken
+    * queries "ran" in 0.1 s each and shaved ~9 s off the total): a
+    * failed pass is excluded from the min, counted in the returned
+    * error map, and a query with NO successful pass reports the MAX
+    * elapsed across its failing attempts — the cost actually paid,
+    * not a near-zero analysis-error exit.
+    *
+    * @return (per-query (name, min, max) over counted passes,
+    *          per-query failure counts — empty when all green) */
+  private[graft] def timeQueries(
+      spark: SparkSession,
+      names: Seq[String],
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      sfDir: String,
+      reps: Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
+    val ok = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    val bad = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    val errs = scala.collection.mutable.Map.empty[String, Int]
+    (1 to reps).foreach { _ =>
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        try {
+          queries(n)(spark, sfDir).count()
+          ok(n) += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case _: Throwable =>
+            bad(n) += (System.nanoTime() - t0) / 1e9
+            errs.updateWith(n)(c => Some(c.getOrElse(0) + 1))
+        }
+      }
+    }
+    val timed = names.map { n =>
+      if (ok(n).nonEmpty) (n, ok(n).min, ok(n).max)
+      else (n, bad(n).max, bad(n).max)
+    }
+    (timed, errs.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,22 +95,8 @@ object Bench {
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val loadBefore = loadavg()
-    // Reps are INTERLEAVED across the suite: run the whole suite `reps`
-    // times and take each query's minimum across passes. Back-to-back
-    // per-query reps share any transient contention window (a 30 s load
-    // spike poisons both reps of every query inside it); full-suite
-    // passes are minutes apart, so min-of-N actually rejects transients.
-    val passTimes = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
-    (1 to reps).foreach { _ =>
-      names.foreach { n =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case _: Throwable => }
-        passTimes(n) += (System.nanoTime() - t0) / 1e9
-      }
-    }
+    val (timed, errors) = timeQueries(spark, names, SparkEntry.queries, sfDir, reps)
     val loadAfter = loadavg()
-    val timed = names.map { n => (n, passTimes(n).min, passTimes(n).max) }
     val results = timed.map { case (n, mn, _) => n -> mn }
     // Compact JSON, printed LAST (after spark.stop()) with raw stdout
     // (build.sbt outputStrategy): the driver json-parses this line from
@@ -88,7 +121,12 @@ object Bench {
       .map { case (n, mn, mx) => "\"" + n + "\":" + f3(mx - mn) }
       .mkString("{", ",", "}")
     def loadJson(l: Seq[Double]): String = l.map(f2).mkString("[", ",", "]")
-    val loads = s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
+    // failure counts ride BOTH outputs, before anything truncatable —
+    // a nonzero map is the loudest thing on the line
+    val errJson = errors.toSeq.sorted
+      .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
+    val loads = s""""errors":$errJson,""" +
+      s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,""" +
