@@ -134,6 +134,27 @@ object Ingest {
       .withColumn("indexed_at", current_timestamp())
       .drop("_th")
 
+  /** [[buildPoints]] with embeddings computed through the
+    * [[ModelEmbedder]] inference seam instead of the columnar
+    * expressions: executor-side `mapPartitions` batches (the
+    * reference's DataLoader shape), one token matrix per document.
+    * With the default [[FeatureHashModel]] the single-vector output is
+    * bit-equal to [[buildPoints]] (EmbedderSeamSpec), so a real model
+    * backend swaps in by passing a different `model` — every
+    * downstream query, sink, and search is untouched. Multi-vector
+    * models keep the full matrix in `mv`; `embedding` is its first
+    * row (the CLS/pooled-vector convention). */
+  def buildPointsWith(
+      decoded: DataFrame,
+      model: ModelEmbedder,
+      batchSize: Int = 16): DataFrame =
+    ModelEmbedder.embedWith(decoded.filter(col("decode_ok")), "text", model, batchSize)
+      .withColumn("point_id", Embedder.stringHash64(col("full_path")))
+      .withColumn("embedding", element_at(col("mv"), 1).cast("array<double>"))
+      .withColumn("filename", element_at(split(col("relative_path"), "/"), -1))
+      .withColumn("folder", col("source"))
+      .withColumn("indexed_at", current_timestamp())
+
   /** B6 with the reference's SCHEMALESS payload: a `map<string,string>`
     * whose keys are caller-supplied and may differ per row — the
     * `**batch_meta[j]` splat of

@@ -1,0 +1,140 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-inference seam: the reference embeds with GPU models batch by
+  * batch — `model(**batch)` returns one token matrix per input (ColPali
+  * page matrices, ~1030×128d:
+  * `with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:245-254`;
+  * single-vector text models are the 1-row case:
+  * `with_jina_text_v4/jina_v4_text_indexer.py:104-114`). This trait pins
+  * that exact I/O shape so a real inference backend drops in without
+  * touching any query, oracle, or plan: implement `embedBatch`, hand the
+  * instance to [[Ingest.buildPointsWith]].
+  *
+  * Implementations must be Serializable — instances ship to executors
+  * inside `mapPartitions` closures — and deterministic per input if
+  * incremental ingest's replace-by-id semantics are to stay idempotent
+  * (F5: the reference's uuid4 non-determinism is the documented
+  * deviation we do NOT copy).
+  */
+trait ModelEmbedder extends Serializable {
+  def name: String
+  /** Width of every returned vector. */
+  def dim: Int
+  /** One token matrix per input text, in input order; a single-vector
+    * model returns 1×dim matrices. Called with at most the configured
+    * batch size of inputs — the DataLoader contract
+    * (`with_colpali_v1.3/...py:220-238`). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]]
+}
+
+/** Skeleton for a real inference-backed [[ModelEmbedder]] (ONNX
+  * Runtime, JNI, a local inference server...): the closure ships only
+  * the model PATH; the heavyweight session is `@transient lazy`, so
+  * each executor JVM loads it once on its first batch and it is never
+  * serialized. This is the integration point a production deployment
+  * fills in — everything Spark-side (batching, schema, point assembly,
+  * search) is identical between this and the deterministic default.
+  *
+  * {{{
+  * class OnnxColPali(path: String) extends SessionEmbedder[OrtSession](path) {
+  *   val name = "colpali-onnx"; val dim = 128
+  *   protected def loadSession(p: String) = makeOrtSession(p)
+  *   protected def run(s: OrtSession, texts: Seq[String]) = s.run(tokenize(texts))
+  * }
+  * }}}
+  */
+abstract class SessionEmbedder[S](val modelPath: String) extends ModelEmbedder {
+  @transient private lazy val session: S = loadSession(modelPath)
+  /** Executor-side, once per JVM: build the runtime session. */
+  protected def loadSession(path: String): S
+  /** Run one model batch on the live session. */
+  protected def run(session: S, texts: Seq[String]): Seq[Array[Array[Float]]]
+  final override def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
+    run(session, texts)
+}
+
+/** The deterministic default: a plain-Scala twin of the columnar
+  * feature-hash embedder ([[Embedder]]), chunking text into
+  * `chunkTokens`-token slices and embedding each slice — `chunkTokens =
+  * None` is the single-vector model (whole text → 1×dim). Bit-equal to
+  * the Catalyst-expression path (asserted in EmbedderSeamSpec), so
+  * swapping execution styles can never change search results. */
+final case class FeatureHashModel(
+    dim: Int = Embedder.DefaultDim,
+    chunkTokens: Option[Int] = None) extends ModelEmbedder {
+  val name: String = "feature-hash"
+
+  private def tokenHashes(text: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // identical to PolyTokenHashes: split on single spaces, drop
+    // empties, fold code points h*31+cp mod P
+    text.split(" ", -1).foreach { tok =>
+      if (tok.nonEmpty) {
+        var h = 0L
+        var i = 0
+        while (i < tok.length) {
+          val cp = tok.codePointAt(i)
+          h = (h * 31L + cp) % Embedder.Prime
+          i += Character.charCount(cp)
+        }
+        out += h
+      }
+    }
+    out.toArray
+  }
+
+  private def embedRaw(hashes: Array[Long]): Array[Float] = {
+    val v = new Array[Float](dim)
+    hashes.foreach { h =>
+      val b = (h % dim).toInt
+      val sign = 1.0f - 2.0f * ((h / dim) % 2L)
+      v(b) += sign
+    }
+    v
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
+    texts.map { t =>
+      val hs = tokenHashes(t)
+      chunkTokens match {
+        case None => Array(embedRaw(hs))
+        case Some(c) =>
+          // ceil(n/c) chunks, ALWAYS at least one (an empty text embeds
+          // to one zero chunk) — the b1_multivec_embed slice semantics
+          val n = math.max(1, (hs.length + c - 1) / c)
+          Array.tabulate(n)(i => embedRaw(hs.slice(i * c, i * c + c)))
+      }
+    }
+}
+
+object ModelEmbedder {
+  /** Executor-side batched embedding of `textCol`: `mapPartitions` +
+    * `iterator.grouped(batchSize)` — the reference's DataLoader shape,
+    * streaming (never materializes a partition), shuffle-free. Adds a
+    * `mv array<array<float>>` token-matrix column. At 100 TB this is a
+    * pure map stage scaling with input splits; batchSize trades
+    * per-call model efficiency against executor memory, exactly the
+    * knob the reference exposes. */
+  def embedWith(
+      df: DataFrame,
+      textCol: String,
+      model: ModelEmbedder,
+      batchSize: Int = 16): DataFrame = {
+    require(batchSize > 0, "model batch size must be positive")
+    val outSchema = df.schema.add("mv",
+      ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val mats = model.embedBatch(batch.map(_.getString(textIdx)))
+        batch.iterator.zip(mats.iterator).map { case (r, m) =>
+          Row.fromSeq(r.toSeq :+ m.map(_.toSeq).toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}
