@@ -98,6 +98,14 @@ object Streams {
     * A production deployment sizes this to state VOLUME (keyed rows
     * per partition), not to the batch session's CPU count — the knob
     * is pinned at the query, where that decision belongs. */
+  /** Per-batch progress of the MOST RECENT [[runToParquet]] run on this
+    * JVM — state-store row counts per micro-batch, the observable that
+    * proves watermark eviction actually bounds state (StreamingSpec).
+    * Test observability only: runs are serialized on this object, and
+    * the field is written inside that same lock. */
+  @volatile private[graft] var lastRunProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   private def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val data = s"$base/data"; val ckpt = s"$base/ckpt"
@@ -117,8 +125,10 @@ object Streams {
           .option("path", data)
           .option("checkpointLocation", ckpt)
           .start()
-        try q.processAllAvailable()
-        finally q.stop()
+        try {
+          q.processAllAvailable()
+          lastRunProgress = q.recentProgress.toSeq
+        } finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.read.parquet(data)

@@ -248,6 +248,82 @@ class StreamingSpec extends SparkSpec {
     assert(s.count() > 0)
   }
 
+  // ---- state boundedness: the 100 TB property, observed ----
+  //
+  // Each scenario feeds >=4 micro-batches whose event times advance
+  // 3 h per batch — past the 2 h watermark delay — so every batch
+  // RETIRES the previous batch's state. If eviction works, the state
+  // store's numRowsTotal stays flat (bounded by one batch's worth of
+  // keys); if it leaked, it would climb by ~every batch. The assertion
+  // is on the per-batch metric, not on output — the difference between
+  // "result is right on a bounded fixture" and "state wouldn't OOM on
+  // an unbounded stream".
+
+  /** Sum of state rows per micro-batch that processed input. */
+  private def stateRowsPerBatch(): Seq[Long] =
+    Streams.lastRunProgress
+      .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+
+  private def assertFlat(rows: Seq[Long], bound: Long, what: String): Unit = {
+    assert(rows.length >= 3, s"$what: need >=3 stateful batches, got $rows")
+    assert(rows.exists(_ > 0), s"$what: state never populated: $rows")
+    rows.foreach(r => assert(r <= bound,
+      s"$what: state grew past one batch's bound ($r > $bound): $rows"))
+  }
+
+  private val hourNs = 3600L * 1000000000L
+
+  /** Batches of long-ns events, one file per batch, 3 h apart, sentinel
+    * last; 5 users per batch, `kinds` cycling per user. */
+  private def advancingBatches(
+      nBatches: Int, kinds: Seq[String]): (String, org.apache.spark.sql.types.StructType) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_mb").toString
+    def rows(b: Int) = (0 until 5).flatMap { u =>
+      kinds.zipWithIndex.map { case (k, j) =>
+        ((b * 100 + u * 10 + j).toLong, (10 + 3 * b) * hourNs + j * hourNs / 10,
+          u.toLong, k, 1.0, null.asInstanceOf[String])
+      }
+    }
+    var schema: org.apache.spark.sql.types.StructType = null
+    (0 until nBatches).foreach { b =>
+      val df = rows(b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      schema = df.schema
+      Streams.writeSingleFile(spark, df, f"$dir/$b%02d_batch.parquet")
+    }
+    Streams.writeSingleFile(spark,
+      Streams.sentinelRow(spark, Tables.TsNanosAsLong,
+        (10 + 3 * nBatches) * hourNs / 1000, 6),
+      f"$dir/$nBatches%02d_sentinel.parquet")
+    (0 to nBatches).foreach { i =>
+      new java.io.File(f"$dir/$i%02d_${if (i == nBatches) "sentinel" else "batch"}.parquet")
+        .setLastModified(1000000L * (i + 1))
+    }
+    (dir, schema)
+  }
+
+  test("sessionize state stays flat across watermark-advancing batches") {
+    val (dir, schema) = advancingBatches(4, Seq("click"))
+    Streams.sessionizeFrom(spark, dir, schema, 60, Some(1)).count()
+    // 5 users + the sentinel's open session: one open session per key
+    assertFlat(stateRowsPerBatch(), bound = 6, "sessionize")
+  }
+
+  test("stream-stream join state stays flat across watermark-advancing batches") {
+    val (dir, schema) = advancingBatches(4, Seq("click", "purchase"))
+    Streams.streamStreamJoinFrom(spark, dir, schema, Some(1)).count()
+    // per batch: 10 rows buffered (5 clicks + 5 purchases) plus the
+    // not-yet-evicted previous boundary and watermark bookkeeping
+    assertFlat(stateRowsPerBatch(), bound = 25, "stream-stream join")
+  }
+
+  test("outer stream-stream join state stays flat across watermark-advancing batches") {
+    val (dir, schema) = advancingBatches(4, Seq("click", "purchase"))
+    Streams.streamStreamJoinOuterFrom(spark, dir, schema, Some(1)).count()
+    assertFlat(stateRowsPerBatch(), bound = 25, "outer stream-stream join")
+  }
+
   test("streaming near-dup gate: every planted copy flags against its earlier-batch source") {
     val flagged = Streams.streamingNearDupGate(spark, sf).cache()
     val planted = spark.read.parquet(s"$sf/documents.parquet")
