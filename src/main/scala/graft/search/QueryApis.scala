@@ -345,7 +345,17 @@ object QueryApis {
     * estimates routinely land past 1×rsd — so q_facet_approx runs the
     * sketch at 1% and gates at 5% (≈5σ): tight enough that silent
     * drift fails the gate, loose enough that in-spec HLL++ noise
-    * passes it. */
+    * passes it.
+    *
+    * When to use which approx path: HLL counts DISTINCT points, so it
+    * is the right estimator when the facet input has duplicated point
+    * rows — a multi-vector layout (one row per token vector) or a
+    * post-join fan-out — where a plain count would over-count and a
+    * count(distinct) would shuffle every id. On a one-row-per-point
+    * frame its sketch buys nothing over an exact count (count state is
+    * 8 bytes; the scan cost is identical) — there [[facetSampled]] is
+    * the bounded-WORK path: it shrinks the aggregate's input, not just
+    * its state. */
   def facetApprox(
       points: DataFrame,
       key: String,
@@ -358,6 +368,43 @@ object QueryApis {
       .agg(approx_count_distinct(col(idCol), rsd).as("n_approx"))
       .orderBy(col("n_approx").desc, col("value").asc)
       .limit(limit)
+
+  /** Facet `exact=false` as bounded WORK (not just bounded state): a
+    * deterministic `permille`-per-mille sample keyed on the stable
+    * content hash of the point id — the same draw as
+    * `x_stratified_sample` — counted per value and scaled back up by
+    * the exact integer factor 1000/permille. The aggregate consumes
+    * `permille/1000` of the filtered rows; everything upstream of the
+    * sample filter is the same pushed scan as [[facet]].
+    *
+    * Because the draw is a pure function of the id (no rand()), BOTH
+    * engines compute the SAME sample: the estimate is hash-exact
+    * across Spark and DuckDB and needs no tolerance gate — drift in
+    * either engine's hash, filter, or scale-up fails the oracle
+    * outright. Estimator error vs the true count is the usual
+    * binomial sigma ~ sqrt(n·(1000-permille)/permille); at 100 TB the
+    * sample rate is the accuracy/cost knob and the draw stays
+    * shuffle-free (FacetSpec asserts the observed error). */
+  def facetSampled(
+      points: DataFrame,
+      key: String,
+      idCol: String,
+      filter: Column,
+      limit: Int,
+      permille: Int = 500): DataFrame = {
+    require(permille > 0 && 1000 % permille == 0,
+      s"permille must divide 1000 for exact integer scale-up, got $permille")
+    val draw = pmod(
+      graft.index.Embedder.stringHash64(
+        concat(lit("facet:"), col(idCol).cast("string"))),
+      lit(1000L))
+    points.filter(filter)
+      .filter(draw < permille)
+      .groupBy(col(key).as("value"))
+      .agg((count(lit(1)) * (1000L / permille)).as("n_est"))
+      .orderBy(col("n_est").desc, col("value").asc)
+      .limit(limit)
+  }
 
   /** Qdrant formula-based score boosting (`query` with a formula
     * object): the final rank key is an arithmetic combination of the
@@ -616,6 +663,12 @@ object QueryApis {
           (abs(col("n_approx") - col("n")) <= col("n") * 0.05).as("within_rsd"))
         .orderBy(col("value"))
     }),
+    // facet exact=false, bounded-work formulation: both engines draw
+    // the SAME deterministic sample, so the estimates hash-match
+    // exactly — no tolerance gate to hide behind
+    "q_facet_sampled" -> ((s, dir) =>
+      facetSampled(t(s, dir, "documents"), "lang", "doc_id",
+        col("n_chars") >= 300, 10)),
     "q_scroll_sorted" -> ((s, dir) =>
       scrollSorted(t(s, dir, "documents"), "n_chars", "doc_id",
         afterValue = 300L, afterId = 0L, limit = 20)),
@@ -922,6 +975,12 @@ object QueryApis {
       """SELECT lang AS value, true AS within_rsd FROM documents
         |WHERE n_chars >= 300 GROUP BY lang
         |ORDER BY value ASC LIMIT 10""".stripMargin,
+
+    "q_facet_sampled" ->
+      s"""SELECT lang AS value, (count(*) * 2)::BIGINT AS n_est FROM documents
+         |WHERE n_chars >= 300
+         |  AND ${graft.index.Embedder.duckStringHash64("'facet:' || doc_id::VARCHAR")} % 1000 < 500
+         |GROUP BY lang ORDER BY n_est DESC, value ASC LIMIT 10""".stripMargin,
 
     "q_scroll_sorted" ->
       """SELECT doc_id, n_chars FROM documents

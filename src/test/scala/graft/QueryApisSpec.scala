@@ -171,6 +171,38 @@ class QueryApisSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("facetSampled: deterministic draw, exact scale-up, observed error in sigma range") {
+    val filter = col("n_chars") >= 300
+    val est = QueryApis.facetSampled(docs, "lang", "doc_id", filter, 10, permille = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.filter(filter)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic: same result twice (no rand() anywhere in the draw)
+    val again = QueryApis.facetSampled(docs, "lang", "doc_id", filter, 10, permille = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === again, "the sample draw must be a pure function of ids")
+    // every estimate is an even multiple of the scale factor
+    assert(est.values.forall(_ % 2 === 0))
+    // estimator error: |est - n| within ~4 sigma of the binomial draw
+    // (sigma = sqrt(n) at permille=500) — deterministic per fixture, the
+    // bound documents HOW approximate the operator is allowed to be
+    exact.foreach { case (lang, n) =>
+      val e = est.getOrElse(lang, 0L)
+      val tol = math.max(8.0, 4.0 * math.sqrt(n.toDouble))
+      assert(math.abs(e - n) <= tol,
+        s"$lang: estimate $e vs exact $n drifts past 4 sigma ($tol)")
+    }
+    // work boundedness: the aggregate's input is the sampled subset
+    val sampledRows = docs.filter(filter)
+      .filter(pmod(graft.index.Embedder.stringHash64(
+        concat(lit("facet:"), col("doc_id").cast("string"))), lit(1000L)) < 500)
+      .count()
+    val totalRows = docs.filter(filter).count()
+    assert(sampledRows < totalRows * 6 / 10,
+      s"sample must shrink aggregate input (got $sampledRows of $totalRows)")
+  }
+
   test("scrollSorted pages are disjoint, ordered, and chain by (value, id) cursor") {
     val p1 = QueryApis.scrollSorted(docs, "n_chars", "doc_id", 0L, -1L, 20).collect()
     assert(p1.length === 20)
