@@ -680,19 +680,71 @@ class VectorCollection private (
       hits: DataFrame,
       withPayload: PayloadSelector,
       withVectors: Boolean): DataFrame = {
+    val distanceAsc =
+      config.distance == "euclid" || config.distance == "manhattan"
+    attachSelected(hits, withPayload, withVectors,
+      Seq(if (distanceAsc) col("score").asc else col("score").desc,
+        col(config.idCol).asc))
+  }
+
+  /** The general form of [[shapeResponse]]: attach the selected
+    * payload/vector columns to ANY bounded hit frame carrying the id
+    * column — grouped hits keep their group columns, batch hits their
+    * request key — and restore `order` (a broadcast join returns rows
+    * in scan order). Same plan as [[shapeResponse]]: the hit list
+    * broadcasts back onto a column-pruned collection scan, so only the
+    * selected columns' bytes are read. */
+  private def attachSelected(
+      hits: DataFrame,
+      withPayload: PayloadSelector,
+      withVectors: Boolean,
+      order: Seq[Column]): DataFrame = {
     val extra = resolvePayload(withPayload) ++
       (if (withVectors) Seq(config.vectorCol) else Nil)
+    val clash = extra.filter(hits.columns.contains)
+    require(clash.isEmpty,
+      s"hit frame already carries column(s) ${clash.mkString(", ")}; " +
+        "select a payload subset that does not collide")
     if (extra.isEmpty) hits
-    else {
-      val distanceAsc =
-        config.distance == "euclid" || config.distance == "manhattan"
-      table.select((config.idCol +: extra).map(col): _*)
-        .join(broadcast(hits), Seq(config.idCol))
-        .select((Seq(config.idCol, "score") ++ extra).map(col): _*)
-        .orderBy(if (distanceAsc) col("score").asc else col("score").desc,
-          col(config.idCol).asc)
-    }
+    else table.select((config.idCol +: extra).map(col): _*)
+      .join(broadcast(hits), Seq(config.idCol))
+      .select((hits.columns.toSeq ++ extra).map(col): _*)
+      .orderBy(order: _*)
   }
+
+  /** [[recommend]] with Qdrant response-shaping flags. */
+  def recommend(
+      posIds: Seq[Long], negIds: Seq[Long], k: Int,
+      withPayload: PayloadSelector, withVectors: Boolean): DataFrame =
+    shapeResponse(recommend(posIds, negIds, k), withPayload, withVectors)
+
+  /** [[discover]] with Qdrant response-shaping flags. */
+  def discover(
+      targetId: Long, contextPairs: Seq[(Long, Long)], k: Int,
+      withPayload: PayloadSelector, withVectors: Boolean): DataFrame =
+    attachSelected(discover(targetId, contextPairs, k),
+      withPayload, withVectors,
+      // discovery ranks by (context pairs satisfied, then similarity)
+      Seq(col("ctx_hits").desc, col("sim").desc, col(config.idCol).asc))
+
+  /** [[queryByPointId]] (`query_points(query=<id>)`) with Qdrant
+    * response-shaping flags. */
+  def queryByPointId(
+      id: Long, k: Int, filter: Column,
+      scoreThreshold: Option[Double],
+      withPayload: PayloadSelector, withVectors: Boolean): DataFrame =
+    shapeResponse(queryByPointId(id, k, filter, scoreThreshold),
+      withPayload, withVectors)
+
+  /** [[searchGroups]] with Qdrant response-shaping flags: every hit row
+    * keeps its (grp_rank, grp, best, hit_rank) group context and the
+    * group-then-hit-rank order. */
+  def searchGroups(
+      queryVec: Seq[Float], groupCol: String, groupSize: Int, limit: Int,
+      withPayload: PayloadSelector, withVectors: Boolean): DataFrame =
+    attachSelected(searchGroups(queryVec, groupCol, groupSize, limit),
+      withPayload, withVectors,
+      Seq(col("grp_rank").asc, col("hit_rank").asc))
 
   /** [[search]] with Qdrant response-shaping flags. */
   def search(

@@ -514,6 +514,46 @@ class QueryApisSpec extends SparkSpec {
     assert(res.values.forall(_ <= 0.0), "log probabilities are non-positive")
   }
 
+  test("response shaping flows through recommend/discover/queryByPointId/searchGroups") {
+    import java.nio.file.Files
+    import graft.api.PayloadSelector
+    val dir = Files.createTempDirectory("graft_shape").toFile.getAbsolutePath + "/col"
+    val pts = emb.select(col("vec_id").as("pid"), col("embedding").as("v"), col("label"))
+    val c = graft.api.VectorCollection.ensure(spark, dir, pts,
+      graft.api.CollectionConfig("pid", "v", 64, multiVector = false))
+    c.upsert(pts)
+    val want = PayloadSelector.Subset(Seq("label"))
+
+    val rec = c.recommend(Seq(1L, 2L), Seq(3L), 5, want, withVectors = true)
+    assert(rec.columns.toSeq === Seq("pid", "score", "label", "v"))
+    assert(rec.count() === 5)
+    // shaping must not change WHICH points are hit, nor their order
+    val bare = c.recommend(Seq(1L, 2L), Seq(3L), 5).collect().map(_.getLong(0)).toSeq
+    assert(rec.collect().map(_.getLong(0)).toSeq === bare)
+
+    val disc = c.discover(0L, Seq((1L, 2L)), 5, want, withVectors = false)
+    assert(disc.columns.toSeq === Seq("pid", "ctx_hits", "sim", "label"))
+    assert(disc.collect().map(_.getLong(0)).toSeq ===
+      c.discover(0L, Seq((1L, 2L)), 5).collect().map(_.getLong(0)).toSeq)
+
+    val qp = c.queryByPointId(0L, 5, lit(true), None, PayloadSelector.All,
+      withVectors = false)
+    assert(qp.columns.toSeq === Seq("pid", "score", "label"))
+    assert(qp.filter(col("pid") === 0L).count() === 0L, "query point stays excluded")
+
+    val qf = vecsById(Seq(0L))(0L).map(_.toFloat).toSeq
+    val grp = c.searchGroups(qf, "label", 2, 3, PayloadSelector.NoPayload,
+      withVectors = true).collect()
+    assert(grp.head.schema.fieldNames.toSeq ===
+      Seq("grp_rank", "grp", "best", "pid", "score", "hit_rank", "v"))
+    // group context survives shaping: ranks still (grp_rank, hit_rank)-ordered
+    val ranks = grp.map(r => (r.getLong(0), r.getLong(5))).toSeq
+    assert(ranks === ranks.sorted)
+    // attaching the grouping payload column round-trips: label == grp
+    val withLabel = c.searchGroups(qf, "label", 2, 3, want, withVectors = false)
+    assert(withLabel.filter(col("label") =!= col("grp")).count() === 0L)
+  }
+
   test("VectorCollection facade: recommend/discover/searchGroups/facet run end-to-end") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_qapi").toFile.getAbsolutePath + "/col"
