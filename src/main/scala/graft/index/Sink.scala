@@ -402,18 +402,40 @@ object Sink {
     * excludes it), so the subtree rewrite preserves file schema
     * exactly. At 100 TB the shards compact embarrassingly parallel —
     * each rewrite touches one subtree's bytes. Single-writer, like
-    * [[compact]]. Returns total files written across shards. */
+    * [[compact]]. The retire→swap step is two renames, not one atomic
+    * move: a crash between them strands the shard under
+    * `_compact_retired`; the next call self-heals by restoring any
+    * stranded shard before compacting (IngestSinkSpec simulates the
+    * crash). Returns total files written across shards. */
   def compactShards(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // self-heal the retire→swap crash window of a PREVIOUS run: a
+    // shard directory stranded under _compact_retired means the old
+    // writer died after retiring the shard but before swapping the
+    // compacted copy in — the collection is missing that shard until
+    // it is restored. If the shard is absent from the root, rename it
+    // back (the staged copy, if any, is discarded with stagingRoot
+    // below — it may be incomplete); if present, the crash happened
+    // after the swap and the retired copy is stale — drop it.
+    val retiredRoot = new org.apache.hadoop.fs.Path(path + "_compact_retired")
+    if (fs.exists(retiredRoot)) {
+      fs.listStatus(retiredRoot).filter(_.isDirectory).foreach { st =>
+        val home = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (!fs.exists(home)) {
+          require(fs.rename(st.getPath, home),
+            s"compactShards: failed to restore stranded shard ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_compact_staging"), true)
     val shards = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     require(shards.nonEmpty,
       s"compactShards: no shard=value subtrees under $path " +
         "(unsharded collections use compact)")
     val stagingRoot = new org.apache.hadoop.fs.Path(path + "_compact_staging")
-    val retiredRoot = new org.apache.hadoop.fs.Path(path + "_compact_retired")
     val total = shards.map { st =>
       val sub = st.getPath
       val data = spark.read.parquet(sub.toString)

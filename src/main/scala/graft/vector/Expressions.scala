@@ -834,6 +834,20 @@ case class TopKHits(
 
   require(k > 0, "top-k aggregate needs k > 0")
 
+  // input validation at ANALYSIS time: without this, a mistyped child
+  // survives planning and dies as a ClassCastException inside update()
+  // mid-job. Coercion (float score, int id) happens in the
+  // Kernels.topKHits wrapper, which casts before constructing this.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (scoreChild.dataType, idChild.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_hits expects (DOUBLE score, BIGINT id), got ($s, $i)")
+    }
+
   // dequeue removes the max of the ordering — rank the WORST pair
   // (lowest score, then highest id) as the maximum so trimming evicts it
   private def worstFirst: Ordering[(Double, Long)] =

@@ -39,7 +39,11 @@ object Kernels {
     * and sorting every candidate per group. The ranking primitive for
     * every broadcast-query batch operator. */
   def topKHits(score: Column, id: Column, k: Int): Column =
-    ofExpr(TopKHits(exprOf(score), exprOf(id), k).toAggregateExpression())
+    // numeric widening here; the expression validates (double, long)
+    // at analysis — a non-numeric child fails the cast's own analysis
+    // or TopKHits.checkInputDataTypes, never mid-job in update()
+    ofExpr(TopKHits(exprOf(score.cast("double")), exprOf(id.cast("long")), k)
+      .toAggregateExpression())
 
   /** Sequential-fold dot product: Σ a_i * b_i (native; HOF twin below
     * for oracle documentation + cross-checks). */

@@ -236,6 +236,45 @@ class IngestSinkSpec extends SparkSpec {
     before.unpersist()
   }
 
+  test("compactShards self-heals a crash between retire and swap-in") {
+    val path = java.nio.file.Files.createTempDirectory("graft_shcrash").toString + "/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), (col("label") % 4).as("shard"))
+    (0 until 3).foreach(i =>
+      Sink.append(pts.filter(col("vec_id") % 3 === i), path, Seq("shard")))
+    val before = spark.read.parquet(path).cache()
+    val nRows = before.count()
+    // simulate the crash window: one shard retired, nothing swapped in
+    val victim = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).head
+    val retired = new java.io.File(path + "_compact_retired")
+    assert(retired.mkdirs())
+    assert(victim.renameTo(new java.io.File(retired, victim.getName)))
+    // the collection is now missing a shard — the next compaction must
+    // restore it BEFORE compacting, and the result must be complete
+    Sink.compactShards(spark, path, targetRowsPerFile = nRows)
+    val after = spark.read.parquet(path)
+    assert(after.exceptAll(before).count() === 0L)
+    assert(before.exceptAll(after).count() === 0L)
+    assert(new java.io.File(path).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("shard=")) === 4)
+    assert(!new java.io.File(path + "_compact_retired").exists())
+    // stale-retired variant: crash AFTER swap-in left a retired copy
+    // beside a live shard — recovery must drop the stale copy, not
+    // resurrect it over the live one
+    val live = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).head
+    val retired2 = new java.io.File(path + "_compact_retired")
+    assert(retired2.mkdirs())
+    val staleCopy = new java.io.File(retired2, live.getName)
+    assert(staleCopy.mkdirs()) // empty stale dir: must vanish, not swap in
+    Sink.compactShards(spark, path, targetRowsPerFile = nRows)
+    val healed = spark.read.parquet(path)
+    assert(healed.count() === nRows, "stale retired copy must not replace live data")
+    assert(!retired2.exists())
+    before.unpersist()
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()

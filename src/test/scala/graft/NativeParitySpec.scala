@@ -263,4 +263,32 @@ class NativeParitySpec extends SparkSpec {
     assert(win.exceptAll(agg).count() === 0L)
     assert(agg.exceptAll(win).count() === 0L)
   }
+
+  test("topk_hits declares input types: numeric children coerce, strings fail at analysis") {
+    import spark.implicits._
+    val df = Seq((1, 0.5f), (1, 0.9f), (2, 0.1f)).toDF("id", "s")
+    // float score + int id: implicit cast to (double, long) at analysis
+    val hits = df.groupBy(col("id"))
+      .agg(graft.vector.Kernels.topKHits(col("s"), col("id").cast("long"), 1).as("h"))
+      .select(col("id"), posexplode(col("h")))
+      .select(col("id"), col("col.score").as("score"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(hits(1) - 0.9) < 1e-6 && math.abs(hits(2) - 0.1) < 1e-6)
+    // an int score child also coerces (was a mid-job ClassCastException)
+    val intScore = df.groupBy(col("id"))
+      .agg(graft.vector.Kernels.topKHits(lit(3), col("id").cast("long"), 1).as("h"))
+    assert(intScore.count() === 2)
+    // a non-numeric score on the RAW expression (bypassing the
+    // wrapper's cast) fails AT ANALYSIS, not inside update() mid-job
+    val raw = graft.vector.Kernels.ofExpr(
+      graft.vector.TopKHits(
+        graft.vector.Kernels.exprOf(lit("oops")),
+        graft.vector.Kernels.exprOf(col("id").cast("long")),
+        1).toAggregateExpression())
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("id")).agg(raw.as("h")).collect()
+    }
+    assert(e.getMessage.contains("topk_hits expects"),
+      s"expected the declared type-check message, got: ${e.getMessage.take(200)}")
+  }
 }

@@ -31,9 +31,12 @@ def norm_cell(v):
                           "explode to rows instead")
     return str(v)
 
-def norm_rows(cols, rows):
+def norm_seq(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [tuple(norm_cell(r[i]) for i in order) for r in rows]
+
+def norm_rows(cols, rows):
+    return sorted(norm_seq(cols, rows))
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -64,6 +67,15 @@ def main():
             n_fail += 1
             continue
         if g == e:
+            # the gate sorts rows, so a drift between the two engines'
+            # declared ORDER BY is invisible to PASS/FAIL — surface it:
+            # CLAUDE.md requires a total ORDER BY precisely so that the
+            # orders AGREE, and silent divergence means a tiebreak or
+            # NULLS placement differs and will bite the next query
+            if norm_seq(gcols, grows) != norm_seq(ecols, erows):
+                print(f"WARN {name}: row ORDER differs between engines "
+                      "(masked by the gate's sort) — check ORDER BY "
+                      "tiebreaks/NULLS placement")
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         else:
