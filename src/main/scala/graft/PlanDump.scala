@@ -61,7 +61,8 @@ object PlanDump {
       "x_dsir_weights" -> "DSIR importance weights: ONE (doc,bucket) shuffle; target and raw bucket counts are window sums over the same rows; totals broadcast; bucket-sorted per-doc fold",
       "q_named_vectors" -> "named-vector search: one column per vector name, so search(using=name) column-prunes to that vector's bytes — the other embeddings never leave the scan",
       "q_mrl_rescore" -> "Matryoshka staged search: 16-dim prefix ranking then full-dim rescore of 50 rows — both cuts TakeOrderedAndProject, no shuffle",
-      "x_cluster_sample" -> "cluster-balanced sampling: narrow argmax assignment against broadcast centroids, one cluster_id window for the per-cluster quota")
+      "x_cluster_sample" -> "cluster-balanced sampling: narrow argmax assignment against broadcast centroids, one cluster_id window for the per-cluster quota",
+      "q_facet_sampled" -> "bounded-work approx facet: deterministic hash draw filters BEFORE the aggregate — count state is 8 bytes/value and the aggregate consumes half the rows; TakeOrderedAndProject cut")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
