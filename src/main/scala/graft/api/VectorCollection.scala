@@ -195,6 +195,13 @@ class VectorCollection private (
     * `count_filter`) — the predicate pushes to the parquet scan. */
   def count(filter: Column): Long = table.filter(filter).count()
 
+  /** `client.count` with `exact=false`: a deterministic sampled
+    * estimate — the counted row set shrinks to `permille`/1000 of the
+    * filtered scan; see [[graft.search.QueryApis.countApprox]]. */
+  def countApprox(filter: Column = lit(true), permille: Int = 500): Long =
+    graft.search.QueryApis.countApprox(table, config.idCol, filter, permille)
+      .head.getLong(0)
+
   /** Qdrant `client.retrieve`: fetch points by id. The IN-list reaches
     * the scan as a pushed filter. */
   def retrieve(ids: Seq[Long]): DataFrame =

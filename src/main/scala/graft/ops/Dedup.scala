@@ -749,6 +749,53 @@ object Dedup {
       .select(col("cluster_id"), col("doc_id"), col("keeper_id"), col("n_members"))
   }
 
+  /** [[keeperize]] with the QUALITY keeper policy: per cluster keep
+    * the highest-quality member ([[TextAnalysis.qualityScore]],
+    * doc_id-asc tiebreak on the 6dp-rounded score), not the longest.
+    * This is the keeper production dedup pipelines actually want — a
+    * near-dup cluster often holds one clean copy and n boilerplate-
+    * wrapped ones, and "longest" keeps the wrapper. Same plan shape as
+    * [[keeperize]]: quality is a narrow map over the scan, the join
+    * retains cluster members only, and the keeper pick is one window
+    * over cluster-sized partitions. NULL quality (token-free text)
+    * orders LAST under either engine's pinned NULLS LAST. */
+  private[graft] def keeperizeByQuality(corpus: DataFrame, cc: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(corpus).select(col("doc_id").as("id"), col("quality"))
+    val labeled = cc.join(q, Seq("id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("quality"))
+    val ordered = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val whole = Window.partitionBy(col("cluster_id"))
+    labeled
+      .withColumn("keeper_id", first(col("doc_id")).over(ordered))
+      .withColumn("n_members", count(lit(1)).over(whole))
+      .select(col("cluster_id"), col("doc_id"), col("keeper_id"),
+        col("quality"), col("n_members"))
+  }
+
+  /** DuckDB twin of [[keeperizeByQuality]] over the minhash pair graph. */
+  def duckClustersKeepQuality(pairsSql: String): String =
+    s"""WITH RECURSIVE corpus AS ($duckCorpusWithDups),
+       |pr AS (SELECT id_a, id_b FROM ($pairsSql) mp),
+       |adj AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |nodes AS (SELECT DISTINCT a AS id FROM adj),
+       |lp(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT adj.b, lp.lab FROM lp JOIN adj ON adj.a = lp.id WHERE lp.lab < adj.b),
+       |cc AS (SELECT id, min(lab) AS cluster_id FROM lp GROUP BY id),
+       |${TextAnalysis.duckQualityCtesFor("corpus")},
+       |labeled AS (SELECT cc.id AS doc_id, cc.cluster_id, q.quality
+       |  FROM cc JOIN q ON q.doc_id = cc.id)
+       |SELECT cluster_id, doc_id,
+       |  first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC NULLS LAST, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+       |  quality, count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM labeled
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   /** DuckDB twin of [[clusters]]+[[clustersWithKeeper]]: recursive CTE
     * propagating labels along monotone-decreasing paths — the
     * component min reaches every node because every edge out of the
@@ -820,6 +867,17 @@ object Dedup {
     "x_dedup_clusters" -> ((s, dir) => {
       val corpus = corpusWithDups(t(s, dir, "documents"))
       clustersWithKeeper(corpus, minhashPairs(corpus).select(col("id_a"), col("id_b")))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
+    // Quality keeper policy: per cluster keep the best-quality member
+    // — the production choice when a cluster holds one clean copy and
+    // n boilerplate-wrapped near-dups (longest-keeper keeps the
+    // wrapper; min-id keeps whichever crawled first).
+    "x_dedup_keep_quality" -> ((s, dir) => {
+      val corpus = corpusWithDups(t(s, dir, "documents"))
+      keeperizeByQuality(corpus,
+          clusters(minhashPairs(corpus).select(col("id_a"), col("id_b"))))
         .orderBy(col("cluster_id"), col("doc_id"))
     }),
 
@@ -901,6 +959,7 @@ object Dedup {
     "x_dedup_embedding" -> duckEmbeddingPairs(),
     "x_dedup_clusters" -> duckClustersWithKeeper(duckMinhashPairs()),
     "x_dedup_clusters_star" -> duckClustersWithKeeper(duckMinhashPairs()),
+    "x_dedup_keep_quality" -> duckClustersKeepQuality(duckMinhashPairs()),
     "x_substring_dedup" -> duckSubstringPairs(),
     "x_dedup_lsh_recall" ->
       s"""WITH e AS (${duckEmbeddingPairs()}), l AS (${duckEmbeddingPairsLsh()})

@@ -406,6 +406,30 @@ object QueryApis {
       .limit(limit)
   }
 
+  /** Qdrant `client.count` with `exact=false`: estimate the filtered
+    * point count from the same deterministic per-mille draw as
+    * [[facetSampled]] — the aggregate consumes `permille/1000` of the
+    * filtered rows and scales back up exactly. Qdrant's own
+    * exact=false trades precision for skipping full postings
+    * traversal; the Spark analog is shrinking the counted row set. The
+    * draw is a pure function of the id, so the estimate is hash-exact
+    * across engines (q_count_approx has no tolerance gate). */
+  def countApprox(
+      points: DataFrame,
+      idCol: String,
+      filter: Column,
+      permille: Int = 500): DataFrame = {
+    require(permille > 0 && 1000 % permille == 0,
+      s"permille must divide 1000 for exact integer scale-up, got $permille")
+    val draw = pmod(
+      graft.index.Embedder.stringHash64(
+        concat(lit("count:"), col(idCol).cast("string"))),
+      lit(1000L))
+    points.filter(filter)
+      .filter(draw < permille)
+      .agg((count(lit(1)) * (1000L / permille)).as("n_est"))
+  }
+
   /** Qdrant formula-based score boosting (`query` with a formula
     * object): the final rank key is an arithmetic combination of the
     * similarity score and payload-derived terms — e.g. boost exact
@@ -747,6 +771,11 @@ object QueryApis {
       t(s, dir, "embeddings").filter(col("label") === 3)
         .agg(count(lit(1)).as("n"))),
 
+    // count exact=false: both engines draw the same sample, so the
+    // estimate hash-matches outright
+    "q_count_approx" -> ((s, dir) =>
+      countApprox(t(s, dir, "embeddings"), "vec_id", col("label") === 3)),
+
     // Qdrant named vectors: one column per name (v_full 64-dim,
     // v_head = its 32-dim prefix), search `using` the head vector and
     // report both names' scores for the hits — per-point multi-vector
@@ -1072,6 +1101,11 @@ object QueryApis {
          |FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_count_filtered" ->
-      "SELECT count(*) AS n FROM embeddings WHERE label = 3"
+      "SELECT count(*) AS n FROM embeddings WHERE label = 3",
+
+    "q_count_approx" ->
+      s"""SELECT (count(*) * 2)::BIGINT AS n_est FROM embeddings
+         |WHERE label = 3
+         |  AND ${graft.index.Embedder.duckStringHash64("'count:' || vec_id::VARCHAR")} % 1000 < 500""".stripMargin
   )
 }

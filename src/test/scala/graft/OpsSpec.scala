@@ -165,6 +165,46 @@ class OpsSpec extends SparkSpec {
       (10L, 10L, 10L, 2L), (10L, 11L, 10L, 2L)))
   }
 
+  test("keeperizeByQuality: best-quality member wins its cluster, not the longest") {
+    import spark.implicits._
+    // doc 2 is LONGEST but low quality (no stopwords, rare long tokens);
+    // doc 3 is clean prose — the quality keeper must pick 3 where the
+    // length keeper picks 2
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "zzzzzzzzzzzz qqqqqqqqqqqq xxxxxxxxxxxx wwwwwwwwwwww vvvvvvvvvvvv"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs off"),
+      (10L, "aa"), (11L, "the plain text of a fine doc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.clusters(pairs)
+    val byQuality = Dedup.keeperizeByQuality(corpus, cc)
+      .orderBy("cluster_id", "doc_id").collect()
+    assert(byQuality.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+      === Seq((1L, 1L, 3L, 3L), (1L, 2L, 3L, 3L), (1L, 3L, 3L, 3L),
+        (10L, 10L, 11L, 2L), (10L, 11L, 11L, 2L)))
+    val byLength = Dedup.clustersWithKeeper(corpus, pairs)
+      .filter(col("cluster_id") === 1L).select("keeper_id").head.getLong(0)
+    assert(byLength === 2L, "length keeper picks the boilerplate wrapper")
+    // keeper's quality is the cluster max (tiebreak aside)
+    byQuality.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val keeperQ = rows.find(r => r.getLong(1) === r.getLong(2)).get.getDouble(3)
+      assert(rows.forall(r => r.isNullAt(3) || r.getDouble(3) <= keeperQ))
+    }
+  }
+
+  test("countApprox: deterministic sampled estimate with exact scale-up") {
+    val e = t(spark, sf, "embeddings")
+    val est = graft.search.QueryApis.countApprox(e, "vec_id", col("label") === 3)
+      .head.getLong(0)
+    val est2 = graft.search.QueryApis.countApprox(e, "vec_id", col("label") === 3)
+      .head.getLong(0)
+    assert(est === est2, "pure-function draw: same estimate every run")
+    assert(est % 2 === 0, "scale-up by 1000/permille is exact integer math")
+    val exact = e.filter(col("label") === 3).count()
+    assert(math.abs(est - exact) <= math.max(8.0, 4.0 * math.sqrt(exact.toDouble)),
+      s"estimate $est vs exact $exact past 4 sigma")
+  }
+
   test("knn join: k rows per query, self in first place") {
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
