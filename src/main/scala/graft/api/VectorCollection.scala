@@ -816,6 +816,44 @@ object VectorCollection {
   def openAlias(spark: SparkSession, root: String, alias: String): VectorCollection =
     open(spark, Sink.resolveAlias(spark, root, alias))
 
+  /** Qdrant `collection_exists` / the `get_collections()` membership
+    * probe the reference runs before every create
+    * (`with_jina_text_v4/jina_v4_text_indexer.py:58-66`): a collection
+    * exists where its meta sidecar does. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Qdrant `get_collections`: the collection names under a root — any
+    * child directory carrying the meta sidecar (alias pointers and
+    * index sidecars are not collections and are skipped). One
+    * file-status listing; no data files are opened. */
+  def listCollections(spark: SparkSession, root: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = r.getFileSystem(conf)
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_graft_meta.json")))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** Qdrant `delete_collection`: remove the collection directory and
+    * its derived index sidecars (`<path>_ivf`). Does NOT touch alias
+    * pointers — Qdrant aliases dangle too, and [[openAlias]] of a
+    * dangling alias fails loudly at open, not silently at query. */
+  def drop(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val existed = fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_ivf"), true)
+    existed
+  }
+
   /** Open an existing collection with its persisted config. */
   def open(spark: SparkSession, path: String): VectorCollection = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath(path)))

@@ -33,6 +33,33 @@ class VectorCollectionSpec extends SparkSpec {
     assert(col1.count === n)
   }
 
+  test("get_collections / collection_exists / delete_collection lifecycle") {
+    val root = tmp()
+    val pts = points.limit(20).cache()
+    val cfg = CollectionConfig("point_id", "embedding", 64, multiVector = false)
+    assert(VectorCollection.listCollections(spark, root) === Nil)
+    assert(!VectorCollection.exists(spark, s"$root/alpha"))
+    VectorCollection.ensure(spark, s"$root/alpha", pts, cfg).upsert(pts)
+    VectorCollection.ensure(spark, s"$root/beta", pts, cfg).upsert(pts)
+    // a non-collection dir and an alias pointer are not listed
+    new java.io.File(s"$root/scratch").mkdirs()
+    graft.index.Sink.setAlias(spark, root, "current", s"$root/alpha")
+    assert(VectorCollection.listCollections(spark, root) === Seq("alpha", "beta"))
+    assert(VectorCollection.exists(spark, s"$root/alpha"))
+    // the reference's ensure probe: exists → skip create (first-write-wins)
+    val again = VectorCollection.ensure(spark, s"$root/alpha", pts, cfg)
+    assert(again.count === 20)
+    // drop removes the collection and its listing entry; alias dangles
+    // loudly (Qdrant semantics), the other collection is untouched
+    assert(VectorCollection.drop(spark, s"$root/alpha"))
+    assert(VectorCollection.listCollections(spark, root) === Seq("beta"))
+    assert(!VectorCollection.exists(spark, s"$root/alpha"))
+    intercept[Exception] { VectorCollection.openAlias(spark, root, "current") }
+    assert(VectorCollection.open(spark, s"$root/beta").count === 20)
+    assert(!VectorCollection.drop(spark, s"$root/alpha"), "second drop is a no-op")
+    pts.unpersist()
+  }
+
   test("recommendFrom: examples resolve in the lookup collection, search runs here") {
     val dirA = s"${tmp()}/col_a"; val dirB = s"${tmp()}/col_b"
     val pts = points.cache()
