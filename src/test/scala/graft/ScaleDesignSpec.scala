@@ -415,6 +415,51 @@ class ScaleDesignSpec extends SparkSpec {
       s"sampling must not shuffle:\n$plan")
   }
 
+  test("sampled facet/count: the draw filters below the aggregate, count state stays 8 bytes") {
+    val d = t(spark, sf, "documents")
+    val facetPlan = graft.search.QueryApis
+      .facetSampled(d, "lang", "doc_id", col("n_chars") >= 300, 10)
+      .queryExecution.executedPlan.toString
+    // the sample predicate must run in the scan stage, ahead of the
+    // partial aggregate — the bounded-WORK property (the aggregate
+    // consumes permille/1000 of the rows, not all of them)
+    assert(facetPlan.contains("partial_count"),
+      s"map-side partial count before the one exchange:\n$facetPlan")
+    // plans print top-down: the draw filter sits BELOW the partial
+    // aggregate when it appears LATER in the string
+    assert(facetPlan.indexOf("pmod") >
+      facetPlan.indexOf("partial_count"),
+      s"the hash draw must filter BELOW the aggregate:\n$facetPlan")
+    assert(facetPlan.contains("TakeOrderedAndProject"),
+      s"top-values cut is a heap, not a global sort:\n$facetPlan")
+    assert(!facetPlan.contains("approx_count_distinct"),
+      s"sampled facet carries no sketch state:\n$facetPlan")
+    val countPlan = graft.search.QueryApis
+      .countApprox(t(spark, sf, "embeddings"), "vec_id", col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert(countPlan.contains("partial_count") &&
+      countPlan.indexOf("pmod") > countPlan.indexOf("partial_count"),
+      s"approx count: draw below the partial aggregate:\n$countPlan")
+  }
+
+  test("quality keeper: members join broadcasts, keeper window partitions by cluster only") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val corpus = Dedup.corpusWithDups(t(spark, sf, "documents"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val plan = Dedup.keeperizeByQuality(corpus, Dedup.clusters(pairs))
+      .queryExecution.executedPlan.toString
+    // cluster membership is bounded (near-dup groups), so the member
+    // list joins the quality-mapped corpus without a corpus reshuffle
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"keeper join shape:\n$plan")
+    // the keeper window partitions by cluster_id — cluster-sized
+    // state, never a global (empty-partition) window
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(cluster_id"),
+      s"keeper window must partition by cluster_id:\n$plan")
+  }
+
   test("matrix pairs broadcast the sample side; boosted search keeps the D1 plan") {
     val mp = graft.search.QueryApis.matrixPairs(t(spark, sf, "embeddings"), 10, 3)
     val mpPlan = mp.queryExecution.executedPlan.toString
