@@ -37,7 +37,6 @@ object Bench {
       reps: Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
     val ok = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val bad = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
-    val errs = scala.collection.mutable.Map.empty[String, Int]
     (1 to reps).foreach { _ =>
       names.foreach { n =>
         val t0 = System.nanoTime()
@@ -45,9 +44,7 @@ object Bench {
           queries(n)(spark, sfDir).count()
           ok(n) += (System.nanoTime() - t0) / 1e9
         } catch {
-          case _: Throwable =>
-            bad(n) += (System.nanoTime() - t0) / 1e9
-            errs.updateWith(n)(c => Some(c.getOrElse(0) + 1))
+          case _: Throwable => bad(n) += (System.nanoTime() - t0) / 1e9
         }
       }
     }
@@ -55,7 +52,8 @@ object Bench {
       if (ok(n).nonEmpty) (n, ok(n).min, ok(n).max)
       else (n, bad(n).max, bad(n).max)
     }
-    (timed, errs.toMap)
+    val errs = names.map(n => n -> bad(n).size).filter(_._2 > 0).toMap
+    (timed, errs)
   }
 
   def main(args: Array[String]): Unit = {

@@ -834,23 +834,29 @@ object VectorCollection {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = r.getFileSystem(conf)
     if (!fs.exists(r)) Nil
-    else fs.listStatus(r).toSeq
-      .filter(st => st.isDirectory &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_graft_meta.json")))
-      .map(_.getPath.getName)
-      .sorted
+    else fs.globStatus(new org.apache.hadoop.fs.Path(r, "*/_graft_meta.json"))
+      .toSeq.map(_.getPath.getParent.getName).sorted
   }
 
   /** Qdrant `delete_collection`: remove the collection directory and
-    * its derived index sidecars (`<path>_ivf`). Does NOT touch alias
-    * pointers — Qdrant aliases dangle too, and [[openAlias]] of a
-    * dangling alias fails loudly at open, not silently at query. */
+    * EVERY derived sidecar — the IVF index plus all maintenance
+    * staging/retired dirs. Deleting the sidecars is a correctness
+    * requirement, not tidiness: a shard stranded under
+    * `_compact_retired` by a crashed compaction would otherwise be
+    * resurrected by compactShards' self-heal into a NEW collection
+    * later created at the same path, bringing deleted points back from
+    * the dead. Does NOT touch alias pointers — Qdrant aliases dangle
+    * too, and [[openAlias]] of a dangling alias fails loudly at open,
+    * not silently at query. */
   def drop(spark: SparkSession, path: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val existed = fs.delete(p, true)
-    fs.delete(new org.apache.hadoop.fs.Path(path + "_ivf"), true)
+    // keep in sync with Sink's staging-dir suffixes
+    Seq("_ivf", "_compact_retired", "_compact_staging", "_compacting",
+        "_indexing", "_restoring", "_retired")
+      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(path + s), true))
     existed
   }
 

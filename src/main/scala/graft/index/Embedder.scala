@@ -105,6 +105,20 @@ object Embedder {
   def duckStringHash64(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** Deterministic per-mille draw on the stable content hash of an id —
+    * THE shared sampling primitive (stratified sampling, sampled facet,
+    * approximate count). A pure function of (prefix, id): both engines
+    * compute the same draw, so sampled estimates are hash-exact across
+    * Spark and DuckDB, and `prefix` decorrelates the draws of different
+    * operators over the same ids. Returns a value in [0, 1000). */
+  def permilleDraw(prefix: String, id: Column): Column =
+    pmod(stringHash64(concat(lit(prefix), id.cast("string"))), lit(1000L))
+
+  /** DuckDB twin of [[permilleDraw]] — kept beside it so the two
+    * definitions evolve together. */
+  def duckPermilleDraw(prefix: String, idExpr: String): String =
+    s"${duckStringHash64(s"'$prefix' || $idExpr::VARCHAR")} % 1000"
+
   /** DuckDB expression equivalent to `tokenHash(expr)` for an arbitrary
     * string (spaces included). */
   def duckStringHash(expr: String): String =

@@ -131,6 +131,12 @@ object ModelEmbedder {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val mats = model.embedBatch(batch.map(_.getString(textIdx)))
+        // loud, not truncating: a backend that drops an un-tokenizable
+        // input would otherwise silently zip away the batch's tail —
+        // rows missing from the index with no error
+        require(mats.size == batch.size,
+          s"${model.name}.embedBatch returned ${mats.size} matrices for " +
+            s"${batch.size} inputs — a model must emit one matrix per input")
         batch.iterator.zip(mats.iterator).map { case (r, m) =>
           Row.fromSeq(r.toSeq :+ m.map(_.toSeq).toSeq)
         }

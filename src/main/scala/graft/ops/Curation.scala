@@ -161,9 +161,7 @@ object Curation {
       docs: DataFrame,
       permilleByLang: Map[String, Int],
       defaultPermille: Int): DataFrame = {
-    val bucket = pmod(
-      Embedder.stringHash64(concat(lit("samp:"), col("doc_id").cast("string"))),
-      lit(1000L))
+    val bucket = Embedder.permilleDraw("samp:", col("doc_id"))
     val thr = permilleByLang.foldLeft(lit(defaultPermille).cast("long")) {
       case (acc, (lang, p)) => when(col("lang") === lang, lit(p.toLong)).otherwise(acc)
     }
@@ -609,7 +607,7 @@ object Curation {
     "x_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang,
-         |    ${Embedder.duckStringHash64("'samp:' || doc_id::VARCHAR")} % 1000 AS b
+         |    ${Embedder.duckPermilleDraw("samp:", "doc_id")} AS b
          |  FROM documents) z
          |WHERE b < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
          |ORDER BY doc_id""".stripMargin,

@@ -394,12 +394,8 @@ object QueryApis {
       permille: Int = 500): DataFrame = {
     require(permille > 0 && 1000 % permille == 0,
       s"permille must divide 1000 for exact integer scale-up, got $permille")
-    val draw = pmod(
-      graft.index.Embedder.stringHash64(
-        concat(lit("facet:"), col(idCol).cast("string"))),
-      lit(1000L))
     points.filter(filter)
-      .filter(draw < permille)
+      .filter(graft.index.Embedder.permilleDraw("facet:", col(idCol)) < permille)
       .groupBy(col(key).as("value"))
       .agg((count(lit(1)) * (1000L / permille)).as("n_est"))
       .orderBy(col("n_est").desc, col("value").asc)
@@ -421,12 +417,8 @@ object QueryApis {
       permille: Int = 500): DataFrame = {
     require(permille > 0 && 1000 % permille == 0,
       s"permille must divide 1000 for exact integer scale-up, got $permille")
-    val draw = pmod(
-      graft.index.Embedder.stringHash64(
-        concat(lit("count:"), col(idCol).cast("string"))),
-      lit(1000L))
     points.filter(filter)
-      .filter(draw < permille)
+      .filter(graft.index.Embedder.permilleDraw("count:", col(idCol)) < permille)
       .agg((count(lit(1)) * (1000L / permille)).as("n_est"))
   }
 
@@ -1008,7 +1000,7 @@ object QueryApis {
     "q_facet_sampled" ->
       s"""SELECT lang AS value, (count(*) * 2)::BIGINT AS n_est FROM documents
          |WHERE n_chars >= 300
-         |  AND ${graft.index.Embedder.duckStringHash64("'facet:' || doc_id::VARCHAR")} % 1000 < 500
+         |  AND ${graft.index.Embedder.duckPermilleDraw("facet:", "doc_id")} < 500
          |GROUP BY lang ORDER BY n_est DESC, value ASC LIMIT 10""".stripMargin,
 
     "q_scroll_sorted" ->
@@ -1106,6 +1098,6 @@ object QueryApis {
     "q_count_approx" ->
       s"""SELECT (count(*) * 2)::BIGINT AS n_est FROM embeddings
          |WHERE label = 3
-         |  AND ${graft.index.Embedder.duckStringHash64("'count:' || vec_id::VARCHAR")} % 1000 < 500""".stripMargin
+         |  AND ${graft.index.Embedder.duckPermilleDraw("count:", "vec_id")} < 500""".stripMargin
   )
 }

@@ -87,6 +87,14 @@ object Streams {
       .withWatermark("ts", "2 hours")
   }
 
+  /** Per-batch progress of the MOST RECENT [[runToParquet]] run on this
+    * JVM — state-store row counts per micro-batch, the observable that
+    * proves watermark eviction actually bounds state (StreamingSpec).
+    * Test observability only: runs are serialized on this object, and
+    * the field is written inside that same lock. */
+  @volatile private[graft] var lastRunProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   /** Run an append-mode streaming frame to a parquet sink until all
     * available input (and the watermark-flush no-data batch) is
     * processed; return the sink contents.
@@ -98,14 +106,6 @@ object Streams {
     * A production deployment sizes this to state VOLUME (keyed rows
     * per partition), not to the batch session's CPU count — the knob
     * is pinned at the query, where that decision belongs. */
-  /** Per-batch progress of the MOST RECENT [[runToParquet]] run on this
-    * JVM — state-store row counts per micro-batch, the observable that
-    * proves watermark eviction actually bounds state (StreamingSpec).
-    * Test observability only: runs are serialized on this object, and
-    * the field is written inside that same lock. */
-  @volatile private[graft] var lastRunProgress
-      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
-
   private def runToParquet(spark: SparkSession, out: DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val data = s"$base/data"; val ckpt = s"$base/ckpt"

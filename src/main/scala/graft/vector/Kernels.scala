@@ -39,9 +39,12 @@ object Kernels {
     * and sorting every candidate per group. The ranking primitive for
     * every broadcast-query batch operator. */
   def topKHits(score: Column, id: Column, k: Int): Column =
-    // numeric widening here; the expression validates (double, long)
-    // at analysis — a non-numeric child fails the cast's own analysis
-    // or TopKHits.checkInputDataTypes, never mid-job in update()
+    // numeric widening here; the expression validates (double, long) at
+    // analysis, so a structurally wrong child (array, struct, map) fails
+    // before the job runs. A STRING child still passes analysis — the
+    // cast is legal — and dies as an ANSI cast error in the job; that is
+    // the cast's standard contract, and better than the bare
+    // ClassCastException inside update() this wrapper replaces.
     ofExpr(TopKHits(exprOf(score.cast("double")), exprOf(id.cast("long")), k)
       .toAggregateExpression())
 

@@ -76,6 +76,19 @@ class EmbedderSeamSpec extends SparkSpec {
     assert(hits.count() === 5)
   }
 
+  test("a model dropping inputs fails loudly instead of truncating the batch") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, s"t$i")).toDF("id", "text")
+    val e = intercept[Exception] {
+      ModelEmbedder.embedWith(df, "text", EmbedderSeamSpec.DroppingModel, batchSize = 8)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("one matrix per input")),
+      s"expected the loud length-mismatch error, got: ${messages(e).take(3)}")
+  }
+
   test("embedWith batches stream per-partition without reordering rows") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"tok$i")).toDF("id", "text")
@@ -96,6 +109,14 @@ object EmbedderSeamSpec {
     * deterministically, and tags vector slot 0 with the model-batch
     * size so the DataLoader contract is visible in the DATA
     * (assertable without executor-side spies). */
+  /** Misbehaving backend: silently skips the last input of every
+    * batch — the truncation embedWith must refuse. */
+  private[graft] object DroppingModel extends ModelEmbedder {
+    val name = "dropper"; val dim = 4
+    def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
+      texts.dropRight(1).map(_ => Array(new Array[Float](dim)))
+  }
+
   private[graft] class MockSession(val scale: Float) extends Serializable
   private[graft] class MockSessionModel(path: String, val dim: Int)
     extends SessionEmbedder[MockSession](path) {

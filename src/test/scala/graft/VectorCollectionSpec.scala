@@ -60,6 +60,26 @@ class VectorCollectionSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("drop removes maintenance sidecars — no resurrection into a recreated collection") {
+    val root = tmp()
+    val path = s"$root/col"
+    val pts = points.limit(10).cache()
+    val cfg = CollectionConfig("point_id", "embedding", 64, multiVector = false)
+    VectorCollection.ensure(spark, path, pts, cfg).upsert(pts)
+    // a crashed compaction stranded state in every sidecar location
+    val stranded = new java.io.File(s"${path}_compact_retired/shard=9")
+    assert(stranded.mkdirs())
+    new java.io.File(s"${path}_compact_staging").mkdirs()
+    new java.io.File(s"${path}_ivf").mkdirs()
+    assert(VectorCollection.drop(spark, path))
+    // every sidecar is gone with the collection: a NEW collection at
+    // the same path can never have the old shard healed back in
+    Seq("", "_compact_retired", "_compact_staging", "_ivf").foreach { s =>
+      assert(!new java.io.File(path + s).exists(), s"sidecar $s must be dropped")
+    }
+    pts.unpersist()
+  }
+
   test("recommendFrom: examples resolve in the lookup collection, search runs here") {
     val dirA = s"${tmp()}/col_a"; val dirB = s"${tmp()}/col_b"
     val pts = points.cache()
