@@ -138,11 +138,26 @@ object Dedup {
     (bands, hsTable)
   }
 
-  def minhashPairs(corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+  def minhashPairs(
+      corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     val (rawBands, hsTable) = sigBands(corpus, k, "doc_id", "hs")
     // shuffle on the bucket key: computes signatures once; both join
     // sides reuse the exchange
-    val bands = rawBands.repartition(col("band"), col("bval"))
+    val sized = rawBands.repartition(col("band"), col("bval"))
+    // hot-bucket cap, the LSH self-join's skew bound: a band value
+    // shared by B docs yields B²/2 candidate pairs — one viral
+    // boilerplate cluster at corpus scale is a quadratic blowup inside
+    // a single bucket. Buckets past `maxBucket` are dropped (the same
+    // documented coverage bound as substringPairs; members that large
+    // are near-certain exact-dup clusters, which exact dedup already
+    // settles). The count window rides the bucket partitioning — no
+    // extra exchange.
+    val bands = sized
+      .withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
     // candidate ids (duplicated across colliding bands — NOT distinct
     // here: deduping first would shuffle every raw candidate pair,
     // which dwarfs re-running the allocation-free Jaccard on the ≤4
@@ -179,10 +194,13 @@ object Dedup {
        |    sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
        |  FROM $sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js""".stripMargin
 
-  def duckMinhashPairs(k: Int = 8, jaccardMin: Double = 0.5): String =
+  def duckMinhashPairs(
+      k: Int = 8, jaccardMin: Double = 0.5, maxBucket: Int = 1000): String =
     s"""WITH corpus AS ($duckCorpusWithDups),
        |sigs AS (${duckSigsCte("corpus", k)}),
-       |bands AS (${duckBandsCte("sigs", k)}),
+       |bands0 AS (${duckBandsCte("sigs", k)}),
+       |bands AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bval) AS bn
+       |    FROM bands0) z WHERE bn <= $maxBucket),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    ROUND(len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)

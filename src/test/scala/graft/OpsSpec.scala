@@ -165,6 +165,28 @@ class OpsSpec extends SparkSpec {
       (10L, 10L, 10L, 2L), (10L, 11L, 10L, 2L)))
   }
 
+  test("minhash hot-bucket cap drops quadratic buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 30 identical template docs: every band bucket holds all 30 ->
+    // 435 candidate pairs from one cluster — the quadratic blowup the
+    // cap exists for. Plus one ordinary near-dup pair.
+    val template = (1 to 30).map(i =>
+      (100L + i, "spam spam wonderful spam template page number unchanged forever again"))
+    val pairDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    val corpus = (template ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(corpus, maxBucket = 10)
+    assert(capped.filter(col("id_a") >= 100L).count() === 0L,
+      "the 30-doc hot cluster must be dropped by the cap")
+    assert(capped.filter(col("id_a") === 1L && col("id_b") === 2L).count() === 1L,
+      "ordinary near-dup pairs survive the cap")
+    // the default cap is far above fixture bucket sizes: same pairs
+    val full = Dedup.minhashPairs(corpus)
+    assert(full.filter(col("id_a") >= 100L).count() === 435L,
+      "without the cap biting, the template cluster pairs all verify")
+  }
+
   test("keeperizeByQuality: best-quality member wins its cluster, not the longest") {
     import spark.implicits._
     // doc 2 is LONGEST but low quality (no stopwords, rare long tokens);
