@@ -328,7 +328,16 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×8-bit chunk index (pigeonhole: any pair
     * within hamming ≤ 3 shares an identical chunk; we verify with a
-    * wider hamming ≤ maxHamming cut), bucket-join on (chunk, value). */
+    * wider hamming ≤ maxHamming cut), bucket-join on (chunk, value).
+    *
+    * Scale knob: the CHUNK WIDTH, not a bucket cap. 4×8-bit chunks
+    * give only 1024 buckets — at corpus scale every bucket is hot by
+    * construction, so the 100 TB deployment widens the fingerprint to
+    * 64 bits and the chunks to 16 bits (4×65536 buckets, still
+    * pigeonhole-complete for hamming ≤ 3) — same plan, wider key.
+    * That is the same lever as [[embeddingPairsLsh]]'s planesPerBand;
+    * [[minhashPairs]]' maxBucket cap is the complementary guard for
+    * ADVERSARIALLY hot buckets in an otherwise high-cardinality key. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = corpus.withColumn("fp", simhash(col("text")))
     val chunks = fp.select(col("doc_id"), col("fp"),
