@@ -342,6 +342,43 @@ class VectorCollection private (
       .withColumnRenamed("vec_id", config.idCol)
   }
 
+  /** [[searchBatch]] with PER-REQUEST payload filters — Qdrant's
+    * `search_batch` takes a full SearchRequest per entry, filter
+    * included. Each request optionally pins `filterCol` to a value
+    * (None = unfiltered); all requests still share ONE collection
+    * pass: the broadcast request frame carries the filter value, the
+    * predicate evaluates inside the same codegen'd scoring stage, and
+    * ranking stays the bounded-heap aggregate. Filtering BEFORE the
+    * heap shrinks per-request candidate streams — a filtered request
+    * costs less, not more. */
+  def searchBatchFiltered(
+      requests: Seq[(Long, Seq[Float], Option[Long])],
+      filterCol: String,
+      k: Int = 5): DataFrame = {
+    require(!config.multiVector, "batch search on a multi-vector collection")
+    val badDim = requests.collectFirst {
+      case (qid, v, _) if v.length != config.dim => (qid, v.length)
+    }
+    require(badDim.isEmpty,
+      s"query ${badDim.map(_._1).getOrElse(0L)} dim ${badDim.map(_._2).getOrElse(0)} " +
+        s"!= collection dim ${config.dim}")
+    import spark.implicits._
+    val reqs = requests.map { case (id, v, f) => (id, v, f.map(long2Long).orNull) }
+      .toDF("q_id", "qv", "flt")
+    val scored = table
+      .crossJoin(broadcast(reqs))
+      .filter(col("flt").isNull || col(filterCol) === col("flt"))
+      .select(col("q_id"),
+        round(graft.vector.Kernels.cosine(col(config.vectorCol), col("qv")), 6)
+          .as("score"),
+        col(config.idCol))
+    scored.groupBy(col("q_id"))
+      .agg(graft.vector.Kernels.topKHits(col("score"), col(config.idCol), k).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), col("col.vec_id").as(config.idCol),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** D1 search routed to one shard (Qdrant `shard_key_selector`): on a
     * sharded collection the shard predicate is a directory-partition
     * filter, so the scan reads only the selected shard's subtree —

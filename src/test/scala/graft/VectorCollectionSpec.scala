@@ -60,6 +60,38 @@ class VectorCollectionSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("searchBatchFiltered: one pass, per-request filters equal per-request searches") {
+    val dir = s"${tmp()}/col"
+    val pts = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding").as("v"), col("label"))
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("pid", "v", 64, multiVector = false))
+    c.upsert(pts)
+    def vec(id: Long): Seq[Float] = pts.filter(col("pid") === id)
+      .head.getSeq[Float](1).toSeq
+    val reqs = Seq(
+      (1L, vec(0L), Some(3L)),   // only label=3 candidates
+      (2L, vec(1L), Some(5L)),   // only label=5
+      (3L, vec(2L), None))       // unfiltered
+    val out = c.searchBatchFiltered(reqs, "label", k = 4).cache()
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) === 4L))
+    // each request's hits equal its standalone filtered search
+    reqs.foreach { case (qid, qv, flt) =>
+      val standalone = c.search(qv, 4,
+          flt.map(v => col("label") === v).getOrElse(lit(true)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = out.filter(col("q_id") === qid).orderBy(col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch === standalone, s"request $qid diverges from its standalone search")
+    }
+    // filters actually bit: filtered hits carry only the pinned label
+    val labels = pts.select(col("pid"), col("label"))
+    val l3 = out.filter(col("q_id") === 1L).join(labels, Seq("pid"))
+      .select("label").distinct().collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(l3 === Seq(3L))
+    out.unpersist()
+  }
+
   test("drop removes maintenance sidecars — no resurrection into a recreated collection") {
     val root = tmp()
     val path = s"$root/col"
