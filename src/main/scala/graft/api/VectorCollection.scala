@@ -300,6 +300,15 @@ class VectorCollection private (
       asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `recommend_groups`: recommendation scoring with grouped
+    * results, example points excluded. */
+  def recommendGroups(
+      posIds: Seq[Long], negIds: Seq[Long], groupCol: String,
+      groupSize: Int = 3, limit: Int = 5): DataFrame =
+    graft.search.QueryApis.recommendGroups(
+      asPoints, posIds, negIds, groupCol, groupSize, limit)
+      .withColumnRenamed("vec_id", config.idCol)
+
   /** Qdrant `search_groups` with `with_lookup`: each group carries the
     * matching record of `lookup` (another collection), joined on group
     * key = lookup id, `lk_`-prefixed. See

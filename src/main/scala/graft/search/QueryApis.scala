@@ -288,6 +288,28 @@ object QueryApis {
         (col("pos") + 1).cast("long").as("hit_rank"))
   }
 
+  /** Qdrant `recommend_groups`: recommendation scoring
+    * (average_vector strategy, example points excluded) with grouped
+    * results — the composition of [[recommend]]'s driver-side query
+    * construction and [[searchGroups]]'s group-headers-first plan. The
+    * 2·avg_pos − avg_neg vector becomes a plan literal exactly as in
+    * [[recommend]]; the exclusion filter sits in the scan below the
+    * group-header aggregate, so excluded examples never reach any
+    * ranking state. */
+  def recommendGroups(
+      points: DataFrame,
+      posIds: Seq[Long],
+      negIds: Seq[Long],
+      groupCol: String,
+      groupSize: Int,
+      limit: Int): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val qv = averageVector(fetchVecs(points, posIds ++ negIds), posIds, negIds)
+    searchGroups(
+      points.filter(!col("vec_id").isInCollection(posIds ++ negIds)),
+      qv.toSeq, groupCol, groupSize, limit)
+  }
+
   /** [[searchGroups]] with Qdrant's `with_lookup`: attach columns of a
     * SECOND collection's record whose id equals the group key (the
     * canonical use: chunks grouped by document id, lookup fetches the
@@ -626,6 +648,27 @@ object QueryApis {
   private val LookupPos = Seq(3L, 11L)
   private val LookupNeg = Seq(7L)
 
+  /** The ex/q CTE pair building the average_vector query literal
+    * (DuckDB disallows subqueries inside lambdas, so the example
+    * vectors land in `ex` first and the lambda reads its columns; the
+    * component formula is the same left-to-right fold the Scala side
+    * computes), plus the exclusion id list — shared by q_recommend
+    * and q_recommend_groups. */
+  private def duckAvgVectorCtes: (String, String) = {
+    val exCols =
+      (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
+        RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
+        .mkString(",\n  ")
+    val posSum = RecPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
+    val negSum = RecNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
+    val component =
+      s"(($posSum) / ${RecPos.length}.0) * 2.0 - (($negSum) / ${RecNeg.length}.0)"
+    val ctes =
+      s"""ex AS (SELECT $exCols),
+         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)""".stripMargin
+    (ctes, (RecPos ++ RecNeg).mkString(", "))
+  }
+
   /** documents embedded as a second collection in (vec_id, embedding)
     * shape — the `lookup_from` fixture (ids are DOC ids). */
   private def docLookup(s: SparkSession, dir: String): DataFrame =
@@ -644,6 +687,11 @@ object QueryApis {
       discover(t(s, dir, "embeddings"), DiscTarget, DiscPairs, 10)),
     "q_recommend_best" -> ((s, dir) =>
       recommendBestScore(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    // recommend_groups: recommend scoring, grouped results, examples out
+    "q_recommend_groups" -> ((s, dir) =>
+      recommendGroups(t(s, dir, "embeddings"), RecPos, RecNeg,
+          "label", groupSize = 2, limit = 5)
+        .orderBy(col("grp_rank"), col("hit_rank"))),
     "q_context_search" -> ((s, dir) =>
       contextSearch(t(s, dir, "embeddings"), DiscPairs, 10)),
     "q_search_groups" -> ((s, dir) => {
@@ -842,24 +890,31 @@ object QueryApis {
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "q_recommend" -> {
-      // DuckDB disallows subqueries inside lambdas, so the example
-      // vectors land in an `ex` CTE first and the lambda reads its
-      // columns; the component formula is the same left-to-right fold
-      // the Scala side computes.
-      val exCols =
-        (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
-          RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
-          .mkString(",\n  ")
-      val posSum = RecPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
-      val negSum = RecNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
-      val component =
-        s"(($posSum) / ${RecPos.length}.0) * 2.0 - (($negSum) / ${RecNeg.length}.0)"
-      val excl = (RecPos ++ RecNeg).mkString(", ")
-      s"""WITH ex AS (SELECT $exCols),
-         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)
+      val (ctes, excl) = duckAvgVectorCtes
+      s"""WITH $ctes
          |SELECT vec_id, ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
          |FROM embeddings WHERE vec_id NOT IN ($excl)
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // recommend_groups = the q_recommend scoring CTEs feeding the
+    // q_search_groups group-header shape, examples excluded in `sc`
+    "q_recommend_groups" -> {
+      val (ctes, excl) = duckAvgVectorCtes
+      s"""WITH $ctes,
+         |sc AS (SELECT vec_id, label::BIGINT AS grp,
+         |    ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
+         |  FROM embeddings WHERE vec_id NOT IN ($excl)),
+         |g AS (SELECT grp, max(score) AS best FROM sc GROUP BY grp
+         |  ORDER BY best DESC, grp ASC LIMIT 5),
+         |gr AS (SELECT grp, best,
+         |  row_number() OVER (ORDER BY best DESC, grp ASC) AS grp_rank FROM g),
+         |h AS (SELECT grp, vec_id, score,
+         |  row_number() OVER (PARTITION BY grp ORDER BY score DESC, vec_id ASC) AS hit_rank
+         |  FROM sc)
+         |SELECT grp_rank, grp, best, vec_id, score, hit_rank
+         |FROM gr JOIN h USING (grp) WHERE hit_rank <= 2
+         |ORDER BY grp_rank, hit_rank""".stripMargin
     },
 
     "q_recommend_lookup" -> {

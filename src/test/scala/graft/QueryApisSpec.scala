@@ -160,6 +160,27 @@ class QueryApisSpec extends SparkSpec {
     assert(res.filter(_.getLong(5) === 1L).forall(r => r.getDouble(2) === r.getDouble(4)))
   }
 
+  test("recommendGroups: groups rank by recommend score, examples never appear") {
+    import graft.search.QueryApis
+    val pos = Seq(1L, 2L); val neg = Seq(3L)
+    val out = QueryApis.recommendGroups(emb, pos, neg, "label",
+      groupSize = 2, limit = 5).cache()
+    // examples excluded from every group's hits
+    assert(out.filter(col("vec_id").isin(pos ++ neg: _*)).count() === 0L)
+    // hit scores equal plain recommend's scores for the same ids
+    val recScores = QueryApis.recommend(emb, pos, neg, Int.MaxValue - 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getDouble(4) === recScores(r.getLong(3)),
+        s"group hit ${r.getLong(3)} diverges from recommend scoring")
+    }
+    // group order follows each group's best hit
+    val bests = out.filter(col("hit_rank") === 1L)
+      .orderBy(col("grp_rank")).collect().map(_.getDouble(2))
+    assert(bests.zip(bests.tail).forall { case (a, b) => a >= b })
+    out.unpersist()
+  }
+
   test("facet counts match a direct groupBy under the same filter") {
     val res = QueryApis.facet(docs, "lang", col("n_chars") >= 300, 10).collect()
     val direct = docs.filter(col("n_chars") >= 300)
