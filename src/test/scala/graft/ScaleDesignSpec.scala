@@ -530,6 +530,24 @@ class ScaleDesignSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(cap.contains("partial_topk_hits") && !cap.contains("Window"),
       s"domainCap must pre-reduce map-side to k docs per source:\n$cap")
+    // searchBatchFiltered: per-request filters must sit in the scan
+    // stage AHEAD of the heap — a filtered request shrinks its
+    // candidate stream instead of post-filtering ranked rows
+    val dir = java.nio.file.Files.createTempDirectory("sbf").toString + "/col"
+    val pts = e.select(col("vec_id").as("pid"),
+      col("embedding").as("v"), col("label"))
+    val c = graft.api.VectorCollection.ensure(spark, dir, pts,
+      graft.api.CollectionConfig("pid", "v", 64, multiVector = false))
+    c.upsert(pts)
+    val qv = e.filter(col("vec_id") === 0).head
+      .getSeq[Float](1).toSeq
+    val sbf = c.searchBatchFiltered(
+        Seq((1L, qv, Some(3L)), (2L, qv, None)), "label", 5)
+      .queryExecution.executedPlan.toString
+    assert(sbf.contains("partial_topk_hits") && !sbf.contains("Window"),
+      s"filtered batch search ranks via the bounded heap:\n$sbf")
+    assert(sbf.indexOf("flt") > sbf.indexOf("partial_topk_hits"),
+      s"the per-request filter must evaluate below the heap aggregate:\n$sbf")
   }
 
   test("LSH knn join plans as bucket equi-joins — no nested-loop/cartesian") {
