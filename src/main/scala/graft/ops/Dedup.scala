@@ -151,8 +151,14 @@ object Dedup {
     // a single bucket. Buckets past `maxBucket` are dropped (the same
     // documented coverage bound as substringPairs; members that large
     // are near-certain exact-dup clusters, which exact dedup already
-    // settles). The count window rides the bucket partitioning — no
-    // extra exchange.
+    // settles). Implementation: a count window riding the bucket
+    // partitioning — one in-partition sort by the bucket key, no new
+    // exchange, and no adversarial failure mode. The alternative
+    // (aggregate the hot list, broadcast anti-join) measured equal at
+    // sf0.1 (0.74s vs 0.84s min-of-3, within box noise) but its
+    // broadcast grows with the NUMBER of hot buckets — the exact
+    // adversarial input the cap exists for — while the window's cost
+    // is flat whatever the data does.
     val bands = sized
       .withColumn("_bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
