@@ -300,6 +300,14 @@ class VectorCollection private (
       asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `discover_batch`: N discovery requests, one collection
+    * pass (broadcast request frame, bounded-heap ranking on the
+    * composite (ctx_hits, sim) key). */
+  def discoverBatch(
+      requests: Seq[(Long, Long, Seq[(Long, Long)])], k: Int = 5): DataFrame =
+    graft.search.QueryApis.discoverBatch(asPoints, requests, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
   /** Qdrant `recommend_groups`: recommendation scoring with grouped
     * results, example points excluded. */
   def recommendGroups(

@@ -195,6 +195,52 @@ object QueryApis {
       .limit(k)
   }
 
+  /** Qdrant `discover_batch`: N discovery requests in ONE collection
+    * pass. Example vectors resolve driver-side (tiny, like B5 query
+    * embedding) and broadcast as one request frame carrying the target
+    * vector, the context-pair vectors, and the exclusion list; each
+    * candidate folds its context hits over the pair array and ranks
+    * through the bounded heap on the composite key
+    * `4·ctx_hits + sim` — sim ∈ [−1,1] and hits step by 1, so the
+    * composite is monotone in [[discover]]'s (ctx_hits DESC, sim DESC,
+    * id ASC) order and one heap ranks both criteria (spec-pinned equal
+    * to per-request [[discover]]). Per-pair cosines are intrinsic
+    * work, not re-evaluation: each pair is scored once per candidate,
+    * exactly as N separate discover scans would — minus the N−1 extra
+    * scans. */
+  def discoverBatch(
+      points: DataFrame,
+      requests: Seq[(Long, Long, Seq[(Long, Long)])],
+      k: Int): DataFrame = {
+    require(requests.nonEmpty, "discoverBatch needs at least one request")
+    requests.foreach { case (rid, _, ps) =>
+      require(ps.nonEmpty, s"discover request $rid needs at least one context pair") }
+    val ids = requests
+      .flatMap { case (_, t, ps) => t +: ps.flatMap(p => Seq(p._1, p._2)) }.distinct
+    val vecs = fetchVecs(points, ids)
+    val reqRows = requests.map { case (rid, t, ps) =>
+      (rid, vecs(t).toSeq,
+        ps.map(p => (vecs(p._1).toSeq, vecs(p._2).toSeq)),
+        (t +: ps.flatMap(p => Seq(p._1, p._2))).distinct)
+    }
+    import points.sparkSession.implicits._
+    val reqs = reqRows.toDF("req_id", "qv", "pairs", "excl")
+    points.crossJoin(broadcast(reqs))
+      .filter(!array_contains(col("excl"), col("vec_id")))
+      .select(col("req_id"), col("vec_id"),
+        (aggregate(col("pairs"), lit(0L), (acc, p) =>
+          acc + when(
+            round(Kernels.cosine(col("embedding"), p.getField("_1")), 6) >=
+              round(Kernels.cosine(col("embedding"), p.getField("_2")), 6),
+            1L).otherwise(0L)).cast("double") * 4.0 +
+          round(Kernels.cosine(col("embedding"), col("qv")), 6)).as("score"))
+      .groupBy(col("req_id"))
+      .agg(Kernels.topKHits(col("score"), col("vec_id"), k).as("hits"))
+      .select(col("req_id"), posexplode(col("hits")))
+      .select(col("req_id"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Qdrant `recommend` with `strategy=best_score` (the non-default
     * strategy beside [[recommend]]'s average_vector): every candidate
     * is scored against EVERY example; its positive score is the max

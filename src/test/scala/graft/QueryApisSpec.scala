@@ -160,6 +160,29 @@ class QueryApisSpec extends SparkSpec {
     assert(res.filter(_.getLong(5) === 1L).forall(r => r.getDouble(2) === r.getDouble(4)))
   }
 
+  test("discoverBatch equals per-request discover in one pass") {
+    import graft.search.QueryApis
+    val requests = Seq(
+      (1L, 0L, Seq((1L, 2L), (3L, 4L))),
+      (2L, 5L, Seq((6L, 7L))))
+    val out = QueryApis.discoverBatch(emb, requests, k = 8).cache()
+    assert(out.groupBy("req_id").count().collect().forall(_.getLong(1) === 8L))
+    requests.foreach { case (rid, target, pairs) =>
+      val standalone = QueryApis.discover(emb, target, pairs, 8)
+        .collect().map(_.getLong(0)).toSeq
+      val batch = out.filter(col("req_id") === rid).orderBy(col("rnk"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(batch === standalone,
+        s"request $rid: batch ranking diverges from per-request discover")
+    }
+    // composite key recovers the discover criteria: 4*ctx_hits + sim
+    val one = out.filter(col("req_id") === 1L && col("rnk") === 1L).head
+    val direct = QueryApis.discover(emb, 0L, Seq((1L, 2L), (3L, 4L)), 1).head
+    assert(math.abs(one.getDouble(2) -
+      (4.0 * direct.getLong(1) + direct.getDouble(2))) < 1e-9)
+    out.unpersist()
+  }
+
   test("recommendGroups: groups rank by recommend score, examples never appear") {
     import graft.search.QueryApis
     val pos = Seq(1L, 2L); val neg = Seq(3L)
