@@ -693,6 +693,14 @@ class VectorCollection private (
     * Unsharded collections rewrite the whole directory; sharded ones
     * compact each shard subtree independently, preserving the
     * directory-encoded shard column and its routed-search pruning. */
+  /** `create_payload_index` over TWO fields: Z-order (Morton) layout so
+    * selective filters on EITHER field skip files; see
+    * [[graft.index.Sink.indexPayloadZ]]. */
+  def createPayloadIndexZ(
+      fieldA: String, fieldB: String,
+      targetRowsPerFile: Long = 1L << 20): Int =
+    Sink.indexPayloadZ(spark, path, fieldA, fieldB, targetRowsPerFile)
+
   def compact(targetRowsPerFile: Long = 1L << 20): Int =
     if (config.shardCol.isDefined) Sink.compactShards(spark, path, targetRowsPerFile)
     else Sink.compact(spark, path, targetRowsPerFile)

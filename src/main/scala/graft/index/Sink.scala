@@ -1,7 +1,7 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
 
 /** Collection DDL + sink operators (SURVEY.md §2 C1–C2).
   *
@@ -501,6 +501,61 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(staging)
     swapInStaged(spark, path, staging)
   }
+
+  /** Z-order payload layout — `createPayloadIndex` over TWO fields.
+    * [[indexPayload]]'s range layout clusters ONE column; a filter on
+    * any other column still touches every file. Z-ordering interleaves
+    * the bits of both fields' 256-bucket grid positions into a Morton
+    * key and lays files out along it, so rows matching a selective
+    * predicate on EITHER field concentrate in a few files and parquet
+    * footer min/max skip the rest — the standard lakehouse multi-column
+    * data-skipping layout.
+    *
+    * Scale: the grid bounds come from one min/max aggregate (driver
+    * gets 4 numbers); the Morton key is a static codegen'd expression;
+    * the layout is repartitionByRange + sortWithinPartitions — all
+    * distributed, no window. Uniform buckets keep both engines exact;
+    * on heavily skewed columns swap the grid for approxQuantile
+    * boundaries (broadcast, same interleave). Single-writer, staged
+    * swap like [[indexPayload]]. */
+  def indexPayloadZ(
+      spark: SparkSession,
+      path: String,
+      fieldA: String,
+      fieldB: String,
+      targetRowsPerFile: Long = 1L << 20): Int = {
+    requireUnpartitioned(spark, path, "indexPayloadZ")
+    val data = spark.read.parquet(path)
+    val b = data.agg(
+      min(col(fieldA)).cast("double"), max(col(fieldA)).cast("double"),
+      min(col(fieldB)).cast("double"), max(col(fieldB)).cast("double")).head
+    require(!b.anyNull, s"indexPayloadZ: $fieldA/$fieldB must be non-null numerics")
+    val nFiles = fileCountFor(data.count(), targetRowsPerFile)
+    val staging = path + "_indexing"
+    data
+      .withColumn("_zkey", morton8(
+        gridBucket(col(fieldA), b.getDouble(0), b.getDouble(1)),
+        gridBucket(col(fieldB), b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    swapInStaged(spark, path, staging)
+  }
+
+  /** Uniform 256-cell grid position of `v` in [lo, hi], clamped. */
+  private def gridBucket(v: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else least(greatest(
+      floor((v.cast("double") - lit(lo)) / lit(hi - lo) * 256.0).cast("long"),
+      lit(0L)), lit(255L))
+
+  /** Morton (bit-interleave) key of two 8-bit grid positions. */
+  private def morton8(a: Column, b: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
 
   private def fileCountFor(rows: Long, targetRowsPerFile: Long): Int =
     math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)

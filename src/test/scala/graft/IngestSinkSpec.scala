@@ -236,6 +236,42 @@ class IngestSinkSpec extends SparkSpec {
     before.unpersist()
   }
 
+  test("Z-order payload index skips files for filters on EITHER field") {
+    val path = java.nio.file.Files.createTempDirectory("graft_zord").toString + "/col"
+    val pts = t(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
+    Sink.append(pts, path)
+    val total = pts.count()
+    def filesTouched(pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val predA = col("n_chars").between(250, 280)
+    val predB = col("doc_id").between(100, 125)
+    assert(pts.filter(predA).count() > 0 && pts.filter(predB).count() > 0,
+      "predicates must be non-vacuous")
+    // single-column range layout: clusters n_chars, scatters doc_id
+    Sink.indexPayload(spark, path, "n_chars", targetRowsPerFile = total / 16)
+    val nFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 12, s"need a multi-file layout to measure skipping, got $nFiles")
+    val singleA = filesTouched(predA)
+    val singleB = filesTouched(predB)
+    assert(singleA <= nFiles / 4, s"range layout must cluster its own column: $singleA/$nFiles")
+    // Z-order: BOTH dimensions concentrate
+    Sink.indexPayloadZ(spark, path, "doc_id", "n_chars", targetRowsPerFile = total / 16)
+    val zFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val zA = filesTouched(predA)
+    val zB = filesTouched(predB)
+    assert(zA <= zFiles / 2, s"Z layout: n_chars filter touched $zA of $zFiles files")
+    assert(zB <= zFiles / 2, s"Z layout: doc_id filter touched $zB of $zFiles files")
+    assert(zB < singleB,
+      s"Z layout must beat the single-column layout on the OTHER column ($zB vs $singleB)")
+    // the rewrite is a layout change only — content intact
+    val after = spark.read.parquet(path).select(col("doc_id"), col("n_chars"))
+    assert(after.exceptAll(pts).count() === 0L)
+    assert(pts.exceptAll(after).count() === 0L)
+  }
+
   test("compactShards self-heals a crash between retire and swap-in") {
     val path = java.nio.file.Files.createTempDirectory("graft_shcrash").toString + "/col"
     val pts = t(spark, sf, "embeddings")
