@@ -367,7 +367,11 @@ class VectorCollection private (
     * predicate evaluates inside the same codegen'd scoring stage, and
     * ranking stays the bounded-heap aggregate. Filtering BEFORE the
     * heap shrinks per-request candidate streams — a filtered request
-    * costs less, not more. */
+    * costs less, not more. Scoring honors the collection's configured
+    * Distance (cosine/dot DESC; euclid/manhattan ASC), matching
+    * [[search]] exactly. Internal names are `_g`-prefixed and the scan
+    * is pruned to (id, vector, filterCol), so payload column names can
+    * never collide with the request frame. */
   def searchBatchFiltered(
       requests: Seq[(Long, Seq[Float], Option[Long])],
       filterCol: String,
@@ -380,20 +384,18 @@ class VectorCollection private (
       s"query ${badDim.map(_._1).getOrElse(0L)} dim ${badDim.map(_._2).getOrElse(0)} " +
         s"!= collection dim ${config.dim}")
     import spark.implicits._
+    val (scoreOf, asc) = VectorCollection.metricFn(config.distance)
     val reqs = requests.map { case (id, v, f) => (id, v, f.map(long2Long).orNull) }
-      .toDF("q_id", "qv", "flt")
+      .toDF("_g_qid", "_g_qv", "_g_flt")
     val scored = table
+      .select(col(config.idCol).as("vec_id"), col(config.vectorCol).as("_g_vec"),
+        col(filterCol).cast("long").as("_g_fv"))
       .crossJoin(broadcast(reqs))
-      .filter(col("flt").isNull || col(filterCol) === col("flt"))
-      .select(col("q_id"),
-        round(graft.vector.Kernels.cosine(col(config.vectorCol), col("qv")), 6)
-          .as("score"),
-        col(config.idCol))
-    scored.groupBy(col("q_id"))
-      .agg(graft.vector.Kernels.topKHits(col("score"), col(config.idCol), k).as("hits"))
-      .select(col("q_id"), posexplode(col("hits")))
-      .select(col("q_id"), col("col.vec_id").as(config.idCol),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+      .filter(col("_g_flt").isNull || col("_g_fv") === col("_g_flt"))
+      .select(col("_g_qid").as("q_id"), col("vec_id"),
+        round(scoreOf(col("_g_vec"), col("_g_qv")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "q_id", k, ascending = asc)
+      .withColumnRenamed("vec_id", config.idCol)
   }
 
   /** D1 search routed to one shard (Qdrant `shard_key_selector`): on a
@@ -688,11 +690,6 @@ class VectorCollection private (
     Sink.indexPayload(spark, path, field, targetRowsPerFile)
   }
 
-  /** Maintenance: compact accumulated small part files into
-    * `targetRowsPerFile`-sized ones (Qdrant's segment optimizer).
-    * Unsharded collections rewrite the whole directory; sharded ones
-    * compact each shard subtree independently, preserving the
-    * directory-encoded shard column and its routed-search pruning. */
   /** `create_payload_index` over TWO fields: Z-order (Morton) layout so
     * selective filters on EITHER field skip files; see
     * [[graft.index.Sink.indexPayloadZ]]. */
@@ -701,6 +698,11 @@ class VectorCollection private (
       targetRowsPerFile: Long = 1L << 20): Int =
     Sink.indexPayloadZ(spark, path, fieldA, fieldB, targetRowsPerFile)
 
+  /** Maintenance: compact accumulated small part files into
+    * `targetRowsPerFile`-sized ones (Qdrant's segment optimizer).
+    * Unsharded collections rewrite the whole directory; sharded ones
+    * compact each shard subtree independently, preserving the
+    * directory-encoded shard column and its routed-search pruning. */
   def compact(targetRowsPerFile: Long = 1L << 20): Int =
     if (config.shardCol.isDefined) Sink.compactShards(spark, path, targetRowsPerFile)
     else Sink.compact(spark, path, targetRowsPerFile)
@@ -842,6 +844,18 @@ class VectorCollection private (
 
 object VectorCollection {
 
+  /** (score expression, ranks-ascending) for a configured Distance —
+    * the same mapping TopK.dense applies. */
+  private[api] def metricFn(distance: String): ((Column, Column) => Column, Boolean) =
+    distance match {
+      case "cosine" => (graft.vector.Kernels.cosine, false)
+      case "dot" => (graft.vector.Kernels.dot, false)
+      case "euclid" => (graft.vector.Kernels.euclidean, true)
+      case "manhattan" => (graft.vector.Kernels.manhattan, true)
+      case other => throw new IllegalArgumentException(
+        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
+    }
+
   private def metaPath(path: String) = s"$path/_graft_meta.json"
 
   /** C1: create-if-absent with declared vector config (the Qdrant
@@ -914,11 +928,17 @@ object VectorCollection {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val existed = fs.delete(p, true)
-    // keep in sync with Sink's staging-dir suffixes
+    val existed = fs.exists(p)
+    // sidecars FIRST, root LAST: a crash mid-drop must never leave a
+    // _compact_retired shard behind with the root already gone — a new
+    // collection at the same path would have the dead shard healed
+    // back in by compactShards' recovery. Root-last means a partial
+    // drop is just an undropped collection. Keep the suffix list in
+    // sync with Sink's staging-dir names.
     Seq("_ivf", "_compact_retired", "_compact_staging", "_compacting",
         "_indexing", "_restoring", "_retired")
       .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(path + s), true))
+    fs.delete(p, true)
     existed
   }
 

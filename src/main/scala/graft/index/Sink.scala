@@ -526,11 +526,21 @@ object Sink {
       targetRowsPerFile: Long = 1L << 20): Int = {
     requireUnpartitioned(spark, path, "indexPayloadZ")
     val data = spark.read.parquet(path)
+    // ONE stats pass: bounds + row count together. NaNs are excluded
+    // from the bounds (a max() over doubles returns NaN if any row is
+    // NaN, which would poison the whole grid) and bucket to cell 0 in
+    // gridBucket — layout quality degrades for those rows, correctness
+    // does not.
+    def nn(f: String) = {
+      val v = col(f).cast("double")
+      org.apache.spark.sql.functions.when(!org.apache.spark.sql.functions.isnan(v), v)
+    }
     val b = data.agg(
-      min(col(fieldA)).cast("double"), max(col(fieldA)).cast("double"),
-      min(col(fieldB)).cast("double"), max(col(fieldB)).cast("double")).head
-    require(!b.anyNull, s"indexPayloadZ: $fieldA/$fieldB must be non-null numerics")
-    val nFiles = fileCountFor(data.count(), targetRowsPerFile)
+      min(nn(fieldA)), max(nn(fieldA)), min(nn(fieldB)), max(nn(fieldB)),
+      org.apache.spark.sql.functions.count(lit(1))).head
+    require(!(0 to 3).exists(b.isNullAt),
+      s"indexPayloadZ: $fieldA/$fieldB need at least one non-null, non-NaN value each")
+    val nFiles = fileCountFor(b.getLong(4), targetRowsPerFile)
     val staging = path + "_indexing"
     data
       .withColumn("_zkey", morton8(
@@ -543,12 +553,19 @@ object Sink {
     swapInStaged(spark, path, staging)
   }
 
-  /** Uniform 256-cell grid position of `v` in [lo, hi], clamped. */
+  /** Uniform 256-cell grid position of `v` in [lo, hi], clamped; NaN
+    * (excluded from the bounds) buckets to cell 0 instead of throwing
+    * an ANSI cast error mid-rewrite. */
   private def gridBucket(v: Column, lo: Double, hi: Double): Column =
     if (hi <= lo) lit(0L)
-    else least(greatest(
-      floor((v.cast("double") - lit(lo)) / lit(hi - lo) * 256.0).cast("long"),
-      lit(0L)), lit(255L))
+    else {
+      val vd = v.cast("double")
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.isnan(vd), lit(0L)
+      ).otherwise(least(greatest(
+        floor((vd - lit(lo)) / lit(hi - lo) * 256.0).cast("long"),
+        lit(0L)), lit(255L)))
+    }
 
   /** Morton (bit-interleave) key of two 8-bit grid positions. */
   private def morton8(a: Column, b: Column): Column =

@@ -48,11 +48,28 @@ object Similarity {
     val scored = data.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-    scored.groupBy(col("q_id"))
-      .agg(topKHits(col("score"), col("vec_id"), k).as("hits"))
-      .select(col("q_id"), posexplode(col("hits")))
-      .select(col("q_id"), col("col.vec_id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+    rankHits(scored, "q_id", k)
+  }
+
+  /** The heap-ranking tail every broadcast-batch operator shares: a
+    * scored frame carrying (`keyCol`, vec_id, score) → per-key top-k
+    * rows (`keyCol`, vec_id, score, rnk), ranked score DESC / id ASC
+    * through the bounded-heap aggregate (map-side partial, O(k) per
+    * key through the shuffle). `ascending=true` ranks ASC for distance
+    * metrics by negating the heap key — sign flips are exact in
+    * doubles, ids still tie-break ASC. One definition so the rank and
+    * column contract cannot drift between knnJoin, recommendBatch,
+    * discoverBatch, and searchBatchFiltered. */
+  private[graft] def rankHits(
+      scored: DataFrame, keyCol: String, k: Int,
+      ascending: Boolean = false): DataFrame = {
+    val key = if (ascending) -col("score") else col("score")
+    scored.groupBy(col(keyCol))
+      .agg(Kernels.topKHits(key, col("vec_id"), k).as("hits"))
+      .select(col(keyCol), posexplode(col("hits")))
+      .select(col(keyCol), col("col.vec_id").as("vec_id"),
+        (if (ascending) -col("col.score") else col("col.score")).as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Fixture shim for EXPENSIVE per-row work (embedding) on a narrow

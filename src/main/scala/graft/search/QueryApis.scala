@@ -154,15 +154,11 @@ object QueryApis {
     // bounded-heap ranking (the knnJoin shape): each map task
     // pre-reduces to k pairs per request before the req_id shuffle —
     // never N copies of the corpus through the wire
-    points.crossJoin(broadcast(reqs))
+    val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
         round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-      .groupBy(col("req_id"))
-      .agg(Kernels.topKHits(col("score"), col("vec_id"), k).as("hits"))
-      .select(col("req_id"), posexplode(col("hits")))
-      .select(col("req_id"), col("col.vec_id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+    graft.ops.Similarity.rankHits(scored, "req_id", k)
   }
 
   /** Qdrant discovery search: rank by how many (positive, negative)
@@ -225,7 +221,7 @@ object QueryApis {
     }
     import points.sparkSession.implicits._
     val reqs = reqRows.toDF("req_id", "qv", "pairs", "excl")
-    points.crossJoin(broadcast(reqs))
+    val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
         (aggregate(col("pairs"), lit(0L), (acc, p) =>
@@ -234,11 +230,7 @@ object QueryApis {
               round(Kernels.cosine(col("embedding"), p.getField("_2")), 6),
             1L).otherwise(0L)).cast("double") * 4.0 +
           round(Kernels.cosine(col("embedding"), col("qv")), 6)).as("score"))
-      .groupBy(col("req_id"))
-      .agg(Kernels.topKHits(col("score"), col("vec_id"), k).as("hits"))
-      .select(col("req_id"), posexplode(col("hits")))
-      .select(col("req_id"), col("col.vec_id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+    graft.ops.Similarity.rankHits(scored, "req_id", k)
   }
 
   /** Qdrant `recommend` with `strategy=best_score` (the non-default

@@ -90,6 +90,22 @@ class VectorCollectionSpec extends SparkSpec {
       .select("label").distinct().collect().map(_.getAs[Number](0).longValue).toSeq
     assert(l3 === Seq(3L))
     out.unpersist()
+    // non-cosine collection: batch honors the configured Distance
+    // (euclid ranks ASCENDING) and still equals per-request search
+    val dirE = s"${tmp()}/colE"
+    val cE = VectorCollection.ensure(spark, dirE, pts,
+      CollectionConfig("pid", "v", 64, multiVector = false, distance = "euclid"))
+    cE.upsert(pts)
+    val reqsE = Seq((1L, vec(0L), Some(3L)), (2L, vec(1L), None))
+    val outE = cE.searchBatchFiltered(reqsE, "label", k = 4)
+    reqsE.foreach { case (qid, qv, flt) =>
+      val standalone = cE.search(qv, 4,
+          flt.map(v => col("label") === v).getOrElse(lit(true)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = outE.filter(col("q_id") === qid).orderBy(col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch === standalone, s"euclid request $qid diverges from standalone")
+    }
   }
 
   test("drop removes maintenance sidecars — no resurrection into a recreated collection") {
