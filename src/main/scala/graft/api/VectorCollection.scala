@@ -143,6 +143,31 @@ class VectorCollection private (
     TopK.maxSim(table, q, config.idCol, config.vectorCol, k)
   }
 
+  /** [[searchMaxSim]] for N query matrices in ONE collection pass —
+    * `query_batch_points` over a multi-vector collection. The request
+    * frame (id, token matrix) broadcasts; each document's MaxSim
+    * against every request evaluates in one scan, and per-request
+    * ranking is the bounded heap. The per-request plan is identical to
+    * [[searchMaxSim]] minus the N−1 extra corpus scans. */
+  def searchMaxSimBatch(
+      requests: Seq[(Long, Seq[Seq[Float]])], k: Int = 5): DataFrame = {
+    require(config.multiVector, "batch maxsim search on a dense collection")
+    val badDim = requests.collectFirst {
+      case (qid, m) if m.exists(_.length != config.dim) => qid
+    }
+    require(badDim.isEmpty,
+      s"request ${badDim.getOrElse(0L)} has a token vector whose dim != ${config.dim}")
+    import spark.implicits._
+    val reqs = requests.toDF("_g_qid", "_g_qm")
+    val scored = table
+      .select(col(config.idCol).as("vec_id"), col(config.vectorCol).as("_g_vecs"))
+      .crossJoin(broadcast(reqs))
+      .select(col("_g_qid").as("q_id"), col("vec_id"),
+        round(graft.vector.Kernels.maxsim(col("_g_qm"), col("_g_vecs")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "q_id", k)
+      .withColumnRenamed("vec_id", config.idCol)
+  }
+
   /** D1 search selecting a NAMED vector (Qdrant `query_points(...,
     * using="name")`): identical plan to [[search]] but scored against
     * the name's column — the other named vectors' bytes never leave

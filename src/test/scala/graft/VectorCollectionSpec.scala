@@ -203,6 +203,30 @@ class VectorCollectionSpec extends SparkSpec {
     assert(hits.head.getLong(0) === 7L)
   }
 
+  test("searchMaxSimBatch equals per-request MaxSim search in one pass") {
+    val dir = s"${tmp()}/col"
+    val mv = Tables.multiVectorDocs(t(spark, sf, "embeddings")).cache()
+    val c = VectorCollection.ensure(spark, dir, mv,
+      CollectionConfig("doc_id", "vecs", 64, multiVector = true))
+    c.upsert(mv)
+    def matOf(id: Long): Seq[Seq[Float]] = mv.filter(col("doc_id") === id).head
+      .getSeq[scala.collection.Seq[Float]](1).map(_.toSeq.asInstanceOf[Seq[Float]]).toSeq
+    val reqs = Seq((1L, matOf(7L)), (2L, matOf(11L)))
+    val out = c.searchMaxSimBatch(reqs, k = 3).cache()
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) === 3L))
+    reqs.foreach { case (qid, qm) =>
+      val standalone = c.searchMaxSim(qm, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = out.filter(col("q_id") === qid).orderBy(col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch === standalone, s"request $qid diverges from searchMaxSim")
+    }
+    // each request's own document ranks first
+    assert(out.filter(col("q_id") === 1L && col("rnk") === 1L).head.getLong(1) === 7L)
+    assert(out.filter(col("q_id") === 2L && col("rnk") === 1L).head.getLong(1) === 11L)
+    out.unpersist(); mv.unpersist()
+  }
+
   test("dim-1536 collection (VDR shape): config plumbing beyond the fixture dim") {
     // the VDR-2b backend declares 1536-dim vectors
     // (/root/reference/with_vdr-2b-multi-v1/incremental_indexing_vdr_2b_multi_v1.py:57);
