@@ -302,11 +302,102 @@ object GeoRadius {
   }
 }
 
-/** The filter root: three clause lists, all optional. */
+/** Geo polygon (Qdrant GeoPolygon): the point lies inside the
+  * `exterior` ring and outside every `interiors` ring (holes).
+  * Vertices are (lon, lat) degree pairs, Qdrant's GeoPoint order; an
+  * explicitly closed ring (first == last vertex, which Qdrant
+  * requires) is accepted and unclosed implicitly.
+  *
+  * Point-in-ring is the classic even-odd ray cast (PNPOLY, Franklin):
+  * count edges that straddle the point's latitude and cross to its
+  * east; odd = inside. The ring is a driver-side constant, so the test
+  * unrolls to a literal sum of per-edge CASE terms — pure column-vs-
+  * constant arithmetic inside whole-stage codegen, no UDF, no join.
+  * Horizontal edges never straddle and are dropped driver-side (their
+  * slope term would divide by zero under ANSI mode). [[duckSql]]
+  * replicates the exact IEEE op sequence (sub/mul/div/add on the same
+  * folded constants) so both engines agree even on borderline points.
+  *
+  * Like [[GeoRadius]], the unrolled test cannot reach PushedFilters,
+  * so the compiled predicate leads with the ring's driver-computed
+  * bounding box — the rectangle the scan prunes row groups on — and
+  * the ray cast runs only on survivors. */
+case class GeoPolygon(
+    latKey: String,
+    lonKey: String,
+    exterior: Seq[(Double, Double)],
+    interiors: Seq[Seq[(Double, Double)]] = Nil) extends Cond {
+  require(exterior.size >= 3, "polygon exterior needs at least 3 vertices")
+
+  private def open(ring: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    if (ring.size > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+
+  private def edges(ring: Seq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] = {
+    val r = open(ring)
+    r.indices.map(i => (r(i), r((i + 1) % r.size))).filter { case ((_, yi), (_, yj)) => yi != yj }
+  }
+
+  private def inRing(ring: Seq[(Double, Double)]): Column = {
+    val crossings = edges(ring).map { case ((xi, yi), (xj, yj)) =>
+      val straddle = (lit(yi) > col(latKey)) =!= (lit(yj) > col(latKey))
+      val east = col(lonKey) < lit(xj - xi) * (col(latKey) - lit(yi)) / lit(yj - yi) + lit(xi)
+      when(straddle && east, 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  private lazy val bbox: (Double, Double, Double, Double) = {
+    val r = open(exterior)
+    (r.map(_._2).min, r.map(_._2).max, r.map(_._1).min, r.map(_._1).max)
+  }
+
+  def toColumn: Column = {
+    val (latMin, latMax, lonMin, lonMax) = bbox
+    val pre = col(latKey) >= lit(latMin) && col(latKey) <= lit(latMax) &&
+      col(lonKey) >= lit(lonMin) && col(lonKey) <= lit(lonMax)
+    (pre +: inRing(exterior) +: interiors.map(r => !inRing(r))).reduce(_ && _)
+  }
+
+  private def duckRing(ring: Seq[(Double, Double)]): String = {
+    val terms = edges(ring).map { case ((xi, yi), (xj, yj)) =>
+      s"(CASE WHEN ($yi > $latKey) != ($yj > $latKey) AND " +
+        s"$lonKey < ${xj - xi} * ($latKey - $yi) / ${yj - yi} + $xi THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** DuckDB twin of [[toColumn]] — same bounding-box prefilter, same
+    * unrolled ray cast on the same folded constants. */
+  def duckSql: String = {
+    val (latMin, latMax, lonMin, lonMax) = bbox
+    val pre = s"$latKey >= $latMin AND $latKey <= $latMax AND " +
+      s"$lonKey >= $lonMin AND $lonKey <= $lonMax"
+    (Seq(pre, duckRing(exterior)) ++ interiors.map(r => s"NOT ${duckRing(r)}"))
+      .mkString("(", " AND ", ")")
+  }
+}
+
+/** `min_should` clause (Qdrant MinShould): at least `minCount` of the
+  * conditions hold. Compiles to a literal sum of per-condition
+  * indicator CASEs — a NULL verdict (missing payload key) counts as
+  * not-matched, same as every other clause. `should` is the
+  * minCount=1 special case; Qdrant exposes both, so both exist here. */
+case class MinShould(conditions: Seq[Cond], minCount: Int) {
+  require(minCount >= 1 && minCount <= conditions.size,
+    s"min_count $minCount out of range for ${conditions.size} conditions")
+  def toColumn: Column =
+    conditions
+      .map(c => when(coalesce(c.toColumn, lit(false)), 1).otherwise(0))
+      .reduce(_ + _) >= lit(minCount)
+}
+
+/** The filter root: three clause lists plus `min_should`, all
+  * optional. */
 case class Filter(
     must: Seq[Cond] = Nil,
     should: Seq[Cond] = Nil,
-    mustNot: Seq[Cond] = Nil) {
+    mustNot: Seq[Cond] = Nil,
+    minShould: Option[MinShould] = None) {
   def toColumn: Column = {
     val m = must.map(_.toColumn)
     val s =
@@ -317,7 +408,8 @@ case class Filter(
     // forbidden condition, which is exactly what must_not wants. The
     // coalesce pins "condition did not match" for NULLs.
     val n = mustNot.map(c => !coalesce(c.toColumn, lit(false)))
-    (m ++ s ++ n).reduceOption(_ && _).getOrElse(lit(true))
+    val ms = minShould.map(_.toColumn).toSeq
+    (m ++ s ++ n ++ ms).reduceOption(_ && _).getOrElse(lit(true))
   }
 }
 
@@ -339,6 +431,30 @@ object Filters {
   val GeoFixtureBox: GeoBoundingBox =
     GeoBoundingBox("lat", "lon", topLeft = (70.0, -150.0), bottomRight = (-70.0, 150.0))
 
+  /** The e4_geo_polygon fixture: a diamond spanning the mid-latitudes
+    * with a rectangular hole over the equator — at sf0.01 the diamond
+    * holds 458 customer points and the hole carves 34 back out, so
+    * both the ring test and the interior-ring subtraction are
+    * non-vacuous. Vertices sit at .005 offsets, off the fixture's
+    * 0.01° coordinate grid. */
+  val GeoFixturePolygon: GeoPolygon = GeoPolygon("lat", "lon",
+    exterior = Seq((-120.005, 0.005), (0.005, 70.005), (120.005, 0.005), (0.005, -70.005)),
+    interiors = Seq(Seq(
+      (-30.005, -20.005), (30.005, -20.005), (30.005, 20.005), (-30.005, 20.005))))
+
+  /** Deterministic customer lat/lon used by the geo fixtures: integer
+    * math on c_custkey, so both engines build bit-identical doubles. */
+  private def customerGeo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+      ((col("c_custkey") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
+      ((col("c_custkey") * 6763 % 35000) / 100.0 - 175.0).as("lon"))
+
+  private val duckCustomerGeo: String =
+    """SELECT c_custkey,
+      |    (c_custkey * 3571 % 17000) / 100.0 - 85.0 AS lat,
+      |    (c_custkey * 6763 % 35000) / 100.0 - 175.0 AS lon
+      |  FROM customer""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Qdrant DatetimeRange in the DSL: timestamp bounds push to the
     // scan with the column's natural type, composed with a numeric
@@ -359,14 +475,38 @@ object Filters {
     // from c_custkey by integer math so both engines see bit-identical
     // doubles.
     "e4_geo_filter" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"),
-        ((col("c_custkey") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
-        ((col("c_custkey") * 6763 % 35000) / 100.0 - 175.0).as("lon"))
       val f = Filter(must = Seq(GeoFixtureBox, GeoFixtureRadius))
-      c.filter(f.toColumn)
+      customerGeo(s, dir).filter(f.toColumn)
         .select(col("c_custkey"),
           round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Qdrant GeoPolygon: even-odd ray cast against a diamond exterior
+    // with a rectangular hole, unrolled to literal arithmetic behind a
+    // pushed bounding-box prefilter. The hole excludes 34 of the 458
+    // diamond points at sf0.01 — the interiors list is doing real work.
+    "e4_geo_polygon" -> ((s, dir) => {
+      val f = Filter(must = Seq(GeoFixturePolygon))
+      customerGeo(s, dir).filter(f.toColumn)
+        .select(col("c_custkey"),
+          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Qdrant MinShould: at least 3 of 4 heterogeneous conditions
+    // (match, range, match, datetime) — the threshold semantics OR
+    // can't express (min_count=1 IS should; 3-of-4 needs the
+    // indicator sum).
+    "e4_min_should" -> ((s, dir) => {
+      val f = Filter(minShould = Some(MinShould(Seq(
+        MatchValue("o_orderpriority", "1-URGENT"),
+        RangeCond("o_totalprice", gte = Some(250000.0)),
+        MatchValue("o_orderstatus", "F"),
+        DatetimeRange("o_orderdate", gte = Some("1997-06-01"))), minCount = 3)))
+      t(s, dir, "orders").filter(f.toColumn)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Qdrant NestedCondition + ValuesCount + IsEmpty + HasId — the
@@ -459,15 +599,27 @@ object Filters {
         |ORDER BY o_orderkey""".stripMargin,
 
     "e4_geo_filter" ->
-      s"""WITH c AS (SELECT c_custkey,
-         |    (c_custkey * 3571 % 17000) / 100.0 - 85.0 AS lat,
-         |    (c_custkey * 6763 % 35000) / 100.0 - 175.0 AS lon
-         |  FROM customer)
+      s"""WITH c AS ($duckCustomerGeo)
          |SELECT c_custkey, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon
          |FROM c
          |WHERE lat <= 70.0 AND lat >= -70.0 AND lon >= -150.0 AND lon <= 150.0
          |  AND ${GeoFixtureRadius.duckSql}
          |ORDER BY c_custkey""".stripMargin,
+
+    "e4_geo_polygon" ->
+      s"""WITH c AS ($duckCustomerGeo)
+         |SELECT c_custkey, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon
+         |FROM c
+         |WHERE ${GeoFixturePolygon.duckSql}
+         |ORDER BY c_custkey""".stripMargin,
+
+    "e4_min_should" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (CASE WHEN coalesce(o_orderpriority = '1-URGENT', false) THEN 1 ELSE 0 END
+        |     + CASE WHEN coalesce(o_totalprice >= 250000.0, false) THEN 1 ELSE 0 END
+        |     + CASE WHEN coalesce(o_orderstatus = 'F', false) THEN 1 ELSE 0 END
+        |     + CASE WHEN coalesce(o_orderdate >= TIMESTAMP '1997-06-01', false) THEN 1 ELSE 0 END) >= 3
+        |ORDER BY o_orderkey""".stripMargin,
 
     "e4_filter_dsl" ->
       s"""SELECT vec_id,

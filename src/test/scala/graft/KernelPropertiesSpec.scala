@@ -211,6 +211,71 @@ class KernelPropertiesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("geo polygon: compiled ray cast == reference PNPOLY; holes subtract; closed rings accepted") {
+    import graft.search.GeoPolygon
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 500).map { i =>
+      (i.toLong, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30)
+    }
+    val df = pts.toDF("id", "lat", "lon").cache()
+    // driver-side reference: the classic even-odd ray cast on (lon, lat)
+    def inRing(ring: Seq[(Double, Double)], x: Double, y: Double): Boolean = {
+      var inside = false
+      var j = ring.size - 1
+      for (i <- ring.indices) {
+        val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+        if (((yi > y) != (yj > y)) && (x < (xj - xi) * (y - yi) / (yj - yi) + xi))
+          inside = !inside
+        j = i
+      }
+      inside
+    }
+    // CONCAVE exterior (notch at the top) with a square hole: concavity
+    // exercises the multi-crossing parity a convex-only test would not
+    val ext = Seq((-25.0, -25.0), (25.0, -25.0), (25.0, 25.0), (0.0, 5.0), (-25.0, 25.0))
+    val hole = Seq((-10.0, -10.0), (10.0, -10.0), (10.0, 8.0), (-10.0, 8.0))
+    val want = pts.collect {
+      case (id, lat, lon) if inRing(ext, lon, lat) && !inRing(hole, lon, lat) => id
+    }.toSet
+    // non-vacuous: some points in the ring, some carved out by the hole
+    assert(want.nonEmpty)
+    assert(pts.exists { case (_, lat, lon) => inRing(ext, lon, lat) && inRing(hole, lon, lat) })
+    val g = GeoPolygon("lat", "lon", ext, Seq(hole))
+    val got = df.filter(g.toColumn).collect().map(_.getLong(0)).toSet
+    assert(got === want, "compiled polygon disagrees with reference ray cast")
+    // Qdrant sends rings CLOSED (first == last); the condition must
+    // unclose them, not double-count the seam edge
+    val closed = GeoPolygon("lat", "lon", ext :+ ext.head, Seq(hole :+ hole.head))
+    assert(df.filter(closed.toColumn).collect().map(_.getLong(0)).toSet === want)
+    df.unpersist()
+  }
+
+  test("min_should: threshold count semantics through the Filter root") {
+    import graft.search._
+    val df = Seq(
+      (1L, 10, "a"), (2L, 60, "a"), (3L, 60, "a"), (4L, 5, null: String), (5L, 70, "b")
+    ).toDF("id", "v", "tag")
+    val conds = Seq(
+      MatchValue("tag", "a"),
+      RangeCond("v", gte = Some(50)),
+      RangeCond("id", lte = Some(2L)))
+    def ids(f: Filter): Set[Long] =
+      df.filter(f.toColumn).collect().map(_.getLong(0)).toSet
+    // per-row satisfied counts: 1→2, 2→3, 3→2, 4→0 (null tag fails), 5→1
+    assert(ids(Filter(minShould = Some(MinShould(conds, 2)))) === Set(1L, 2L, 3L))
+    assert(ids(Filter(minShould = Some(MinShould(conds, 3)))) === Set(2L))
+    // min_count=1 degenerates to should — same rows either way
+    assert(ids(Filter(minShould = Some(MinShould(conds, 1)))) ===
+      ids(Filter(should = conds)))
+    // composes with must under AND
+    assert(ids(Filter(
+      must = Seq(RangeCond("v", gte = Some(20))),
+      minShould = Some(MinShould(conds, 2)))) === Set(2L, 3L))
+    // out-of-range thresholds are construction errors, not silent trues
+    assertThrows[IllegalArgumentException](MinShould(conds, 0))
+    assertThrows[IllegalArgumentException](MinShould(conds, 4))
+  }
+
   test("nested / values-count / is-empty / has-id / text / phrase conditions") {
     import graft.search._
     def ids(c: Cond, df: org.apache.spark.sql.DataFrame): Set[Long] =
