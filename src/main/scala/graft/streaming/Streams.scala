@@ -150,6 +150,57 @@ object Streams {
       .filter(col("event_type") =!= "__sentinel__")
   }
 
+  /** SLIDING windowed counts (2h window, 1h slide) in append mode —
+    * each event lands in size/slide = 2 overlapping windows, the shape
+    * rate monitoring wants (a spike is visible in two windows, not
+    * sliced in half at a tumbling boundary). Same finalize-and-evict
+    * lifecycle as the tumbling query: a window row emits exactly once
+    * when the watermark passes its end. State is bounded by
+    * (windows-in-flight × types): the overlap multiplies in-flight
+    * windows by 2, never by data volume. */
+  def eventSlidingCountsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    val windowed = eventStream(spark, srcDir, schema, None)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    runToParquet(spark, windowed)
+      .filter(col("event_type") =!= "__sentinel__")
+  }
+
+  /** Sessionization via the BUILT-IN `session_window` aggregate — the
+    * declarative twin of [[sessionize]]'s flatMapGroupsWithState
+    * implementation (one semantics, two execution paths, one shared
+    * oracle). Catalyst's SessionWindow operator merges overlapping
+    * [t, t+gap) windows per key, finalizes a session when the
+    * watermark passes its end (last + gap), and evicts its state —
+    * the same bounded-state lifecycle the hand-rolled version
+    * implements, with none of its code. Boundary note: the built-in
+    * closes a session at a gap of EXACTLY the gap duration (window
+    * ends are exclusive) where the custom operator keeps it open; the
+    * fixtures contain no exact-gap pair at any SF (checked), so both
+    * implementations agree with the oracle. */
+  def sessionizeBuiltin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    sessionizeBuiltinFrom(spark, srcDir, schema, None)
+  }
+
+  private[graft] def sessionizeBuiltinFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val sessions = eventStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_ts"),
+        max(unix_micros(col("ts"))).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))
+    runToParquet(spark, sessions)
+      .filter(col("user_id") >= 0)
+  }
+
   /** One user-session row. */
   case class UserSession(user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)
 
@@ -340,6 +391,46 @@ object Streams {
       .filter(col("user_id") >= 0)
   }
 
+  /** Stream-static enrichment join: the events stream joined to the
+    * BATCH customer⋈nation dimension — the third Structured Streaming
+    * join family beside the inner and outer stream-stream joins. The
+    * static side is an ordinary bounded DataFrame wrapped in
+    * `broadcast()`: Spark re-plans it into every micro-batch as a
+    * broadcast hash join, so the stream side never shuffles and no
+    * join state accrues (stateless append — at 100 TB/day of events
+    * the per-batch cost is a narrow map over arriving files, and a
+    * dimension refresh is just the next batch re-resolving the static
+    * plan). No watermark: nothing here is stateful, and adding one
+    * would only delay rows behind an eviction clock nothing uses. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream_enrich_src")
+    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    streamStaticEnrichFrom(spark, dir.toString,
+      spark.read.parquet(src.toString).schema, sfDir, None)
+  }
+
+  private[graft] def streamStaticEnrichFrom(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      sfDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val dim = broadcast(
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"),
+          col("c_mktsegment").as("segment")))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val enriched = reader.parquet(srcDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("event_type"), col("nation"), col("segment"))
+    runToParquet(spark, enriched)
+  }
+
   /** Streaming corpus-curation gate: documents arrive on a stream,
     * each scored with the SAME quality formula as the batch operator
     * (`TextAnalysis.qualityScore` — one definition, two execution
@@ -439,6 +530,12 @@ object Streams {
     "s_sessionize" -> ((s, dir) =>
       sessionize(s, dir)
         .orderBy(col("user_id"), col("first_ts"))),
+    "s_session_builtin" -> ((s, dir) =>
+      sessionizeBuiltin(s, dir)
+        .orderBy(col("user_id"), col("first_ts"))),
+    "s_stream_sliding" -> ((s, dir) =>
+      eventSlidingCountsStreaming(s, dir)
+        .orderBy(col("window_start"), col("event_type"))),
     // compact compare: if any replayed duplicate leaks through, the
     // per-type counts exceed the batch-distinct oracle and the hash
     // mismatches — the pass is non-vacuous by construction
@@ -450,6 +547,9 @@ object Streams {
     "s_stream_join" -> ((s, dir) =>
       streamStreamJoin(s, dir)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))),
+    "s_stream_enrich" -> ((s, dir) =>
+      streamStaticEnrich(s, dir)
+        .orderBy(col("event_id"))),
     "s_stream_join_outer" -> ((s, dir) =>
       streamStreamJoinOuter(s, dir)
         .orderBy(col("user_id"), col("click_id"),
@@ -473,6 +573,28 @@ object Streams {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n, ROUND(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // every event belongs to exactly 2 overlapping (2h, 1h-slide)
+    // windows: the one starting at its truncated hour and the one an
+    // hour earlier — the batch unroll of the sliding assignment
+    "s_stream_sliding" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS ws,
+        |    event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n, ROUND(sum(value), 6) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the built-in session_window must reproduce the SAME sessions as
+    // the hand-rolled stateful operator — one oracle, two engines, two
+    // implementations
+    "s_session_builtin" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT user_id, ts_us,
+        |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+        |SELECT user_id, count(*) AS n_events, min(ts_us) AS first_ts, max(ts_us) AS last_ts
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""".stripMargin,
     "s_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT user_id, ts_us,
@@ -496,6 +618,16 @@ object Streams {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // the stream-static enrichment must equal the plain batch join —
+    // every event's user_id resolves in customer, so the inner join
+    // keeps all 10k rows (non-vacuous both ways: a dropped event or a
+    // fan-out bug changes the row count)
+    "s_stream_enrich" ->
+      """SELECT e.event_id, e.event_type, n.n_name AS nation, c.c_mktsegment AS segment
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
     // batch LEFT JOIN twin of the outer interval join; NULLS FIRST
     // pins DuckDB's default NULLS-LAST ordering to Spark's
     "s_stream_join_outer" ->

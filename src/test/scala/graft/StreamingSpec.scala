@@ -183,6 +183,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getLong(1) === 1L && out.head.getLong(2) === 3L)
   }
 
+  test("stream-static enrich: multi-batch output equals batch join, stateless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich_mb").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // two micro-batches: the dimension must resolve in BOTH, and no
+    // event may emit twice (a stateful formulation would re-emit)
+    Streams.writeSingleFile(spark,
+      raw.filter(col("event_id") % 2 === 0), s"$dir/00_even.parquet")
+    Streams.writeSingleFile(spark,
+      raw.filter(col("event_id") % 2 === 1), s"$dir/01_odd.parquet")
+    Seq("00_even.parquet", "01_odd.parquet").zipWithIndex.foreach {
+      case (f, i) => new java.io.File(s"$dir/$f").setLastModified(1000000L * (i + 1))
+    }
+    val out = Streams.streamStaticEnrichFrom(spark, dir, raw.schema, sf, Some(1)).cache()
+    assert(out.count() === raw.count(), "inner join keeps every event (all user_ids resolve)")
+    assert(out.groupBy(col("event_id")).count().filter(col("count") =!= 1).count() === 0L,
+      "no event enriched twice across batches")
+    // the join is stream-static, not stream-stream: NO state operator
+    // ever holds a row — the property that makes it free at scale
+    assert(Streams.lastRunProgress.forall(_.stateOperators.forall(_.numRowsTotal == 0L)),
+      "stream-static join must not accrue join state")
+    out.unpersist()
+  }
+
   test("outer stream-stream join: unmatched click emits null ONLY after watermark proof") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ssjo_mb").toString
@@ -308,6 +331,26 @@ class StreamingSpec extends SparkSpec {
     Streams.sessionizeFrom(spark, dir, schema, 60, Some(1)).count()
     // 5 users + the sentinel's open session: one open session per key
     assertFlat(stateRowsPerBatch(), bound = 6, "sessionize")
+  }
+
+  test("built-in session_window state stays flat across watermark-advancing batches") {
+    val (dir, schema) = advancingBatches(4, Seq("click"))
+    Streams.sessionizeBuiltinFrom(spark, dir, schema, Some(1)).count()
+    // the declarative sessionizer holds ~2× the hand-rolled one's
+    // state (measured flat at 10 = current + previous batch's 5 open
+    // sessions — finalized sessions evict one watermark beat later
+    // than flatMapGroupsWithState's timeout path) — still O(live
+    // keys), never O(stream)
+    assertFlat(stateRowsPerBatch(), bound = 10, "session_window")
+  }
+
+  test("built-in session_window equals the hand-rolled sessionizer on multi-batch input") {
+    val (dir, schema) = advancingBatches(3, Seq("click"))
+    val builtin = Streams.sessionizeBuiltinFrom(spark, dir, schema, Some(1))
+    val custom = Streams.sessionizeFrom(spark, dir, schema, 60, Some(1))
+    assert(builtin.count() > 0)
+    assert(builtin.exceptAll(custom).count() === 0L)
+    assert(custom.exceptAll(builtin).count() === 0L)
   }
 
   test("stream-stream join state stays flat across watermark-advancing batches") {
