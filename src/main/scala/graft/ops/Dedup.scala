@@ -253,6 +253,69 @@ object Dedup {
   private[graft] def freshBands(fresh: DataFrame, k: Int = 8): (DataFrame, DataFrame) =
     sigBands(fresh, k, "hist_id", "hs_h")
 
+  // -- Bloom-prefiltered exact incremental dedup ---------------------
+
+  /** Tag each fresh row with a broadcast-Bloom verdict over the
+    * HISTORY's content hashes: `maybe = false` proves the hash is not
+    * in history (Bloom filters have no false negatives), `maybe =
+    * true` means "cannot rule out" and must be confirmed by the join.
+    * The sketch is built with Spark's `DataFrameStatFunctions
+    * .bloomFilter` (one distributed aggregation over history, a
+    * driver-merged fixed-size bit array) and broadcast; the probe runs
+    * in `mapPartitions` because a sketch lookup is genuinely opaque to
+    * Catalyst — this is the sanctioned per-partition-imperative
+    * escape, not a per-row UDF in a hot expression. */
+  private[graft] def bloomTagged(
+      history: DataFrame,
+      fresh: DataFrame,
+      expectedItems: Long,
+      fpp: Double): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    val bloom = history.select(md5(col("text")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    fresh.select(col("doc_id").as("new_id"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, h) => (id, h, b.mightContainString(h)) }
+      }
+      .toDF("new_id", "h", "maybe")
+  }
+
+  /** Exact (content-hash) incremental dedup with a broadcast Bloom
+    * pre-filter — the at-scale gate in FRONT of the history join.
+    *
+    * The plain formulation shuffles every new row into an equi-join
+    * against the history's hash table; at 100 TB/day of mostly-novel
+    * crawl the join is the whole cost even though almost nothing
+    * matches. A Bloom filter over the history hashes (a few hundred
+    * MB for billions of keys at 1% fpp — broadcastable) answers
+    * "definitely new" for the typical >90% of rows with ZERO shuffle;
+    * only the rows the sketch cannot rule out pay the confirming
+    * join, where false positives are weeded. The output is therefore
+    * EXACTLY the plain join's output — the sketch is a cost lever,
+    * never a semantics change — which is what the oracle and the
+    * OpsSpec equivalence case pin.
+    *
+    * Returns (new_id, dup_of): dup_of = the smallest matching history
+    * id, null for genuinely new documents. */
+  def dedupIncrementalBloom(
+      history: DataFrame,
+      fresh: DataFrame,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val tagged = bloomTagged(history, fresh, expectedItems, fpp)
+    val hHash = history.select(col("doc_id").as("hist_id"), md5(col("text")).as("h"))
+    val confirmed = tagged.filter(col("maybe"))
+      .join(hHash, Seq("h"), "left")
+      .groupBy(col("new_id")).agg(min(col("hist_id")).as("dup_of"))
+    val definiteNew = tagged.filter(!col("maybe"))
+      .select(col("new_id"), lit(null).cast("long").as("dup_of"))
+    confirmed.unionByName(definiteNew)
+  }
+
   /** DuckDB oracle for the STREAMING near-dup gate
     * (`graft.streaming.Streams.streamingNearDupGate`): identical
     * banding over the 3-batch corpus, with batch provenance recovered
@@ -894,6 +957,25 @@ object Dedup {
       dedupAgainstHistory(history, fresh)
         .orderBy(col("new_id"), col("hist_id"))
     }),
+    // Bloom-prefiltered EXACT incremental dedup: fresh batch = unseen
+    // docs (doc_id >= 400), verbatim re-crawls of every 10th history
+    // doc (must resolve to their dup_of), and near-miss edits of every
+    // 7th (one appended token — must stay null: exact dedup is not
+    // fuzzy). The Bloom sketch only gates the join; the oracle is the
+    // sketch-free join, so any sketch-induced semantics drift fails
+    // the hash compare.
+    "x_dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val history = d.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val fresh = d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+        .unionByName(history.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(history.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" edited")).as("text")))
+      dedupIncrementalBloom(history, fresh)
+        .orderBy(col("new_id"))
+    }),
     // Pairs → connected components → keeper: the grouping step that
     // makes pairwise near-dup output actionable (transitivity closure
     // over the MinHash pair graph, then one keeper per cluster).
@@ -968,6 +1050,23 @@ object Dedup {
          |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
+    // the sketch-free reference join: identical output is the whole
+    // point of the Bloom pre-filter
+    "x_dedup_bloom" ->
+      """WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' edited' AS text
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0)
+        |SELECT f.doc_id AS new_id, min(h.doc_id) AS dup_of
+        |FROM fresh f LEFT JOIN history h ON md5(f.text) = md5(h.text)
+        |GROUP BY f.doc_id
+        |ORDER BY new_id""".stripMargin,
+
     "x_dedup_incremental" -> {
       s"""WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          |fresh AS (

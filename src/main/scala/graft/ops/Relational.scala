@@ -56,6 +56,33 @@ object Relational {
         round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
   }
 
+  /** Rolling 7-day spend per customer — a RANGE window frame over
+    * event TIME, not row position: each order sums every order by the
+    * same customer within the trailing week, however many rows that
+    * is (the rows-frame running total beside it cannot express "last
+    * 7 days"). The frame bound is epoch-microsecond arithmetic so both
+    * engines cut identical frames; the sum runs on exact integer
+    * CENTS (`round(price*100)` kills the double representation error
+    * BEFORE the cast) because a time-range frame has no deterministic
+    * addition order to pin a float sum with — DuckDB segment-trees
+    * its range frames. One shuffle on o_custkey; frames never cross
+    * partitions, so the plan is a sort within each customer's rows —
+    * scale-safe at any customer cardinality. */
+  def rollingSpend(orders: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_us"))
+      .rangeBetween(-weekUs, 0L)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate ships as TIMESTAMP_NTZ; the cast is an identity
+        // under the pinned UTC session timezone
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("spend_7d_cents", sum(col("cents")).over(w))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("spend_7d_cents"), col("n_7d"))
+  }
+
   /** JSON property extraction + aggregation over the events stream
     * table (payload-style semi-structured column). */
   def eventJsonStats(ev: DataFrame): DataFrame =
@@ -237,6 +264,10 @@ object Relational {
     "r_window_running" -> ((s, dir) =>
       runningRevenue(t(s, dir, "lineitem"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+    // RANGE (time-interval) window frame — trailing 7-day spend.
+    "r_window_range" -> ((s, dir) =>
+      rollingSpend(t(s, dir, "orders"))
+        .orderBy(col("o_orderkey"))),
     // PIVOT: events per type per day — wide-format reporting shape.
     "r_pivot_events" -> ((s, dir) =>
       graft.Tables.events(s, dir)
@@ -384,6 +415,20 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // identical µs frame bounds, identical integer-cents sum — the
+    // RANGE frame is exact across engines by construction
+    "r_window_range" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ts_us,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  sum(cents) OVER w AS spend_7d_cents,
+        |  count(*) OVER w AS n_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "r_pivot_events" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

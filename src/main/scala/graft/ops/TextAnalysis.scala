@@ -571,9 +571,47 @@ object TextAnalysis {
       md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
         PhonePat, "<PHONE>")).as("redacted_hash"))
 
+  // -- text normalization ------------------------------------------
+
+  private[ops] val CtrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  private[ops] val WsPat = "[ \\t\\n\\r]+"
+
+  /** Text normalization — the cleanup pass a web pipeline runs BEFORE
+    * any hashing or dedup (C4 strips control characters and collapses
+    * whitespace; CCNet normalizes before LM scoring), because two
+    * byte-different copies of the same page must hash equal for every
+    * downstream exact/MinHash signature to see them as duplicates.
+    * Three steps: strip ASCII control chars (tab/newline/CR excepted —
+    * they are whitespace, handled next), collapse every whitespace run
+    * to one space, trim. Both regexes are RE2-safe so the identical
+    * pattern text runs on Spark's java.util.regex and DuckDB's RE2.
+    * Emits raw/clean lengths plus the cleaned text's md5, so the
+    * REWRITE is oracle-checked, not just the counts. Pure narrow map —
+    * no shuffle at any scale. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val clean = trim(regexp_replace(regexp_replace(col("text"), CtrlPat, ""), WsPat, " "))
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(clean).cast("long").as("n_clean"),
+      md5(clean).as("clean_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_count" -> ((s, dir) =>
       tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // The fixture text is already single-spaced ASCII, so the query
+    // plants a tab-space prefix, a double-newline suffix and a 0x01
+    // control byte on every 7th doc in BOTH engines — normalization
+    // must strip exactly those (planted docs collapse to text + " end";
+    // the rest pass through with clean == raw).
+    "x_normalize_text" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\t "), col("text"), lit(" \n\nend\u0001")))
+          .otherwise(col("text")))
+      normalizeText(planted).orderBy(col("doc_id"))
+    }),
     "x_quality_score" -> ((s, dir) =>
       qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_clf_quality" -> ((s, dir) =>
@@ -697,6 +735,23 @@ object TextAnalysis {
        |  FROM agg)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same planting (chr(9)=\t prefix, chr(10)=\n suffix runs, chr(1)
+    // control byte), same two RE2 regexes, same trim — the md5 of the
+    // cleaned text pins the rewrite byte-for-byte
+    "x_normalize_text" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN chr(9) || ' ' || text || ' ' || chr(10) || chr(10) || 'end' || chr(1)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(text,
+         |      '$CtrlPat', '', 'g'), '$WsPat', ' ', 'g')) AS clean
+         |  FROM p)
+         |SELECT doc_id, length(text)::BIGINT AS n_raw,
+         |  length(clean)::BIGINT AS n_clean, md5(clean) AS clean_hash
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "x_winnow" -> {
       val gramExpr = (1 to 5).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
       s"""WITH b AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

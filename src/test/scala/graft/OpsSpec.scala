@@ -945,4 +945,61 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(res === Map("ab" -> 3L, "bc" -> 1L))
   }
+
+  test("bloom incremental dedup: equals sketch-free join, no false negatives, pre-filter prunes") {
+    val history = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      .unionByName(history.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(history.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" edited")).as("text")))
+    val bloomOut = Dedup.dedupIncrementalBloom(history, fresh).cache()
+    // the sketch is a cost lever, not a semantics change: output must
+    // equal the plain (sketch-free) left join exactly
+    val plain = fresh.select(col("doc_id").as("new_id"), md5(col("text")).as("h"))
+      .join(history.select(col("doc_id").as("hist_id"), md5(col("text")).as("h")),
+        Seq("h"), "left")
+      .groupBy(col("new_id")).agg(min(col("hist_id")).as("dup_of"))
+    assert(bloomOut.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(bloomOut).count() === 0L)
+    // Bloom filters have no false negatives: every verbatim re-crawl
+    // resolves to a history doc
+    val copies = history.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("id")).collect().map(_.getLong(0)).toSet
+    val resolved = bloomOut.filter(col("dup_of").isNotNull)
+      .select(col("new_id")).collect().map(_.getLong(0)).toSet
+    assert(copies.nonEmpty && copies.subsetOf(resolved))
+    // the pre-filter does real work: a nonzero share of the batch is
+    // proven-new without touching the join, and the rows it lets
+    // through are the true matches plus a small fp margin
+    val tagged = Dedup.bloomTagged(history, fresh, 1000000L, 0.01).cache()
+    val nFresh = fresh.count()
+    val neg = tagged.filter(!col("maybe")).count()
+    assert(neg > 0L, "sketch never ruled anything out — pre-filter is vacuous")
+    val pos = tagged.filter(col("maybe")).count()
+    val trueMatches = bloomOut.filter(col("dup_of").isNotNull).count()
+    assert(pos <= trueMatches + (0.05 * nFresh).toLong + 10,
+      s"bloom fp rate out of band: pos=$pos true=$trueMatches of $nFresh")
+    tagged.unpersist(); bloomOut.unpersist()
+  }
+
+  test("normalize text: control chars stripped, whitespace runs collapsed, trim applied") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val d = Seq(
+      (1L, "\ta  b\r\nc\u0001"), // tabs, double space, CRLF, control byte
+      (2L, "already clean"),
+      (3L, "   ") // whitespace-only collapses to empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) === ((9L, 5L, md5hex("a b c"))))
+    assert(got(2L) === ((13L, 13L, md5hex("already clean"))),
+      "clean text passes through byte-identical")
+    assert(got(3L) === ((3L, 0L, md5hex(""))))
+  }
 }
