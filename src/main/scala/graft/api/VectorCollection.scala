@@ -333,6 +333,21 @@ class VectorCollection private (
     graft.search.QueryApis.discoverBatch(asPoints, requests, k)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `query_batch_points`: a HETEROGENEOUS batch of universal
+    * queries — [[graft.search.NearestBatchQuery]] (plain vector),
+    * [[graft.search.ByIdBatchQuery]] (nearest to a stored point, self
+    * excluded), [[graft.search.RecommendBatchQuery]] (average_vector
+    * recommend, examples excluded) — answered in ONE collection pass:
+    * all referenced point ids resolve with a single pushed IN-list
+    * scan, the request frame broadcasts, ranking is the bounded-heap
+    * aggregate keyed by request. Spec-asserted equal per kind to
+    * [[search]]/[[queryByPointId]]/[[recommend]]. */
+  def queryBatch(requests: Seq[graft.search.BatchQuery], k: Int = 5): DataFrame = {
+    require(!config.multiVector, "batch query on a multi-vector collection")
+    graft.search.QueryApis.queryBatch(asPoints, requests, k)
+      .withColumnRenamed("vec_id", config.idCol)
+  }
+
   /** Qdrant `recommend_groups`: recommendation scoring with grouped
     * results, example points excluded. */
   def recommendGroups(

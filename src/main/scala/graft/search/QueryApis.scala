@@ -33,6 +33,24 @@ import graft.vector.Kernels
   * CLAUDE.md Spark-4 rule). */
 case class MmrHit(rank: Long, vec_id: Long, score: Double, mmr: Double)
 
+/** One request of the universal `query_batch_points` API
+  * ([[QueryApis.queryBatch]]): Qdrant's batch endpoint accepts a
+  * heterogeneous list — each entry a plain vector query, a stored
+  * point id ("more like this one"), or a recommend request — and this
+  * ADT is that union. `qid` labels the request in the result frame. */
+sealed trait BatchQuery { def qid: Long }
+
+/** Nearest to a supplied query vector. */
+final case class NearestBatchQuery(qid: Long, vector: Seq[Double]) extends BatchQuery
+
+/** Nearest to a STORED point's vector, the point itself excluded. */
+final case class ByIdBatchQuery(qid: Long, pointId: Long) extends BatchQuery
+
+/** average_vector recommendation: 2·avg(pos) − avg(neg) (avg(pos)
+  * alone with no negatives), example points excluded. */
+final case class RecommendBatchQuery(
+    qid: Long, positives: Seq[Long], negatives: Seq[Long] = Nil) extends BatchQuery
+
 object QueryApis {
 
   /** Fetch embedding vectors for `ids` as driver-side double arrays,
@@ -154,6 +172,50 @@ object QueryApis {
     // bounded-heap ranking (the knnJoin shape): each map task
     // pre-reduces to k pairs per request before the req_id shuffle —
     // never N copies of the corpus through the wire
+    val scored = points.crossJoin(broadcast(reqs))
+      .filter(!array_contains(col("excl"), col("vec_id")))
+      .select(col("req_id"), col("vec_id"),
+        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "req_id", k)
+  }
+
+  /** Qdrant `query_batch_points`: N UNIVERSAL-query requests — plain
+    * nearest-by-vector, nearest-to-a-stored-point (self-excluded), or
+    * recommend (average_vector, examples excluded) — answered in ONE
+    * pass over the collection. Every request resolves driver-side to
+    * (query vector, exclusion list): the referenced point ids across
+    * ALL requests are fetched with a single pushed IN-list scan, the
+    * resolved request frame broadcasts, and ranking is the bounded-
+    * heap topk_hits aggregate keyed by request — the same one-pass
+    * cost shape as [[searchBatch]]/[[recommendBatch]], whatever mix
+    * of query kinds the batch carries. Per-kind parity with the
+    * singleton APIs is spec-asserted. */
+  def queryBatch(points: DataFrame, requests: Seq[BatchQuery], k: Int): DataFrame = {
+    require(requests.nonEmpty, "queryBatch needs at least one request")
+    require(requests.map(_.qid).distinct.size == requests.size,
+      "duplicate request ids in query batch")
+    requests.foreach {
+      case RecommendBatchQuery(rid, pos, _) =>
+        require(pos.nonEmpty, s"request $rid needs at least one positive example")
+      case _ => ()
+    }
+    val refIds = requests.flatMap {
+      case ByIdBatchQuery(_, p) => Seq(p)
+      case RecommendBatchQuery(_, pos, neg) => pos ++ neg
+      case _: NearestBatchQuery => Nil
+    }.distinct
+    val vecs =
+      if (refIds.isEmpty) Map.empty[Long, Array[Double]]
+      else fetchVecs(points, refIds)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val reqRows = requests.map {
+      case NearestBatchQuery(rid, v) => (rid, v, Seq.empty[Long])
+      case ByIdBatchQuery(rid, p) => (rid, vecs(p).toSeq, Seq(p))
+      case RecommendBatchQuery(rid, pos, neg) =>
+        (rid, averageVector(vecs, pos, neg).toSeq, (pos ++ neg).distinct)
+    }
+    val reqs = reqRows.toDF("req_id", "qv", "excl")
     val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),

@@ -129,6 +129,44 @@ class QueryApisSpec extends SparkSpec {
     }
   }
 
+  test("queryBatch: heterogeneous universal-query batch matches each singleton API") {
+    import graft.search.{ByIdBatchQuery, NearestBatchQuery, RecommendBatchQuery}
+    import graft.vector.Kernels
+    val qv = vecsById(Seq(4L))(4L)
+    val reqs = Seq(
+      NearestBatchQuery(100L, qv.toSeq),
+      ByIdBatchQuery(200L, 6L),
+      RecommendBatchQuery(300L, Seq(1L, 2L), Seq(3L)))
+    val batch = QueryApis.queryBatch(emb, reqs, 5).collect().groupBy(_.getLong(0))
+    assert(batch.keySet === Set(100L, 200L, 300L))
+    def fromBatch(rid: Long): Seq[(Long, Double)] =
+      batch(rid).sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // nearest: plain round-6 cosine ranking, nothing excluded
+    val nearest = emb.select(col("vec_id"),
+        round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromBatch(100L) === nearest)
+    // by-id: the stored point's own row is excluded, rest ranks the same
+    val v6 = vecsById(Seq(6L))(6L)
+    val byId = emb.filter(col("vec_id") =!= 6L).select(col("vec_id"),
+        round(Kernels.cosine(col("embedding"), typedlit(v6.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromBatch(200L) === byId)
+    assert(!fromBatch(200L).exists(_._1 === 6L), "self must be excluded")
+    // recommend: equal to the singleton average_vector API
+    val rec = QueryApis.recommend(emb, Seq(1L, 2L), Seq(3L), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromBatch(300L) === rec)
+    // construction errors are loud, not silent empties
+    assertThrows[IllegalArgumentException](
+      QueryApis.queryBatch(emb, Seq(RecommendBatchQuery(1L, Nil)), 5))
+    assertThrows[IllegalArgumentException](
+      QueryApis.queryBatch(emb,
+        Seq(NearestBatchQuery(1L, qv.toSeq), ByIdBatchQuery(1L, 2L)), 5))
+  }
+
   test("discover counts satisfied context pairs and ranks by (hits, target sim)") {
     val hits = QueryApis.discover(emb, 0L, Seq((1L, 2L), (3L, 4L)), 10).collect()
     assert(hits.length === 10)
