@@ -62,7 +62,10 @@ object PlanDump {
       "q_named_vectors" -> "named-vector search: one column per vector name, so search(using=name) column-prunes to that vector's bytes — the other embeddings never leave the scan",
       "q_mrl_rescore" -> "Matryoshka staged search: 16-dim prefix ranking then full-dim rescore of 50 rows — both cuts TakeOrderedAndProject, no shuffle",
       "x_cluster_sample" -> "cluster-balanced sampling: narrow argmax assignment against broadcast centroids, one cluster_id window for the per-cluster quota",
-      "q_facet_sampled" -> "bounded-work approx facet: deterministic hash draw filters BEFORE the aggregate — count state is 8 bytes/value and the aggregate consumes half the rows; TakeOrderedAndProject cut")
+      "q_facet_sampled" -> "bounded-work approx facet: deterministic hash draw filters BEFORE the aggregate — count state is 8 bytes/value and the aggregate consumes half the rows; TakeOrderedAndProject cut",
+      "e4_geo_polygon" -> "geo polygon: bounding-box prefilter leads the compiled predicate, then the ray cast unrolls to literal CASE arithmetic — one narrow filter stage, no UDF, no join",
+      "r_window_range" -> "RANGE-frame rolling window: one exchange on o_custkey, one in-partition sort, one Window — the time-interval frame adds nothing over the rows-frame plan",
+      "x_dedup_bloom" -> "Bloom-gated incremental dedup: broadcast sketch probe is a narrow mapPartitions; only maybe-rows reach the confirming hash equi-join, definite-new rows union in shuffle-free")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
