@@ -571,6 +571,35 @@ object TextAnalysis {
       md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
         PhonePat, "<PHONE>")).as("redacted_hash"))
 
+  // -- keyword extraction ------------------------------------------
+
+  /** Per-DOCUMENT keyword extraction: top-`k` tokens by tf·idf — the
+    * tagging/labeling pass a corpus catalog runs (the per-doc
+    * complement of [[topicWords]]' per-language lift ranking).
+    * idf = ln(N/df) on exact integer counts; the score is rounded to
+    * 6dp BEFORE ranking so a sub-rounding tie can never order the two
+    * engines differently (token ASC breaks rounded ties).
+    *
+    * Scale: one (doc, token) shuffle builds tf; df is a window sum
+    * over the SAME rows keyed by token (no self-join, no second
+    * corpus pass); the corpus size N is a one-row aggregate broadcast
+    * back; the final per-doc top-k window partitions by doc_id — tiny
+    * partitions, no skew surface. */
+  def keywordsTfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).cast("double").as("n"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))).cast("double"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = withDf.crossJoin(broadcast(total))
+      .withColumn("score", round(col("n") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+  }
+
   // -- text normalization ------------------------------------------
 
   private[ops] val CtrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
@@ -660,6 +689,10 @@ object TextAnalysis {
       topicWords(t(s, dir, "documents"), k = 5, minCount = 5L)
         .orderBy(col("lang"), col("rnk"))),
 
+    "x_keywords_tfidf" -> ((s, dir) =>
+      keywordsTfidf(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rnk"))),
+
     "x_winnow" -> ((s, dir) =>
       winnow(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -735,6 +768,24 @@ object TextAnalysis {
        |  FROM agg)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical tf / window-df / ln(N/df) arithmetic; the score is
+    // rounded BEFORE ranking in both engines so sub-rounding ties
+    // cannot order differently
+    "x_keywords_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS n FROM (
+         |    SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents) z
+         |  GROUP BY doc_id, tok),
+         |d AS (SELECT doc_id, tok, n,
+         |    (count(*) OVER (PARTITION BY tok))::DOUBLE AS df FROM tf),
+         |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |s AS (SELECT doc_id, tok, ROUND(n * ln(n_docs / df), 6) AS score
+         |  FROM d CROSS JOIN nd),
+         |r AS (SELECT doc_id, tok, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC)::BIGINT AS rnk
+         |  FROM s)
+         |SELECT doc_id, rnk, tok, score FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+
     // same planting (chr(9)=\t prefix, chr(10)=\n suffix runs, chr(1)
     // control byte), same two RE2 regexes, same trim — the md5 of the
     // cleaned text pins the rewrite byte-for-byte

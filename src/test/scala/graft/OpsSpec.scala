@@ -946,6 +946,23 @@ class OpsSpec extends SparkSpec {
     assert(res === Map("ab" -> 3L, "bc" -> 1L))
   }
 
+  test("tfidf keywords: corpus-wide words score zero, rare words rank first, tf multiplies") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordsTfidf(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // 'common' is in every doc → idf = ln(1) = 0, so each doc's top
+    // keyword is its rare word, never the corpus-wide one
+    val top1 = out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(top1 === Map(1L -> "rare1", 2L -> "rare2", 3L -> "filler"))
+    // term frequency multiplies: rare1 twice in doc 1 → 2·ln(3)
+    val s = out.find(t => t._1 == 1L && t._3 == "rare1").get._4
+    assert(math.abs(s - 2 * math.log(3.0)) < 1e-5)
+  }
+
   test("bloom incremental dedup: equals sketch-free join, no false negatives, pre-filter prunes") {
     val history = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
     val fresh = docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))

@@ -406,6 +406,67 @@ class ScaleDesignSpec extends SparkSpec {
       assert(pts.filter(c.toColumn).count() > 0, s"$c must keep rows")
   }
 
+  test("geo polygon: bounding-box prefilter pushes to the scan on a stored layout") {
+    import graft.search.{Filter, GeoPolygon}
+    val dir = Files.createTempDirectory("graft_poly").toFile.getAbsolutePath + "/pts"
+    t(spark, sf, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 6763 % 35000) / 100.0 - 175.0).as("lon"))
+      .write.parquet(dir)
+    val poly = GeoPolygon("lat", "lon",
+      exterior = Seq((-120.005, 0.005), (0.005, 70.005), (120.005, 0.005), (0.005, -70.005)),
+      interiors = Seq(Seq(
+        (-30.005, -20.005), (30.005, -20.005), (30.005, 20.005), (-30.005, 20.005))))
+    val q = spark.read.parquet(dir)
+      .filter(Filter(must = Seq(poly)).toColumn).select(col("id"))
+    val pushed = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+        fs.metadata("PushedFilters")
+    }.get
+    // the ray cast itself cannot push (unrolled arithmetic), but the
+    // ring's rectangle must — that's what prunes row groups at 100 TB
+    for (b <- Seq("GreaterThanOrEqual(lat", "LessThanOrEqual(lat",
+        "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"))
+      assert(pushed.contains(b), s"polygon bbox bound $b must push: $pushed")
+    assert(spark.read.parquet(dir).filter(poly.toColumn).count() > 0)
+  }
+
+  test("RANGE-frame rolling window: one hash exchange, both aggregates share one Window") {
+    val q = Relational.rollingSpend(t(spark, sf, "orders"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"rolling window needs exactly the o_custkey exchange:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size === 1,
+      s"sum and count must ride ONE Window operator:\n$plan")
+    assert(plan.contains("RangeFrame"), s"frame must be RANGE, not ROWS:\n$plan")
+  }
+
+  test("normalize text is a pure narrow map: zero exchanges") {
+    val q = graft.ops.TextAnalysis.normalizeText(t(spark, sf, "documents"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalization must not shuffle:\n$plan")
+  }
+
+  test("bloom dedup: one confirming join, gated to maybe-rows; definite-new branch join-free") {
+    val history = t(spark, sf, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val fresh = t(spark, sf, "documents").filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+    val q = graft.ops.Dedup.dedupIncrementalBloom(history, fresh)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Join\\b".r.findAllIn(plan).size === 1,
+      s"exactly ONE confirming join (no join on the definite-new branch):\n$plan")
+    // the join branch filters on the sketch verdict, the union's other
+    // branch on its negation; alias-collapse renames the probe output
+    // to its tuple field (_3), so that's the name the gates carry
+    assert("Filter _3#\\d+".r.findFirstIn(plan).nonEmpty,
+      s"join branch must be gated on the sketch verdict:\n$plan")
+    assert("Filter NOT _3#\\d+".r.findFirstIn(plan).nonEmpty,
+      s"definite-new branch must be gated on the negated verdict:\n$plan")
+    assert(plan.contains("Union"), s"definite-new rows union in:\n$plan")
+  }
+
   test("random sample plans as TakeOrderedAndProject over a narrow projection") {
     val q = graft.search.QueryApis.randomSample(t(spark, sf, "embeddings"), 20)
     val plan = q.queryExecution.executedPlan.toString
