@@ -465,6 +465,63 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
        |ORDER BY id_a, id_b""".stripMargin
 
+  // -- containment near-dup (Broder) --------------------------------
+
+  /** Asymmetric containment near-dup: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over shingle sets — the measure that finds EXCERPTS living inside
+    * longer documents (quotes, chunked copies, syndicated leads),
+    * which symmetric Jaccard structurally misses: a 40% excerpt has
+    * J ≈ 0.4, below every Jaccard threshold, but C = 1.0.
+    *
+    * Plan: an inverted shingle-hash postings self-join. Shingles with
+    * more than `maxDf` postings drop from BOTH sides before the join —
+    * they are boilerplate, not containment evidence, and they are the
+    * join's only skew surface (the cap bounds any hash's pair fan-out
+    * at maxDf²). The containment denominator is the CAPPED shingle
+    * count, keeping the measure consistent with its own universe. At
+    * 100 TB the postings table is a persisted index and df comes free
+    * from its maintenance stats. */
+  def containmentPairs(
+      corpus: DataFrame,
+      containMin: Double = 0.9,
+      maxDf: Long = 64L): DataFrame = {
+    val posts = withShingleHashes(corpus)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("h"))
+    val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("sz_a"))
+    val inter = rare.select(col("h"), col("doc_id").as("id_a"))
+      .join(rare.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).cast("double").as("inter"))
+    inter.join(sz.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("sz_a"), 6).as("containment"))
+      .filter(col("containment") >= containMin)
+  }
+
+  /** Corpus + planted prefix EXCERPTS (~40% of tokens, min 5) of every
+    * 31st doc at id +4000000 — the contained-in-a-longer-doc shape
+    * [[containmentPairs]] exists for. */
+  def corpusWithExcerpts(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => length(x) > 0)
+    val n = greatest(lit(5), floor(size(toks) * 2 / 5).cast("int"))
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), n)).as("text")))
+  }
+
+  private[ops] val duckCorpusWithExcerpts: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id,
+      |    array_to_string(tk[1:greatest(5, (len(tk)*2)//5)], ' ') AS text
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+      |        FROM documents) z WHERE doc_id % 31 = 0""".stripMargin
+
   // -- exact-substring dedup (Lee et al. 2022) ----------------------
 
   /** Token length of the planted shared span and the span itself — a
@@ -957,6 +1014,12 @@ object Dedup {
       dedupAgainstHistory(history, fresh)
         .orderBy(col("new_id"), col("hist_id"))
     }),
+    // Containment near-dup: planted 40% prefix excerpts must flag
+    // against their sources with containment ≈ 1.0 while symmetric
+    // Jaccard (~0.4) would never pair them.
+    "x_dedup_containment" -> ((s, dir) =>
+      containmentPairs(corpusWithExcerpts(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     // Bloom-prefiltered EXACT incremental dedup: fresh batch = unseen
     // docs (doc_id >= 400), verbatim re-crawls of every 10th history
     // doc (must resolve to their dup_of), and near-miss edits of every
@@ -1050,6 +1113,25 @@ object Dedup {
          |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
+    // identical shingle hashes, identical df cap on both sides,
+    // identical capped denominator
+    "x_dedup_containment" ->
+      s"""WITH corpus AS ($duckCorpusWithExcerpts),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(${duckShingles("text")},
+         |    s -> ${Embedder.duckStringHash("s")})) AS hs FROM corpus),
+         |posts AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |rare AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM posts) z
+         |  WHERE df <= 64),
+         |sz AS (SELECT doc_id, count(*)::DOUBLE AS sz_a FROM rare GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS inter
+         |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, ROUND(inter / sz_a, 6) AS containment
+         |FROM inter JOIN sz ON sz.doc_id = id_a
+         |WHERE ROUND(inter / sz_a, 6) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // the sketch-free reference join: identical output is the whole
     // point of the Bloom pre-filter
     "x_dedup_bloom" ->

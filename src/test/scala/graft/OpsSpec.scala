@@ -946,6 +946,28 @@ class OpsSpec extends SparkSpec {
     assert(res === Map("ab" -> 3L, "bc" -> 1L))
   }
 
+  test("containment pairs: excerpt flags inside its source asymmetrically; census non-vacuous") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (0 until 30).map(i => s"w$i").mkString(" ")), // long doc
+      (2L, (0 until 12).map(i => s"w$i").mkString(" ")), // its 40% prefix excerpt
+      (3L, (100 until 130).map(i => s"v$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only the excerpt→source direction: C(2→1) = 1.0; the reverse is
+    // ~0.36 and symmetric Jaccard (~0.36) would never pair them at all
+    assert(pairs.toSeq === Seq((2L, 1L, 1.0)), s"got ${pairs.toSeq}")
+    // fixture census: every planted excerpt flags its source
+    val out = Dedup.containmentPairs(Dedup.corpusWithExcerpts(docs)).cache()
+    val planted = docs.filter(col("doc_id") % 31 === 0).count()
+    val hit = out.filter(col("id_a") >= 4000000L &&
+      col("id_b") === col("id_a") - 4000000L).count()
+    assert(planted > 0 && hit === planted,
+      s"$hit of $planted planted excerpts flagged")
+    out.unpersist()
+  }
+
   test("tfidf keywords: corpus-wide words score zero, rare words rank first, tf multiplies") {
     import spark.implicits._
     val d = Seq(
