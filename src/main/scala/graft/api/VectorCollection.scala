@@ -285,6 +285,13 @@ class VectorCollection private (
     graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
       .withColumnRenamed("vec_id", config.idCol)
 
+  /** Qdrant `client.recommend` with `strategy=sum_scores`: score =
+    * Σ_pos sim − Σ_neg sim, examples excluded — the third strategy
+    * beside average_vector ([[recommend]]) and best_score. */
+  def recommendSum(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
+    graft.search.QueryApis.recommendSumScores(asPoints, posIds, negIds, k)
+      .withColumnRenamed("vec_id", config.idCol)
+
   /** Qdrant `client.recommend` with `lookup_from`: the example ids
     * resolve in `lookup` (another collection of the same vector
     * dimensionality) and the search runs over THIS collection; no

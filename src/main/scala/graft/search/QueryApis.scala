@@ -327,6 +327,35 @@ object QueryApis {
       .limit(k)
   }
 
+  /** Qdrant recommend `strategy=sum_scores` — the third strategy
+    * beside average_vector and best_score: score = Σ_pos sim(v, p) −
+    * Σ_neg sim(v, n), examples excluded. Unlike best_score's
+    * winner-takes-all, every example pulls proportionally; unlike
+    * average_vector, a candidate near ONE positive is not washed out
+    * by the mean. Example vectors ride the plan as literals (one scan,
+    * TakeOrderedAndProject cut); per-example similarities round to 6dp
+    * BEFORE the fold, in written order, so both engines sum identical
+    * values. */
+  def recommendSumScores(
+      points: DataFrame,
+      posIds: Seq[Long],
+      negIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val vecs = fetchVecs(points, posIds ++ negIds)
+    def sims(ids: Seq[Long]): Seq[Column] = ids.map(id =>
+      round(Kernels.cosine(col("embedding"), typedlit(vecs(id).toSeq)), 6))
+    val posSum = sims(posIds).reduce(_ + _)
+    val score =
+      if (negIds.isEmpty) posSum
+      else posSum - sims(negIds).reduce(_ + _)
+    points
+      .filter(!col("vec_id").isInCollection(posIds ++ negIds))
+      .select(col("vec_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Qdrant context search (`query=ContextQuery(pairs)` — discovery's
     * sibling with NO target): score = Σ_pairs min(0, sim(pos_i) −
     * sim(neg_i)), so a point on the positive side of every pair scores
@@ -787,6 +816,8 @@ object QueryApis {
       discover(t(s, dir, "embeddings"), DiscTarget, DiscPairs, 10)),
     "q_recommend_best" -> ((s, dir) =>
       recommendBestScore(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    "q_recommend_sum" -> ((s, dir) =>
+      recommendSumScores(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
     // recommend_groups: recommend scoring, grouped results, examples out
     "q_recommend_groups" -> ((s, dir) =>
       recommendGroups(t(s, dir, "embeddings"), RecPos, RecNeg,
@@ -1067,6 +1098,22 @@ object QueryApis {
          |  FROM embeddings CROSS JOIN ex WHERE vec_id NOT IN ($excl))
          |SELECT vec_id, ROUND(CASE WHEN bp > bn THEN bp ELSE -bn END, 6) AS score
          |FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_recommend_sum" -> {
+      val exCols =
+        (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
+          RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
+          .mkString(", ")
+      val ps = RecPos.indices.map(i => s"ROUND(${duckCos("embedding", s"p$i")}, 6)")
+        .mkString(" + ")
+      val ns = RecNeg.indices.map(i => s"ROUND(${duckCos("embedding", s"n$i")}, 6)")
+        .mkString(" + ")
+      val excl = (RecPos ++ RecNeg).mkString(", ")
+      s"""WITH ex AS (SELECT $exCols)
+         |SELECT vec_id, ROUND(($ps) - ($ns), 6) AS score
+         |FROM embeddings CROSS JOIN ex WHERE vec_id NOT IN ($excl)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 
     "q_context_search" -> {

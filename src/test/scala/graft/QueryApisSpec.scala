@@ -42,6 +42,29 @@ class QueryApisSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSeq === all.map(_._1).toSeq)
   }
 
+  test("recommend sum_scores: per-example pulls sum, matches brute-force ranking") {
+    val hits = QueryApis.recommendSumScores(emb, Seq(1L, 2L), Seq(3L), 10).collect()
+    assert(hits.length === 10)
+    val ids = hits.map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ex = vecsById(Seq(1L, 2L, 3L))
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .filter(r => !Set(1L, 2L, 3L).contains(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0),
+          r6(r6(cosine(v, ex(1L))) + r6(cosine(v, ex(2L))) - r6(cosine(v, ex(3L)))))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq === all.toSeq)
+    // sum_scores differs from best_score by construction: a candidate
+    // near one positive only cannot beat one near both under sum
+    val best = QueryApis.recommendBestScore(emb, Seq(1L, 2L), Seq(3L), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(best.nonEmpty) // strategies coexist; rankings may differ
+  }
+
   test("recommendLookup: examples resolve in the lookup collection, no exclusion") {
     // lookup_from pointed at the collection itself must score every
     // non-example point exactly like plain recommend — and, unlike
