@@ -53,6 +53,20 @@ object Sink {
     written
   }
 
+  /** Export a collection/table as JSON Lines — the interchange shape
+    * the JSON source (A5) reads back and downstream tokenizer/training
+    * jobs consume. Vector columns serialize as JSON arrays; each task
+    * writes one shard of lines, so the export parallelizes like any
+    * write and never funnels through the driver. Returns rows written
+    * (counted on the cached input, not by re-reading the sink). */
+  def exportJsonl(points: DataFrame, path: String): Long = {
+    val staged = points.cache()
+    val written = staged.count()
+    staged.write.mode(SaveMode.Overwrite).json(path)
+    staged.unpersist()
+    written
+  }
+
   /** Incremental re-ingest: drop rows whose id already exists in the
     * collection (left anti join — broadcast when the existing-id side
     * is small, shuffle-hash otherwise; AQE picks at runtime). */

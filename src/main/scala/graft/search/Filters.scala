@@ -80,6 +80,17 @@ case class HasIdCond(idKey: String, ids: Seq[Long]) extends Cond {
   def toColumn: Column = col(idKey).isInCollection(ids)
 }
 
+/** Point has a value for a NAMED vector (Qdrant HasVectorCondition,
+  * `has_vector`): on this engine's one-column-per-name layout a
+  * missing named vector is a null cell, so the condition compiles to
+  * a null check — which reaches PushedFilters as IsNotNull, making
+  * "only points that already carry the late-added embedding" a
+  * scan-pruned predicate (the common query while a model-upgrade
+  * backfill is in flight). */
+case class HasVectorCond(vectorCol: String) extends Cond {
+  def toColumn: Column = col(vectorCol).isNotNull
+}
+
 /** Bounds on the NUMBER of values under an array payload key (Qdrant
   * ValuesCount: gt/gte/lt/lte, each optional). A missing key has no
   * count and fails every bound — `size(NULL)` is NULL under ANSI mode

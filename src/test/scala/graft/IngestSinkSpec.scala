@@ -319,4 +319,20 @@ class IngestSinkSpec extends SparkSpec {
     val fresh = Sink.incremental(pts, half, "point_id")
     assert(fresh.count() === pts.count() - half.count())
   }
+
+  test("jsonl export round-trips through the A5 JSON source, vectors included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // scalar payload: byte-exact round-trip
+    val d = docs.select(col("doc_id"), col("text"), col("lang"))
+    assert(Sink.exportJsonl(d, s"$dir/docs") === d.count())
+    val back = spark.read.schema(d.schema).json(s"$dir/docs")
+    assert(back.exceptAll(d).count() === 0L && d.exceptAll(back).count() === 0L)
+    // float vectors: JSON's shortest-round-trip decimals parse back to
+    // the same floats under the original schema
+    val e = t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    Sink.exportJsonl(e, s"$dir/emb")
+    val eBack = spark.read.schema(e.schema).json(s"$dir/emb")
+    assert(eBack.exceptAll(e).count() === 0L && e.exceptAll(eBack).count() === 0L,
+      "vector round-trip must be bit-exact")
+  }
 }

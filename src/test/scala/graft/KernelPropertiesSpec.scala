@@ -297,6 +297,9 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(ids(ValuesCountCond("items", gte = Some(1), lt = Some(2)), df) === Set(4L))
     assert(ids(IsEmptyCond("items"), df) === Set(3L, 5L), "empty OR null array")
     assert(ids(HasIdCond("id", Seq(1L, 4L)), df) === Set(1L, 4L))
+    // has_vector: null cell = vector absent; an EMPTY array is still a
+    // stored value (distinct from IsEmpty's semantics)
+    assert(ids(HasVectorCond("items"), df) === Set(1L, 2L, 3L, 4L))
     assert(ids(MatchTextCond("text", "alpha"), df) === Set(1L, 2L, 3L, 4L),
       "token-exact: 'alphabet' must not match 'alpha'")
     assert(ids(MatchPhraseCond("text", "alpha beta"), df) === Set(1L),
