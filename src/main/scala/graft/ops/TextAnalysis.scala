@@ -571,6 +571,91 @@ object TextAnalysis {
       md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
         PhonePat, "<PHONE>")).as("redacted_hash"))
 
+  // -- BPE tokenizer training --------------------------------------
+
+  /** Distributed BPE merge training (Sennrich et al. 2016 — the GPT-2
+    * tokenizer recipe; [[bpePairs]] is its round-1 statistic): ONE
+    * corpus pass builds the (word, count) table, then every merge
+    * round runs entirely on that BOUNDED vocabulary table — count
+    * adjacent symbol pairs weighted by word frequency, take the global
+    * argmax (count DESC, pair ASC — the deterministic tiebreak), fuse
+    * the winning pair everywhere, repeat. At 100 TB the corpus pass is
+    * the only corpus-sized cost; rounds iterate over a table the size
+    * of the VOCABULARY, and each round's argmax is a one-row action —
+    * the same bounded-collect class as the IVF centroid fetch.
+    *
+    * Merge application is sentinel-wrapped string replacement
+    * (" a b " → " ab " inside " c h a t "): leftmost, non-overlapping,
+    * separator-consuming — verified identical in Spark's
+    * UTF8String.replace and DuckDB's replace(), which is what makes
+    * the oracle exact. Inside a run of ONE repeated symbol (length
+    * ≥ 4) this fuses the first pair then skips one extra symbol where
+    * canonical BPE fuses every other pair; the rule is deterministic,
+    * spec-pinned, and applied identically by both engines.
+    *
+    * Returns one row per round: (round, pair, cnt). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
+        col("n"))
+    var cur = words0.cache()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("sym")), " ")
+      val pairCol = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+        .otherwise(typedlit(Seq.empty[String]))
+      val best = cur.select(explode(pairCol).as("pair"), col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).head()
+      val pair = best.getString(0)
+      merges += ((r.toLong, pair, best.getLong(1)))
+      val next = cur.select(
+        call_function("replace", col("sym"),
+          lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("sym"),
+        col("n")).cache()
+      next.count() // materialize before releasing the parent round
+      cur.unpersist()
+      cur = next
+    }
+    cur.unpersist()
+    merges.result().toDF("round", "pair", "cnt")
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the same rounds unrolled as CTE
+    * chains (pair census → argmax → sentinel-wrapped replace). */
+  private[ops] def duckBpeTrain(rounds: Int): String = {
+    val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS (SELECT tok, count(*) AS n FROM (
+         |    SELECT unnest($toks) AS tok FROM documents) z GROUP BY tok),
+         |s0 AS (SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS sym, n
+         |  FROM w0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (SELECT pr, sum(n) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pr, n
+        |    FROM (SELECT string_split(trim(sym), ' ') AS sy, n FROM s${r - 1}) q
+        |    WHERE len(sy) >= 2) z GROUP BY pr),
+        |m$r AS (SELECT pr, c FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
+        |s$r AS (SELECT replace(sym, ' ' || (SELECT pr FROM m$r) || ' ',
+        |    ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' ') AS sym, n FROM s${r - 1})"""
+        .stripMargin)
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r::BIGINT AS round, pr AS pair, c::BIGINT AS cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    sb.append(s"\nSELECT round, pair, cnt FROM (\n  $union) u ORDER BY round")
+    sb.toString
+  }
+
   // -- keyword extraction ------------------------------------------
 
   /** Per-DOCUMENT keyword extraction: top-`k` tokens by tf·idf — the
@@ -693,6 +778,10 @@ object TextAnalysis {
       keywordsTfidf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rnk"))),
 
+    "x_bpe_merges" -> ((s, dir) =>
+      bpeTrain(t(s, dir, "documents"), rounds = 3)
+        .orderBy(col("round"))),
+
     "x_winnow" -> ((s, dir) =>
       winnow(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -768,6 +857,8 @@ object TextAnalysis {
        |  FROM agg)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "x_bpe_merges" -> duckBpeTrain(3),
+
     // identical tf / window-df / ln(N/df) arithmetic; the score is
     // rounded BEFORE ranking in both engines so sub-rounding ties
     // cannot order differently

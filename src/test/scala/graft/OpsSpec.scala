@@ -1023,6 +1023,28 @@ class OpsSpec extends SparkSpec {
     tagged.unpersist(); bloomOut.unpersist()
   }
 
+  test("bpe training: classic low/lower merges in order, ties break pair-ascending") {
+    import spark.implicits._
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: "l o" and "o w" both count 3 → pair-ASC tiebreak picks
+    // "l o"; round 2: "lo w" (3); round 3: "low e" vs "e r" tie at 1 →
+    // "e r" wins the tiebreak
+    assert(merges === Seq((1L, "l o", 3L), (2L, "lo w", 3L), (3L, "e r", 1L)))
+  }
+
+  test("bpe training: repeated-symbol runs follow the pinned separator-consuming rule") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // " a a a a " fuses to " aa a a " (first pair only — the
+    // documented divergence from canonical BPE's every-other-pair);
+    // round 2 then sees pairs {aa a, a a} at 1 each → "a a" wins ASC
+    assert(merges === Seq((1L, "a a", 3L), (2L, "a a", 1L)))
+  }
+
   test("normalize text: control chars stripped, whitespace runs collapsed, trim applied") {
     import spark.implicits._
     import java.security.MessageDigest
