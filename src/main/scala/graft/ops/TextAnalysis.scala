@@ -628,15 +628,42 @@ object TextAnalysis {
     merges.result().toDF("round", "pair", "cnt")
   }
 
+  /** Apply trained BPE merges: segment every document into subword
+    * tokens under the merge list [[bpeTrain]] produced — the encode
+    * side of the tokenizer, and the number a training pipeline
+    * actually bills by (subword count per document).
+    *
+    * Scale: each DISTINCT word is encoded once (the merge folds are
+    * per-word string replaces on the bounded vocabulary table) and the
+    * per-word subword length joins back onto the corpus token stream —
+    * the corpus-sized side only pays an explode + a join on the word
+    * key + one per-doc sum, never the merge arithmetic. */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val sym0 = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+    val symN = merges.foldLeft(sym0)((c, m) =>
+      call_function("replace", c, lit(s" $m "), lit(s" ${m.replace(" ", "")} ")))
+    val wordLens = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+      .select(col("w"), col("n_occ"),
+        size(split(trim(symN), " ")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(wordLens, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   /** DuckDB twin of [[bpeTrain]]: the same rounds unrolled as CTE
     * chains (pair census → argmax → sentinel-wrapped replace). */
-  private[ops] def duckBpeTrain(rounds: Int): String = {
-    val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+  private val DuckToksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** Shared CTE chain for the BPE oracles: w0 (vocabulary), then
+    * s0..sN carrying (tok, sym, n) through each unrolled merge. */
+  private def duckBpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS (SELECT tok, count(*) AS n FROM (
-         |    SELECT unnest($toks) AS tok FROM documents) z GROUP BY tok),
-         |s0 AS (SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS sym, n
+         |    SELECT unnest($DuckToksExpr) AS tok FROM documents) z GROUP BY tok),
+         |s0 AS (SELECT tok, ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS sym, n
          |  FROM w0)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -645,16 +672,30 @@ object TextAnalysis {
         |    FROM (SELECT string_split(trim(sym), ' ') AS sy, n FROM s${r - 1}) q
         |    WHERE len(sy) >= 2) z GROUP BY pr),
         |m$r AS (SELECT pr, c FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
-        |s$r AS (SELECT replace(sym, ' ' || (SELECT pr FROM m$r) || ' ',
+        |s$r AS (SELECT tok, replace(sym, ' ' || (SELECT pr FROM m$r) || ' ',
         |    ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' ') AS sym, n FROM s${r - 1})"""
         .stripMargin)
     }
+    sb.toString
+  }
+
+  private[ops] def duckBpeTrain(rounds: Int): String = {
     val union = (1 to rounds)
       .map(r => s"SELECT $r::BIGINT AS round, pr AS pair, c::BIGINT AS cnt FROM m$r")
       .mkString("\n  UNION ALL ")
-    sb.append(s"\nSELECT round, pair, cnt FROM (\n  $union) u ORDER BY round")
-    sb.toString
+    s"${duckBpeCtes(rounds)}\nSELECT round, pair, cnt FROM (\n  $union) u ORDER BY round"
   }
+
+  /** DuckDB twin of [[bpeEncode]] under the merges [[duckBpeTrain]]
+    * derives — same CTE chain, then the corpus token stream joins the
+    * final per-word segmentation. */
+  private[ops] def duckBpeEncode(rounds: Int): String =
+    s"""${duckBpeCtes(rounds)}
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(string_split(trim(s.sym), ' ')))::BIGINT AS n_subwords
+       |FROM (SELECT doc_id, unnest($DuckToksExpr) AS tok FROM documents) d
+       |JOIN s$rounds s ON d.tok = s.tok
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   // -- keyword extraction ------------------------------------------
 
@@ -782,6 +823,16 @@ object TextAnalysis {
       bpeTrain(t(s, dir, "documents"), rounds = 3)
         .orderBy(col("round"))),
 
+    // encode under the merges the trainer just derived: train (3
+    // bounded-table rounds) then segment the corpus — the full
+    // tokenizer pipeline end-to-end against one oracle
+    "x_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = bpeTrain(d, rounds = 3).collect()
+        .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+      bpeEncode(d, merges).orderBy(col("doc_id"))
+    }),
+
     "x_winnow" -> ((s, dir) =>
       winnow(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -858,6 +909,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "x_bpe_merges" -> duckBpeTrain(3),
+    "x_bpe_encode" -> duckBpeEncode(3),
 
     // identical tf / window-df / ln(N/df) arithmetic; the score is
     // rounded BEFORE ranking in both engines so sub-rounding ties

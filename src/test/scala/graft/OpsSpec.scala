@@ -1034,6 +1034,25 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq((1L, "l o", 3L), (2L, "lo w", 3L), (3L, "e r", 1L)))
   }
 
+  test("bpe encode: segmentation shrinks under trained merges, char-count preserved") {
+    import spark.implicits._
+    val d = Seq((1L, "low low lower"), (2L, "slow")).toDF("doc_id", "text")
+    // merges from the classic example: l o → lo w → e r
+    val merges = TextAnalysis.bpeTrain(d, 3).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    val enc = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: "low"→[low] twice, "lower"→[low, er] → 3 words, 4 subwords
+    assert(enc(1L) === ((3L, 4L)))
+    // doc 2: "slow"→[s, low]? no — merges apply inside the word:
+    // " s l o w " → " s lo w " → " s low " → 2 subwords
+    assert(enc(2L) === ((1L, 2L)))
+    // zero merges = character segmentation
+    val chars = TextAnalysis.bpeEncode(d, Nil).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chars(1L) === 11L && chars(2L) === 4L)
+  }
+
   test("bpe training: repeated-symbol runs follow the pinned separator-consuming rule") {
     import spark.implicits._
     val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
