@@ -358,7 +358,96 @@ object Curation {
         md5(col("clean").cast("binary")).as("clean_sig"))
   }
 
+  /** C4-style banned-term document filter (Raffel et al. 2020 §2.2
+    * drop any page containing a "List of Dirty, Naughty…" term): the
+    * audit row every curation report wants — per document, how many
+    * token hits against the single-word blocklist, how many
+    * occurrences of the banned PHRASE (consecutive-token match, not
+    * substring: "batch batch" must not fire inside an unrelated longer
+    * word), and the resulting blocked verdict.
+    *
+    * Scale: a PURE NARROW MAP. The blocklist is a codegen'd literal
+    * array (term lists are O(100s)–O(1000s) — C4's is ~400 entries),
+    * so membership is per-token hash-set work with no shuffle and no
+    * broadcast round-trip; the phrase scan is O(len·|phrase|) token
+    * comparisons per document. Lists too big to inline go through
+    * [[blocklistJoin]] instead. */
+  def blocklistAudit(
+      docs: DataFrame, terms: Seq[String], phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val toks = TextAnalysis.tokens(col("text"))
+    val l = phrase.length
+    val termHits =
+      size(filter(toks, t => array_contains(typedLit(terms), t))).cast("long")
+    // positions 1 .. len-l+1, guarded: Spark's sequence(1, 0) counts
+    // DOWN, it is not empty
+    val phraseHits = when(size(toks) >= l,
+      size(filter(sequence(lit(1), size(toks) - (l - 1)),
+        i => slice(toks, i, lit(l)) === typedLit(phrase))).cast("long"))
+      .otherwise(0L)
+    docs.select(col("doc_id"), termHits.as("term_hits"),
+        phraseHits.as("phrase_hits"))
+      .withColumn("blocked",
+        (col("term_hits") > 0 || col("phrase_hits") > 0).cast("int").cast("long"))
+  }
+
+  /** DuckDB twin of [[blocklistAudit]]. */
+  private def duckBlocklistAudit(
+      terms: Seq[String], phrase: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val phraseList = phrase.map(t => s"'$t'").mkString("[", ", ", "]")
+    val l = phrase.length
+    s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.duckToksPublic("text")} AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(list_filter(toks, t -> list_contains($termList, t)))::BIGINT AS term_hits,
+       |  (CASE WHEN len(toks) >= $l THEN
+       |     len(list_filter(range(1, len(toks) - $l + 2),
+       |       i -> toks[i:i+${l - 1}] = $phraseList))
+       |   ELSE 0 END)::BIGINT AS phrase_hits,
+       |  (CASE WHEN len(list_filter(toks, t -> list_contains($termList, t))) > 0
+       |     OR (CASE WHEN len(toks) >= $l THEN
+       |       len(list_filter(range(1, len(toks) - $l + 2),
+       |         i -> toks[i:i+${l - 1}] = $phraseList)) ELSE 0 END) > 0
+       |   THEN 1 ELSE 0 END)::BIGINT AS blocked
+       |FROM tk ORDER BY doc_id""".stripMargin
+  }
+
+  /** Blocklist matching for lists too large to inline as a literal
+    * (URL blocklists run to millions of entries — RefinedWeb §3.1
+    * filters against a 4.6M-domain list): tokens explode against a
+    * broadcast term TABLE, hits re-aggregate per document. Only
+    * blocked documents come back — at scale the audit of clean
+    * documents is the corpus itself.
+    *
+    * Scale: the term table broadcasts (hash-set probe per token, no
+    * corpus shuffle for the join); the only exchange is the
+    * map-side-combinable per-doc count, whose payload is one row per
+    * (doc, hit) — proportional to the hits, not the corpus. Beyond
+    * broadcast size (~GBs), the same shape degrades gracefully to a
+    * shuffled hash join on the token key. */
+  def blocklistJoin(docs: DataFrame, terms: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .join(broadcast(terms), col("tok") === col("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("term_hits"))
+
+  /** Demo blocklist over the fixture vocabulary: two banned words and
+    * one banned bigram (planted nowhere — they are natural corpus
+    * tokens, so hits are organic). */
+  private[ops] val BadTerms = Seq("slow", "dup")
+  private[ops] val BadPhrase = Seq("batch", "batch")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_blocklist" -> ((s, dir) =>
+      blocklistAudit(t(s, dir, "documents"), BadTerms, BadPhrase)
+        .orderBy(col("doc_id"))),
+    "x_blocklist_join" -> ((s, dir) => {
+      import s.implicits._
+      blocklistJoin(t(s, dir, "documents"), BadTerms.toDF("term"))
+        .orderBy(col("doc_id"))
+    }),
     "x_rag_search" -> ((s, dir) =>
       ragSearch(t(s, dir, "documents"), "hash join merge",
         size = 32, stride = 24, k = 5)),
@@ -461,6 +550,15 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    "x_blocklist" -> duckBlocklistAudit(BadTerms, BadPhrase),
+    "x_blocklist_join" -> {
+      val toks = TextAnalysis.duckToksPublic("text")
+      val termList = BadTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, count(*)::BIGINT AS term_hits
+         |FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         |WHERE list_contains($termList, tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "x_rag_search" -> {
       val toks = TextAnalysis.duckToksPublic("text")
       val chunkHashes = s"list_transform(u.ct, tok -> ${Embedder.duckStringHash("tok")})"

@@ -1082,4 +1082,36 @@ class OpsSpec extends SparkSpec {
       "clean text passes through byte-identical")
     assert(got(3L) === ((3L, 0L, md5hex(""))))
   }
+
+  test("blocklist: phrase matches consecutive tokens only; term hits count occurrences") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good batch batch batch good"), // bigram at 2 positions
+      (2L, "slow text slow slow"),         // 3 term hits, no phrase
+      (3L, "batch good batch"),            // split pair: no phrase hit
+      (4L, "clean words only"),
+      (5L, "prebatch batchpost")           // substrings must NOT fire
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation
+      .blocklistAudit(d, Seq("slow", "dup"), Seq("batch", "batch"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((0L, 2L, 1L)))
+    assert(got(2L) === ((3L, 0L, 1L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
+  }
+
+  test("blocklist plans: audit is a narrow map; join variant broadcasts the term table") {
+    val audit = graft.ops.Curation.queries("x_blocklist")(spark, sf)
+    val aPlan = audit.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange hashpartitioning"),
+      s"audit must be shuffle-free (the sort is the oracle's ORDER BY):\n$aPlan")
+    val join = graft.ops.Curation.queries("x_blocklist_join")(spark, sf)
+    val jPlan = join.queryExecution.executedPlan.toString
+    assert(jPlan.contains("BroadcastHashJoin"),
+      s"term table must broadcast:\n$jPlan")
+  }
 }
