@@ -615,4 +615,28 @@ object Sink {
     fs.delete(retired, true)
     fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Bucketed collection layout: hash-bucket the points on `idCol`
+    * into `nBuckets` files, each sorted on the id (Spark bucketing —
+    * catalog-registered, since bucket metadata lives in the table
+    * definition, with data at `path`).
+    *
+    * This is the layout that amortizes the shuffle ONCE at write time
+    * for every co-located operation after it: two collections bucketed
+    * the same way join with NO exchange on either side (the 100 TB
+    * upsert anti-join, dedup self-join, and incremental-index merge
+    * all key on the id), per-id aggregation needs no exchange, and a
+    * point lookup prunes to 1 of `nBuckets` buckets at the scan
+    * (`SelectedBucketsCount` in the plan). The write itself shuffles
+    * once into `nBuckets` sorted files — that is the price, paid when
+    * the data lands rather than on every query. Asserted in
+    * BucketedLayoutSpec. */
+  def writeBucketed(points: DataFrame, table: String, path: String,
+      idCol: String, nBuckets: Int): Unit =
+    points.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, idCol)
+      .sortBy(idCol)
+      .option("path", path)
+      .saveAsTable(table)
 }
