@@ -125,7 +125,36 @@ object Multimodal {
           concat(col("doc_id"), lit("@"), col("start_sample"))).as("win_sig"))
   }
 
+  /** Aspect-preserving resize planning — the dimension arithmetic of
+    * an image-resize stage (the reference resizes rendered PDF pages
+    * before embedding, `shared/convert_pdf_to_image.py`): fit the
+    * longer side to `maxSide`, never upscale, floor to integer pixels,
+    * and report the output byte volume (RGB) a capacity planner sums.
+    * Source dims come from the same stub header-read as
+    * [[decodeFeatures]]; the resample itself would run in the
+    * mapPartitions micro-batch that stage already demonstrates. All
+    * arithmetic is integer (w·maxSide div longest) — exact in both
+    * engines, no float rounding to drift. Pure narrow map: no shuffle,
+    * no state. */
+  def resizePlan(media: DataFrame, maxSide: Int = 224): DataFrame = {
+    val byteLen = length(col("text").cast("binary")).cast("long")
+    media.select(col("doc_id"),
+        (lit(32L) + byteLen % 64).as("width"),
+        (lit(32L) + ascii(substring(col("text"), 1, 1)).cast("long") % 64)
+          .as("height"))
+      .withColumn("longest", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("longest") <= maxSide, col("width"))
+          .otherwise(expr(s"(width * $maxSide) div longest")).as("dst_w"),
+        when(col("longest") <= maxSide, col("height"))
+          .otherwise(expr(s"(height * $maxSide) div longest")).as("dst_h"))
+      .withColumn("out_bytes", col("dst_w") * col("dst_h") * 3L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_resize_plan" -> ((s, dir) =>
+      resizePlan(t(s, dir, "documents"), maxSide = 64)
+        .orderBy(col("doc_id"))),
     "m_audio_windows" -> ((s, dir) =>
       audioWindows(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("start_sample"))),
@@ -139,6 +168,23 @@ object Multimodal {
 
   /** Oracle mirrors the stub decode arithmetic over the blob bytes. */
   def oracles: Map[String, String] = Map(
+    "m_resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |    (32 + octet_length(text::BLOB) % 64)::BIGINT AS width,
+        |    (32 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS height
+        |  FROM documents),
+        |g AS (SELECT doc_id, width, height,
+        |    greatest(width, height) AS longest FROM m)
+        |SELECT doc_id, width, height,
+        |  (CASE WHEN longest <= 64 THEN width
+        |        ELSE (width * 64) // longest END)::BIGINT AS dst_w,
+        |  (CASE WHEN longest <= 64 THEN height
+        |        ELSE (height * 64) // longest END)::BIGINT AS dst_h,
+        |  ((CASE WHEN longest <= 64 THEN width
+        |         ELSE (width * 64) // longest END) *
+        |   (CASE WHEN longest <= 64 THEN height
+        |         ELSE (height * 64) // longest END) * 3)::BIGINT AS out_bytes
+        |FROM g ORDER BY doc_id""".stripMargin,
     "m_audio_windows" ->
       s"""WITH m AS (SELECT doc_id,
          |    (octet_length(text::BLOB) * 7 + 300)::BIGINT AS n_samples FROM documents),

@@ -1104,6 +1104,27 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("resize plan: fits longer side, preserves aspect by integer floor, never upscales") {
+    import spark.implicits._
+    // craft texts whose stub dims hit both branches: len%64 and first
+    // char drive (width, height)
+    val d = Seq((1L, "a" * 63), (2L, "b")).toDF("doc_id", "text")
+    val got = graft.multimodal.Multimodal.resizePlan(d, maxSide = 50)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (w1, h1, dw1, dh1) = got(0) // width 32+63=95, height 32+33=65
+    assert((w1, h1) === ((95L, 65L)))
+    assert(dw1 === 50L && dh1 === (65L * 50 / 95),
+      "longer side pinned to maxSide, shorter floors by the same ratio")
+    val (w2, h2, dw2, dh2) = got(1) // width 33, height 32+34=66 > 50
+    assert((w2, h2) === ((33L, 66L)))
+    assert(dh2 === 50L && dw2 === (33L * 50 / 66))
+    val none = graft.multimodal.Multimodal.resizePlan(d, maxSide = 500)
+      .orderBy("doc_id").collect()
+    assert(none.forall(r => r.getLong(3) === r.getLong(1)
+      && r.getLong(4) === r.getLong(2)), "under maxSide nothing upscales")
+  }
+
   test("blocklist plans: audit is a narrow map; join variant broadcasts the term table") {
     val audit = graft.ops.Curation.queries("x_blocklist")(spark, sf)
     val aPlan = audit.queryExecution.executedPlan.toString
