@@ -216,6 +216,21 @@ class VectorCollection private (
       .withColumnRenamed("doc_id", config.idCol)
   }
 
+  /** query_points with a `formula` rescoring stage (Qdrant 1.14 score
+    * boosting): prefetch `prefetchN` by the collection's similarity,
+    * re-rank with an arithmetic formula over `$score` and payload
+    * fields ([[graft.search.FormulaExpr]]), cut to `k`. `carry` names
+    * payload columns the formula reads. */
+  def queryFormula(queryVec: Seq[Float], formula: graft.search.FormulaExpr,
+      carry: Seq[String] = Nil, prefetchN: Int = 50, k: Int = 5): DataFrame = {
+    require(!config.multiVector, "formula query on a multi-vector collection")
+    require(queryVec.length == config.dim,
+      s"query dim ${queryVec.length} != collection dim ${config.dim}")
+    val q = spark.range(1).select(typedlit(queryVec).as("qv"))
+    graft.search.Formula.formulaQuery(table, q, config.idCol,
+      config.vectorCol, formula, carry, prefetchN, k, config.distance)
+  }
+
   /** points_count with a payload filter (Qdrant `client.count` with
     * `count_filter`) — the predicate pushes to the parquet scan. */
   def count(filter: Column): Long = table.filter(filter).count()

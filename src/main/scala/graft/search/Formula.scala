@@ -204,12 +204,24 @@ object Formula {
       formula: FormulaExpr,
       carry: Seq[String],
       prefetchN: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
+    // similarity metrics rank DESC, distance metrics ASC — Qdrant's
+    // $score carries whichever the collection is configured with
+    val (scoreOf, asc): ((Column, Column) => Column, Boolean) = metric match {
+      case "cosine" => (Kernels.cosine, false)
+      case "dot" => (Kernels.dot, false)
+      case "euclid" => (Kernels.euclidean, true)
+      case "manhattan" => (Kernels.manhattan, true)
+      case other => throw new IllegalArgumentException(
+        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
+    }
     val cands = points
       .crossJoin(broadcast(queryVec))
       .select(col(idCol) +: carry.map(col) :+
-        round(Kernels.cosine(col(vecCol), col("qv")), 6).as("prefetch_score"): _*)
-      .orderBy(col("prefetch_score").desc, col(idCol).asc)
+        round(scoreOf(col(vecCol), col("qv")), 6).as("prefetch_score"): _*)
+      .orderBy(if (asc) col("prefetch_score").asc else col("prefetch_score").desc,
+        col(idCol).asc)
       .limit(prefetchN)
     cands
       .withColumn("score", round(formula.toColumn(col("prefetch_score")), 6))

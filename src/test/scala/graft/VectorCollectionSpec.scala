@@ -714,4 +714,37 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!scan.contains("embedding"),
       s"scroll(with_vectors=false) must not read vector bytes:\n$scan")
   }
+
+  test("queryFormula: payload boost reranks the same prefetch set; dims validated") {
+    import graft.search._
+    val dir = s"${tmp()}/colf"
+    val pts = points.cache()
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    c.upsert(pts)
+    val qRow = pts.limit(1).select(col("embedding")).head
+    val qv = qRow.getSeq[Float](0)
+    // identity formula == plain search ranking over the same prefetch
+    val plain = c.queryFormula(qv, FScore, Nil, prefetchN = 20, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val searchIds = c.search(qv, 5).collect().map(_.getLong(0)).toSeq
+    assert(plain === searchIds, "FScore formula must reproduce plain search")
+    // +10 on the WORST prefetch candidate catapults it to rank 1 —
+    // and proves the formula reranks within the prefetch set only
+    val pre = c.queryFormula(qv, FScore, Nil, prefetchN = 20, k = 20)
+      .collect().map(_.getLong(0))
+    val target = pre.last
+    val boosted = c.queryFormula(qv,
+      FSum(Seq(FScore, FMult(Seq(FConst(10.0),
+        FCond(MatchValue("point_id", target), "unused"))))),
+      carry = Nil, prefetchN = 20, k = 5).collect()
+    assert(boosted.length === 5)
+    assert(boosted.head.getLong(0) === target,
+      "boosted prefetch survivor must take rank 1")
+    val err = intercept[IllegalArgumentException] {
+      c.queryFormula(Seq(1.0f, 2.0f), FScore)
+    }
+    assert(err.getMessage.contains("dim"))
+    pts.unpersist()
+  }
 }
