@@ -65,7 +65,11 @@ object PlanDump {
       "q_facet_sampled" -> "bounded-work approx facet: deterministic hash draw filters BEFORE the aggregate — count state is 8 bytes/value and the aggregate consumes half the rows; TakeOrderedAndProject cut",
       "e4_geo_polygon" -> "geo polygon: bounding-box prefilter leads the compiled predicate, then the ray cast unrolls to literal CASE arithmetic — one narrow filter stage, no UDF, no join",
       "r_window_range" -> "RANGE-frame rolling window: one exchange on o_custkey, one in-partition sort, one Window — the time-interval frame adds nothing over the rows-frame plan",
-      "x_dedup_bloom" -> "Bloom-gated incremental dedup: broadcast sketch probe is a narrow mapPartitions; only maybe-rows reach the confirming hash equi-join, definite-new rows union in shuffle-free")
+      "x_dedup_bloom" -> "Bloom-gated incremental dedup: broadcast sketch probe is a narrow mapPartitions; only maybe-rows reach the confirming hash equi-join, definite-new rows union in shuffle-free",
+      "q_formula_decay" -> "formula rescoring: prefetch cut and formula cut both TakeOrderedAndProject; the decay arithmetic inlines into the candidate projection (whole-stage codegen), touching prefetchN rows only",
+      "x_blocklist" -> "blocklist audit: literal term set compiles into the codegen'd filter — per-token hash-set probe plus consecutive-token phrase scan, pure narrow map",
+      "x_blocklist_join" -> "large-blocklist path: term TABLE broadcasts under the token explode; the only exchange is the map-side-combinable per-doc hit count",
+      "m_resize_plan" -> "resize planning: integer dimension arithmetic in the scan projection — pure narrow map, no shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")

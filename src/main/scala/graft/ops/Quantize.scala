@@ -215,6 +215,43 @@ object Quantize {
         .orderBy(col("score").desc, col("vec_id").asc).limit(5)
     }),
 
+    // Qdrant's NESTED-prefetch pattern (`query_points` with
+    // `prefetch: {prefetch: {query: bq}, query: int8}, query: full`):
+    // a 3-stage funnel — Hamming over 16-byte sign signatures prunes
+    // the corpus to 100, int8-dequantized cosine prunes to 20, full
+    // floats score 5. Each stage reads strictly cheaper bytes than the
+    // one after it; all three cuts are TakeOrderedAndProject and the
+    // whole chain is shuffle-free. At 100 TB the stage-1 scan touches
+    // 1/16 of the vector bytes and later stages touch ~nothing.
+    "x_multistage_rescore" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0).head
+      val q = qRow.getSeq[Float](qRow.fieldIndex("embedding")).toArray
+      val (qlo, qhi) = (bqBitsLocal(q, 0), bqBitsLocal(q, 32))
+      val qv = typedlit(q.toSeq)
+      val s1 = e.select(col("vec_id"), col("embedding"),
+          (bit_count(bqBits(col("embedding"), 0).bitwiseXOR(lit(qlo))) +
+            bit_count(bqBits(col("embedding"), 32).bitwiseXOR(lit(qhi))))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(100)
+      // one collapsible projection: naming `qs` in its own select
+      // blocks CollapseProject (it is referenced three times), which
+      // breaks stage 1's Limit(Sort) pattern and re-plans it as a
+      // corpus-wide range-partition sort — the shuffle this funnel
+      // exists to avoid. Recomputing the scale inline costs O(d) on
+      // 100 survivor rows; the shuffle would cost the corpus.
+      val qsC = int8Scale(col("embedding"))
+      val dqC = when(qsC > 0, dequant(int8Codes(col("embedding"), qsC), qsC))
+        .otherwise(transform(col("embedding"), _ => lit(0.0)))
+      val s2 = s1
+        .select(col("vec_id"), col("embedding"), col("hamming"),
+          round(Kernels.cosine(dqC, qv), 6).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id").asc).limit(20)
+      s2.select(col("vec_id"), col("hamming"), col("qscore"),
+          round(Kernels.cosine(col("embedding"), qv), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    }),
+
     // PQ candidate scan + full-precision rerank: top-20 by
     // reconstructed-vector (ADC) cosine, final top-5 rescored raw.
     // Both scores emitted so the PQ approximation error is graded.
@@ -264,6 +301,28 @@ object Quantize {
          |SELECT vec_id, hamming,
          |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
          |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "x_multistage_rescore" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${duckBqBits("qv", 0)} AS qlo, ${duckBqBits("qv", 32)} AS qhi FROM q),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckBqBits("embedding", 0)} AS lo, ${duckBqBits("embedding", 32)} AS hi
+         |  FROM embeddings),
+         |s1 AS (SELECT vec_id, embedding,
+         |    (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::BIGINT AS hamming
+         |  FROM b, qb ORDER BY hamming ASC, vec_id ASC LIMIT 100),
+         |sc AS (SELECT vec_id, embedding, hamming,
+         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS qs
+         |  FROM s1),
+         |dq AS (SELECT vec_id, embedding, hamming, CASE WHEN qs > 0
+         |    THEN list_transform(embedding::DOUBLE[], x -> (round(x / qs, 0)::INTEGER)::DOUBLE * qs)
+         |    ELSE list_transform(embedding::DOUBLE[], x -> 0.0) END AS dqv FROM sc),
+         |s2 AS (SELECT vec_id, embedding, hamming,
+         |    ROUND(list_cosine_similarity(dqv, (SELECT qv FROM q)::DOUBLE[]), 6) AS qscore
+         |  FROM dq ORDER BY qscore DESC, vec_id ASC LIMIT 20)
+         |SELECT vec_id, hamming, qscore,
+         |  ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+         |FROM s2 ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "x_pq_rerank" ->
       s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings

@@ -261,6 +261,15 @@ class ScaleDesignSpec extends SparkSpec {
       s"staged dimension truncation must not shuffle:\n$plan")
   }
 
+  test("multistage rescore: three TakeOrderedAndProject cuts, shuffle-free funnel") {
+    val q = graft.ops.Quantize.queries("x_multistage_rescore")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("TakeOrderedAndProject").length >= 4,
+      s"bq→int8→full must cut three times via TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the quantized funnel must not shuffle:\n$plan")
+  }
+
   test("pq rerank: both cuts are TakeOrderedAndProject, encode is shuffle-free") {
     val q = graft.ops.Quantize.queries("x_pq_rerank")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
