@@ -118,6 +118,32 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     Kernels.ofExpr(graft.vector.JaccardSorted(Kernels.exprOf(a), Kernels.exprOf(b)))
 
+  /** Solve (bands b, rows r) for an `nHashes`-wide MinHash signature
+    * targeting Jaccard `threshold` t: over divisor pairs b·r = n, pick
+    * the pair whose implied S-curve threshold (1/b)^(1/r) — the
+    * similarity at which the collision probability 1−(1−s^r)^b crosses
+    * steeply — sits closest to t. The standard LSH tuning rule
+    * (Leskovec/Rajaraman/Ullman, MMDS §3.4): more rows per band →
+    * fewer false positives (bucket joins shrink), more bands → fewer
+    * false negatives. At 100 TB the bucket-join volume is the cost
+    * model, so pick the threshold honestly rather than over-banding.
+    * The fixture queries pin (k=8, bands of 2) for oracle stability;
+    * production callers size via this solver. */
+  def lshParams(nHashes: Int, threshold: Double): (Int, Int) = {
+    require(nHashes > 0, "nHashes must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b, nHashes / b))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+      }
+  }
+
+  /** Bucket-collision probability of a (b, r) banding at similarity
+    * `s`: 1 − (1 − s^r)^b — the S-curve [[lshParams]] tunes. */
+  def lshCollisionProb(b: Int, r: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
   /** Shared signature→bands derivation: (bands(id, band, bval),
     * hs(id, hs)) for one corpus — the ONE banding definition
     * [[minhashPairs]] and [[dedupAgainstHistory]] both build on

@@ -171,6 +171,52 @@ object TextAnalysis {
         i => array_min(slice(col("gh"), i, lit(w))))))
   }
 
+  // -- heavy hitters / count-min sketch ----------------------------
+
+  /** Exact global heavy hitters: the top-`k` tokens by occurrence —
+    * the vocabulary head a tokenizer-training or stopword stage reads
+    * first. One map-side-combinable (token) shuffle whose state is the
+    * vocabulary, then a TakeOrderedAndProject cut. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(k)
+
+  /** Count-min sketch of token occurrences (Cormode & Muthukrishnan
+    * 2005): `depth` independent hash rows × `width` buckets, each cell
+    * the count of occurrences hashing into it. The 100 TB twin of
+    * [[heavyHitters]]'s exact aggregate: state is the FIXED depth·width
+    * grid however large the vocabulary grows (exact counting's state
+    * is the vocabulary itself — fine for words, fatal for n-grams/URLs
+    * at web scale). Estimates are one-sided: never under the true
+    * count, over by at most ≈ e·N/width with probability 1−e^−depth
+    * (CmsSpec pins both sides on the fixture). One (row, bucket)
+    * shuffle of bounded key cardinality; the sketch then BROADCASTS
+    * wherever estimates are probed. */
+  def tokenCms(docs: DataFrame, width: Int, depth: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .select(col("tok"),
+        explode(typedLit((0 until depth).toList)).as("d"))
+      .select(col("d"),
+        pmod(Embedder.stringHash64(concat(col("d"), lit(":"), col("tok"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Probe the sketch: estimated count per candidate token = min over
+    * the `depth` rows of the probed cell. The sketch side broadcasts
+    * (≤ depth·width rows by construction). */
+  def cmsEstimate(cms: DataFrame, candidates: DataFrame,
+      width: Int, depth: Int): DataFrame =
+    candidates.select(col("tok"),
+        explode(typedLit((0 until depth).toList)).as("d"))
+      .select(col("tok"), col("d"),
+        pmod(Embedder.stringHash64(concat(col("d"), lit(":"), col("tok"))),
+          lit(width.toLong)).as("bucket"))
+      .join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy(col("tok"))
+      .agg(min(col("cnt")).as("est"))
+
   // -- unigram language-model scoring ------------------------------
 
   /** Corpus-unigram log-probability per document — the cheap stand-in
@@ -841,6 +887,9 @@ object TextAnalysis {
     // with approx_count_distinct (HLL++, one pass, mergeable sketches,
     // no distinct shuffle) — OpsSpec pins the sketch within 5% of this
     // exact answer so the swap is evidence-backed.
+    "x_heavy_hitters" -> ((s, dir) =>
+      heavyHitters(t(s, dir, "documents"), 20)),
+
     "x_distinct_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -982,6 +1031,11 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_heavy_hitters" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest(${duckToks("text")}) AS tok FROM documents) z
+         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
 
     "x_distinct_tokens" ->
       s"""SELECT lang, count(DISTINCT tok) AS n_vocab, count(*) AS n_tokens
