@@ -171,6 +171,42 @@ object TextAnalysis {
         i => array_min(slice(col("gh"), i, lit(w))))))
   }
 
+  // -- source divergence -------------------------------------------
+
+  /** Per-source KL divergence from the corpus token distribution —
+    * D(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * data-mixing diagnostic that ranks how far each crawl/source has
+    * drifted from the blend it feeds (0 = indistinguishable head
+    * source; large = niche distribution a mixing stage should weight
+    * deliberately). Every source token exists in the corpus by
+    * construction, so no zero-denominator smoothing is needed.
+    *
+    * Scale: ONE (source, tok) tf shuffle; corpus counts come from a
+    * window over those same tf rows keyed on tok (vocabulary-sized
+    * state, the unigramLogprob device) and the grand total broadcasts.
+    * The per-source sum folds a token-sorted list so both engines add
+    * the same floats in the same order. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val tot = tf.agg(sum(col("k")).as("tc"))
+    tf.withColumn("c", sum(col("k")).over(Window.partitionBy(col("tok"))))
+      .withColumn("st", sum(col("k")).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"), col("st"),
+        ((col("k").cast("double") / col("st").cast("double")) *
+          log((col("k").cast("double") / col("st").cast("double")) /
+            (col("c").cast("double") / col("tc").cast("double")))).as("v"))
+      .groupBy(col("source"))
+      .agg(max(col("st")).as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("v")))).as("l"))
+      .select(col("source"), col("n_tokens"),
+        round(aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")), 6)
+          .as("kl"))
+  }
+
   // -- heavy hitters / count-min sketch ----------------------------
 
   /** Exact global heavy hitters: the top-`k` tokens by occurrence —
@@ -890,6 +926,9 @@ object TextAnalysis {
     "x_heavy_hitters" -> ((s, dir) =>
       heavyHitters(t(s, dir, "documents"), 20)),
 
+    "x_source_divergence" -> ((s, dir) =>
+      sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
+
     "x_distinct_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -1036,6 +1075,26 @@ object TextAnalysis {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest(${duckToks("text")}) AS tok FROM documents) z
          |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "x_source_divergence" ->
+      s"""WITH tf AS (SELECT source, tok, count(*)::BIGINT AS k
+         |  FROM (SELECT source, unnest(${duckToks("text")}) AS tok FROM documents) z
+         |  GROUP BY source, tok),
+         |w AS (SELECT source, tok, k,
+         |    sum(k) OVER (PARTITION BY tok) AS c,
+         |    sum(k) OVER (PARTITION BY source) AS st,
+         |    (SELECT sum(k) FROM tf) AS tc
+         |  FROM tf),
+         |v AS (SELECT source, st, tok,
+         |    (k::DOUBLE / st::DOUBLE) *
+         |      ln((k::DOUBLE / st::DOUBLE) / (c::DOUBLE / tc::DOUBLE)) AS v
+         |  FROM w),
+         |g AS (SELECT source, max(st)::BIGINT AS n_tokens,
+         |    list(v ORDER BY tok ASC) AS l
+         |  FROM v GROUP BY source)
+         |SELECT source, n_tokens,
+         |  ROUND(list_reduce(list_prepend(0.0, l), (a, b) -> a + b), 6) AS kl
+         |FROM g ORDER BY source""".stripMargin,
 
     "x_distinct_tokens" ->
       s"""SELECT lang, count(DISTINCT tok) AS n_vocab, count(*) AS n_tokens

@@ -1104,6 +1104,22 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("source divergence: KL is nonnegative and larger for the skewed source") {
+    import spark.implicits._
+    val d = Seq((1L, "a", "x x x x"), (2L, "b", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.TextAnalysis.sourceDivergence(d)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (na, klA) = got("a")
+    val (nb, klB) = got("b")
+    assert(na === 4L && nb === 4L)
+    assert(klA > klB && klB > 0.0,
+      s"all-x source ($klA) must diverge more than the spread one ($klB)")
+    assert(math.abs(klA - math.log(8.0 / 5.0)) < 1e-6,
+      "closed form: 1·ln(1 / (5/8))")
+  }
+
   test("resize plan: fits longer side, preserves aspect by integer floor, never upscales") {
     import spark.implicits._
     // craft texts whose stub dims hit both branches: len%64 and first
