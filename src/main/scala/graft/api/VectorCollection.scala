@@ -48,7 +48,15 @@ final case class CollectionConfig(
     /** Qdrant `Distance` for the default vector: `cosine` (default),
       * `dot`, `euclid`, or `manhattan`. Distance metrics rank ASC and
       * flip score_threshold to a ceiling — see [[TopK.dense]]. */
-    distance: String = "cosine")
+    distance: String = "cosine",
+    /** Qdrant sparse named vectors (`sparse_vectors_config`): name →
+      * (indicesCol, valuesCol). The Spark-native layout is two
+      * parallel array columns per name — `array<int>` dimension ids
+      * and `array<float>` weights — so sparse bytes are scanned only
+      * by sparse searches (column pruning), and a point's dense and
+      * sparse representations coexist like Qdrant's named-vector map.
+      * Scoring is always DOT (Qdrant fixes sparse distance to Dot). */
+    sparseVectors: Map[String, (String, String)] = Map.empty)
 
 /** Qdrant `get_collection` result: live counters + declared config. */
 final case class CollectionInfo(
@@ -214,6 +222,36 @@ class VectorCollection private (
     val d = table.select(col(config.idCol).as("doc_id"), col(textCol).as("text"))
     graft.ops.Retrieval.hybridRrf(d, queryText, n, k)
       .withColumnRenamed("doc_id", config.idCol)
+  }
+
+  /** Qdrant sparse-vector search (`query_points` with
+    * `using=<sparse name>` and a SparseVector query): score = dot
+    * product over the intersection of query and stored dimension ids;
+    * points sharing no dimension with the query are skipped before
+    * scoring (`arrays_overlap` — the poor man's posting-list cut; the
+    * corpus-scale inverted-postings formulation lives in
+    * `ops/Retrieval.sparseTopK`). The query lands as a broadcast map
+    * literal, the lookup-multiply-sum runs per row inside codegen, and
+    * the cut is TakeOrderedAndProject — no shuffle. Sparse distance is
+    * always DOT, as in Qdrant. */
+  def searchSparse(name: String, query: Seq[(Int, Double)], k: Int = 5): DataFrame = {
+    val (idxCol, valCol) = config.sparseVectors.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown sparse vector '$name' (have: ${config.sparseVectors.keys.toSeq.sorted.mkString(", ")})"))
+    require(query.nonEmpty, "empty sparse query")
+    require(query.map(_._1).distinct.length == query.length,
+      "sparse query has duplicate dimension ids")
+    val qMap = typedlit(query.toMap)
+    val qDims = typedlit(query.map(_._1))
+    val score = aggregate(
+      zip_with(col(idxCol), col(valCol),
+        (i, v) => coalesce(element_at(qMap, i), lit(0.0)) * v.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    table
+      .filter(arrays_overlap(col(idxCol), qDims))
+      .select(col(config.idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(config.idCol).asc)
+      .limit(k)
   }
 
   /** query_points with a `formula` rescoring stage (Qdrant 1.14 score
@@ -941,9 +979,15 @@ object VectorCollection {
       val dist =
         if (config.distance == "cosine") ""
         else s""","distance":"${config.distance}""""
+      // sparse vectors serialize like named ones: "n=idxCol:valCol;…"
+      val sparse =
+        if (config.sparseVectors.isEmpty) ""
+        else config.sparseVectors.toSeq.sortBy(_._1)
+          .map { case (n, (ic, vc)) => s"$n=$ic:$vc" }
+          .mkString(""","sparseVectors":"""", ";", "\"")
       val json =
         s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
-          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named$dist}"""
+          s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named$dist$sparse}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
     }
     new VectorCollection(spark, path, config)
@@ -1020,8 +1064,16 @@ object VectorCollection {
       }.toMap
     val dist =
       if (json.contains("\"distance\":")) field("distance") else "cosine"
+    val sparse =
+      if (!json.contains("\"sparseVectors\":")) Map.empty[String, (String, String)]
+      else field("sparseVectors").split(";").map { ent =>
+        val Array(n, cd) = ent.split("=", 2)
+        val Array(ic, vc) = cd.split(":", 2)
+        n -> (ic, vc)
+      }.toMap
     val cfg = CollectionConfig(field("idCol"), field("vectorCol"),
-      field("dim").toInt, field("multiVector").toBoolean, shard, named, dist)
+      field("dim").toInt, field("multiVector").toBoolean, shard, named, dist,
+      sparse)
     new VectorCollection(spark, path, cfg)
   }
 }

@@ -715,6 +715,43 @@ class VectorCollectionSpec extends SparkSpec {
       s"scroll(with_vectors=false) must not read vector bytes:\n$scan")
   }
 
+  test("searchSparse: intersection dot, zero-overlap skipped, config round-trips") {
+    import spark.implicits._
+    val dir = s"${tmp()}/cols"
+    val pts = Seq(
+      (1L, Seq(1, 5, 9), Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(5, 9), Seq(10.0f, 1.0f)),
+      (3L, Seq(2, 4), Seq(9.0f, 9.0f)), // no overlap with the query
+      (4L, Seq(9), Seq(4.0f))
+    ).toDF("point_id", "s_idx", "s_val")
+      .withColumn("embedding", typedlit(Seq.fill(4)(0.5f)))
+    val cfg = CollectionConfig("point_id", "embedding", 4,
+      multiVector = false,
+      sparseVectors = Map("text" -> (("s_idx", "s_val"))))
+    val c = VectorCollection.ensure(spark, dir, pts, cfg)
+    c.upsert(pts)
+    // query {5: 2.0, 9: 1.0}: p1 = 2*2+3*1 = 7, p2 = 10*2+1*1 = 21,
+    // p4 = 4, p3 skipped (no shared dims)
+    val hits = c.searchSparse("text", Seq(5 -> 2.0, 9 -> 1.0), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(hits.toSeq === Seq(2L -> 21.0, 1L -> 7.0, 4L -> 4.0))
+    // persisted config round-trips through open()
+    val reopened = VectorCollection.open(spark, dir)
+    assert(reopened.config.sparseVectors === cfg.sparseVectors)
+    // {9:1}: p1 = 3, p2 = 1, p4 = 4 → p4 wins
+    assert(reopened.searchSparse("text", Seq(9 -> 1.0), 1)
+      .head.getLong(0) === 4L)
+    // unknown names fail by name; the plan cut is TakeOrderedAndProject
+    val err = intercept[IllegalArgumentException] {
+      c.searchSparse("nope", Seq(1 -> 1.0))
+    }
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("text"))
+    val plan = c.searchSparse("text", Seq(5 -> 2.0), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") &&
+      !plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("queryFormula: payload boost reranks the same prefetch set; dims validated") {
     import graft.search._
     val dir = s"${tmp()}/colf"
