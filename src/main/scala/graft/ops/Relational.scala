@@ -183,6 +183,48 @@ object Relational {
     "r_q3_top_orders" -> ((s, dir) =>
       topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
 
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation
+    // (CASE inside sum) over a broadcast dimension join, one year of
+    // fact rows. The ratio-of-sums form computes BOTH aggregates in
+    // the same pass; a naive two-query formulation would scan the
+    // fact table twice. Guarded division (ANSI): an empty window
+    // yields NULL, not an error.
+    "r_promo_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val promo = sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+      val total = sum(rev)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(when(total =!= 0.0, lit(100.0) * promo / total), 6)
+            .as("promo_pct"),
+          round(promo, 2).as("promo_rev"),
+          round(total, 2).as("total_rev"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING aggregate over
+    // the fact table whose survivors join BACK to the facts and dims
+    // for detail rows. Scale shape: the having-filter output is tiny
+    // (the point of the pattern), so the back-join broadcasts it;
+    // the fact table is scanned twice by design — materializing a
+    // corpus-sized aggregate to avoid the second scan would cost more
+    // than the scan at 100 TB.
+    "r_big_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      li.join(broadcast(big), Seq("l_orderkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
     // TPC-H Q6 shape: the pure scan-filter-aggregate revenue forecast.
     // Every predicate pushes to the parquet scan (date range + two
     // numeric ranges), no join, no shuffle beyond the single-row final
@@ -369,6 +411,32 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "r_promo_revenue" ->
+      """SELECT
+        |  ROUND(CASE WHEN sum(l_extendedprice * (1 - l_discount)) <> 0
+        |    THEN 100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |      / sum(l_extendedprice * (1 - l_discount)) END, 6) AS promo_pct,
+        |  ROUND(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_rev,
+        |  ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "r_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, o_orderkey, o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice, total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, o_orderkey, o_orderdate, ROUND(o_totalprice, 2), total_qty
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
     "r_q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate,

@@ -261,6 +261,22 @@ class ScaleDesignSpec extends SparkSpec {
       s"staged dimension truncation must not shuffle:\n$plan")
   }
 
+  test("promo revenue: part dim broadcasts; one pass computes both aggregates") {
+    val q = graft.ops.Relational.queries("r_promo_revenue")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part must broadcast under the fact scan:\n$plan")
+    assert(plan.split("FileScan parquet").length - 1 === 2,
+      s"ratio-of-sums must scan lineitem once and part once:\n$plan")
+  }
+
+  test("big orders: the tiny having-survivor set broadcasts back to the facts") {
+    val q = graft.ops.Relational.queries("r_big_orders")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"having output is tiny by construction — it must broadcast:\n$plan")
+  }
+
   test("multistage rescore: three TakeOrderedAndProject cuts, shuffle-free funnel") {
     val q = graft.ops.Quantize.queries("x_multistage_rescore")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
