@@ -254,6 +254,35 @@ class VectorCollection private (
       .limit(k)
   }
 
+  /** Qdrant's canonical hybrid query (`query_points` with
+    * `prefetch=[sparse, dense]` and `FusionQuery(RRF)`): the stored
+    * sparse vector and the default dense vector each produce a top-`n`
+    * list, fused by reciprocal-rank — rrf = Σ 1/(60 + rank), a point
+    * absent from one list contributing 0 there. Both prefetch lists
+    * are TakeOrderedAndProject cuts over column-pruned scans (each
+    * branch reads ONLY its vector's bytes); the rank windows and the
+    * full-outer fusion join touch ≤ n rows each. */
+  def queryHybrid(
+      sparseName: String, sparseQuery: Seq[(Int, Double)],
+      denseQuery: Seq[Float], k: Int = 5, n: Int = 20): DataFrame = {
+    val sHits = searchSparse(sparseName, sparseQuery, n)
+      .withColumnRenamed(config.idCol, "pid")
+    val dHits = search(denseQuery, n).select(col(config.idCol).as("pid"),
+      col("score"))
+    def ranked(hits: DataFrame, rankName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("pid").asc)
+      hits.withColumn(rankName, row_number().over(w).cast("long"))
+        .select(col("pid"), col(rankName))
+    }
+    ranked(sHits, "rs").join(ranked(dHits, "rd"), Seq("pid"), "full_outer")
+      .select(col("pid").as(config.idCol),
+        round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(config.idCol).asc)
+      .limit(k)
+  }
+
   /** query_points with a `formula` rescoring stage (Qdrant 1.14 score
     * boosting): prefetch `prefetchN` by the collection's similarity,
     * re-rank with an arithmetic formula over `$score` and payload

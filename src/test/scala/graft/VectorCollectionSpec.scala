@@ -752,6 +752,33 @@ class VectorCollectionSpec extends SparkSpec {
       !plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("queryHybrid: RRF fuses sparse and dense prefetch lists; singletons half-score") {
+    import spark.implicits._
+    val dir = s"${tmp()}/colh"
+    // dense vectors: p1 nearest the query, then p2, p3; p4 orthogonal.
+    // sparse: p4 dominates, p2 present, p1/p3 no overlap.
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(7), Seq(1.0f)),
+      (2L, Seq(0.9f, 0.1f), Seq(3), Seq(2.0f)),
+      (3L, Seq(0.8f, 0.2f), Seq(8), Seq(1.0f)),
+      (4L, Seq(0.0f, 1.0f), Seq(3), Seq(9.0f))
+    ).toDF("point_id", "embedding", "s_idx", "s_val")
+    val cfg = CollectionConfig("point_id", "embedding", 2,
+      multiVector = false,
+      sparseVectors = Map("text" -> (("s_idx", "s_val"))))
+    val c = VectorCollection.ensure(spark, dir, pts, cfg)
+    c.upsert(pts)
+    val hits = c.queryHybrid("text", Seq(3 -> 1.0), Seq(1.0f, 0.0f), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // p2 is in BOTH lists (sparse rank 2, dense rank 2) → 2/(62);
+    // p4: sparse rank 1 + dense rank 4; p1: dense rank 1 only
+    assert(math.abs(hits(2L) - 2.0 / 62) < 1e-6)
+    assert(math.abs(hits(4L) - (1.0 / 61 + 1.0 / 64)) < 1e-6)
+    assert(math.abs(hits(1L) - 1.0 / 61) < 1e-6)
+    assert(hits(2L) > hits(4L) && hits(4L) > hits(1L),
+      "both-list membership must outrank single-list membership here")
+  }
+
   test("queryFormula: payload boost reranks the same prefetch set; dims validated") {
     import graft.search._
     val dir = s"${tmp()}/colf"
