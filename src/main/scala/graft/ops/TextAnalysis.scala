@@ -171,6 +171,46 @@ object TextAnalysis {
         i => array_min(slice(col("gh"), i, lit(w))))))
   }
 
+  // -- collocations ------------------------------------------------
+
+  /** PMI collocation mining: adjacent word pairs ranked by pointwise
+    * mutual information — ln((c12/P) / ((c1/N)·(c2/N))) with c12 the
+    * bigram count over P total bigrams and c1,c2 unigram counts over N
+    * tokens. The classic phrase/compound detector (Church & Hanks
+    * 1990) a tokenizer-vocab or stop-phrase stage runs; `minCount`
+    * suppresses the unstable one-off pairs PMI notoriously inflates.
+    *
+    * Scale: one (pair) shuffle and one (token) shuffle, both map-side
+    * combinable; the vocabulary-sized unigram table broadcasts onto
+    * the pair counts; the cut is TakeOrderedAndProject. PMI is a
+    * single ln of exact integer ratios — no float-sum ordering to
+    * drift between engines. */
+  def collocations(docs: DataFrame, k: Int, minCount: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = pairs.agg(sum(col("c12")).as("p_tot"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_tot")))
+    pairs.filter(col("c12") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("p_tot").cast("double")) /
+          ((col("c1").cast("double") / col("n_tot").cast("double")) *
+            (col("c2").cast("double") / col("n_tot").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   // -- source divergence -------------------------------------------
 
   /** Per-source KL divergence from the corpus token distribution —
@@ -929,6 +969,9 @@ object TextAnalysis {
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
+    "x_collocations" -> ((s, dir) =>
+      collocations(t(s, dir, "documents"), k = 20, minCount = 5)),
+
     "x_distinct_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -1075,6 +1118,25 @@ object TextAnalysis {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest(${duckToks("text")}) AS tok FROM documents) z
          |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "x_collocations" ->
+      s"""WITH tk AS (SELECT ${duckToks("text")} AS toks FROM documents),
+         |pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM tk, (SELECT unnest(range(1, 10000)) AS i) ix
+         |  WHERE i < len(toks)),
+         |pairs AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pr GROUP BY w1, w2),
+         |uni AS (SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(toks) AS w FROM tk) z GROUP BY w),
+         |tot AS (SELECT (SELECT sum(c12) FROM pairs) AS p_tot,
+         |  (SELECT sum(c) FROM uni) AS n_tot)
+         |SELECT w1, w2, c12,
+         |  ROUND(ln((c12::DOUBLE / p_tot::DOUBLE) /
+         |    ((u1.c::DOUBLE / n_tot::DOUBLE) * (u2.c::DOUBLE / n_tot::DOUBLE))), 6) AS pmi
+         |FROM pairs
+         |JOIN uni u1 ON u1.w = w1
+         |JOIN uni u2 ON u2.w = w2, tot
+         |WHERE c12 >= 5
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
 
     "x_source_divergence" ->
       s"""WITH tf AS (SELECT source, tok, count(*)::BIGINT AS k

@@ -1104,6 +1104,23 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("collocations: glued pair tops ranking with the closed-form PMI") {
+    import spark.implicits._
+    // "aa bb" always adjacent (4×); "cc" floats free between fillers
+    val d = Seq(
+      (1L, "aa bb x1 aa bb x2 cc x3"),
+      (2L, "aa bb x4 cc x5 aa bb x6")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.collocations(d, k = 5, minCount = 2)
+      .collect()
+    val top = got.head
+    assert((top.getString(0), top.getString(1)) === (("aa", "bb")))
+    // N = 16 tokens, P = 14 pairs, c12 = 4, c(aa) = c(bb) = 4
+    val expect = math.log((4.0 / 14) / ((4.0 / 16) * (4.0 / 16)))
+    assert(math.abs(top.getDouble(3) - expect) < 1e-6)
+    assert(got.forall(_.getLong(2) >= 2), "minCount filter holds")
+  }
+
   test("source divergence: KL is nonnegative and larger for the skewed source") {
     import spark.implicits._
     val d = Seq((1L, "a", "x x x x"), (2L, "b", "x y z w"))
