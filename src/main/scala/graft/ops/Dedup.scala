@@ -226,17 +226,25 @@ object Dedup {
        |    sig[j*2+1]::VARCHAR || ':' || sig[j*2+2]::VARCHAR AS bval
        |  FROM $sigs, (SELECT unnest(range(0, ${k / 2})) AS j) js""".stripMargin
 
-  def duckMinhashPairs(
+  /** The WITH-body CTE chain ending in `kept(id_a, id_b, jaccard)` —
+    * the verified near-dup pair set; shared by the minhash oracle and
+    * every oracle that consumes the pair GRAPH (x_dedup_pagerank). */
+  def duckMinhashPairsCtes(
       k: Int = 8, jaccardMin: Double = 0.5, maxBucket: Int = 1000): String =
-    s"""WITH corpus AS ($duckCorpusWithDups),
+    s"""corpus AS ($duckCorpusWithDups),
        |sigs AS (${duckSigsCte("corpus", k)}),
        |bands0 AS (${duckBandsCte("sigs", k)}),
        |bands AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bval) AS bn
        |    FROM bands0) z WHERE bn <= $maxBucket),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    ROUND(len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |kept AS (SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $jaccardMin)""".stripMargin
+
+  def duckMinhashPairs(
+      k: Int = 8, jaccardMin: Double = 0.5, maxBucket: Int = 1000): String =
+    s"""WITH ${duckMinhashPairsCtes(k, jaccardMin, maxBucket)}
+       |SELECT id_a, id_b, jaccard FROM kept
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental dedup: flag NEW documents that near-duplicate the
@@ -829,6 +837,86 @@ object Dedup {
     else { freeCheckpoint(labels); clustersStar(pairs) }
   }
 
+  /** PageRank over the near-dup pair graph: which documents are the
+    * HUBS of duplication (template sources, boilerplate origins, spam
+    * farms)? A dedup report ranks clusters by size; PageRank ranks
+    * nodes by how centrally duplication flows through them — the
+    * difference between "this cluster is big" and "this document is
+    * what everything else is a copy of". Standard synchronous PR with
+    * damping 0.85 over the symmetrized pair edges, a fixed `iters`
+    * rounds from the uniform prior over paired nodes.
+    *
+    * Determinism across engines: per-node contribution sums fold a
+    * src-sorted list (float addition order written down, not left to
+    * shuffle order) and each round's PR re-rounds to 9dp so both
+    * engines enter the next round with bit-identical state; the oracle
+    * unrolls the same rounds as SQL CTEs (the BPE-training device).
+    *
+    * Scale: edges/degrees are cached once (bounded: the verified pair
+    * set); each round is ONE join of the edge list with the ≤node-sized
+    * state and one map-side-combinable per-node aggregate. The fixed
+    * round count keeps the plan finite without checkpoint lineage
+    * (contrast [[clusters]], whose round count is data-dependent). */
+  def neardupPagerank(corpus: DataFrame, iters: Int = 3): DataFrame =
+    pagerank(minhashPairs(corpus).select(col("id_a"), col("id_b")), iters)
+
+  /** The graph kernel behind [[neardupPagerank]]: PR over any
+    * undirected (id_a, id_b) pair set. */
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src")).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg")).cache()
+    val n = deg.count()
+    var pr = deg.select(col("id"), col("deg"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("id").as("src"), (col("pr") / col("deg")).as("c")),
+          Seq("src"))
+        .select(col("dst").as("id"), col("src"), col("c"))
+      val sums = contrib
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("l"))
+        .select(col("id"),
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("c")).as("s"))
+      pr = deg.join(sums, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9)
+            .as("pr"))
+    }
+    // eager localCheckpoint (the clusters pattern): materialize the
+    // node-sized result BEFORE dropping the edge cache under it
+    val out = pr.select(col("id").as("doc_id"), col("deg"),
+      round(col("pr"), 6).as("pagerank")).localCheckpoint()
+    edges.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[neardupPagerank]]: the same rounds unrolled as
+    * CTEs over the shared pair-graph CTE chain. */
+  def duckPagerank(iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${duckMinhashPairsCtes()},\n"
+    sb ++= "edges AS (SELECT id_a AS src, id_b AS dst FROM kept\n"
+    sb ++= "  UNION ALL SELECT id_b AS src, id_a AS dst FROM kept),\n"
+    sb ++= "deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY src),\n"
+    sb ++= "nn AS (SELECT count(*)::DOUBLE AS n FROM deg),\n"
+    sb ++= "pr0 AS (SELECT id, deg, (SELECT 1.0/n FROM nn) AS pr FROM deg),\n"
+    for (i <- 1 to iters) {
+      sb ++= s"c$i AS (SELECT e.dst AS id, e.src AS src, p.pr / p.deg AS c\n"
+      sb ++= s"  FROM edges e JOIN pr${i - 1} p ON p.id = e.src),\n"
+      sb ++= s"s$i AS (SELECT id, list(c ORDER BY src ASC) AS l FROM c$i GROUP BY id),\n"
+      sb ++= s"pr$i AS (SELECT d.id, d.deg,\n"
+      sb ++= s"  ROUND((SELECT 0.15/n FROM nn) + 0.85 * coalesce(\n"
+      sb ++= s"    list_reduce(list_prepend(0.0, s.l), (a, b) -> a + b), 0.0), 9) AS pr\n"
+      sb ++= s"  FROM deg d LEFT JOIN s$i s ON s.id = d.id),\n"
+    }
+    sb ++= s"fin AS (SELECT id AS doc_id, deg, ROUND(pr, 6) AS pagerank FROM pr$iters)\n"
+    sb ++= "SELECT doc_id, deg, pagerank FROM fin ORDER BY doc_id"
+    sb.toString
+  }
+
   /** Free the block-manager storage behind an eager `localCheckpoint`
     * once the frame is SUPERSEDED. Iterative loops otherwise leave
     * every round's checkpoint blocks resident for the life of the
@@ -1012,6 +1100,9 @@ object Dedup {
     "x_dedup_minhash" -> ((s, dir) =>
       minhashPairs(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_pagerank" -> ((s, dir) =>
+      neardupPagerank(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
     "x_dedup_simhash" -> ((s, dir) =>
       simhashPairs(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
@@ -1139,6 +1230,7 @@ object Dedup {
          |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
+    "x_dedup_pagerank" -> duckPagerank(),
     // identical shingle hashes, identical df cap on both sides,
     // identical capped denominator
     "x_dedup_containment" ->

@@ -1104,6 +1104,24 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("pagerank: hub of a star tops ranking; probability mass conserved") {
+    import spark.implicits._
+    // star 0–{1,2,3} plus a detached pair 8–9
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val pr = graft.ops.Dedup.pagerank(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(pr(0L)._1 === 3L, "hub degree")
+    val hub = pr(0L)._2
+    assert(Seq(1L, 2L, 3L).forall(l => pr(l)._2 < hub),
+      "leaves must rank below the hub")
+    assert(math.abs(pr(1L)._2 - pr(2L)._2) < 1e-9, "symmetric leaves tie")
+    // output is rounded to 6dp per node → up to n/2 ulps of drift
+    assert(math.abs(pr.values.map(_._2).sum - 1.0) < 6e-6,
+      "no dangling nodes: total PR mass stays 1")
+    assert(math.abs(pr(8L)._2 - pr(9L)._2) < 1e-9, "detached pair ties")
+  }
+
   test("collocations: glued pair tops ranking with the closed-form PMI") {
     import spark.implicits._
     // "aa bb" always adjacent (4×); "cc" floats free between fillers
