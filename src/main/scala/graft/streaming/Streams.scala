@@ -150,6 +150,31 @@ object Streams {
       .filter(col("event_type") =!= "__sentinel__")
   }
 
+  /** Streaming per-window TOP-K: the 3 highest-value events of each
+    * tumbling hour, in append mode — the live leaderboard / anomaly
+    * shortlist a monitoring stage tails. Ranking inside the window
+    * uses the same bounded-heap `topk_hits` aggregate as the batch
+    * k-NN paths, so streaming state per window is O(k) (the heap),
+    * never the window's events — a collect_list+sort formulation
+    * would buffer every event per window in the state store. No
+    * sentinel filter anywhere: a pre-aggregation filter would be
+    * pushed below the watermark node and stall the final windows (see
+    * [[eventStream]]), and none is needed — the sentinel sits alone in
+    * a window whose end the watermark never passes, so it can never
+    * appear in append-mode output. Each real window emits exactly once
+    * when the watermark passes its end. */
+  def eventTopKStreaming(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val (srcDir, schema) = sentinelSourceDir(spark, sfDir)
+    val ranked = eventStream(spark, srcDir, schema, None)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.vector.Kernels.topKHits(col("value"), col("event_id"), k).as("hits"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        posexplode(col("hits")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.vec_id").as("event_id"), round(col("col.score"), 6).as("value"))
+    runToParquet(spark, ranked)
+  }
+
   /** SLIDING windowed counts (2h window, 1h slide) in append mode —
     * each event lands in size/slide = 2 overlapping windows, the shape
     * rate monitoring wants (a spike is visible in two windows, not
@@ -533,6 +558,9 @@ object Streams {
     "s_session_builtin" -> ((s, dir) =>
       sessionizeBuiltin(s, dir)
         .orderBy(col("user_id"), col("first_ts"))),
+    "s_stream_topk" -> ((s, dir) =>
+      eventTopKStreaming(s, dir)
+        .orderBy(col("window_start"), col("rnk"))),
     "s_stream_sliding" -> ((s, dir) =>
       eventSlidingCountsStreaming(s, dir)
         .orderBy(col("window_start"), col("event_type"))),
@@ -573,6 +601,18 @@ object Streams {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n, ROUND(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // batch twin of the streaming leaderboard: same hour buckets, same
+    // (value DESC, event_id ASC) ranking the bounded heap applies
+    "s_stream_topk" ->
+      """WITH r AS (SELECT
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |SELECT window_start, rnk::BIGINT AS rnk, event_id,
+        |  ROUND(value, 6) AS value
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     // every event belongs to exactly 2 overlapping (2h, 1h-slide)
     // windows: the one starting at its truncated hour and the one an
     // hour earlier — the batch unroll of the sliding assignment

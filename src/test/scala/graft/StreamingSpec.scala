@@ -162,6 +162,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("streaming top-k: per-window heap state is O(windows·k), ranks well-formed") {
+    val out = Streams.eventTopKStreaming(spark, sf).cache()
+    val windows = out.select(col("window_start")).distinct().count()
+    assert(windows > 0)
+    // every window carries at most k=3 dense ranks starting at 1
+    val bad = out.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+      .filter(col("n") > 3 || col("lo") =!= 1 || col("hi") =!= col("n"))
+      .count()
+    assert(bad === 0L, "ranks must be dense 1..min(k, window size)")
+    // within each window, value is non-increasing by rank
+    import spark.implicits._
+    val nonMono = out.select(col("window_start"), col("rnk"), col("value"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).values
+      .count(rows => rows.sortBy(_._2).map(_._3).sliding(2)
+        .exists(p => p.length == 2 && p(0) < p(1)))
+    assert(nonMono === 0, "rank order must follow value desc")
+    // heap state: aggregate state rows = in-flight windows, each O(k) —
+    // far below the event count (the collect_list formulation would
+    // hold every event)
+    val maxState = Streams.lastRunProgress
+      .map(_.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L)
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(maxState > 0 && maxState <= windows + 2,
+      s"state rows ($maxState) must track windows ($windows), not events ($events)")
+    out.unpersist()
+  }
+
   test("stream-stream join matches across micro-batches (click first, purchase later)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj_mb").toString
