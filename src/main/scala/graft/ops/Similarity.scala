@@ -348,7 +348,83 @@ object Similarity {
   private val duckCosSim =
     (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
 
+  // -- random projection (Johnson–Lindenstrauss) -------------------
+
+  /** Deterministic ±1/√d' projection matrix (outDim × inDim), the
+    * Achlioptas (2001) database-friendly JL construction. Generated
+    * ONCE on the driver by a pure integer mix and embedded as a plan
+    * literal in BOTH engines — no RNG, no broadcast round-trip, and
+    * the codegen'd projection is a fixed unrolled dot product. */
+  private[graft] def rpMatrix(outDim: Int, inDim: Int): Seq[Seq[Double]] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // splitmix64 finalizer: a single multiplicative mix leaves
+    // neighboring ROWS correlated (measured mean distortion 0.47 at
+    // d'=16 vs 0.20 for i.i.d. signs — correlated rows collapse the
+    // effective dimension); full avalanche restores the JL scale
+    (0 until outDim).map { d =>
+      (0 until inDim).map { j =>
+        var z = (d * inDim + j + 1).toLong * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if ((z & 1L) == 1L) scale else -scale
+      }
+    }
+  }
+
+  /** JL random projection 64→`outDim` with measured distortion: for
+    * every sampled pair, the full-dimension cosine beside the
+    * projected cosine and their absolute gap — the evidence table for
+    * "can this pipeline run its near-dup pass at d'=16?". The
+    * projection is a narrow map (literal matrix, ordered fold per
+    * output dim, so both engines produce bit-identical vectors);
+    * the sampled self-join is the bounded matrixPairs device, not an
+    * all-pairs pass. */
+  def rpDistortion(emb: DataFrame, outDim: Int = 16, sampleMod: Int = 25): DataFrame = {
+    val m = typedlit(rpMatrix(outDim, 64))
+    val proj = transform(m, row =>
+      aggregate(zip_with(col("embedding"), row, (x, w) => x.cast("double") * w),
+        lit(0.0), (a, x) => a + x))
+    val s = emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id"), col("embedding"), proj.as("rp"))
+    val a = s.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("rp").as("ra"))
+    val b = s.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("rp").as("rb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Kernels.cosine(col("ea"), col("eb")), 6).as("cos_full"),
+        round(Kernels.cosine(col("ra"), col("rb")), 6).as("cos_rp"))
+      .withColumn("distortion",
+        round(abs(col("cos_full") - col("cos_rp")), 6))
+  }
+
+  /** DuckDB twin of [[rpDistortion]] — the same literal matrix text,
+    * the same ordered folds. */
+  def duckRpDistortion(outDim: Int = 16, sampleMod: Int = 25): String = {
+    val mat = rpMatrix(outDim, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |    list_transform($mat::DOUBLE[][],
+       |      row -> list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, 65),
+       |          j -> embedding[j]::DOUBLE * row[j])), (a, x) -> a + x)) AS rp
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_full,
+       |  ROUND(list_cosine_similarity(a.rp, b.rp), 6) AS cos_rp,
+       |  ROUND(abs(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       |    - ROUND(list_cosine_similarity(a.rp, b.rp), 6)), 6) AS distortion
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |ORDER BY distortion DESC, id_a, id_b LIMIT 200""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // worst 200 distortions: the JL quality report is its tail, and
+    // the cut keeps the output bounded however many pairs the sample
+    // yields (2M at sf0.1)
+    "x_rp_distortion" -> ((s, dir) =>
+      rpDistortion(t(s, dir, "embeddings"))
+        .orderBy(col("distortion").desc, col("id_a"), col("id_b"))
+        .limit(200)),
     // Document-level similarity join: embed the corpus, then k-NN join
     // a query subset against it — the end-to-end "find similar docs"
     // pipeline (embedder → broadcast query side → ranking window).
@@ -643,6 +719,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "x_rp_distortion" -> duckRpDistortion(),
     "x_semdedup" ->
       s"""WITH corpus AS (${Dedup.duckEmbCorpusWithDups(withLabel = false)}),
          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -171,6 +171,48 @@ object TextAnalysis {
         i => array_min(slice(col("gh"), i, lit(w))))))
   }
 
+  // -- corpus report -----------------------------------------------
+
+  /** One-row corpus health report — the summary a curation run prints
+    * first: volume (docs, tokens, vocabulary), diversity (languages,
+    * sources, head language), exact-duplicate load, and the
+    * high-quality share. Every cell is a count or an exact-integer
+    * ratio — no float accumulation to drift between engines (the
+    * quality threshold compares the per-doc 6dp-ROUNDED score both
+    * engines already share).
+    *
+    * Scale: one doc-level aggregate pass + one token explode for the
+    * vocabulary + a vocabulary-sized lang head — three bounded
+    * single-row sides crossed together (all broadcast). At 100 TB the
+    * vocabulary countDistinct is the one genuinely heavy cell; the
+    * sketch twin is [[tokenCms]]/HLL, and the exact form stays the
+    * oracle. */
+  def corpusReport(docs: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(toks).cast("long").as("n_toks"),
+      md5(col("text").cast("binary")).as("sig"))
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val docStats = base.join(q, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("exact_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        count(when(col("quality") >= qualityMin, 1)).as("n_high_quality"))
+    val vocab = docs.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("n_vocab"))
+    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("top_lang_docs"))
+      .orderBy(col("top_lang_docs").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"), col("top_lang_docs"))
+    docStats.crossJoin(broadcast(vocab)).crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_tokens"), col("exact_dup_docs"),
+        col("n_vocab"), col("n_langs"), col("n_sources"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avg_doc_tokens"),
+        col("top_lang"), col("top_lang_docs"), col("n_high_quality"))
+  }
+
   // -- collocations ------------------------------------------------
 
   /** PMI collocation mining: adjacent word pairs ranked by pointwise
@@ -972,6 +1014,9 @@ object TextAnalysis {
     "x_collocations" -> ((s, dir) =>
       collocations(t(s, dir, "documents"), k = 20, minCount = 5)),
 
+    "x_corpus_report" -> ((s, dir) =>
+      corpusReport(t(s, dir, "documents"))),
+
     "x_distinct_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -1118,6 +1163,28 @@ object TextAnalysis {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest(${duckToks("text")}) AS tok FROM documents) z
          |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "x_corpus_report" ->
+      s"""WITH $duckQualityCtes,
+         |tk AS (SELECT doc_id, lang, source, text, ${duckToks("text")} AS toks
+         |  FROM documents),
+         |ds AS (SELECT count(*)::BIGINT AS n_docs,
+         |    sum(len(toks))::BIGINT AS n_tokens,
+         |    (count(*) - count(DISTINCT md5(text)))::BIGINT AS exact_dup_docs,
+         |    count(DISTINCT lang)::BIGINT AS n_langs,
+         |    count(DISTINCT source)::BIGINT AS n_sources
+         |  FROM tk),
+         |vc AS (SELECT count(DISTINCT w)::BIGINT AS n_vocab
+         |  FROM (SELECT unnest(toks) AS w FROM tk) z),
+         |hq AS (SELECT count(*)::BIGINT AS n_high_quality FROM q
+         |  WHERE quality >= 0.5),
+         |tl AS (SELECT lang AS top_lang, count(*)::BIGINT AS top_lang_docs
+         |  FROM documents GROUP BY lang
+         |  ORDER BY top_lang_docs DESC, lang ASC LIMIT 1)
+         |SELECT n_docs, n_tokens, exact_dup_docs, n_vocab, n_langs, n_sources,
+         |  ROUND(n_tokens::DOUBLE / n_docs::DOUBLE, 6) AS avg_doc_tokens,
+         |  top_lang, top_lang_docs, n_high_quality
+         |FROM ds, vc, hq, tl""".stripMargin,
 
     "x_collocations" ->
       s"""WITH tk AS (SELECT ${duckToks("text")} AS toks FROM documents),

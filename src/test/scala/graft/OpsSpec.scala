@@ -1104,6 +1104,41 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("rp matrix is balanced ±1/√d'; projection roughly preserves cosine") {
+    val m = graft.ops.Similarity.rpMatrix(16, 64)
+    val s = 1.0 / math.sqrt(16.0)
+    assert(m.flatten.forall(v => v == s || v == -s))
+    val pos = m.flatten.count(_ > 0)
+    assert(math.abs(pos - 512) < 160, s"sign balance, got $pos/1024 positive")
+    // JL error scale: mean distortion ~1/√d' — doubling the target
+    // dimension must shrink it (individual pairs can still swing to
+    // ~1 at d'=16; the MEAN is the guarantee, not the max)
+    def meanDist(outDim: Int): Double =
+      graft.ops.Similarity.rpDistortion(emb, outDim)
+        .agg(avg(col("distortion"))).head.getDouble(0)
+    val m16 = meanDist(16)
+    val m64 = meanDist(64)
+    assert(m16 < 0.35, s"mean distortion at d'=16: $m16")
+    assert(m64 < m16 * 0.75,
+      s"quadrupling d' must shrink mean distortion: $m16 -> $m64")
+  }
+
+  test("corpus report: cells are internally consistent") {
+    val r = graft.ops.TextAnalysis.corpusReport(docs).head
+    val nDocs = r.getLong(0)
+    assert(nDocs === docs.count())
+    assert(r.getLong(1) > nDocs, "more tokens than docs")
+    assert(r.getLong(2) === 0L, "pristine fixture has no exact dups")
+    assert(r.getLong(8) <= nDocs && r.getLong(8) > 0, "top lang share")
+    assert(r.getLong(9) <= nDocs, "high-quality count bounded")
+    // planting a verbatim duplicate raises exactly the dup cell
+    import org.apache.spark.sql.functions.lit
+    val withDup = docs.limit(1).withColumn("doc_id", lit(999999L)).unionByName(docs)
+    val r2 = graft.ops.TextAnalysis.corpusReport(withDup).head
+    assert(r2.getLong(2) === 1L)
+    assert(r2.getLong(0) === nDocs + 1)
+  }
+
   test("pagerank: hub of a star tops ranking; probability mass conserved") {
     import spark.implicits._
     // star 0–{1,2,3} plus a detached pair 8–9
