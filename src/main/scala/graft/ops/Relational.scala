@@ -183,6 +183,52 @@ object Relational {
     "r_q3_top_orders" -> ((s, dir) =>
       topRevenueOrders(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), 10)),
 
+    // Strict sequential funnel (view → click → purchase, each stage
+    // completed within 6 hours of the previous stage's FIRST
+    // completion — the deadline is what makes a funnel a funnel; the
+    // unbounded variant saturates on any long-lived user base): the
+    // conversion query every event pipeline serves. Three per-user
+    // aggregates chained by conditional mins — each stage is a
+    // filter + min-agg over the events already shuffled on user_id,
+    // never a per-user subquery.
+    "r_events_funnel" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 6 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 6 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.agg(countDistinct(col("user_id")).as("n_users")).crossJoin(
+          t1.agg(count(lit(1)).as("n_viewed"))).crossJoin(
+          t2.agg(count(lit(1)).as("n_clicked"))).crossJoin(
+          t3.agg(count(lit(1)).as("n_purchased")))
+    }),
+
+    // Weekly cohort retention: users grouped by their first-activity
+    // ISO week, counted in each later week they return — the
+    // triangle every growth dashboard draws. Two shuffles total: the
+    // per-user first-week aggregate and the (cohort, offset)
+    // distinct-count; offsets are exact integer week arithmetic.
+    "r_retention" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cw"),
+          (datediff(col("w"), col("cw")) / 7).cast("long").as("offset_w"))
+        .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_w"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("offset_w"))
+    }),
+
     // TPC-H Q14 shape: promo revenue share — conditional aggregation
     // (CASE inside sum) over a broadcast dimension join, one year of
     // fact rows. The ratio-of-sums form computes BOTH aggregates in
@@ -411,6 +457,31 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "r_events_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 6 HOUR GROUP BY e.user_id)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT count(*) FROM t1) AS n_viewed,
+        |  (SELECT count(*) FROM t2) AS n_clicked,
+        |  (SELECT count(*) FROM t3) AS n_purchased""".stripMargin,
+
+    "r_retention" ->
+      """WITH w AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS cw FROM w GROUP BY user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  (date_diff('day', cw, w.w) // 7)::BIGINT AS offset_w,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin,
 
     "r_promo_revenue" ->
       """SELECT
