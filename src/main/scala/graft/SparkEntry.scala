@@ -39,10 +39,10 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    searchQueries ++ ingestQueries ++ graft.search.QueryApis.queries ++ graft.search.Formula.queries ++ graft.search.Filters.queries ++ graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++ graft.ops.Quantize.queries ++ graft.ops.TextAnalysis.queries ++ graft.ops.Relational.queries ++ graft.ops.Curation.queries ++ graft.ops.Retrieval.queries ++ graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries
+    searchQueries ++ ingestQueries ++ graft.search.QueryApis.queries ++ graft.search.Formula.queries ++ graft.search.Filters.queries ++ graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++ graft.ops.Quantize.queries ++ graft.ops.TextAnalysis.queries ++ graft.ops.Relational.queries ++ graft.ops.Curation.queries ++ graft.ops.Skew.queries ++ graft.ops.Retrieval.queries ++ graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    searchOracles ++ ingestOracles ++ graft.search.QueryApis.oracles ++ graft.search.Formula.oracles ++ graft.search.Filters.oracles ++ graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++ graft.ops.Quantize.oracles ++ graft.ops.TextAnalysis.oracles ++ graft.ops.Relational.oracles ++ graft.ops.Curation.oracles ++ graft.ops.Retrieval.oracles ++ graft.streaming.Streams.oracles ++ graft.multimodal.Multimodal.oracles
+    searchOracles ++ ingestOracles ++ graft.search.QueryApis.oracles ++ graft.search.Formula.oracles ++ graft.search.Filters.oracles ++ graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++ graft.ops.Quantize.oracles ++ graft.ops.TextAnalysis.oracles ++ graft.ops.Relational.oracles ++ graft.ops.Curation.oracles ++ graft.ops.Skew.oracles ++ graft.ops.Retrieval.oracles ++ graft.streaming.Streams.oracles ++ graft.multimodal.Multimodal.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: dense top-k cosine search (query = vector of point 0).

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.t
 
 /** Skew-mitigation utilities for hot keys (SURVEY.md §4 / driver
   * scale checklist: "skewed keys → salting or AQE skew-join").
@@ -31,4 +32,29 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
   }
+
+  /** The salted path under the oracle gate: revenue per returnflag —
+    * a 3-value key over 600k rows at sf0.1, the classic hot-key
+    * aggregate — via the two-phase salt, checked against the ORACLE'S
+    * direct single-phase GROUP BY. Equality is the whole point:
+    * salting must change the shuffle layout and nothing else. Values
+    * aggregate as exact integer CENTS — partial sums re-associate
+    * float addition, so the salted path is only hash-equal to the
+    * direct path when the sum is order-free (the [[rollingSpend]]
+    * device; at 100 TB long-sum exactness is also what makes partial
+    * aggregation auditable). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_salted_agg" -> ((s, dir) =>
+      saltedSumCount(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", saltBuckets = 16)
+        .orderBy(col("l_returnflag"))))
+
+  def oracles: Map[String, String] = Map(
+    "x_salted_agg" ->
+      """SELECT l_returnflag,
+        |  sum(round(l_extendedprice * 100)::BIGINT) AS total,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -261,6 +261,16 @@ class ScaleDesignSpec extends SparkSpec {
       s"staged dimension truncation must not shuffle:\n$plan")
   }
 
+  test("salted aggregate: phase-1 shuffle carries the salt, phase-2 merges per key") {
+    val q = graft.ops.Skew.queries("x_salted_agg")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag") &&
+      plan.contains("_salt"),
+      s"expected the (key, salt) pre-shuffle and the per-key merge:\n$plan")
+    assert(plan.split("HashAggregate").length - 1 >= 4,
+      s"two-phase salted agg = partial+final at each phase:\n$plan")
+  }
+
   test("promo revenue: part dim broadcasts; one pass computes both aggregates") {
     val q = graft.ops.Relational.queries("r_promo_revenue")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
