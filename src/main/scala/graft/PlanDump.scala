@@ -69,7 +69,14 @@ object PlanDump {
       "q_formula_decay" -> "formula rescoring: prefetch cut and formula cut both TakeOrderedAndProject; the decay arithmetic inlines into the candidate projection (whole-stage codegen), touching prefetchN rows only",
       "x_blocklist" -> "blocklist audit: literal term set compiles into the codegen'd filter — per-token hash-set probe plus consecutive-token phrase scan, pure narrow map",
       "x_blocklist_join" -> "large-blocklist path: term TABLE broadcasts under the token explode; the only exchange is the map-side-combinable per-doc hit count",
-      "m_resize_plan" -> "resize planning: integer dimension arithmetic in the scan projection — pure narrow map, no shuffle")
+      "m_resize_plan" -> "resize planning: integer dimension arithmetic in the scan projection — pure narrow map, no shuffle",
+      "x_dedup_pagerank" -> "near-dup PageRank: cached symmetric edge list; each of the 3 fixed rounds is one edge-state join + one map-side-combinable per-node fold — no driver-side graph",
+      "x_collocations" -> "PMI collocations: one pair shuffle + one token shuffle, vocabulary-sized unigram table broadcast onto pair counts, TakeOrderedAndProject cut",
+      "x_multistage_rescore" -> "nested-prefetch funnel: bq Hamming -> int8 -> full-float, all three cuts TakeOrderedAndProject, zero exchanges",
+      "x_salted_agg" -> "salted hot-key aggregate: (key, salt) pre-shuffle spreads the hot key, per-key merge runs over saltBuckets partials — layout changes, results don't",
+      "r_events_funnel" -> "deadline funnel: per-stage filter + min-agg chained on user_id, conditional mins instead of per-user subqueries",
+      "x_rp_distortion" -> "JL projection audit: literal +-1 matrix unrolls into the scan projection; sampled self-join is bounded; cut is TakeOrderedAndProject",
+      "x_corpus_report" -> "corpus report: three bounded single-row aggregate sides crossed by broadcast — one doc pass, one token pass, one lang head")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
