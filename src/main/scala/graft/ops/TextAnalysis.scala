@@ -417,6 +417,90 @@ object TextAnalysis {
           6).as("avg_logp2"))
   }
 
+  /** Jelinek–Mercer interpolated LM score — the smoothing upgrade over
+    * [[bigramLogprob]]: avg over bigrams of
+    * ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)), with the conditional exactly
+    * prefix-normalized (as in bigramLogprob) and the unigram fallback
+    * absorbing unseen-context mass. The standard fix for the
+    * conditional-only score's blindness: a doc whose bigrams are rare
+    * but whose words are common scores between the two extremes
+    * instead of at the bigram floor.
+    *
+    * Scale: the bigram tf shuffle + its two vocabulary-sized windows
+    * (the bigramLogprob shapes); the unigram model is a bounded
+    * vocabulary table broadcast onto the bigram rows (at open-web
+    * vocabulary, swap for the DSIR hashed-bucket model — same plan
+    * shape, bounded by construction). Both mixing constants are
+    * interpolated into the oracle text from the SAME Scala doubles, so
+    * engines cannot disagree on 1−λ's last bit. Per-doc sums fold a
+    * bigram-sorted list. */
+  def interpLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val uni = docs.select(explode(toks).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+    val nu = uni.agg(sum(col("cu")).as("nu"))
+    tf
+      .withColumn("c2", sum(col("k")).over(Window.partitionBy(col("bg"))))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .withColumn("c1", sum(col("k")).over(Window.partitionBy(col("w1"))))
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(nu))
+      .select(col("doc_id"), col("bg"), col("k"),
+        (col("k").cast("double") *
+          log(lit(lambda) * (col("c2").cast("double") / col("c1").cast("double")) +
+            lit(1.0 - lambda) * (col("cu").cast("double") / col("nu").cast("double"))))
+          .as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("bg"), col("v")))).as("l"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")) /
+            col("n_bigrams").cast("double"),
+          6).as("avg_logp_jm"))
+  }
+
+  /** DuckDB twin of [[interpLogprob]] — constants rendered from the
+    * identical Scala doubles. */
+  private def duckInterpLogprob(lambda: Double): String = {
+    val l1 = lambda.toString
+    val l0 = (1.0 - lambda).toString
+    s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+       |uni AS (SELECT w2, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS w2 FROM tk) z GROUP BY w2),
+       |nu AS (SELECT sum(cu)::DOUBLE AS nu FROM uni),
+       |bgr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |  FROM tk, (SELECT unnest(range(1, 100000)) AS i) ix
+       |  WHERE i < len(toks)),
+       |tf AS (SELECT doc_id, bg, count(*)::BIGINT AS k FROM bgr GROUP BY doc_id, bg),
+       |w AS (SELECT doc_id, bg, k,
+       |    sum(k) OVER (PARTITION BY bg) AS c2,
+       |    string_split(bg, ' ')[1] AS w1,
+       |    string_split(bg, ' ')[2] AS w2
+       |  FROM tf),
+       |w2t AS (SELECT *, sum(k) OVER (PARTITION BY w1) AS c1 FROM w),
+       |v AS (SELECT doc_id, bg, k,
+       |    k::DOUBLE * ln($l1 * (c2::DOUBLE / c1::DOUBLE)
+       |      + $l0 * (u.cu::DOUBLE / (SELECT nu FROM nu))) AS v
+       |  FROM w2t JOIN uni u USING (w2)),
+       |g AS (SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+       |    list(v ORDER BY bg ASC) AS l
+       |  FROM v GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ROUND(list_reduce(list_prepend(0.0, l), (a, b) -> a + b)
+       |    / n_bigrams::DOUBLE, 6) AS avg_logp_jm
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR importance weight per document (Xie et al., NeurIPS 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * log-likelihood ratio of a TARGET (in-domain) hashed-n-gram
@@ -937,6 +1021,8 @@ object TextAnalysis {
       qualityClassifier(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_bigram_logprob" -> ((s, dir) =>
       bigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_interp_logprob" -> ((s, dir) =>
+      interpLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
@@ -1274,6 +1360,8 @@ object TextAnalysis {
          |  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
          |  FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents) w) z
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "x_interp_logprob" -> duckInterpLogprob(0.7),
 
     "x_bigram_logprob" ->
       s"""WITH tf AS (SELECT doc_id, bg, count(*) AS k FROM (

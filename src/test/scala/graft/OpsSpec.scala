@@ -1104,6 +1104,25 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("interpolated LM: λ=1 collapses to the pure bigram conditional score") {
+    val jm = graft.ops.TextAnalysis.interpLogprob(docs, lambda = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bg = graft.ops.TextAnalysis.bigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(jm.keySet === bg.keySet)
+    assert(jm.forall { case (id, v) => math.abs(v - bg(id)) < 2e-6 },
+      "with no unigram mass the JM score IS the conditional score")
+    // the mixture is a convex combination of probabilities ≤ 1, so
+    // every JM score is ≤ 0; and smoothing must change SOMETHING
+    // (pure-conditional scores of 0 get pulled down, rare-bigram docs
+    // get pulled up — both directions are correct JM behavior)
+    val jm7 = graft.ops.TextAnalysis.interpLogprob(docs, lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(jm7.keySet === bg.keySet)
+    assert(jm7.values.forall(_ <= 1e-9), "log of a probability mixture")
+    assert(jm7.exists { case (id, v) => math.abs(v - bg(id)) > 1e-4 })
+  }
+
   test("rp matrix is balanced ±1/√d'; projection roughly preserves cosine") {
     val m = graft.ops.Similarity.rpMatrix(16, 64)
     val s = 1.0 / math.sqrt(16.0)
