@@ -418,6 +418,27 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cluster inspection (the DataComp/SemDeDup workflow step after
+    // clustering: WHAT is in each cluster?): assign every embedding to
+    // its nearest fixture centroid, join the documents through the
+    // shared id space, and surface each cluster's top-lift terms —
+    // the IVF machinery and the topic-lift machinery composed through
+    // one broadcast-equi-join. All counts integer, lift a single
+    // rounded ratio.
+    "x_cluster_terms" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = ivfAssign(e.select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      val d = t(s, dir, "documents")
+        .join(asg, Seq("doc_id"))
+        .select(col("cluster_id"), col("text"))
+      graft.ops.TextAnalysis
+        .topicWords(d, k = 3, minCount = 3L, keyCol = "cluster_id")
+        .orderBy(col("cluster_id"), col("rnk"))
+    }),
+
     // worst 200 distortions: the JL quality report is its tail, and
     // the cut keeps the output bounded however many pairs the sample
     // yields (2M at sf0.1)
@@ -720,6 +741,30 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "x_rp_distortion" -> duckRpDistortion(),
+    "x_cluster_terms" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, c.c_id, ${duckCosSim("e.embedding", "cv")} AS c_sim
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id AS doc_id, c_id AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn FROM scored) z
+         |  WHERE rn = 1),
+         |tf AS (SELECT cluster_id, tok, count(*) AS c FROM (
+         |    SELECT a.cluster_id, unnest(${graft.ops.TextAnalysis.duckToksPublic("d.text")}) AS tok
+         |    FROM documents d JOIN asg a USING (doc_id)) z
+         |  GROUP BY cluster_id, tok),
+         |t AS (SELECT sum(c)::BIGINT AS tc FROM tf),
+         |wt AS (SELECT cluster_id, tok, c,
+         |    sum(c) OVER (PARTITION BY cluster_id) AS key_c,
+         |    sum(c) OVER (PARTITION BY tok) AS tok_c
+         |  FROM tf),
+         |lf AS (SELECT cluster_id, tok, c,
+         |    ROUND((c::DOUBLE / key_c::DOUBLE) / (tok_c::DOUBLE / tc::DOUBLE), 6) AS lift
+         |  FROM wt, t WHERE c >= 3),
+         |r AS (SELECT cluster_id, tok, c, lift,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY lift DESC, tok ASC) AS rnk
+         |  FROM lf)
+         |SELECT cluster_id, tok, c, lift, rnk FROM r WHERE rnk <= 3
+         |ORDER BY cluster_id, rnk""".stripMargin,
     "x_semdedup" ->
       s"""WITH corpus AS (${Dedup.duckEmbCorpusWithDups(withLabel = false)}),
          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

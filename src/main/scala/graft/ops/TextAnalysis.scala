@@ -659,20 +659,21 @@ object TextAnalysis {
     * unigram-LM lesson); only the global total is a broadcast scalar.
     * `minCount` suppresses one-off noise. Integral counts, one
     * rounded division chain, (lift desc, tok asc) rank ties. */
-  def topicWords(docs: DataFrame, k: Int, minCount: Long): DataFrame = {
+  def topicWords(docs: DataFrame, k: Int, minCount: Long,
+      keyCol: String = "lang"): DataFrame = {
     val tf = docs
-      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .select(col(keyCol), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("c"))
     val tot = tf.agg(sum(col("c")).as("tc"))
     val withTotals = tf
-      .withColumn("lang_c", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("key_c", sum(col("c")).over(Window.partitionBy(col(keyCol))))
       .withColumn("tok_c", sum(col("c")).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(tot))
       .filter(col("c") >= minCount)
-      .select(col("lang"), col("tok"), col("c"),
-        round((col("c").cast("double") / col("lang_c").cast("double")) /
+      .select(col(keyCol), col("tok"), col("c"),
+        round((col("c").cast("double") / col("key_c").cast("double")) /
           (col("tok_c").cast("double") / col("tc").cast("double")), 6).as("lift"))
-    val w = Window.partitionBy(col("lang"))
+    val w = Window.partitionBy(col(keyCol))
       .orderBy(col("lift").desc, col("tok").asc)
     withTotals.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
