@@ -501,6 +501,91 @@ object TextAnalysis {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney bigram score (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark winner) — the LM-family capstone above
+    * [[interpLogprob]]: absolute discounting plus the CONTINUATION
+    * back-off, P(w₂|w₁) = max(c₁₂−D,0)/c₁ + (D·N₁₊(w₁·)/c₁)·P_cont(w₂)
+    * with P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) — "how many contexts does w₂
+    * complete", the correction that stops frequent-but-context-bound
+    * words (the "Francisco" effect) from inflating the back-off.
+    *
+    * Scale: the corpus bigram TYPE table (one groupBy over the doc tf)
+    * carries every model quantity as plain windows over itself —
+    * c₁ = Σc₁₂ by prefix, N₁₊ forward/backward = type counts by
+    * w₁/w₂ — so no countDistinct and no second corpus pass; the type
+    * table then joins back onto the doc tf on the bigram key (the
+    * unigramLogprob exchange-reuse shape). Per-doc sums fold a
+    * bigram-sorted list; the discount renders into the oracle from the
+    * same Scala double. */
+  def knLogprob(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tfDoc = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val types = tfDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n1f", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("n1b", count(lit(1)).over(Window.partitionBy(col("w2"))))
+    val n1all = types.agg(count(lit(1)).as("nall"))
+    val d = lit(discount)
+    tfDoc.join(types, Seq("bg"))
+      .crossJoin(broadcast(n1all))
+      .select(col("doc_id"), col("bg"), col("k"),
+        (col("k").cast("double") * log(
+          greatest(col("c12").cast("double") - d, lit(0.0)) /
+            col("c1").cast("double") +
+          (d * col("n1f").cast("double") / col("c1").cast("double")) *
+            (col("n1b").cast("double") / col("nall").cast("double"))))
+          .as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("bg"), col("v")))).as("l"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")) /
+            col("n_bigrams").cast("double"),
+          6).as("avg_logp_kn"))
+  }
+
+  /** DuckDB twin of [[knLogprob]] — discount rendered from the same
+    * Scala double. */
+  private def duckKnLogprob(discount: Double): String = {
+    val dd = discount.toString
+    s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+       |bgr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |  FROM tk, (SELECT unnest(range(1, 100000)) AS i) ix
+       |  WHERE i < len(toks)),
+       |tfd AS (SELECT doc_id, bg, count(*)::BIGINT AS k FROM bgr GROUP BY doc_id, bg),
+       |ty0 AS (SELECT bg, sum(k)::BIGINT AS c12,
+       |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |  FROM tfd GROUP BY bg),
+       |ty AS (SELECT *,
+       |    sum(c12) OVER (PARTITION BY w1) AS c1,
+       |    count(*) OVER (PARTITION BY w1) AS n1f,
+       |    count(*) OVER (PARTITION BY w2) AS n1b
+       |  FROM ty0),
+       |na AS (SELECT count(*)::DOUBLE AS nall FROM ty0),
+       |v AS (SELECT doc_id, bg, k,
+       |    k::DOUBLE * ln(
+       |      greatest(c12::DOUBLE - $dd, 0.0) / c1::DOUBLE +
+       |      ($dd * n1f::DOUBLE / c1::DOUBLE) * (n1b::DOUBLE / (SELECT nall FROM na))) AS v
+       |  FROM tfd JOIN ty USING (bg)),
+       |g AS (SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+       |    list(v ORDER BY bg ASC) AS l
+       |  FROM v GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ROUND(list_reduce(list_prepend(0.0, l), (a, b) -> a + b)
+       |    / n_bigrams::DOUBLE, 6) AS avg_logp_kn
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR importance weight per document (Xie et al., NeurIPS 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * log-likelihood ratio of a TARGET (in-domain) hashed-n-gram
@@ -1024,6 +1109,8 @@ object TextAnalysis {
       bigramLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_interp_logprob" -> ((s, dir) =>
       interpLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "x_kn_logprob" -> ((s, dir) =>
+      knLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
@@ -1363,6 +1450,7 @@ object TextAnalysis {
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
 
     "x_interp_logprob" -> duckInterpLogprob(0.7),
+    "x_kn_logprob" -> duckKnLogprob(0.75),
 
     "x_bigram_logprob" ->
       s"""WITH tf AS (SELECT doc_id, bg, count(*) AS k FROM (

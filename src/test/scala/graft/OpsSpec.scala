@@ -1104,6 +1104,26 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("kneser-ney: closed-form check on a toy corpus; scores strictly negative") {
+    import spark.implicits._
+    // corpus bigrams: ab:2, ba:1, ac:1 → c1(a)=3, c1(b)=1,
+    // N1+(a·)=2, N1+(b·)=1, N1+(·b)=N1+(·a)=N1+(·c)=1, N1+(··)=3
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.knLogprob(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pBA = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3) // P(b|a)
+    val pAB = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1.0 / 3) // P(a|b)
+    val pCA = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3) // P(c|a)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 -
+      (2 * math.log(pBA) + math.log(pAB)) / 3) < 1e-6)
+    assert(math.abs(got(2L)._2 - math.log(pCA)) < 1e-6)
+    // discounted mass never pushes a probability past 1
+    val fixture = graft.ops.TextAnalysis.knLogprob(docs)
+      .agg(max(col("avg_logp_kn"))).head.getDouble(0)
+    assert(fixture < 0.0, "every KN probability is < 1")
+  }
+
   test("interpolated LM: λ=1 collapses to the pure bigram conditional score") {
     val jm = graft.ops.TextAnalysis.interpLogprob(docs, lambda = 1.0)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
