@@ -247,6 +247,41 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM kept
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash accuracy audit: on every verified near-dup pair, the
+    * SIGNATURE-based Jaccard estimate (fraction of agreeing minhash
+    * components — the only similarity a signature store can compute
+    * without the shingle sets) beside the exact Jaccard, plus the
+    * absolute error. The measured-accuracy companion to
+    * x_ann_recall/x_dedup_lsh_recall: it answers "how many hashes do
+    * I need before the estimate is decision-grade", which sizes the
+    * signature store at 100 TB (k components × 8 bytes per doc IS the
+    * dedup index). Estimates are exact multiples of 1/k, so the 6dp
+    * round is drift-free. */
+  def minhashEstimate(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val pairs = minhashPairs(corpus, k).select(col("id_a"), col("id_b"), col("jaccard"))
+    val sigs = withShingleHashes(corpus)
+      .select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
+    val agree = size(filter(zip_with(col("sa"), col("sb"),
+      (x, y) => x === y), b => b))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(agree.cast("double") / k, 6).as("est"))
+      .withColumn("err", round(abs(col("est") - col("jaccard")), 6))
+  }
+
+  /** DuckDB twin of [[minhashEstimate]]. */
+  def duckMinhashEstimate(k: Int = 8): String =
+    s"""WITH ${duckMinhashPairsCtes(k)},
+       |sg AS (SELECT doc_id, sig FROM sigs)
+       |SELECT id_a, id_b, jaccard,
+       |  ROUND(len(list_filter(range(1, $k + 1), i -> a.sig[i] = b.sig[i]))::DOUBLE / $k, 6) AS est,
+       |  ROUND(abs(ROUND(len(list_filter(range(1, $k + 1), i -> a.sig[i] = b.sig[i]))::DOUBLE / $k, 6) - jaccard), 6) AS err
+       |FROM kept JOIN sg a ON a.doc_id = kept.id_a
+       |JOIN sg b ON b.doc_id = kept.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Incremental dedup: flag NEW documents that near-duplicate the
     * EXISTING corpus — the nightly-crawl-vs-history gate, distinct
     * from self-dedup (new×new pairs are a separate pass; history×
@@ -1103,6 +1138,9 @@ object Dedup {
     "x_dedup_pagerank" -> ((s, dir) =>
       neardupPagerank(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
+    "x_minhash_estimate" -> ((s, dir) =>
+      minhashEstimate(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_simhash" -> ((s, dir) =>
       simhashPairs(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
@@ -1231,6 +1269,7 @@ object Dedup {
          |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "x_dedup_minhash" -> duckMinhashPairs(),
     "x_dedup_pagerank" -> duckPagerank(),
+    "x_minhash_estimate" -> duckMinhashEstimate(),
     // identical shingle hashes, identical df cap on both sides,
     // identical capped denominator
     "x_dedup_containment" ->
