@@ -76,7 +76,9 @@ object PlanDump {
       "x_salted_agg" -> "salted hot-key aggregate: (key, salt) pre-shuffle spreads the hot key, per-key merge runs over saltBuckets partials — layout changes, results don't",
       "r_events_funnel" -> "deadline funnel: per-stage filter + min-agg chained on user_id, conditional mins instead of per-user subqueries",
       "x_rp_distortion" -> "JL projection audit: literal +-1 matrix unrolls into the scan projection; sampled self-join is bounded; cut is TakeOrderedAndProject",
-      "x_corpus_report" -> "corpus report: three bounded single-row aggregate sides crossed by broadcast — one doc pass, one token pass, one lang head")
+      "x_corpus_report" -> "corpus report: three bounded single-row aggregate sides crossed by broadcast — one doc pass, one token pass, one lang head",
+      "x_kn_logprob" -> "Kneser-Ney: every model quantity is a window over the corpus bigram TYPE table (one groupBy), joined back onto the doc tf on the bigram key — no countDistinct, no second corpus pass",
+      "x_cluster_terms" -> "cluster topics: broadcast-centroid argmax assignment (narrow map) equi-joined to documents, then the two vocabulary-sized lift windows")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
