@@ -144,6 +144,19 @@ final case class FLog1p(x: FormulaExpr) extends FormulaExpr {
     s"ln(1.0 + greatest(${x.toDuck(scoreExpr)}, 0.0))"
 }
 
+/** Qdrant's `geo_distance` formula variable: haversine meters from a
+  * fixed query point to the payload's (lat, lon) — the input Qdrant's
+  * geo-boosted search feeds into a decay kernel. Both compilations
+  * share the multiplication-form haversine the geo filters use, so
+  * the IEEE op sequence is identical across engines. */
+final case class FGeoDist(latKey: String, lonKey: String,
+    lat: Double, lon: Double) extends FormulaExpr {
+  def toColumn(score: Column): Column =
+    GeoRadius.haversineMeters(col(latKey), col(lonKey), lat, lon)
+  def toDuck(scoreExpr: String): String =
+    GeoRadius.duckHaversineMeters(latKey, lonKey, lat, lon)
+}
+
 sealed abstract class FDecay extends FormulaExpr {
   def x: FormulaExpr
   def target: Double
@@ -233,11 +246,13 @@ object Formula {
   /** DuckDB twin of [[formulaQuery]] over the embeddings fixture with
     * query = stored vector `qid` — same two rounded stages. */
   private def duckFormulaQuery(qid: Long, formula: FormulaExpr,
-      prefetchN: Int, k: Int): String = {
+      prefetchN: Int, k: Int,
+      extra: Seq[(String, String)] = Nil): String = {
     val cos = "list_cosine_similarity(embedding::DOUBLE[], " +
       s"(SELECT embedding FROM embeddings WHERE vec_id = $qid)::DOUBLE[])"
+    val extraSel = extra.map { case (n, e) => s"$e AS $n, " }.mkString
     s"""WITH cands AS (
-       |  SELECT vec_id, label, ROUND($cos, 6) AS prefetch_score
+       |  SELECT vec_id, label, $extraSel ROUND($cos, 6) AS prefetch_score
        |  FROM embeddings
        |  ORDER BY prefetch_score DESC, vec_id ASC LIMIT $prefetchN)
        |SELECT vec_id, prefetch_score,
@@ -269,10 +284,38 @@ object Formula {
     FMult(Seq(FConst(0.01),
       FSqrt(FLog1p(FPow(FExp(FMult(Seq(FConst(0.5), FKey("label")))), 0.5)))))))
 
+  /** Qdrant's geo-boosted search: 0.7·$score + 0.3·gauss-decay of the
+    * haversine distance to a query point, midpoint at 2000 km — the
+    * "semantically close AND nearby" ranking. Payload coordinates are
+    * synthesized from the id by the geo-fixture arithmetic (the
+    * e4_geo device). */
+  val geoFormula: FormulaExpr = FSum(Seq(
+    FMult(Seq(FConst(0.7), FScore)),
+    FMult(Seq(FConst(0.3),
+      FGaussDecay(FGeoDist("lat", "lon", lat = 40.7, lon = -74.0),
+        target = 0.0, scale = 2000000.0)))))
+
   private val PrefetchN = 50
   private val K = 10
 
+  /** The synthesized (lat, lon) payload, one definition per engine —
+    * identical to the e4 geo fixture's arithmetic, keyed on vec_id. */
+  private def withGeo(e: DataFrame): DataFrame = e.select(
+    col("vec_id"), col("embedding"),
+    ((col("vec_id") * 3571 % 17000) / 100.0 - 85.0).as("lat"),
+    ((col("vec_id") * 6763 % 35000) / 100.0 - 175.0).as("lon"))
+
+  private val duckGeoCols = Seq(
+    "lat" -> "(vec_id * 3571 % 17000) / 100.0 - 85.0",
+    "lon" -> "(vec_id * 6763 % 35000) / 100.0 - 175.0")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_formula_geo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      formulaQuery(withGeo(e), qv, "vec_id", "embedding", geoFormula,
+        carry = Seq("lat", "lon"), PrefetchN, K)
+    }),
     "q_formula_boost" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -289,6 +332,8 @@ object Formula {
 
   def oracles: Map[String, String] = Map(
     "q_formula_boost" -> duckFormulaQuery(0, boostFormula, PrefetchN, K),
-    "q_formula_decay" -> duckFormulaQuery(0, decayFormula, PrefetchN, K)
+    "q_formula_decay" -> duckFormulaQuery(0, decayFormula, PrefetchN, K),
+    "q_formula_geo" -> duckFormulaQuery(0, geoFormula, PrefetchN, K,
+      extra = duckGeoCols)
   )
 }

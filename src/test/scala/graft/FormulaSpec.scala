@@ -56,8 +56,21 @@ class FormulaSpec extends SparkSpec {
     assert(b > p, s"boosted $b must outrank plain $p")
   }
 
+  test("geo distance node: zero at the query point, decay kernel reads it as meters") {
+    import spark.implicits._
+    val d = Seq((40.7, -74.0), (40.7, -73.0)).toDF("lat", "lon")
+    val g = FGeoDist("lat", "lon", 40.7, -74.0)
+    val got = d.select(g.toColumn(lit(0.0)).as("m")).collect().map(_.getDouble(0))
+    assert(got(0) === 0.0)
+    assert(math.abs(got(1) - 84000) < 2000, s"~84 km per lon degree at 40.7N, got ${got(1)}")
+    val dec = d.select(FGaussDecay(g, 0.0, 2000000.0).toColumn(lit(0.0)).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(dec(0) === 1.0 && dec(1) < 1.0 && dec(1) > 0.99,
+      "84 km against a 2000 km scale barely decays")
+  }
+
   test("formula queries return k rows with prefetch and final scores") {
-    for (name <- Seq("q_formula_boost", "q_formula_decay")) {
+    for (name <- Seq("q_formula_boost", "q_formula_decay", "q_formula_geo")) {
       val rows = Formula.queries(name)(spark, sf).collect()
       assert(rows.length === 10, name)
       assert(rows.map(_.getDouble(2)).toSeq ===
