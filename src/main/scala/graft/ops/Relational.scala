@@ -229,6 +229,23 @@ object Relational {
         .orderBy(col("cohort_week"), col("offset_w"))
     }),
 
+    // TPC-H Q10 shape: revenue lost to returns per customer — the
+    // returned-item report. Fact filter (returnflag) pushes to the
+    // scan, orders join shuffles on the key, the small customer dim
+    // broadcasts, top-20 cut is TakeOrderedAndProject.
+    "r_returned_customers" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("lost_revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // TPC-H Q14 shape: promo revenue share — conditional aggregation
     // (CASE inside sum) over a broadcast dimension join, one year of
     // fact rows. The ratio-of-sums form computes BOTH aggregates in
@@ -482,6 +499,17 @@ object Relational {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin,
+
+    "r_returned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "r_promo_revenue" ->
       """SELECT

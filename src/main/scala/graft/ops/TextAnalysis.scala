@@ -289,6 +289,33 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- vocabulary coverage -----------------------------------------
+
+  /** Vocabulary coverage curve: the fraction of token OCCURRENCES the
+    * `k` most frequent types cover, at each requested k — the number
+    * that sizes a tokenizer vocabulary or a stopword list ("the top 50
+    * types are X% of the stream"). Counts are exact integers; the
+    * share is one rounded ratio per row.
+    *
+    * Scale: one token shuffle; the ranking window runs over the
+    * VOCABULARY (bounded), not the corpus — on open-web vocabularies
+    * the same curve comes from the [[tokenCms]] sketch at fixed
+    * memory. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w").asc)
+    val tot = uni.agg(sum(col("c")).as("total"))
+    uni.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("covered", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk").isInCollection(ks.map(_.toLong)))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk").as("k"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
   // -- heavy hitters / count-min sketch ----------------------------
 
   /** Exact global heavy hitters: the top-`k` tokens by occurrence —
@@ -1182,6 +1209,10 @@ object TextAnalysis {
     "x_heavy_hitters" -> ((s, dir) =>
       heavyHitters(t(s, dir, "documents"), 20)),
 
+    "x_vocab_coverage" -> ((s, dir) =>
+      vocabCoverage(t(s, dir, "documents"), Seq(1, 2, 5, 10, 20))
+        .orderBy(col("k"))),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1332,6 +1363,21 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_vocab_coverage" ->
+      s"""WITH uni AS (SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(${duckToks("text")}) AS w FROM documents) z
+         |  GROUP BY w),
+         |r AS (SELECT w, c,
+         |    row_number() OVER (ORDER BY c DESC, w ASC) AS rnk,
+         |    sum(c) OVER (ORDER BY c DESC, w ASC
+         |      ROWS UNBOUNDED PRECEDING) AS covered,
+         |    (SELECT sum(c) FROM uni) AS total
+         |  FROM uni)
+         |SELECT rnk::BIGINT AS k, covered::BIGINT AS covered,
+         |  total::BIGINT AS total,
+         |  ROUND(covered::DOUBLE / total::DOUBLE, 6) AS share
+         |FROM r WHERE rnk IN (1, 2, 5, 10, 20) ORDER BY k""".stripMargin,
 
     "x_heavy_hitters" ->
       s"""SELECT tok, count(*) AS n
