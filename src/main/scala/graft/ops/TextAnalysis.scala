@@ -289,6 +289,55 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- corpus entropy ----------------------------------------------
+
+  /** Corpus entropy report: unigram entropy H(W) = −Σ p(w)·ln p(w) and
+    * the bigram conditional entropy rate H(W₂|W₁) =
+    * −Σ p(w₁,w₂)·ln p(w₂|w₁) — the compressibility / repetitiveness
+    * summary (a boilerplate-heavy corpus shows a collapsing
+    * conditional entropy long before eyeballing does; Shannon's
+    * estimate of what a perfect bigram model could achieve). Nats.
+    *
+    * Scale: the sums run over TYPE tables (vocabulary / bigram-type
+    * sized), not corpus rows; each is folded in type-sorted order
+    * inside ONE collected row so both engines add identical floats in
+    * identical order — the single-row collect is bounded by the type
+    * table, the device every LM oracle here already uses. */
+  def entropyReport(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = docs.select(explode(bgArr).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    val h1 = uni
+      .crossJoin(broadcast(uni.agg(sum(col("c")).as("n"))))
+      .select(col("w"),
+        (col("c").cast("double") / col("n").cast("double") *
+          log(col("c").cast("double") / col("n").cast("double"))).as("v"))
+      .agg(sort_array(collect_list(struct(col("w"), col("v")))).as("l"),
+        count(lit(1)).as("n_types"))
+      .select(round(-aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")), 6)
+        .as("h_unigram"), col("n_types").as("n_unigram_types"))
+    val h2 = bg
+      .crossJoin(broadcast(bg.agg(sum(col("c12")).as("p"))))
+      .select(col("bg"),
+        (col("c12").cast("double") / col("p").cast("double") *
+          log(col("c12").cast("double") / col("c1").cast("double"))).as("v"))
+      .agg(sort_array(collect_list(struct(col("bg"), col("v")))).as("l"),
+        count(lit(1)).as("n_types"))
+      .select(round(-aggregate(col("l"), lit(0.0), (a, x) => a + x.getField("v")), 6)
+        .as("h_bigram_cond"), col("n_types").as("n_bigram_types"))
+    h1.crossJoin(broadcast(h2))
+  }
+
   // -- vocabulary coverage -----------------------------------------
 
   /** Vocabulary coverage curve: the fraction of token OCCURRENCES the
@@ -1213,6 +1262,9 @@ object TextAnalysis {
       vocabCoverage(t(s, dir, "documents"), Seq(1, 2, 5, 10, 20))
         .orderBy(col("k"))),
 
+    "x_entropy_report" -> ((s, dir) =>
+      entropyReport(t(s, dir, "documents"))),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1363,6 +1415,33 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_entropy_report" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |uni AS (SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(toks) AS w FROM tk) z GROUP BY w),
+         |un AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+         |u1 AS (SELECT w,
+         |    (c::DOUBLE / (SELECT n FROM un)) * ln(c::DOUBLE / (SELECT n FROM un)) AS v
+         |  FROM uni),
+         |h1 AS (SELECT ROUND(-list_reduce(list_prepend(0.0,
+         |      (SELECT list(v ORDER BY w ASC) FROM u1)), (a, b) -> a + b), 6) AS h_unigram,
+         |    (SELECT count(*)::BIGINT FROM uni) AS n_unigram_types),
+         |bgr AS (SELECT toks[i] || ' ' || toks[i+1] AS bg
+         |  FROM tk, (SELECT unnest(range(1, 100000)) AS i) ix
+         |  WHERE i < len(toks)),
+         |bt0 AS (SELECT bg, count(*)::BIGINT AS c12,
+         |    string_split(bg, ' ')[1] AS w1 FROM bgr GROUP BY bg),
+         |bt AS (SELECT *, sum(c12) OVER (PARTITION BY w1) AS c1 FROM bt0),
+         |bp AS (SELECT sum(c12)::DOUBLE AS p FROM bt0),
+         |b1 AS (SELECT bg,
+         |    (c12::DOUBLE / (SELECT p FROM bp)) * ln(c12::DOUBLE / c1::DOUBLE) AS v
+         |  FROM bt),
+         |h2 AS (SELECT ROUND(-list_reduce(list_prepend(0.0,
+         |      (SELECT list(v ORDER BY bg ASC) FROM b1)), (a, b) -> a + b), 6) AS h_bigram_cond,
+         |    (SELECT count(*)::BIGINT FROM bt0) AS n_bigram_types)
+         |SELECT h_unigram, n_unigram_types, h_bigram_cond, n_bigram_types
+         |FROM h1, h2""".stripMargin,
 
     "x_vocab_coverage" ->
       s"""WITH uni AS (SELECT w, count(*)::BIGINT AS c

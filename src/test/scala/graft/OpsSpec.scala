@@ -1104,6 +1104,21 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("entropy report: perfectly predictable bigrams collapse conditional entropy") {
+    import spark.implicits._
+    // alternating ab: H(unigram) = ln 2, H(w2|w1) = 0 — every context
+    // has exactly one continuation
+    val d = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.entropyReport(d).head
+    assert(math.abs(r.getDouble(0) - math.log(2.0)) < 1e-6)
+    assert(r.getDouble(2) === 0.0, "deterministic transitions carry no entropy")
+    assert(r.getLong(1) === 2L && r.getLong(3) === 2L)
+    // fixture word soup: conditional entropy stays close to unigram
+    val f = graft.ops.TextAnalysis.entropyReport(docs).head
+    assert(f.getDouble(2) > 0.9 * f.getDouble(0),
+      "a memoryless corpus loses little entropy to conditioning")
+  }
+
   test("kneser-ney: closed-form check on a toy corpus; scores strictly negative") {
     import spark.implicits._
     // corpus bigrams: ab:2, ba:1, ac:1 → c1(a)=3, c1(b)=1,
