@@ -229,6 +229,30 @@ object Relational {
         .orderBy(col("cohort_week"), col("offset_w"))
     }),
 
+    // Per-user event-type transition matrix (first-order Markov): the
+    // behavioral-analytics staple behind "what do users do after X".
+    // One shuffle on user_id for the lag window (total per-user order
+    // on (ts, event_id)), then a map-side-combinable count keyed on
+    // the bounded (prev, next) type pair; probabilities are exact
+    // integer ratios per row.
+    "r_events_markov" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("row_n",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_n").cast("double"), 6)
+            .as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // TPC-H Q10 shape: revenue lost to returns per customer — the
     // returned-item report. Fact filter (returnflag) pushes to the
     // scan, orders join shuffles on the key, the small customer dim
@@ -499,6 +523,19 @@ object Relational {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin,
+
+    "r_events_markov" ->
+      """WITH tr AS (SELECT prev_type, event_type AS next_type FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_type
+        |    FROM events) z
+        |  WHERE prev_type IS NOT NULL),
+        |c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+        |  FROM tr GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  ROUND(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
 
     "r_returned_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment,

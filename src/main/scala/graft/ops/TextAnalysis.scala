@@ -289,6 +289,47 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- Zipf fit ----------------------------------------------------
+
+  /** Least-squares Zipf fit: regress ln(freq) on ln(rank) over the
+    * frequency-ranked vocabulary — natural text sits near slope −1
+    * (Zipf's law); a synthetic or truncated-vocabulary corpus
+    * announces itself with a flat slope (this fixture's word soup
+    * reads ≈ −0.18 with r² 0.06). One row: type count, slope, intercept, and the
+    * fit's r².
+    *
+    * Scale: the regression folds four sums over the RANKED VOCABULARY
+    * collected into one row (bounded, the LM-oracle device), each in
+    * rank order so both engines add identical floats identically. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w").asc)
+    val xy = uni.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), log(col("rnk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def fold(field: String) =
+      aggregate(col("l"), lit(0.0), (a, e) => a + e.getField(field))
+    val sums = xy
+      .agg(count(lit(1)).cast("double").as("n"),
+        sort_array(collect_list(struct(col("rnk"), col("x"), col("y"),
+          (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"),
+          (col("y") * col("y")).as("yy")))).as("l"))
+      .select(col("n"), fold("x").as("sx"), fold("y").as("sy"),
+        fold("xy").as("sxy"), fold("xx").as("sxx"), fold("yy").as("syy"))
+    sums.select(col("n").cast("long").as("n_types"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(
+          ((col("sxy") - col("sx") * col("sy") / col("n")) *
+            (col("sxy") - col("sx") * col("sy") / col("n"))) /
+            ((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r2"))
+  }
+
   // -- corpus entropy ----------------------------------------------
 
   /** Corpus entropy report: unigram entropy H(W) = −Σ p(w)·ln p(w) and
@@ -1265,6 +1306,9 @@ object TextAnalysis {
     "x_entropy_report" -> ((s, dir) =>
       entropyReport(t(s, dir, "documents"))),
 
+    "x_zipf_fit" -> ((s, dir) =>
+      zipfFit(t(s, dir, "documents"))),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1415,6 +1459,33 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_zipf_fit" ->
+      s"""WITH uni AS (SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(${duckToks("text")}) AS w FROM documents) z
+         |  GROUP BY w),
+         |xy AS (SELECT row_number() OVER (ORDER BY c DESC, w ASC) AS rnk,
+         |    ln(row_number() OVER (ORDER BY c DESC, w ASC)::DOUBLE) AS x,
+         |    ln(c::DOUBLE) AS y
+         |  FROM uni),
+         |ls AS (SELECT count(*)::DOUBLE AS n,
+         |    list(x ORDER BY rnk) AS lx, list(y ORDER BY rnk) AS ly,
+         |    list(x * y ORDER BY rnk) AS lxy, list(x * x ORDER BY rnk) AS lxx,
+         |    list(y * y ORDER BY rnk) AS lyy
+         |  FROM xy),
+         |s AS (SELECT n,
+         |    list_reduce(list_prepend(0.0, lx), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(0.0, ly), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(0.0, lxy), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(0.0, lxx), (a, b) -> a + b) AS sxx,
+         |    list_reduce(list_prepend(0.0, lyy), (a, b) -> a + b) AS syy
+         |  FROM ls)
+         |SELECT n::BIGINT AS n_types,
+         |  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+         |  ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept,
+         |  ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+         |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+         |FROM s""".stripMargin,
 
     "x_entropy_report" ->
       s"""WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

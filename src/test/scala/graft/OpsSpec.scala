@@ -1104,6 +1104,22 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("zipf fit: an exact 1/rank corpus regresses to slope -1 with r2 = 1") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/rank exactly → ln c = ln 12 − ln rank
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val r = graft.ops.TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text")).head
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+    // the word-soup fixture is non-Zipfian and the fit says so
+    val f = graft.ops.TextAnalysis.zipfFit(docs).head
+    assert(f.getDouble(1) > -0.5 && f.getDouble(3) < 0.5,
+      s"soup: slope ${f.getDouble(1)}, r2 ${f.getDouble(3)}")
+  }
+
   test("entropy report: perfectly predictable bigrams collapse conditional entropy") {
     import spark.implicits._
     // alternating ab: H(unigram) = ln 2, H(w2|w1) = 0 — every context
