@@ -253,6 +253,26 @@ object Relational {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Top 3-step behavioral paths (order-2 sequence mining, the
+    // companion to the order-1 Markov matrix): every consecutive
+    // type-triple within a user's ordered stream, ranked by frequency.
+    // Same single user_id shuffle — the two lags share one window —
+    // then a bounded-key count and a TakeOrderedAndProject cut.
+    "r_events_paths" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    }),
+
     // TPC-H Q10 shape: revenue lost to returns per customer — the
     // returned-item report. Fact filter (returnflag) pushes to the
     // scan, orders join shuffles on the key, the small customer dim
@@ -523,6 +543,18 @@ object Relational {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin,
+
+    "r_events_paths" ->
+      """WITH p AS (SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    event_type AS t3
+        |  FROM events)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM p WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
 
     "r_events_markov" ->
       """WITH tr AS (SELECT prev_type, event_type AS next_type FROM (
