@@ -78,7 +78,10 @@ object PlanDump {
       "x_rp_distortion" -> "JL projection audit: literal +-1 matrix unrolls into the scan projection; sampled self-join is bounded; cut is TakeOrderedAndProject",
       "x_corpus_report" -> "corpus report: three bounded single-row aggregate sides crossed by broadcast — one doc pass, one token pass, one lang head",
       "x_kn_logprob" -> "Kneser-Ney: every model quantity is a window over the corpus bigram TYPE table (one groupBy), joined back onto the doc tf on the bigram key — no countDistinct, no second corpus pass",
-      "x_cluster_terms" -> "cluster topics: broadcast-centroid argmax assignment (narrow map) equi-joined to documents, then the two vocabulary-sized lift windows")
+      "x_cluster_terms" -> "cluster topics: broadcast-centroid argmax assignment (narrow map) equi-joined to documents, then the two vocabulary-sized lift windows",
+      "r_events_markov" -> "transition matrix: one user_id shuffle for the lag window, bounded (prev, next) count keys, exact integer ratios",
+      "x_zipf_fit" -> "Zipf regression: four sums folded in rank order inside one vocabulary-bounded collected row — no corpus-sized float reduction",
+      "x_entropy_report" -> "entropy report: unigram and bigram-type tables only; sums fold type-sorted in one bounded row each")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. Regenerate: ")
