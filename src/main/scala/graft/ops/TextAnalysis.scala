@@ -289,6 +289,46 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- quality-signal agreement ------------------------------------
+
+  /** Pearson correlation between the heuristic quality score and the
+    * hashed-classifier score — the calibration audit that decides
+    * whether two filter stages are redundant or complementary (near 1:
+    * drop one; near 0: they gate different failure modes and both
+    * earn their scan).
+    *
+    * Scale design: the 6dp-rounded scores scale EXACTLY to integer
+    * micro-units, so every correlation sum is an order-free integer
+    * aggregation (DECIMAL(38) accumulators; DuckDB's HUGEINT twin) —
+    * no global rank window (the corpus_shuffle rule), no corpus-sized
+    * sorted fold, fully distributed with map-side partials. The one
+    * double division happens once, on exact integers both engines
+    * agree on bit-for-bit. */
+  def qualityAgreement(docs: DataFrame): DataFrame = {
+    val h = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val c = qualityClassifier(docs).select(col("doc_id"), col("clf_score"))
+    val j = h.join(c, Seq("doc_id"))
+      .where(col("quality").isNotNull && col("clf_score").isNotNull)
+      .select(
+        round(col("quality") * 1000000, 0).cast("long").as("x"),
+        round(col("clf_score") * 1000000, 0).cast("long").as("y"))
+    val d = "decimal(38,0)"
+    j.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+        sum((col("x") * col("y")).cast(d)).as("sxy"),
+        sum((col("x") * col("x")).cast(d)).as("sxx"),
+        sum((col("y") * col("y")).cast(d)).as("syy"))
+      .select(col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))),
+          6).as("pearson_r"))
+  }
+
   // -- Zipf fit ----------------------------------------------------
 
   /** Least-squares Zipf fit: regress ln(freq) on ln(rank) over the
@@ -895,6 +935,17 @@ object TextAnalysis {
     * scores quality (x_quality_score, x_domain_cap) builds on it. */
   private[graft] def duckQualityCtes: String = duckQualityCtesFor("documents")
 
+  /** CTE chain ending in sc(doc_id, clf_score) — the single SQL source
+    * of the hashed-classifier score (x_clf_quality, x_quality_corr). */
+  private def duckClfCtes: String =
+    s"""toks AS (SELECT doc_id, ${Embedder.duckTokenHashes("text")} AS th FROM documents),
+       |sc AS (SELECT doc_id,
+       |  CASE WHEN len(th) > 0 THEN
+       |    ROUND(1.0 / (1.0 + exp(-(-0.05 +
+       |      list_sum(list_transform(th, h -> ((h % 4096) * 2654435761 % 2003 - 1001)::DOUBLE / 1001.0))
+       |      / len(th)))), 6)
+       |  END AS clf_score FROM toks)""".stripMargin
+
   /** Same CTE chain over an arbitrary source relation (must expose
     * doc_id + text) — lets composed pipelines score a filtered
     * corpus with the identical formula. */
@@ -1309,6 +1360,9 @@ object TextAnalysis {
     "x_zipf_fit" -> ((s, dir) =>
       zipfFit(t(s, dir, "documents"))),
 
+    "x_quality_corr" -> ((s, dir) =>
+      qualityAgreement(t(s, dir, "documents"))),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1459,6 +1513,23 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_quality_corr" ->
+      s"""WITH $duckQualityCtes,
+         |$duckClfCtes,
+         |xy AS (SELECT ROUND(quality * 1000000, 0)::BIGINT AS x,
+         |    ROUND(clf_score * 1000000, 0)::BIGINT AS y
+         |  FROM q JOIN sc USING (doc_id)
+         |  WHERE quality IS NOT NULL AND clf_score IS NOT NULL),
+         |s AS (SELECT count(*)::BIGINT AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM xy)
+         |SELECT n,
+         |  ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+         |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS pearson_r
+         |FROM s""".stripMargin,
 
     "x_zipf_fit" ->
       s"""WITH uni AS (SELECT w, count(*)::BIGINT AS c
@@ -1687,13 +1758,7 @@ object TextAnalysis {
     // bucket weight = exact integer mix of (hash % dim); sigmoid over
     // the token-mean — same left-to-right fold as the Scala aggregate
     "x_clf_quality" ->
-      s"""WITH toks AS (SELECT doc_id, ${Embedder.duckTokenHashes("text")} AS th FROM documents),
-         |sc AS (SELECT doc_id,
-         |  CASE WHEN len(th) > 0 THEN
-         |    ROUND(1.0 / (1.0 + exp(-(-0.05 +
-         |      list_sum(list_transform(th, h -> ((h % 4096) * 2654435761 % 2003 - 1001)::DOUBLE / 1001.0))
-         |      / len(th)))), 6)
-         |  END AS clf_score FROM toks)
+      s"""WITH $duckClfCtes
          |SELECT doc_id, clf_score, clf_score >= 0.5 AS kept
          |FROM sc ORDER BY doc_id""".stripMargin,
 

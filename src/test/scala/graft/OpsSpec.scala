@@ -1104,6 +1104,28 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("quality correlation: distributed integer Pearson matches a driver-side one") {
+    val ta = graft.ops.TextAnalysis
+    val h = ta.qualityScore(docs).collect()
+      .flatMap(r => Option(r.get(3)).map(q => r.getLong(0) -> r.getDouble(3))).toMap
+    val c = ta.qualityClassifier(docs).collect()
+      .flatMap(r => Option(r.get(1)).map(_ => r.getLong(0) -> r.getDouble(1))).toMap
+    val xs = h.keySet.intersect(c.keySet).toSeq.sorted
+      .map(id => (math.round(h(id) * 1e6).toDouble, math.round(c(id) * 1e6).toDouble))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val expect = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = ta.qualityAgreement(docs).head
+    assert(got.getLong(0) === xs.length.toLong)
+    assert(math.abs(got.getDouble(1) - expect) < 1e-6,
+      s"query ${got.getDouble(1)} vs reference $expect")
+    assert(math.abs(got.getDouble(1)) <= 1.0)
+  }
+
   test("zipf fit: an exact 1/rank corpus regresses to slope -1 with r2 = 1") {
     import spark.implicits._
     // counts 12, 6, 4, 3 = 12/rank exactly → ln c = ln 12 − ln rank
