@@ -289,6 +289,30 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- length-bias audit -------------------------------------------
+
+  /** Quality-vs-length bias audit: mean quality per fixed-width
+    * token-count bucket — the covariate check that catches a "quality"
+    * filter that is secretly a length filter (the classic curation
+    * bias; Gopher §A2 reports exactly this table). Means are exact
+    * integer micro-unit sums over the 6dp-rounded scores divided once
+    * — order-free and engine-identical, the x_quality_corr device.
+    * Fixed-width buckets, not ntile: no corpus-wide rank window, and
+    * bucket identity is stable as the corpus grows. */
+  def lengthQualityBias(docs: DataFrame, bucketWidth: Int = 20): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val n = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    n.join(q, Seq("doc_id"))
+      .where(col("quality").isNotNull)
+      .groupBy((col("n_toks") / bucketWidth).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("quality") * 1000000, 0).cast("long")).as("qsum"))
+      .select(col("len_bucket"), col("n_docs"),
+        round(col("qsum").cast("double") / col("n_docs").cast("double") / 1000000.0, 6)
+          .as("mean_quality"))
+  }
+
   // -- quality-signal agreement ------------------------------------
 
   /** Pearson correlation between the heuristic quality score and the
@@ -1363,6 +1387,10 @@ object TextAnalysis {
     "x_quality_corr" -> ((s, dir) =>
       qualityAgreement(t(s, dir, "documents"))),
 
+    "x_length_bias" -> ((s, dir) =>
+      lengthQualityBias(t(s, dir, "documents"))
+        .orderBy(col("len_bucket"))),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1513,6 +1541,16 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_length_bias" ->
+      s"""WITH $duckQualityCtes,
+         |nt AS (SELECT doc_id, len(${duckToks("text")})::BIGINT AS n_toks FROM documents),
+         |lb AS (SELECT n_toks // 20 AS len_bucket,
+         |    ROUND(quality * 1000000, 0)::BIGINT AS qi
+         |  FROM nt JOIN q USING (doc_id) WHERE quality IS NOT NULL)
+         |SELECT len_bucket, count(*)::BIGINT AS n_docs,
+         |  ROUND(sum(qi)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6) AS mean_quality
+         |FROM lb GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
 
     "x_quality_corr" ->
       s"""WITH $duckQualityCtes,
