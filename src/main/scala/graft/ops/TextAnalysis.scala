@@ -289,6 +289,36 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  // -- winnow matching ---------------------------------------------
+
+  /** The planted shared excerpt for x_winnow_matches (12 tokens — any
+    * ≥ w+4 = 8-token shared run guarantees a shared fingerprint, so
+    * every planted pair MUST surface; SIGMOD'03 Theorem). */
+  private[graft] val WinnowMarker =
+    "shared excerpt planted across documents for winnow match detection test run"
+
+  /** Cross-document fingerprint matching — the MATCH half of
+    * winnowing (MOSS's actual report): explode each document's
+    * selected fingerprints, equi-join on the fingerprint value, count
+    * shared prints per pair. The overlap-report companion to
+    * [[winnow]]'s per-doc signature stats.
+    *
+    * Scale: the fingerprint table is ~2/(w+1) of the gram stream; the
+    * join is a plain hash-shuffle EQUI-join on the fingerprint key
+    * (never all-pairs), and the per-pair count is map-side
+    * combinable. Hot fingerprints (boilerplate) are exactly the
+    * [[minhashPairs]] bucket-cap situation — cap or drop the
+    * head prints at web scale. */
+  def winnowMatches(docs: DataFrame, w: Int = 4): DataFrame = {
+    val fps = winnowSelected(docs, w)
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+    fps.select(col("fp"), col("doc_id").as("id_a"))
+      .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // -- length-bias audit -------------------------------------------
 
   /** Quality-vs-length bias audit: mean quality per fixed-width
@@ -1391,6 +1421,15 @@ object TextAnalysis {
       lengthQualityBias(t(s, dir, "documents"))
         .orderBy(col("len_bucket"))),
 
+    // every 25th doc gets the 12-token marker appended in BOTH engines
+    // — those pairs must match (plus any organic shared 5-grams)
+    "x_winnow_matches" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" " + WinnowMarker))).otherwise(col("text")))
+      winnowMatches(planted).orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x_source_divergence" -> ((s, dir) =>
       sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
 
@@ -1541,6 +1580,29 @@ object TextAnalysis {
          |  FROM lf)
          |SELECT lang, tok, c, lift, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin,
+
+    "x_winnow_matches" -> {
+      val gramExpr = (1 to 5).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 25 = 0 THEN text || ' ' || '$WinnowMarker'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |b AS (SELECT doc_id, ${duckToks("text")} AS toks FROM p),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, len(toks) - 4 + 1), i -> $gramExpr) AS grams
+         |  FROM b WHERE len(toks) >= 5),
+         |h AS (SELECT doc_id,
+         |    list_transform(grams, g -> ${Embedder.duckStringHash("g")}) AS gh
+         |  FROM g),
+         |s AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+         |      i -> list_aggregate(gh[i:i+3], 'min'))) AS sel
+         |  FROM h),
+         |f AS (SELECT doc_id, unnest(sel) AS fp FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+    },
 
     "x_length_bias" ->
       s"""WITH $duckQualityCtes,

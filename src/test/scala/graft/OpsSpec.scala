@@ -1104,6 +1104,27 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), "no substring matches")
   }
 
+  test("winnow matches: every planted pair surfaces (the >=w+4 shared-run guarantee)") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val ta = graft.ops.TextAnalysis
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 25 === 0,
+        concat(col("text"), lit(" " + ta.WinnowMarker))).otherwise(col("text")))
+    val got = ta.winnowMatches(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = docs.filter(col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val expected = for (i <- ids.indices; j <- i + 1 until ids.length)
+      yield (ids(i), ids(j))
+    assert(expected.forall(got.contains),
+      s"${expected.count(!got.contains(_))} planted pairs missing of ${expected.size}")
+    // without planting, the marker pairs are absent
+    val bare = ta.winnowMatches(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.count(bare.contains) < expected.size / 4,
+      "the planted excerpt, not organic overlap, drives the matches")
+  }
+
   test("quality correlation: distributed integer Pearson matches a driver-side one") {
     val ta = graft.ops.TextAnalysis
     val h = ta.qualityScore(docs).collect()
