@@ -159,16 +159,40 @@ object TextAnalysis {
     * sel); the spec asserts the SIGMOD'03 guarantee (shared ≥ w+4
     * token run ⇒ non-empty fingerprint intersection) on these. */
   private[graft] def winnowSelected(docs: DataFrame, w: Int): DataFrame = {
+    require(w == 4, "window width is pinned to 4 (the unrolled min chain)")
+    // EVERY lambda below closes over NOTHING but its own variables: a
+    // lambda that references an outer expression (the original
+    // `element_at(toks, i)` / `slice(gh, i, w)` formulation) re-evaluates
+    // that expression PER ELEMENT in interpreted HOF eval — and when an
+    // optimizer rule inlines the whole pipeline into one expression
+    // (InferFiltersFromGenerate did, through x_winnow_matches' explode),
+    // the nesting goes O(len³) per row (measured: the sf0.1 bench went
+    // from sub-second to minutes). Shifted-slice zip_with chains keep
+    // each stage O(len) no matter how the optimizer inlines it.
     val toks = tokens(col("text"))
-    val grams = transform(sequence(lit(1), size(toks) - 4),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))
+    def sliceN(a: Column, from: Int) =
+      slice(a, lit(from), greatest(size(a) - 4, lit(0)))
+    def gramsOf(a: Column) =
+      zip_with(
+        zip_with(
+          zip_with(sliceN(a, 1), sliceN(a, 2), (x, y) => concat(x, lit(" "), y)),
+          sliceN(a, 3), (x, y) => concat(x, lit(" "), y)),
+        zip_with(sliceN(a, 4), sliceN(a, 5), (x, y) => concat(x, lit(" "), y)),
+        (x, y) => concat(x, lit(" "), y))
+    def winMins(h: Column) = {
+      def s(from: Int) = slice(h, lit(from), greatest(size(h) - 3, lit(0)))
+      when(size(h) >= 4,
+        zip_with(
+          zip_with(s(1), s(2), (x, y) => least(x, y)),
+          zip_with(s(3), s(4), (x, y) => least(x, y)),
+          (x, y) => least(x, y)))
+        .otherwise(array(array_min(h)))
+    }
     docs
       .filter(size(toks) >= 5)
-      .withColumn("gh", transform(grams, g => Embedder.tokenHash(g)))
-      .withColumn("sel", array_distinct(transform(
-        sequence(lit(1), greatest(size(col("gh")) - (w - 1), lit(1))),
-        i => array_min(slice(col("gh"), i, lit(w))))))
+      .withColumn("gh",
+        transform(gramsOf(toks), g => Embedder.tokenHash(g)))
+      .withColumn("sel", array_distinct(winMins(col("gh"))))
   }
 
   // -- corpus report -----------------------------------------------
@@ -308,7 +332,13 @@ object TextAnalysis {
     * (never all-pairs), and the per-pair count is map-side
     * combinable. Hot fingerprints (boilerplate) are exactly the
     * [[minhashPairs]] bucket-cap situation — cap or drop the
-    * head prints at web scale. */
+    * head prints at web scale.
+    *
+    * Cost note: the explode makes `sel` single-use, so the optimizer
+    * inlines the ENTIRE winnow pipeline both into the Generate and
+    * into the `size(sel) > 0` filter InferFiltersFromGenerate derives
+    * from it — [[winnowSelected]] is written so that full inlining
+    * stays O(len) per row (see its closure-free lambda note). */
   def winnowMatches(docs: DataFrame, w: Int = 4): DataFrame = {
     val fps = winnowSelected(docs, w)
       .select(col("doc_id"), explode(col("sel")).as("fp"))
