@@ -340,8 +340,12 @@ object TextAnalysis {
     * from it — [[winnowSelected]] is written so that full inlining
     * stays O(len) per row (see its closure-free lambda note). */
   def winnowMatches(docs: DataFrame, w: Int = 4): DataFrame = {
+    // repartition on the join key BEFORE the self-join: both sides
+    // reuse ONE exchange (the minhashPairs device), so the fingerprint
+    // pipeline is computed once, not once per side
     val fps = winnowSelected(docs, w)
       .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .repartition(col("fp"))
     fps.select(col("fp"), col("doc_id").as("id_a"))
       .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))

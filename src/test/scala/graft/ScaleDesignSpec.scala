@@ -261,6 +261,14 @@ class ScaleDesignSpec extends SparkSpec {
       s"staged dimension truncation must not shuffle:\n$plan")
   }
 
+  test("winnow matches: both self-join sides reuse one fingerprint exchange") {
+    val q = graft.ops.TextAnalysis.queries("x_winnow_matches")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.split("Generate explode").length - 1 == 1,
+      s"the fingerprint pipeline must be computed once, not per join side:\n$plan")
+  }
+
   test("salted aggregate: phase-1 shuffle carries the salt, phase-2 merges per key") {
     val q = graft.ops.Skew.queries("x_salted_agg")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
