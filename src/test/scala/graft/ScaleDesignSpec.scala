@@ -263,6 +263,7 @@ class ScaleDesignSpec extends SparkSpec {
 
   test("winnow matches: both self-join sides reuse one fingerprint exchange") {
     val q = graft.ops.TextAnalysis.queries("x_winnow_matches")(spark, sf)
+    q.collect() // AQE materializes exchange reuse only in the FINAL plan
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") ||
       plan.split("Generate explode").length - 1 == 1,
