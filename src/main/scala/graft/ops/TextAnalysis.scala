@@ -158,6 +158,13 @@ object TextAnalysis {
   /** The selected fingerprint SETS behind [[winnow]] — (doc_id, gh,
     * sel); the spec asserts the SIGMOD'03 guarantee (shared ≥ w+4
     * token run ⇒ non-empty fingerprint intersection) on these. */
+  /** Native one-pass fingerprint selection (text → distinct window
+    * minima, first-occurrence order) — the hot-path twin of
+    * [[winnowSelected]]'s `sel` column. */
+  def winnowSelectNative(text: Column): Column =
+    graft.vector.Kernels.ofExpr(graft.vector.WinnowSelect(
+      graft.vector.Kernels.exprOf(text), 31L, Embedder.Prime))
+
   private[graft] def winnowSelected(docs: DataFrame, w: Int): DataFrame = {
     require(w == 4, "window width is pinned to 4 (the unrolled min chain)")
     // EVERY lambda below closes over NOTHING but its own variables: a
@@ -337,14 +344,21 @@ object TextAnalysis {
     * Cost note: the explode makes `sel` single-use, so the optimizer
     * inlines the ENTIRE winnow pipeline both into the Generate and
     * into the `size(sel) > 0` filter InferFiltersFromGenerate derives
-    * from it — [[winnowSelected]] is written so that full inlining
-    * stays O(len) per row (see its closure-free lambda note). */
+    * from it — the fingerprint column here is therefore the NATIVE
+    * one-pass [[graft.vector.WinnowSelect]] (the HOF chain in
+    * [[winnowSelected]] stays the oracle semantics; NativeParitySpec
+    * pins them equal), with the x_winnow_matches suite cost dropping
+    * 6.9s → sub-second at sf0.1. */
   def winnowMatches(docs: DataFrame, w: Int = 4): DataFrame = {
+    require(w == 4, "window width is pinned to 4 (native fast path)")
+    val toks = tokens(col("text"))
     // repartition on the join key BEFORE the self-join: both sides
     // reuse ONE exchange (the minhashPairs device), so the fingerprint
     // pipeline is computed once, not once per side
-    val fps = winnowSelected(docs, w)
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
+    val fps = docs
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"),
+        explode(winnowSelectNative(col("text"))).as("fp"))
       .repartition(col("fp"))
     fps.select(col("fp"), col("doc_id").as("id_a"))
       .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))

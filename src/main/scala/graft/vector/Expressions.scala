@@ -918,3 +918,81 @@ case class TopKHits(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(scoreChild = newChildren(0), idChild = newChildren(1))
 }
+
+/** Winnowing fingerprint selection in one native pass (the
+  * Schleimer/Wilkerson/Aiken SIGMOD'03 signature behind
+  * TextAnalysis.winnowSelected, with window width pinned at 4 and
+  * 5-word grams): tokenize on spaces, poly-hash each 5-gram (the same
+  * `(h·mult + cp) mod prime` walk as the HOF twin, spaces included),
+  * take the minimum of every 4-wide window, emit first-occurrence
+  * distinct minima. The HOF formulation stays beside it as the
+  * documented oracle semantics (NativeParitySpec pins equality); this
+  * exists because the interpreted HOF chain was the sf0.1 suite's
+  * hottest query once x_winnow_matches exploded fingerprints over it.
+  * Fewer than 5 tokens → empty array (callers filter those rows).
+  */
+case class WinnowSelect(child: Expression, mult: Long, prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def hashRange(s: String, from: Int, until: Int, init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % prime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var inTok = false
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') {
+        if (inTok) { ends += i; inTok = false }
+      } else if (!inTok) { starts += i; inTok = true }
+      i += 1
+    }
+    if (inTok) ends += s.length
+    val nTok = starts.length
+    if (nTok < 5) return new GenericArrayData(Array.empty[Long])
+    val g = nTok - 4
+    val gh = new Array[Long](g)
+    var w = 0
+    while (w < g) {
+      var h = 0L
+      var t = 0
+      while (t < 5) {
+        if (t > 0) h = (h * mult + ' '.toInt) % prime
+        h = hashRange(s, starts(w + t), ends(w + t), h)
+        t += 1
+      }
+      gh(w) = h
+      w += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (g < 4) {
+      var m = gh(0); var k = 1
+      while (k < g) { if (gh(k) < m) m = gh(k); k += 1 }
+      seen.add(m)
+    } else {
+      var p = 0
+      while (p <= g - 4) {
+        var m = gh(p); var k = p + 1
+        while (k < p + 4) { if (gh(k) < m) m = gh(k); k += 1 }
+        seen.add(m)
+        p += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -291,4 +291,27 @@ class NativeParitySpec extends SparkSpec {
     assert(e.getMessage.contains("topk_hits expects"),
       s"expected the declared type-check message, got: ${e.getMessage.take(200)}")
   }
+
+  test("winnow select: native == HOF sel on documents, planted texts, and length edges") {
+    import spark.implicits._
+    val ta = graft.ops.TextAnalysis
+    val planted = graft.Tables.t(spark, sf, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" " + ta.WinnowMarker))).otherwise(col("text")))
+    val both = ta.winnowSelected(planted, 4)
+      .select(col("doc_id"), col("sel"),
+        ta.winnowSelectNative(col("text")).as("ns"))
+      .filter(not(col("sel") === col("ns")))
+    assert(both.count() === 0L, "native and HOF fingerprint sets must be identical")
+    // length edges: 5..8 tokens give 1..4 grams (the G<4 single-window arm)
+    val edges = Seq("a b c d e", "a b c d e f", "a b c d e f g",
+      "a b c d e f g h", "x  y   z    w     v").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val e = ta.winnowSelected(edges, 4)
+      .select(col("sel"), ta.winnowSelectNative(col("text")).as("ns"))
+      .collect()
+    assert(e.length === 5)
+    assert(e.forall(r => r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
 }
