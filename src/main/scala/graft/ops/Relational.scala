@@ -659,7 +659,7 @@ object Relational {
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders)
         |SELECT o_orderkey, o_custkey,
-        |  sum(cents) OVER w AS spend_7d_cents,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS spend_7d_cents,
         |  count(*) OVER w AS n_7d
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us

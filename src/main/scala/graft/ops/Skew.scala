@@ -54,7 +54,7 @@ object Skew {
   def oracles: Map[String, String] = Map(
     "x_salted_agg" ->
       """SELECT l_returnflag,
-        |  sum(round(l_extendedprice * 100)::BIGINT) AS total,
+        |  CAST(sum(round(l_extendedprice * 100)::BIGINT) AS BIGINT) AS total,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

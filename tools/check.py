@@ -10,9 +10,20 @@ rounded to 6dp). Array-typed compared columns are a hard FAIL: the
 driver's pandas row-sort throws `unhashable type: numpy.ndarray` on
 them (the r5 q_matrix_offsets gate failure), so any query emitting one
 must be rewritten to scalar cells (array_join / explode) first.
+
+TYPE-STRICT (round 9): both sides are materialized as pandas frames —
+the same representation the driver hashes — and per-column dtype KINDS
+must match. An uncast DuckDB sum(BIGINT) comes back HUGEINT, which
+pandas renders float64 against the parquet's int64; the old str()
+cell normalization erased that (123 vs 123.0 both hash fine as "123"
+vs "123.000000"? no — they DIFFER, but only when a str() happened to
+collide the gate passed what the driver failed). Kind mismatch is now
+a loud FAIL before any value compare: the r8 x_salted_agg /
+r_window_range HUGEINT bugs can no longer ship locally green.
 """
 import json, math, sys
 import duckdb
+import numpy as np
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -21,11 +32,11 @@ class ArrayColumn(Exception):
     pass
 
 def norm_cell(v):
-    if isinstance(v, float):
+    if isinstance(v, float):          # covers np.float64 (subclass)
         if math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         raise ArrayColumn("array-typed compared cell (driver pandas sort "
                           "cannot hash it); emit array_join'd strings or "
                           "explode to rows instead")
@@ -38,6 +49,23 @@ def norm_seq(cols, rows):
 def norm_rows(cols, rows):
     return sorted(norm_seq(cols, rows))
 
+def dtype_kind(dt):
+    """Collapse a pandas dtype to the equivalence class the driver's
+    value hash distinguishes: ints of any width hash alike, but int vs
+    float vs object vs bool vs datetime do NOT (123 != 123.0 after the
+    float 6dp format)."""
+    k = dt.kind  # i/u int, f float, O object, b bool, M datetime, m timedelta
+    return {"u": "i"}.get(k, k)
+
+def frame(rel):
+    """Materialize a DuckDB relation the way the driver does (pandas),
+    returning (cols, kinds, rows)."""
+    df = rel.df()
+    cols = list(df.columns)
+    kinds = {c: dtype_kind(df[c].dtype) for c in cols}
+    rows = list(df.itertuples(index=False, name=None))
+    return cols, kinds, rows
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -48,16 +76,23 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            gcols, grows = [d[0] for d in got.description], got.fetchall()
-            exp = con.execute(sql)
-            ecols, erows = [d[0] for d in exp.description], exp.fetchall()
+            gcols, gkinds, grows = frame(
+                con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+            ecols, ekinds, erows = frame(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+            n_fail += 1
+            continue
+        bad_types = {c: (gkinds[c], ekinds[c]) for c in gcols
+                     if gkinds[c] != ekinds[c]}
+        if bad_types:
+            print(f"FAIL {name}: dtype kind mismatch (spark vs oracle) "
+                  f"{bad_types} — uncast DuckDB HUGEINT/DECIMAL? see "
+                  "CLAUDE.md cast rule")
             n_fail += 1
             continue
         try:
