@@ -269,13 +269,20 @@ class VectorCollection private (
       .withColumnRenamed(config.idCol, "pid")
     val dHits = search(denseQuery, n).select(col(config.idCol).as("pid"),
       col("score"))
-    def ranked(hits: DataFrame, rankName: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("pid").asc)
+    // Rank direction mirrors each branch's score semantics: sparse is
+    // always DOT (similarity, DESC), dense follows the collection's
+    // metric — euclid/manhattan are distances whose top-n list from
+    // search() is ranked ASC (smallest first); ranking it DESC here
+    // would hand the WORST prefetch survivor rank 1 in the fusion.
+    def ranked(hits: DataFrame, rankName: String, asc: Boolean): DataFrame = {
+      val s = if (asc) col("score").asc else col("score").desc
+      val w = org.apache.spark.sql.expressions.Window.orderBy(s, col("pid").asc)
       hits.withColumn(rankName, row_number().over(w).cast("long"))
         .select(col("pid"), col(rankName))
     }
-    ranked(sHits, "rs").join(ranked(dHits, "rd"), Seq("pid"), "full_outer")
+    val denseAsc = VectorCollection.metricFn(config.distance)._2
+    ranked(sHits, "rs", asc = false)
+      .join(ranked(dHits, "rd", asc = denseAsc), Seq("pid"), "full_outer")
       .select(col("pid").as(config.idCol),
         round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
@@ -994,6 +1001,23 @@ object VectorCollection {
       path: String,
       like: DataFrame,
       config: CollectionConfig): VectorCollection = {
+    // The flat meta format borrows ';' ':' '=' as delimiters and '"'
+    // as the JSON quote — a name or column containing one would write
+    // a sidecar that open() mis-parses. Refuse BEFORE creating the
+    // collection directory, so a rejected config leaves nothing behind.
+    val metaDelims = Seq(';', ':', '=', '"', '\\')
+    def checkName(what: String, s: String): Unit =
+      require(!s.exists(metaDelims.contains),
+        s"$what '$s' contains a meta-delimiter character " +
+          s"(${metaDelims.mkString(" ")}) and cannot be serialized")
+    (Seq("idCol" -> config.idCol, "vectorCol" -> config.vectorCol) ++
+      config.shardCol.map("shardCol" -> _) ++
+      config.namedVectors.flatMap { case (n, (c, _)) =>
+        Seq("named vector" -> n, "named vector column" -> c) } ++
+      config.sparseVectors.flatMap { case (n, (ic, vc)) =>
+        Seq("sparse vector" -> n, "sparse index column" -> ic,
+          "sparse value column" -> vc) })
+      .foreach { case (what, s) => checkName(what, s) }
     val created = Sink.ensureCollection(spark, path, like)
     if (created) {
       val shard = config.shardCol

@@ -43,8 +43,8 @@ object Ingest {
     pathed.filter(
       lower(substring_index(col(pathCol), ".", -1)).isin("jpg", "jpeg", "png"))
 
-  /** One real on-disk corpus tree per dataset per JVM, synthesized from
-    * the documents fixture with the [[withPaths]] layout
+  /** One real on-disk corpus tree per dataset, synthesized from the
+    * documents fixture with the [[withPaths]] layout
     * (`<source>/doc_<id>.<ext>`, file bytes = the UTF-8 text): the
     * target of the REAL filesystem ingestion path — Spark's binaryFile
     * source with recursive lookup, the engine's analog of the
@@ -52,22 +52,45 @@ object Ingest {
     * (`with_colpali_v1.3/...py:143-163`,
     * `shared/get_all_folder_details.py:57-78`). The synthesis itself is
     * a driver loop over fixture rows — test scaffolding, not the
-    * operator; at scale the tree already exists, which is the point. */
+    * operator; at scale the tree already exists, which is the point.
+    *
+    * The tree is persisted PER FIXTURE DIR (a content-keyed path under
+    * the system temp dir, committed by atomic rename with a _SUCCESS
+    * marker), not per JVM: every bench/verify JVM after the first
+    * reuses it, so the driver synthesis loop never sits inside a timed
+    * query again (the r8 a3_binary_scan variance suspect). Concurrent
+    * builders race benignly — the loser's staging dir is discarded. */
   private val treeCache = scala.collection.mutable.Map.empty[String, String]
 
   def binaryTree(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
       treeCache.getOrElseUpdate(sfDir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_tree").toFile.getAbsolutePath
-        withPaths(spark.read.parquet(s"$sfDir/documents.parquet"))
-          .select(col("relative_path"), col("text")).collect()
-          .foreach { r =>
-            val p = java.nio.file.Paths.get(root, r.getString(0))
-            java.nio.file.Files.createDirectories(p.getParent)
-            java.nio.file.Files.write(p, r.getString(1).getBytes("UTF-8"))
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val canon = Paths.get(sfDir).toRealPath().toString
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tree_$key")
+        if (!Files.exists(base.resolve("_SUCCESS"))) {
+          val stage = Files.createTempDirectory(base.getParent, s"graft_tree_${key}_stage")
+          withPaths(spark.read.parquet(s"$sfDir/documents.parquet"))
+            .select(col("relative_path"), col("text")).collect()
+            .foreach { r =>
+              val p = stage.resolve(r.getString(0))
+              Files.createDirectories(p.getParent)
+              Files.write(p, r.getString(1).getBytes("UTF-8"))
+            }
+          Files.write(stage.resolve("_SUCCESS"), Array.emptyByteArray)
+          try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+              // another builder won the race; keep theirs, drop ours
+              Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
           }
-        root
+        }
+        base.toString
       })
     }
 

@@ -1778,7 +1778,7 @@ object TextAnalysis {
     "x_collocations" ->
       s"""WITH tk AS (SELECT ${duckToks("text")} AS toks FROM documents),
          |pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
-         |  FROM tk, (SELECT unnest(range(1, 10000)) AS i) ix
+         |  FROM tk, (SELECT unnest(range(1, 100000)) AS i) ix
          |  WHERE i < len(toks)),
          |pairs AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pr GROUP BY w1, w2),
          |uni AS (SELECT w, count(*)::BIGINT AS c

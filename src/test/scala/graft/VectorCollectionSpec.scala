@@ -779,6 +779,52 @@ class VectorCollectionSpec extends SparkSpec {
       "both-list membership must outrank single-list membership here")
   }
 
+  test("queryHybrid on a euclid collection: dense RRF ranks follow distance ASC") {
+    import spark.implicits._
+    val dir = s"${tmp()}/colhe"
+    // query (0,0): p1 nearest (d=0.1), p2 (d=0.5), p3 farthest (d=1.0).
+    // sparse query {3:1.0} matches only p2. Ranking the dense list by
+    // score DESC (the similarity convention) would hand the FARTHEST
+    // point dense rank 1 — euclid scores are distances, asc.
+    val pts = Seq(
+      (1L, Seq(0.1f, 0.0f), Seq(7), Seq(1.0f)),
+      (2L, Seq(0.5f, 0.0f), Seq(3), Seq(2.0f)),
+      (3L, Seq(1.0f, 0.0f), Seq(8), Seq(1.0f))
+    ).toDF("point_id", "embedding", "s_idx", "s_val")
+    val cfg = CollectionConfig("point_id", "embedding", 2,
+      multiVector = false, distance = "euclid",
+      sparseVectors = Map("text" -> (("s_idx", "s_val"))))
+    val c = VectorCollection.ensure(spark, dir, pts, cfg)
+    c.upsert(pts)
+    val hits = c.queryHybrid("text", Seq(3 -> 1.0), Seq(0.0f, 0.0f), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dense ranks asc by distance: p1=1, p2=2, p3=3; sparse: p2=1
+    assert(math.abs(hits(1L) - 1.0 / 61) < 1e-6, s"p1 got ${hits(1L)}")
+    assert(math.abs(hits(2L) - (1.0 / 61 + 1.0 / 62)) < 1e-6, s"p2 got ${hits(2L)}")
+    assert(math.abs(hits(3L) - 1.0 / 63) < 1e-6, s"p3 got ${hits(3L)}")
+  }
+
+  test("ensure refuses names/columns carrying meta-delimiter characters") {
+    import spark.implicits._
+    val pts = Seq((1L, Seq(0.1f, 0.0f), Seq(7), Seq(1.0f)))
+      .toDF("point_id", "embedding", "s_idx", "s_val")
+    // the flat sidecar format uses ';' ':' '=' '"' — a name containing
+    // one would round-trip through open() as garbage or crash its parse
+    for (bad <- Seq("te;xt", "te=xt", "te:xt", "te\"xt")) {
+      val err = intercept[IllegalArgumentException] {
+        VectorCollection.ensure(spark, s"${tmp()}/colbad", pts,
+          CollectionConfig("point_id", "embedding", 2, multiVector = false,
+            sparseVectors = Map(bad -> (("s_idx", "s_val")))))
+      }
+      assert(err.getMessage.contains("meta-delimiter"), err.getMessage)
+    }
+    val err2 = intercept[IllegalArgumentException] {
+      VectorCollection.ensure(spark, s"${tmp()}/colbad2", pts,
+        CollectionConfig("point;id", "embedding", 2, multiVector = false))
+    }
+    assert(err2.getMessage.contains("meta-delimiter"), err2.getMessage)
+  }
+
   test("queryFormula: payload boost reranks the same prefetch set; dims validated") {
     import graft.search._
     val dir = s"${tmp()}/colf"
