@@ -341,11 +341,26 @@ object Curation {
     * per-doc cost is linear in document length. */
   def intraDocDedup(docs: DataFrame, chunkWords: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val nChunks = ceil(size(toks).cast("double") / chunkWords).cast("int")
-    val chunks = when(size(toks) > 0,
-      transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val w = chunkWords
+    val n = size(toks)
+    // Non-overlapping `w`-word chunks, closure-free (the original
+    // per-chunk `slice(toks, i*w+1, w)` captured toks inside the
+    // lambda — the quadratic re-evaluation class HofGuardSpec sweeps
+    // for): join w shifted slices into EVERY w-wide window (each
+    // lambda sees only its own variables), keep every w-th window
+    // (the index-filter lambda closes over the literal w alone), and
+    // append the partial tail chunk, which is plain argument-level
+    // slice/join arithmetic evaluated once per row.
+    val width = greatest(n - (w - 1), lit(0))
+    val windows = (1 until w).foldLeft(slice(toks, lit(1), width))((acc, j) =>
+      zip_with(acc, slice(toks, lit(1 + j), width),
+        (a, x) => concat(a, lit(" "), x)))
+    val fulls = filter(windows, (x, i) => pmod(i, lit(w)) === 0)
+    val nTail = n % w
+    val tail = array_join(slice(toks, n - nTail + 1, nTail), " ")
+    val chunks = when(n === 0, array().cast("array<string>"))
+      .when(nTail === 0, fulls)
+      .otherwise(concat(fulls, array(tail)))
     docs.select(col("doc_id"), chunks.as("chunks"))
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
@@ -379,11 +394,20 @@ object Curation {
     val l = phrase.length
     val termHits =
       size(filter(toks, t => array_contains(typedLit(terms), t))).cast("long")
-    // positions 1 .. len-l+1, guarded: Spark's sequence(1, 0) counts
-    // DOWN, it is not empty
+    // Consecutive-token phrase match as a closure-free shifted-slice
+    // zip_with chain: position i matches iff toks[i+j] == phrase(j) for
+    // every j. The original per-position `slice(toks, i, l)` captured
+    // toks inside the lambda — re-running the tokenize chain per
+    // position once an optimizer rule inlines it (the quadratic class
+    // HofGuardSpec sweeps for). Every lambda below closes over nothing
+    // but its own variables and literals.
+    val width = greatest(size(toks) - (l - 1), lit(0))
+    val eq0 = transform(slice(toks, lit(1), width), x => x === lit(phrase.head))
+    val posMatches = (1 until l).foldLeft(eq0)((acc, j) =>
+      zip_with(acc, slice(toks, lit(1 + j), width),
+        (a, x) => a && (x === lit(phrase(j)))))
     val phraseHits = when(size(toks) >= l,
-      size(filter(sequence(lit(1), size(toks) - (l - 1)),
-        i => slice(toks, i, lit(l)) === typedLit(phrase))).cast("long"))
+      size(filter(posMatches, b => b)).cast("long"))
       .otherwise(0L)
     docs.select(col("doc_id"), termHits.as("term_hits"),
         phraseHits.as("phrase_hits"))

@@ -118,15 +118,28 @@ object TextAnalysis {
 
   // -- fingerprinting ----------------------------------------------
 
+  /** Word 5-grams at every position, space-joined — as a closure-free
+    * shifted-slice zip_with chain: every lambda touches ONLY its own
+    * variables, so no optimizer inlining can turn the token derivation
+    * into per-element re-evaluation (the quadratic class HofGuardSpec
+    * sweeps for; the original `element_at(toks, i)` indexing re-ran
+    * the full tokenize chain 5× per position once inlined). */
+  private[graft] def fiveGrams(a: Column): Column = {
+    def sliceN(from: Int) = slice(a, lit(from), greatest(size(a) - 4, lit(0)))
+    zip_with(
+      zip_with(
+        zip_with(sliceN(1), sliceN(2), (x, y) => concat(x, lit(" "), y)),
+        sliceN(3), (x, y) => concat(x, lit(" "), y)),
+      zip_with(sliceN(4), sliceN(5), (x, y) => concat(x, lit(" "), y)),
+      (x, y) => concat(x, lit(" "), y))
+  }
+
   /** Rolling-hash document fingerprint: min / max / count-distinct of
     * word 5-gram polynomial hashes (winnowing-style content signature,
     * robust to small edits at the ends). */
   def fingerprints(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val grams = when(size(toks) >= 5,
-      transform(sequence(lit(1), size(toks) - 4),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
+    val grams = when(size(toks) >= 5, fiveGrams(toks))
       .otherwise(array(col("text")))
     docs
       .withColumn("gh", transform(grams, g => Embedder.tokenHash(g)))
@@ -177,15 +190,7 @@ object TextAnalysis {
     // from sub-second to minutes). Shifted-slice zip_with chains keep
     // each stage O(len) no matter how the optimizer inlines it.
     val toks = tokens(col("text"))
-    def sliceN(a: Column, from: Int) =
-      slice(a, lit(from), greatest(size(a) - 4, lit(0)))
-    def gramsOf(a: Column) =
-      zip_with(
-        zip_with(
-          zip_with(sliceN(a, 1), sliceN(a, 2), (x, y) => concat(x, lit(" "), y)),
-          sliceN(a, 3), (x, y) => concat(x, lit(" "), y)),
-        zip_with(sliceN(a, 4), sliceN(a, 5), (x, y) => concat(x, lit(" "), y)),
-        (x, y) => concat(x, lit(" "), y))
+    def gramsOf(a: Column) = fiveGrams(a)
     def winMins(h: Column) = {
       def s(from: Int) = slice(h, lit(from), greatest(size(h) - 3, lit(0)))
       when(size(h) >= 4,

@@ -59,6 +59,28 @@ class EventsEncodingSpec extends SparkSpec {
     assert(e.getMessage.contains("TsCodec"))
   }
 
+  test("an UNKNOWN fourth on-disk encoding refuses loudly end-to-end") {
+    import spark.implicits._
+    // The fixture has changed encoding under the repo twice. If it
+    // changes again to something the codec does NOT know (here: epoch
+    // seconds as DOUBLE, and int32 days), the full read path must
+    // refuse with an actionable message — never mis-read timestamps.
+    val fourths: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "double-seconds" -> (col("us").cast("double") / lit(1e6)),
+      "int32" -> (col("us") / lit(86400000000L)).cast("int"))
+    fourths.foreach { case (name, tsCol) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_enc4").toString
+      rows.toDF("event_id", "us", "user_id", "event_type", "value")
+        .select(col("event_id"), tsCol.as("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, dir)
+      }
+      assert(e.getMessage.contains("TsCodec") && e.getMessage.contains("events.ts"),
+        s"$name: unknown encoding must name the column and the fix, got: ${e.getMessage}")
+    }
+  }
+
   test("toMicros/fromMicros round-trip exactly in every encoding") {
     import spark.implicits._
     // include a value with non-zero µs remainder and one past 2^53 ns

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, Expression, ExprId, HigherOrderFunction,
+  LambdaFunction, NamedLambdaVariable}
+
+/** Guards against the interpreted-HOF quadratic class that cost
+  * x_winnow_matches 8.4 minutes in round 8 (BENCH_NOTES.md): an
+  * optimizer rule (CollapseProject / InferFiltersFromGenerate) inlines
+  * a multi-pass HOF chain INSIDE another HOF's lambda, and interpreted
+  * higher-order eval then re-computes the whole chain once per outer
+  * element — O(len) work silently becomes O(len²)/O(len³) per row.
+  *
+  * Two layers:
+  *  1. A structural sweep over every SparkEntry query's OPTIMIZED plan
+  *     (where the inlining happens): any higher-order function that
+  *     (a) sits inside an enclosing lambda, (b) iterates a collection
+  *     that does NOT depend on any enclosing lambda variable
+  *     (loop-invariant — it should have been a separate projection),
+  *     and (c) whose collection argument is a non-trivial expression
+  *     tree (an inlined chain, not a bare column) is flagged.
+  *  2. Swap-back pins: the known-hot text paths must stay on their
+  *     native one-pass expressions — the spec goes red if
+  *     winnowSelectNative / shingleHashes / rolling-window hashing is
+  *     reverted to its HOF twin (the twins exist as documented oracle
+  *     semantics and parity targets, not as execution paths).
+  */
+class HofGuardSpec extends SparkSpec {
+
+  /** Loop-invariant non-trivial HOFs evaluated inside a lambda. */
+  private def hazards(root: Expression): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    def trivial(c: Expression): Boolean = c match {
+      case _: AttributeReference | _: NamedLambdaVariable => true
+      case _ if c.foldable => true
+      // a cheap wrapper (cast / field extraction) around a trivial core
+      case _ => c.children.length == 1 && trivial(c.children.head)
+    }
+    def go(e: Expression, enclosing: Set[ExprId]): Unit = e match {
+      case hof: HigherOrderFunction =>
+        if (enclosing.nonEmpty) {
+          val loopVariant = hof.arguments.exists(_.exists {
+            case v: NamedLambdaVariable => enclosing.contains(v.exprId)
+            case _ => false
+          })
+          if (!loopVariant && !hof.arguments.forall(trivial))
+            out += s"${hof.prettyName} iterates a loop-invariant inlined chain " +
+              s"inside an enclosing lambda (hoist it to its own projection): " +
+              hof.simpleString(160)
+        }
+        hof.arguments.foreach(go(_, enclosing))
+        hof.functions.foreach(go(_, enclosing))
+      case l: LambdaFunction =>
+        val bound = l.arguments.collect { case v: NamedLambdaVariable => v.exprId }
+        go(l.function, enclosing ++ bound)
+      case other => other.children.foreach(go(_, enclosing))
+    }
+    go(root, Set.empty)
+    out.toSeq
+  }
+
+  test("no query's optimized plan re-evaluates an inlined HOF chain per element") {
+    // Streaming queries are skipped: their returned frame is a
+    // memory-sink table (the streaming plans are asserted in
+    // StreamingSpec), and constructing them executes the stream.
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("s_")).toSeq.sorted
+    val bad = names.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case node => node.expressions.flatMap(hazards) }
+        .flatten.map(h => s"$name: $h")
+    }
+    assert(bad.isEmpty, s"quadratic-HOF hazards:\n${bad.mkString("\n")}")
+  }
+
+  test("the r8 winnow bug shape IS flagged by the hazard rule (rule self-test)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis.tokens
+    // the pre-fix formulation: per-position slice over an expression
+    // chain captured from outside the lambda — exactly what the sweep
+    // must catch if it ever reappears after optimizer inlining
+    val df = Tables.t(spark, sf, "documents").select(
+      transform(sequence(lit(1), size(tokens(col("text"))) - 4),
+        i => array_min(slice(
+          transform(tokens(col("text")), t => length(t).cast("long")),
+          i, lit(4)))).as("mins"))
+    val found = df.queryExecution.optimizedPlan
+      .collect { case node => node.expressions.flatMap(hazards) }.flatten
+    assert(found.nonEmpty,
+      "the hazard rule failed to flag the known-bad winnow formulation")
+  }
+
+  test("hot text paths stay on their native expressions (swap-back pin)") {
+    def natives(name: String): Seq[String] = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case node =>
+        node.expressions.flatMap(_.collect {
+          case _: graft.vector.WinnowSelect => "WinnowSelect"
+          case _: graft.vector.ShingleHashesSorted => "ShingleHashesSorted"
+          case _: graft.vector.MinhashSignature => "MinhashSignature"
+          case _: graft.vector.RollingWindowHashes => "RollingWindowHashes"
+        })
+      }.flatten
+    }
+    assert(natives("x_winnow_matches").contains("WinnowSelect"),
+      "x_winnow_matches must select fingerprints via the native WinnowSelect " +
+        "(the HOF twin goes quadratic under CollapseProject inlining)")
+    assert(natives("x_dedup_minhash").contains("ShingleHashesSorted") &&
+      natives("x_dedup_minhash").contains("MinhashSignature"),
+      "x_dedup_minhash must shingle+sign through the native expressions")
+    assert(natives("x_substring_dedup").contains("RollingWindowHashes"),
+      "x_substring_dedup must hash windows through RollingWindowHashes")
+  }
+}
