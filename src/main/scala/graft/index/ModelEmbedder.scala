@@ -48,13 +48,65 @@ trait ModelEmbedder extends Serializable {
   * }}}
   */
 abstract class SessionEmbedder[S](val modelPath: String) extends ModelEmbedder {
-  @transient private lazy val session: S = loadSession(modelPath)
-  /** Executor-side, once per JVM: build the runtime session. */
+
+  /** Executor-side: build the runtime session (an ONNX OrtSession, a
+    * JNI handle, an inference-server connection...). Called at most
+    * once per JVM per (backend class, model path) — Spark deserializes
+    * a fresh copy of this object into EVERY task closure, so a plain
+    * per-instance lazy val would re-load the model once per task; the
+    * JVM-wide registry in [[SessionEmbedder.acquire]] is what makes
+    * the once-per-executor contract real. */
   protected def loadSession(path: String): S
+  /** Release the session's native resources. Idempotence is handled by
+    * the holder — this is called exactly once per loaded session, from
+    * [[close]] or the JVM shutdown hook. */
+  protected def closeSession(session: S): Unit = ()
   /** Run one model batch on the live session. */
   protected def run(session: S, texts: Seq[String]): Seq[Array[Array[Float]]]
+
+  private def registryKey: String = s"${getClass.getName}@$modelPath"
+
   final override def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
-    run(session, texts)
+    run(SessionEmbedder.acquire(registryKey,
+      () => loadSession(modelPath),
+      (s: S) => closeSession(s)), texts)
+
+  /** Close this backend's session in THIS JVM, if one was loaded:
+    * native resources are freed exactly once (further [[close]] calls
+    * are no-ops) and a later [[embedBatch]] re-loads a fresh session.
+    * Executors that never see an explicit close free their session in
+    * the registry's JVM shutdown hook — the lifecycle a real
+    * runtime-backed session (e.g. ONNX `OrtSession.close`) needs. */
+  final def close(): Unit = SessionEmbedder.release(registryKey)
+}
+
+object SessionEmbedder {
+  /** One live session per (backend class, model path) per JVM. */
+  private final class Holder(val session: AnyRef, closeFn: AnyRef => Unit) {
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def close(): Unit = if (closed.compareAndSet(false, true)) closeFn(session)
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registry.values().forEach(_.close())
+      registry.clear()
+    }, "graft-session-embedder-close"))
+  }
+
+  private def acquire[S](key: String, load: () => S, closeFn: S => Unit): S =
+    registry.computeIfAbsent(key, _ =>
+      new Holder(load().asInstanceOf[AnyRef],
+        (s: AnyRef) => closeFn(s.asInstanceOf[S])))
+      .session.asInstanceOf[S]
+
+  private def release(key: String): Unit = {
+    val h = registry.remove(key)
+    if (h != null) h.close()
+  }
 }
 
 /** The deterministic default: a plain-Scala twin of the columnar

