@@ -912,6 +912,56 @@ class OpsSpec extends SparkSpec {
       "prepending a doc's own first 8 words must create a removable chunk")
   }
 
+  test("intra-doc dedup chunking matches the plain-Scala reference on every length 0..17") {
+    import spark.implicits._
+    // the closure-free windows+tail formulation has index arithmetic
+    // the fixture never stresses (tails of every remainder, docs
+    // shorter than one chunk, the empty doc) — pin it against a
+    // direct grouped() reference for w = 3 across lengths
+    val w = 3
+    val docs = (0 to 17).map { n =>
+      (n.toLong, (1 to n).map(i => s"t${i % 5}").mkString(" "))
+    }
+    val got = graft.ops.Curation.intraDocDedup(docs.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val chunks = toks.grouped(w).map(_.mkString(" ")).toSeq
+      val kept = chunks.distinct
+      assert(got(id) === ((chunks.length.toLong, kept.length.toLong)),
+        s"doc $id (n=${toks.length}): got ${got(id)}, " +
+          s"expected (${chunks.length}, ${kept.length})")
+    }
+  }
+
+  test("blocklist phrase scan matches a plain-Scala sliding reference, all lengths") {
+    import spark.implicits._
+    // phrase lengths 1..3 over token lists 0..10 long, phrase planted
+    // at the start, middle, end, overlapping, and absent
+    for (phrase <- Seq(Seq("p"), Seq("p", "q"), Seq("p", "q", "r"))) {
+      val docs = (0 to 10).flatMap { n =>
+        val base = (1 to n).map(i => s"w$i")
+        Seq(
+          base,
+          phrase ++ base,
+          base ++ phrase,
+          if (n >= 2) base.take(n / 2) ++ phrase ++ base.drop(n / 2) else base,
+          phrase ++ phrase)
+      }.distinct.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val got = graft.ops.Curation
+        .blocklistAudit(docs.toDF("doc_id", "text"), Seq("zzz"), phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        val expected =
+          if (toks.length < phrase.length) 0L
+          else toks.sliding(phrase.length).count(_ == phrase).toLong
+        assert(got(id) === expected,
+          s"phrase=$phrase doc '$text': got ${got(id)}, expected $expected")
+      }
+    }
+  }
+
   test("ppl buckets: each language cuts into thirds; head scores dominate tail") {
     val res = TextAnalysis.pplBuckets(docs).collect()
     val byLang = res.groupBy(_.getString(0))
