@@ -340,7 +340,10 @@ object Curation {
     * (first-occurrence order preserved), so no shuffle, no state, and
     * per-doc cost is linear in document length. */
   def intraDocDedup(docs: DataFrame, chunkWords: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    // tokenize once per row: a multi-use non-cheap alias keeps its own
+    // projection under CollapseProject, so the w+2 references below
+    // read the bound array instead of re-running the split chain
+    val toks = col("_toks")
     val w = chunkWords
     val n = size(toks)
     // Non-overlapping `w`-word chunks, closure-free (the original
@@ -361,7 +364,8 @@ object Curation {
     val chunks = when(n === 0, array().cast("array<string>"))
       .when(nTail === 0, fulls)
       .otherwise(concat(fulls, array(tail)))
-    docs.select(col("doc_id"), chunks.as("chunks"))
+    docs.withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), chunks.as("chunks"))
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
         array_distinct(col("chunks")).as("kept"))
@@ -390,7 +394,8 @@ object Curation {
   def blocklistAudit(
       docs: DataFrame, terms: Seq[String], phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
-    val toks = TextAnalysis.tokens(col("text"))
+    // tokenize once per row (multi-use alias, see intraDocDedup)
+    val toks = col("_toks")
     val l = phrase.length
     val termHits =
       size(filter(toks, t => array_contains(typedLit(terms), t))).cast("long")
@@ -409,7 +414,8 @@ object Curation {
     val phraseHits = when(size(toks) >= l,
       size(filter(posMatches, b => b)).cast("long"))
       .otherwise(0L)
-    docs.select(col("doc_id"), termHits.as("term_hits"),
+    docs.withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), termHits.as("term_hits"),
         phraseHits.as("phrase_hits"))
       .withColumn("blocked",
         (col("term_hits") > 0 || col("phrase_hits") > 0).cast("int").cast("long"))

@@ -138,10 +138,13 @@ object TextAnalysis {
     * word 5-gram polynomial hashes (winnowing-style content signature,
     * robust to small edits at the ends). */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = when(size(toks) >= 5, fiveGrams(toks))
+    // tokenize ONCE per row: _toks is a multi-use non-cheap alias, so
+    // CollapseProject keeps its projection instead of inlining the
+    // split chain into each of fiveGrams' five slice arguments
+    val grams = when(size(col("_toks")) >= 5, fiveGrams(col("_toks")))
       .otherwise(array(col("text")))
     docs
+      .withColumn("_toks", tokens(col("text")))
       .withColumn("gh", transform(grams, g => Embedder.tokenHash(g)))
       .select(
         col("doc_id"),
@@ -189,8 +192,6 @@ object TextAnalysis {
     // the nesting goes O(len³) per row (measured: the sf0.1 bench went
     // from sub-second to minutes). Shifted-slice zip_with chains keep
     // each stage O(len) no matter how the optimizer inlines it.
-    val toks = tokens(col("text"))
-    def gramsOf(a: Column) = fiveGrams(a)
     def winMins(h: Column) = {
       def s(from: Int) = slice(h, lit(from), greatest(size(h) - 3, lit(0)))
       when(size(h) >= 4,
@@ -200,11 +201,15 @@ object TextAnalysis {
           (x, y) => least(x, y)))
         .otherwise(array(array_min(h)))
     }
+    // _toks binds the tokenize ONCE (multi-use alias survives
+    // CollapseProject); gh is likewise bound before winMins' 8 slices
     docs
-      .filter(size(toks) >= 5)
+      .withColumn("_toks", tokens(col("text")))
+      .filter(size(col("_toks")) >= 5)
       .withColumn("gh",
-        transform(gramsOf(toks), g => Embedder.tokenHash(g)))
+        transform(fiveGrams(col("_toks")), g => Embedder.tokenHash(g)))
       .withColumn("sel", array_distinct(winMins(col("gh"))))
+      .drop("_toks")
   }
 
   // -- corpus report -----------------------------------------------
