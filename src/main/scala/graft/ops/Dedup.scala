@@ -575,10 +575,12 @@ object Dedup {
     * 31st doc at id +4000000 — the contained-in-a-longer-doc shape
     * [[containmentPairs]] exists for. */
   def corpusWithExcerpts(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => length(x) > 0)
+    // tokenize once per row (multi-use alias survives CollapseProject)
+    val toks = col("_toks")
     val n = greatest(lit(5), floor(size(toks) * 2 / 5).cast("int"))
     docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("_toks", filter(split(col("text"), " "), x => length(x) > 0))
         .select((col("doc_id") + 4000000L).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1), n)).as("text")))
   }

@@ -41,13 +41,16 @@ object TextAnalysis {
     * stopword ratio — the standard cheap pre-filter signals for
     * training corpora. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize once per row: the score arithmetic reads the token
+    // array ~23 times; as a multi-use non-cheap alias the split chain
+    // keeps its own projection instead of inlining per reference
+    val toks = col("_toks")
     // null (not error) on empty docs: keeps ANSI mode safe at scale
     val nTok = when(size(toks) > 0, size(toks).cast("double"))
     val meanWordLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
     val stopRatio =
       size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double") / nTok
-    docs.select(
+    docs.withColumn("_toks", tokens(col("text"))).select(
       col("doc_id"),
       round(meanWordLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stop_ratio"),
@@ -269,15 +272,17 @@ object TextAnalysis {
     * single ln of exact integer ratios — no float-sum ordering to
     * drift between engines. */
   def collocations(docs: DataFrame, k: Int, minCount: Int): DataFrame = {
-    val toks = tokens(col("text"))
-    val pairs = docs
+    // tokenize once per row below each explode (the ngramsOfToks note)
+    val toks = col("_toks")
+    val bound = docs.withColumn("_toks", tokens(col("text")))
+    val pairs = bound
       .select(explode(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = docs.select(explode(toks).as("w"))
+    val uni = bound.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = pairs.agg(sum(col("c12")).as("p_tot"))
       .crossJoin(uni.agg(sum(col("c")).as("n_tot")))
@@ -497,16 +502,18 @@ object TextAnalysis {
     * identical order — the single-row collect is bounded by the type
     * table, the device every LM oracle here already uses. */
   def entropyReport(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize once per row below each explode (the ngramsOfToks note)
+    val toks = col("_toks")
+    val bound = docs.withColumn("_toks", tokens(col("text")))
     val bgArr = when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val uni = docs.select(explode(toks).as("w"))
+    val uni = bound.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bg = docs.select(explode(bgArr).as("bg"))
+    val bg = bound.select(explode(bgArr).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
@@ -787,14 +794,17 @@ object TextAnalysis {
     * bigram-sorted list; the discount renders into the oracle from the
     * same Scala double. */
   def knLogprob(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize once per row below the explode (Generate does no
+    // subexpression elimination — the ngramsOfToks note)
+    val toks = col("_toks")
     val bgArr = when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tfDoc = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+    val tfDoc = docs.withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(bgArr).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
     val types = tfDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -886,7 +896,10 @@ object TextAnalysis {
       docs: DataFrame,
       targetPred: Column,
       buckets: Int = 10007): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize once per row: the bigram build + explode reference the
+    // token array 6 times, and Generate does no subexpression
+    // elimination (the ngramsOfToks note) — bind it first
+    val toks = col("_toks")
     val bgArr = when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
@@ -894,6 +907,7 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val tf = docs
+      .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, bgArr)).as("g"))
       .select(col("doc_id"), col("is_target"),
@@ -1128,13 +1142,14 @@ object TextAnalysis {
       minMeanLen: Double = 3.0,
       maxMeanLen: Double = 10.0,
       minAlphaFrac: Double = 0.8): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize once per row (multi-use alias, see qualityScore)
+    val toks = col("_toks")
     val nW = size(toks).cast("long")
     val nWd = when(nW > 0, nW.cast("double"))
     val meanLen = aggregate(transform(toks, w => length(w).cast("long")),
       lit(0L), (a, x) => a + x).cast("double") / nWd
     val alphaFrac = size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nWd
-    docs.select(
+    docs.withColumn("_toks", tokens(col("text"))).select(
       col("doc_id"),
       nW.as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
