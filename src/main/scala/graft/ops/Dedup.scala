@@ -993,6 +993,12 @@ object Dedup {
       .distinct()
     var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // carried across rounds so set-equality needs ONE count job per
+    // round (plus the exceptAll only when cardinalities already match
+    // — distinct sets of equal size with an empty one-way difference
+    // are equal); the old per-round recount of the previous round's
+    // edges was pure scheduler overhead on an iterative operator
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1014,10 +1020,12 @@ object Dedup {
         .unionByName(mins2.select(col("a"), col("m").as("b")))
         .distinct()
         .localCheckpoint()
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count() // also materializes the checkpoint
+      converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L
       freeCheckpoint(edges) // superseded round's blocks
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     require(converged,
