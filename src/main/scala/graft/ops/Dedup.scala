@@ -63,10 +63,14 @@ object Dedup {
     * falling back to the whole text as one shingle. */
   def shingles(text: Column): Column = {
     val toks = filter(split(text, " "), x => length(x) > 0)
-    val grams = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    // closure-free 3-gram build (shifted-slice zip_with — the
+    // element_at(toks, i) capture re-ran the tokenize per position in
+    // interpreted HOF eval; this is the parity twin of the native
+    // ShingleHashesSorted, but the repo rule holds everywhere)
+    def sliceN(from: Int) = slice(toks, lit(from), greatest(size(toks) - 2, lit(0)))
+    val grams = zip_with(
+      zip_with(sliceN(1), sliceN(2), (x, y) => concat(x, lit(" "), y)),
+      sliceN(3), (x, y) => concat(x, lit(" "), y))
     array_distinct(when(size(toks) >= 3, grams).otherwise(array(text)))
   }
 

@@ -1234,12 +1234,18 @@ object TextAnalysis {
     var cur = words0.cache()
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (r <- 1 to rounds) {
-      val syms = split(trim(col("sym")), " ")
-      val pairCol = when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
-        .otherwise(typedlit(Seq.empty[String]))
-      val best = cur.select(explode(pairCol).as("pair"), col("n"))
+      // bind the symbol split once and build adjacent pairs closure-
+      // free: this loop's plans are interior (executed per round, not
+      // part of the returned frame), so the HofGuardSpec sweep cannot
+      // see them — the element_at(syms, i) capture it flags elsewhere
+      // re-split the symbol string per pair position here too
+      val syms = col("_syms")
+      val width = greatest(size(syms) - 1, lit(0))
+      val pairCol = zip_with(
+        slice(syms, lit(1), width), slice(syms, lit(2), width),
+        (a, b) => concat(a, lit(" "), b))
+      val best = cur.withColumn("_syms", split(trim(col("sym")), " "))
+        .select(explode(pairCol).as("pair"), col("n"))
         .groupBy(col("pair")).agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1).head()
