@@ -59,16 +59,38 @@ class HofGuardSpec extends SparkSpec {
     out.toSeq
   }
 
-  test("no query's optimized plan re-evaluates an inlined HOF chain per element") {
-    // Streaming queries are skipped: their returned frame is a
-    // memory-sink table (the streaming plans are asserted in
-    // StreamingSpec), and constructing them executes the stream.
-    val names = SparkEntry.queries.keys.filterNot(_.startsWith("s_")).toSeq.sorted
-    val bad = names.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
-      plan.collect { case node => node.expressions.flatMap(hazards) }
-        .flatten.map(h => s"$name: $h")
+  test("no executed plan — returned OR interior — re-evaluates an inlined HOF chain per element") {
+    // A QueryExecutionListener sweeps EVERY plan the query functions
+    // execute, not just the returned frame: bpeTrain's per-round pair
+    // census, ANN index builds, centroid collects — the interior
+    // driver-loop plans a returned-plan walk cannot see (the r9
+    // bpeTrain finding). Streaming queries are skipped: their
+    // watermark/state plans are asserted in StreamingSpec.
+    val found = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var current = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val q = current
+        try qe.optimizedPlan
+          .collect { case node => node.expressions.flatMap(hazards) }
+          .flatten.foreach(h => found.add(s"$q [$funcName]: $h"))
+        catch { case _: Throwable => () }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("s_")).toSeq.sorted
+    spark.listenerManager.register(listener)
+    try {
+      names.foreach { name =>
+        current = name
+        SparkEntry.queries(name)(spark, sf).count()
+      }
+      org.apache.spark.GraftTestBridges
+        .waitUntilListenerBusEmpty(spark.sparkContext, 60000)
+    } finally spark.listenerManager.unregister(listener)
+    val bad = found.toArray.map(_.toString).toSeq.distinct
     assert(bad.isEmpty, s"quadratic-HOF hazards:\n${bad.mkString("\n")}")
   }
 
