@@ -111,6 +111,30 @@ class HofGuardSpec extends SparkSpec {
       "the hazard rule failed to flag the known-bad winnow formulation")
   }
 
+  test("tokenize-once: the split chain appears at most thrice per plan (bind pin)") {
+    // The r9 audit found qualityScore inlining its tokenize ~23× per
+    // row (and gopher/dsir/kn/collocations similar). The fix binds the
+    // array as a multi-use non-cheap alias, which CollapseProject
+    // keeps. This pin counts `filter(split(` occurrences in the
+    // optimized plan: one for the binding projection, plus up to two
+    // inside a pushed-down InferFiltersFromGenerate condition. More
+    // means a refactor un-bound the alias and the per-reference
+    // inlining is back.
+    val budget = Map(
+      "x_quality_score" -> 3, "x_gopher_rules" -> 3, "x_fingerprint" -> 3,
+      "x_blocklist" -> 3, "x_intradoc_dedup" -> 4, "x_winnow" -> 3,
+      "x_dsir_weights" -> 3, "x_kn_logprob" -> 3)
+    val tok = "filter\\(split\\(".r
+    budget.toSeq.sorted.foreach { case (name, cap) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      val n = tok.findAllIn(plan).length
+      assert(n <= cap,
+        s"$name inlines the tokenize chain $n times (cap $cap) — " +
+          "bind the token array as a multi-use column (CLAUDE.md rule)")
+    }
+  }
+
   test("hot text paths stay on their native expressions (swap-back pin)") {
     def natives(name: String): Seq[String] = {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
