@@ -641,9 +641,16 @@ class VectorCollection private (
     require(!config.multiVector, "ANN search on a multi-vector collection")
     require(queryVec.length == config.dim,
       s"query dim ${queryVec.length} != collection dim ${config.dim}")
+    // Probe selection AND candidate scoring follow the collection's
+    // metric, so ANN results rank consistently with exact search()
+    // (they previously hard-coded cosine — a euclid collection got
+    // cosine-ranked ANN answers). Clustering stays cosine-trained; for
+    // distance metrics that is the approximation-quality knob IVF
+    // already is, and the recall gate (x_ann_recall) is the measure.
     val probes = graft.ops.Similarity
-      .rankCentroids(loadCentroids(), queryVec.toArray)
+      .rankCentroids(loadCentroids(), queryVec.toArray, config.distance)
       .take(nprobe)
+    val (scoreOf, asc) = VectorCollection.metricFn(config.distance)
     // restore the configured id name BEFORE the payload filter so a
     // filter written against exact search's schema (col(idCol) …)
     // works unchanged here; the rename is a projection, filters still
@@ -652,9 +659,10 @@ class VectorCollection private (
       .withColumnRenamed("vec_id", config.idCol)
       .filter(col("cluster_id").isInCollection(probes) && filter)
       .select(col(config.idCol),
-        round(graft.vector.Kernels.cosine(col("embedding"),
+        round(scoreOf(col("embedding"),
           typedlit(queryVec.map(_.toDouble))), 6).as("score"))
-      .orderBy(col("score").desc, col(config.idCol).asc)
+      .orderBy(if (asc) col("score").asc else col("score").desc,
+        col(config.idCol).asc)
       .limit(k)
   }
 

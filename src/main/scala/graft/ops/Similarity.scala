@@ -240,20 +240,37 @@ object Similarity {
 
   /** Driver-side centroid ranking for a query vector — the analog of
     * the reference's driver-side query embedding (B5). Same
-    * left-to-right double fold as CosineSim/DuckDB, so the argmax and
-    * tiebreak agree with the engines bit-for-bit. Returns cluster ids
-    * best-first. */
-  def rankCentroids(cents: Seq[(Long, Array[Float])], q: Array[Float]): Seq[Long] =
-    cents.map { case (id, cv) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+    * left-to-right double fold as the native kernels/DuckDB, so the
+    * argmax and tiebreak agree with the engines bit-for-bit. Returns
+    * cluster ids best-first under `metric` (similarities DESC,
+    * euclid/manhattan distances ASC), so probe selection agrees with
+    * the collection's exact search() ordering. */
+  def rankCentroids(
+      cents: Seq[(Long, Array[Float])], q: Array[Float],
+      metric: String = "cosine"): Seq[Long] = {
+    val scored = cents.map { case (id, cv) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var l1 = 0.0
       var i = 0
       while (i < q.length) {
         val x = cv(i).toDouble; val y = q(i).toDouble
         dot += x * y; na += x * x; nb += y * y
+        l1 += math.abs(x - y)
         i += 1
       }
-      (dot / (math.sqrt(na) * math.sqrt(nb)), id)
-    }.sortBy { case (sim, id) => (-sim, id) }.map(_._2)
+      val s = metric match {
+        case "cosine" => dot / (math.sqrt(na) * math.sqrt(nb))
+        case "dot" => dot
+        case "euclid" => math.sqrt(na - 2 * dot + nb)
+        case "manhattan" => l1
+        case other => throw new IllegalArgumentException(
+          s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
+      }
+      (s, id)
+    }
+    // similarities rank best-first DESC; distances ASC
+    val asc = metric == "euclid" || metric == "manhattan"
+    scored.sortBy { case (s, id) => (if (asc) s else -s, id) }.map(_._2)
+  }
 
   /** Sign-bit LSH bucket against `nPlanes` broadcast hyperplanes:
     * bucket = Σ_j 2^j · [dot(v, h_j) > 0]. */

@@ -379,6 +379,30 @@ class VectorCollectionSpec extends SparkSpec {
     assert(reopened.searchAnn(q, k = 1, nprobe = 1).head.getLong(0) === 7L)
   }
 
+  test("ANN on a euclid collection ranks by distance ASC, agreeing with exact search") {
+    val dir = s"${tmp()}/coleu"
+    val e = t(spark, sf, "embeddings")
+      .select(col("vec_id").as("pid"), col("embedding"), col("label"))
+    val c = VectorCollection.ensure(spark, dir, e,
+      CollectionConfig("pid", "embedding", 64, multiVector = false,
+        distance = "euclid"))
+    c.upsert(e)
+    c.buildIvfIndex(nClusters = 4, lloydIters = 1)
+    val q = e.filter(col("pid") === 7).head.getSeq[Float](1)
+    // with EVERY cluster probed the ANN candidate set is the whole
+    // collection, so the ranking must be exactly exact search's —
+    // the pre-fix cosine-DESC scoring returned the FARTHEST points
+    val ann = c.searchAnn(q, k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = c.search(q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.toSeq === exact.toSeq,
+      s"full-probe ANN must equal exact search on a euclid collection:\n" +
+        s"ann=${ann.toSeq}\nexact=${exact.toSeq}")
+    // the self-match is nearest at distance 0, ranked FIRST
+    assert(ann.head === ((7L, 0.0)))
+  }
+
   test("update_vectors: named points re-vectorized in place, payload/count untouched") {
     val dir = s"${tmp()}/col"
     val pts = t(spark, sf, "embeddings")
