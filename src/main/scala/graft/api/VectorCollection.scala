@@ -368,18 +368,39 @@ class VectorCollection private (
       col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
   }
 
+  /** The recommend/discover/groups/MMR/matrix family computes COSINE
+    * scores by contract (the strategy formulas — best_score maxima,
+    * context-pair losses, MMR's relevance−redundancy trade — are all
+    * written for a similarity where bigger is better). On a
+    * euclid/manhattan collection those formulas would silently invert
+    * (the pre-r9 queryHybrid/searchAnn bug class), so the facade
+    * refuses loudly instead. plain search()/searchAnn()/queryFormula()
+    * are fully metric-aware. */
+  private def cosineOnly[T](api: String)(body: => T): T = {
+    require(config.distance == "cosine",
+      s"$api is implemented for cosine collections (this collection is " +
+        s"'${config.distance}'); its scoring formulas assume a similarity " +
+        "ranked DESC and would silently invert on a distance metric — " +
+        "use search()/searchAnn(), or re-create the collection with cosine")
+    body
+  }
+
   /** Qdrant `client.recommend` (average_vector strategy): search by
     * 2·avg(positives) − avg(negatives), example points excluded. */
   def recommend(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
-    graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("recommend") {
+      graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `client.recommend` with `strategy=sum_scores`: score =
     * Σ_pos sim − Σ_neg sim, examples excluded — the third strategy
     * beside average_vector ([[recommend]]) and best_score. */
   def recommendSum(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
-    graft.search.QueryApis.recommendSumScores(asPoints, posIds, negIds, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("recommendSum") {
+      graft.search.QueryApis.recommendSumScores(asPoints, posIds, negIds, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `client.recommend` with `lookup_from`: the example ids
     * resolve in `lookup` (another collection of the same vector
@@ -394,40 +415,50 @@ class VectorCollection private (
       s"lookup collection dim ${lookup.config.dim} != this collection's dim ${config.dim}")
     require(!lookup.config.multiVector && !config.multiVector,
       "recommend with lookup_from needs dense (single-vector) collections on both sides")
-    graft.search.QueryApis.recommendLookup(
-      asPoints, lookup.asPoints, posIds, negIds, k)
+    cosineOnly("recommendFrom") {
+      graft.search.QueryApis.recommendLookup(
+        asPoints, lookup.asPoints, posIds, negIds, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
   }
-      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `recommend_batch`: N recommend requests, one collection
     * pass (broadcast request frame + request-keyed rank window). */
   def recommendBatch(
       requests: Seq[(Long, Seq[Long], Seq[Long])], k: Int = 5): DataFrame =
-    graft.search.QueryApis.recommendBatch(asPoints, requests, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("recommendBatch") {
+      graft.search.QueryApis.recommendBatch(asPoints, requests, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant discovery search: rank by satisfied (positive, negative)
     * context pairs, then similarity to the target point. */
   def discover(targetId: Long, contextPairs: Seq[(Long, Long)], k: Int = 5): DataFrame =
-    graft.search.QueryApis.discover(asPoints, targetId, contextPairs, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("discover") {
+      graft.search.QueryApis.discover(asPoints, targetId, contextPairs, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `search_groups`: top `limit` groups by best hit, each with
     * its top `groupSize` hits. */
   def searchGroups(
       queryVec: Seq[Float], groupCol: String,
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    graft.search.QueryApis.searchGroups(
-      asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("searchGroups") {
+      graft.search.QueryApis.searchGroups(
+        asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `discover_batch`: N discovery requests, one collection
     * pass (broadcast request frame, bounded-heap ranking on the
     * composite (ctx_hits, sim) key). */
   def discoverBatch(
       requests: Seq[(Long, Long, Seq[(Long, Long)])], k: Int = 5): DataFrame =
-    graft.search.QueryApis.discoverBatch(asPoints, requests, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("discoverBatch") {
+      graft.search.QueryApis.discoverBatch(asPoints, requests, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `query_batch_points`: a HETEROGENEOUS batch of universal
     * queries — [[graft.search.NearestBatchQuery]] (plain vector),
@@ -440,8 +471,10 @@ class VectorCollection private (
     * [[search]]/[[queryByPointId]]/[[recommend]]. */
   def queryBatch(requests: Seq[graft.search.BatchQuery], k: Int = 5): DataFrame = {
     require(!config.multiVector, "batch query on a multi-vector collection")
-    graft.search.QueryApis.queryBatch(asPoints, requests, k)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("queryBatch") {
+      graft.search.QueryApis.queryBatch(asPoints, requests, k)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
   }
 
   /** Qdrant `recommend_groups`: recommendation scoring with grouped
@@ -449,9 +482,11 @@ class VectorCollection private (
   def recommendGroups(
       posIds: Seq[Long], negIds: Seq[Long], groupCol: String,
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    graft.search.QueryApis.recommendGroups(
-      asPoints, posIds, negIds, groupCol, groupSize, limit)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("recommendGroups") {
+      graft.search.QueryApis.recommendGroups(
+        asPoints, posIds, negIds, groupCol, groupSize, limit)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant `search_groups` with `with_lookup`: each group carries the
     * matching record of `lookup` (another collection), joined on group
@@ -462,10 +497,12 @@ class VectorCollection private (
       queryVec: Seq[Float], groupCol: String,
       lookup: VectorCollection, lookupCols: Seq[String],
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    graft.search.QueryApis.searchGroupsWithLookup(
-      asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit,
-      lookup.table, lookup.config.idCol, lookupCols)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("searchGroupsWithLookup") {
+      graft.search.QueryApis.searchGroupsWithLookup(
+        asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit,
+        lookup.table, lookup.config.idCol, lookupCols)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
 
   /** Qdrant facet API: value counts for a payload key under a filter.
     * `exact=false` estimates each value's count with a HyperLogLog++
@@ -557,15 +594,19 @@ class VectorCollection private (
     require(!config.multiVector, "mmr search on a multi-vector collection")
     require(queryVec.length == config.dim,
       s"query dim ${queryVec.length} != collection dim ${config.dim}")
-    graft.search.QueryApis.mmr(
-      asPoints, queryVec.map(_.toDouble), fetchN, k, lambda)
-      .withColumnRenamed("vec_id", config.idCol)
+    cosineOnly("searchMmr") {
+      graft.search.QueryApis.mmr(
+        asPoints, queryVec.map(_.toDouble), fetchN, k, lambda)
+        .withColumnRenamed("vec_id", config.idCol)
+    }
   }
 
   /** Qdrant distance-matrix API (`search_matrix_pairs`) over a
     * deterministic sample. */
   def matrixPairs(sampleMod: Int, k: Int = 3): DataFrame =
-    graft.search.QueryApis.matrixPairs(asPoints, sampleMod, k)
+    cosineOnly("matrixPairs") {
+      graft.search.QueryApis.matrixPairs(asPoints, sampleMod, k)
+    }
 
   /** Qdrant random sampling (`query=sample(random)`): reproducible
     * hash-ordered draw of `k` point ids. */

@@ -401,6 +401,21 @@ class VectorCollectionSpec extends SparkSpec {
         s"ann=${ann.toSeq}\nexact=${exact.toSeq}")
     // the self-match is nearest at distance 0, ranked FIRST
     assert(ann.head === ((7L, 0.0)))
+    // the cosine-contract family refuses loudly on a distance
+    // collection — its strategy formulas (best_score maxima, context
+    // losses, MMR) assume similarity-DESC and would silently invert
+    for (call <- Seq[() => Any](
+        () => c.recommend(Seq(7L)),
+        () => c.recommendSum(Seq(7L)),
+        () => c.recommendBatch(Seq((1L, Seq(7L), Nil))),
+        () => c.discover(7L, Seq((1L, 2L))),
+        () => c.searchGroups(q, "label"),
+        () => c.recommendGroups(Seq(7L), Nil, "label"),
+        () => c.searchMmr(q),
+        () => c.matrixPairs(10))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("cosine collections"), e.getMessage)
+    }
   }
 
   test("update_vectors: named points re-vectorized in place, payload/count untouched") {
