@@ -24,6 +24,27 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("every multi-row oracle carries a total ORDER BY (CLAUDE.md rule)") {
+    // a LIMIT cut without a total order is nondeterministic across
+    // engines; single-row aggregates are the only sanctioned exception
+    val exempt = Set("q_count_approx", "q_count_filtered", "r_events_funnel",
+      "r_promo_revenue", "r_q6_forecast", "x_quality_corr")
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toLowerCase.contains("order by") &&
+        !exempt.contains(name) => name
+    }
+    assert(missing.isEmpty,
+      s"oracles without ORDER BY (add one, or add to the single-row " +
+        s"exempt list with justification): ${missing.toSeq.sorted.mkString(", ")}")
+    // the exempt list itself must stay single-row aggregates: they
+    // exist in the suite and claim exactly one row at sf0.001
+    exempt.foreach { name =>
+      assert(SparkEntry.oracleSql.contains(name), s"stale exempt entry $name")
+      assert(SparkEntry.queries(name)(spark, sf).count() === 1L,
+        s"$name is exempt as a single-row aggregate but returned more")
+    }
+  }
+
   test("streaming window agg equals batch window agg") {
     val streamed = Streams.eventWindowCountsStreaming(spark, sf)
     val batch = graft.ops.Relational.eventWindowCounts(Tables.events(spark, sf))
