@@ -43,6 +43,14 @@ class ContractSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, sf).count() === 1L,
         s"$name is exempt as a single-row aggregate but returned more")
     }
+    // and no oracle may call a nondeterministic function — compared
+    // output must be identical run over run on both engines
+    val banned = Seq("uuid(", "random(", "now()", "current_timestamp")
+    val dirty = SparkEntry.oracleSql.collect {
+      case (name, sql) if banned.exists(sql.toLowerCase.contains) => name
+    }
+    assert(dirty.isEmpty,
+      s"oracles calling nondeterministic functions: ${dirty.toSeq.sorted.mkString(", ")}")
   }
 
   test("streaming window agg equals batch window agg") {
