@@ -314,4 +314,48 @@ class NativeParitySpec extends SparkSpec {
     assert(e.length === 5)
     assert(e.forall(r => r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
+
+  test("winnow select: native == HOF on randomized texts (surrogates, ragged spacing)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val ta = graft.ops.TextAnalysis
+    // alphabets that stress the codepoint fold: ascii, accents, CJK,
+    // and ASTRAL characters (surrogate pairs — codePointAt+charCount
+    // vs a per-char fold would diverge exactly here)
+    val alpha = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "ß", "ñ"),
+      Gen.oneOf("水", "火", "語"),
+      Gen.oneOf("𝔘", "😀", "𐐷"))
+    val token = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, alpha).map(_.mkString))
+    val text = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.choose(1, 3).map(" " * _))
+      lead <- Gen.choose(0, 2).map(" " * _)
+    } yield lead + toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString
+    val texts = (0 until 150).flatMap(i =>
+      text.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val diff = ta.winnowSelected(df, 4)
+      .select(col("doc_id"), col("sel"),
+        ta.winnowSelectNative(col("text")).as("ns"))
+      .filter(not(col("sel") === col("ns")))
+      .collect()
+    assert(diff.isEmpty,
+      s"native/HOF winnow diverged on ${diff.length} random texts, first: " +
+        diff.headOption.map(_.toString).getOrElse(""))
+    // and the short-text arm: native returns [] below 5 tokens, the
+    // HOF path filters those rows out entirely — check the native
+    // directly on every generated text
+    val shortOnes = texts.filter(_._2.trim.split(" +").count(_.nonEmpty) < 5)
+    if (shortOnes.nonEmpty) {
+      val ns = shortOnes.toDF("doc_id", "text")
+        .select(ta.winnowSelectNative(col("text")).as("ns")).collect()
+      assert(ns.forall(_.getSeq[Long](0).isEmpty),
+        "native winnow must return empty below 5 tokens")
+    }
+  }
 }
