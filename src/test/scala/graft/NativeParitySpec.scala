@@ -315,29 +315,61 @@ class NativeParitySpec extends SparkSpec {
     assert(e.forall(r => r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
-  test("winnow select: native == HOF on randomized texts (surrogates, ragged spacing)") {
-    import spark.implicits._
+  /** Randomized unicode corpus: alphabets that stress the codepoint
+    * fold — ascii, accents, CJK, and ASTRAL characters (surrogate
+    * pairs: codePointAt+charCount vs a per-char fold diverges exactly
+    * here) — with ragged 1–3-space separators and leading spaces. */
+  private def randomTexts(n: Int): Seq[(Long, String)] = {
     import org.scalacheck.{Gen, rng}
-    val ta = graft.ops.TextAnalysis
-    // alphabets that stress the codepoint fold: ascii, accents, CJK,
-    // and ASTRAL characters (surrogate pairs — codePointAt+charCount
-    // vs a per-char fold would diverge exactly here)
     val alpha = Gen.oneOf(
       Gen.alphaNumChar.map(_.toString),
       Gen.oneOf("é", "ß", "ñ"),
       Gen.oneOf("水", "火", "語"),
       Gen.oneOf("𝔘", "😀", "𐐷"))
-    val token = Gen.choose(1, 6).flatMap(n =>
-      Gen.listOfN(n, alpha).map(_.mkString))
+    val token = Gen.choose(1, 6).flatMap(k =>
+      Gen.listOfN(k, alpha).map(_.mkString))
     val text = for {
-      n <- Gen.choose(0, 40)
-      toks <- Gen.listOfN(n, token)
-      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.choose(1, 3).map(" " * _))
+      m <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(m, token)
+      seps <- Gen.listOfN(math.max(m - 1, 0), Gen.choose(1, 3).map(" " * _))
       lead <- Gen.choose(0, 2).map(" " * _)
     } yield lead + toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString
-    val texts = (0 until 150).flatMap(i =>
+    (0 until n).flatMap(i =>
       text.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("text natives == HOF twins on randomized unicode texts") {
+    import spark.implicits._
+    val df = randomTexts(150).toDF("doc_id", "text").cache()
+    // every (native, twin) column pair must agree row-for-row
+    val pairs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+      ("tokenHashes", Embedder.tokenHashes(col("text")),
+        Embedder.tokenHashesHof(col("text"))),
+      ("tokenHash", Embedder.tokenHash(col("text")),
+        Embedder.tokenHashHof(col("text"))),
+      ("shingleHashes", Dedup.shingleHashes(col("text")),
+        Dedup.shingleHashesHof(col("text"))),
+      ("simhash", Dedup.simhash(col("text")), Dedup.simhashHof(col("text"))))
+    pairs.foreach { case (name, a, b) =>
+      val bad = df.select(col("doc_id"), a.as("a"), b.as("b"))
+        .filter(not(col("a") <=> col("b"))).collect()
+      assert(bad.isEmpty,
+        s"$name diverged on ${bad.length} random texts, first: " +
+          bad.headOption.map(_.toString).getOrElse(""))
+    }
+    val wh = df.withColumn("th", Embedder.tokenHashes(col("text")))
+      .select(Dedup.windowHashes(col("th"), 5).as("a"),
+        Dedup.windowHashesHof(col("th"), 5).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(wh.count() === 0L, "windowHashes diverged on random texts")
+    df.unpersist()
+  }
+
+  test("winnow select: native == HOF on randomized texts (surrogates, ragged spacing)") {
+    import spark.implicits._
+    val ta = graft.ops.TextAnalysis
+    val texts = randomTexts(150)
     val df = texts.toDF("doc_id", "text")
     val diff = ta.winnowSelected(df, 4)
       .select(col("doc_id"), col("sel"),
