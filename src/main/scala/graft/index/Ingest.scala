@@ -67,8 +67,21 @@ object Ingest {
       treeCache.getOrElseUpdate(sfDir, {
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val canon = Paths.get(sfDir).toRealPath().toString
+        // the key is path + CONTENT stamps (every file's name, size,
+        // mtime under documents.parquet): the fixture is regenerated
+        // in place between rounds, and a path-only key would reuse a
+        // STALE tree against the fresh documents — the worst failure
+        // mode of cross-JVM persistence (silent data mismatch)
+        val src = Paths.get(canon, "documents.parquet")
+        val stamps = new StringBuilder(canon)
+        Files.walk(src).sorted().forEach { p =>
+          stamps.append('|').append(p.getFileName).append(':')
+            .append(Files.size(p)).append(':')
+            .append(Files.getLastModifiedTime(p).toMillis)
+        }
         val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+          .digest(stamps.toString.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
         val base = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tree_$key")
         if (!Files.exists(base.resolve("_SUCCESS"))) {
           val stage = Files.createTempDirectory(base.getParent, s"graft_tree_${key}_stage")
