@@ -260,7 +260,10 @@ object Similarity {
       val s = metric match {
         case "cosine" => dot / (math.sqrt(na) * math.sqrt(nb))
         case "dot" => dot
-        case "euclid" => math.sqrt(na - 2 * dot + nb)
+        // clamp: the algebraic form can dip epsilon-negative for
+        // near-identical vectors, and sqrt(-0.0000…1) = NaN, which
+        // sorts LAST ascending — dropping the NEAREST centroid
+        case "euclid" => math.sqrt(math.max(na - 2 * dot + nb, 0.0))
         case "manhattan" => l1
         case other => throw new IllegalArgumentException(
           s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")

@@ -843,6 +843,26 @@ class VectorCollectionSpec extends SparkSpec {
     assert(math.abs(hits(3L) - 1.0 / 63) < 1e-6, s"p3 got ${hits(3L)}")
   }
 
+  test("rankCentroids ranks per metric; identical-vector euclid is 0, never NaN") {
+    import graft.ops.Similarity.rankCentroids
+    val q = Array(0.6f, 0.8f)
+    val cents = Seq(
+      1L -> Array(0.6f, 0.8f),    // == q
+      2L -> Array(0.8f, 0.6f),
+      3L -> Array(-0.6f, -0.8f))  // opposite direction
+    // euclid: the SELF centroid must rank first (the algebraic
+    // na-2dot+nb form can dip epsilon-negative; sqrt(neg)=NaN would
+    // sort it LAST ascending)
+    assert(rankCentroids(cents, q, "euclid").head === 1L)
+    assert(rankCentroids(cents, q, "manhattan").head === 1L)
+    assert(rankCentroids(cents, q, "cosine").head === 1L)
+    // dot favors magnitude-aligned: q·c3 is negative, ranks last
+    assert(rankCentroids(cents, q, "dot").last === 3L)
+    // cosine: the opposite-direction centroid is worst
+    assert(rankCentroids(cents, q, "cosine").last === 3L)
+    intercept[IllegalArgumentException](rankCentroids(cents, q, "nope"))
+  }
+
   test("ensure refuses names/columns carrying meta-delimiter characters") {
     import spark.implicits._
     val pts = Seq((1L, Seq(0.1f, 0.0f), Seq(7), Seq(1.0f)))
