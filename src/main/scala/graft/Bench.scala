@@ -77,7 +77,20 @@ object Bench {
     val shm = new java.io.File("/dev/shm")
     sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
       .orElse(if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_stream") else None)
-      .foreach(d => spark.conf.set("spark.graft.stream.scratchDir", d))
+      .foreach { d =>
+        // per-run subdir + delete-on-exit: tmpfs is RAM — leaked
+        // checkpoint/sink dirs would otherwise accumulate across reps
+        // and runs until /dev/shm (and with it, memory) fills
+        val runDir = s"$d/run_${java.lang.ProcessHandle.current.pid}"
+        spark.conf.set("spark.graft.stream.scratchDir", runDir)
+        java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          val p = java.nio.file.Paths.get(runDir)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }, "graft-bench-scratch-clean"))
+      }
     // SPARK_GRAFT_ONLY restricts to a comma-separated query subset
     // (local-dev knob). Each query is timed SPARK_GRAFT_REPS times and
     // the MINIMUM is reported: the steady-state number — what a

@@ -60,6 +60,26 @@ object Tables {
     def fromMicros(us: Column): Column = timestamp_micros(us)
   }
 
+  /** Content stamp of a fixture path (every file's name, size, mtime,
+    * recursively): the memo key for scaffolding derived from a fixture
+    * — the fixtures are regenerated IN PLACE between rounds, so any
+    * cache keyed on the path alone would serve stale derivations
+    * (the binaryTree lesson). Cheap: a stat walk, no file reads. */
+  private[graft] def contentStamp(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    val sb = new StringBuilder(p.toString)
+    if (Files.exists(p))
+      Files.walk(p).sorted().forEach { f =>
+        sb.append('|').append(f.getFileName).append(':')
+          .append(Files.size(f)).append(':')
+          .append(Files.getLastModifiedTime(f).toMillis)
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
   /** Pick the codec for a loaded events schema; loud on anything new. */
   def tsCodec(schema: StructType): TsCodec = schema("ts").dataType match {
     case LongType          => TsNanosAsLong

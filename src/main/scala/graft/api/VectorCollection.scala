@@ -1054,7 +1054,10 @@ object VectorCollection {
     // as the JSON quote — a name or column containing one would write
     // a sidecar that open() mis-parses. Refuse BEFORE creating the
     // collection directory, so a rejected config leaves nothing behind.
-    val metaDelims = Seq(';', ':', '=', '"', '\\')
+    // ',' '{' '}' are open()'s field terminators (split("[,}]")) —
+    // a name containing one parses truncated even though the JSON
+    // itself would be well-formed
+    val metaDelims = Seq(';', ':', '=', '"', '\\', ',', '{', '}')
     def checkName(what: String, s: String): Unit =
       require(!s.exists(metaDelims.contains),
         s"$what '$s' contains a meta-delimiter character " +

@@ -64,24 +64,16 @@ object Ingest {
 
   def binaryTree(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
-      treeCache.getOrElseUpdate(sfDir, {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val canon = Paths.get(sfDir).toRealPath().toString
-        // the key is path + CONTENT stamps (every file's name, size,
-        // mtime under documents.parquet): the fixture is regenerated
-        // in place between rounds, and a path-only key would reuse a
-        // STALE tree against the fresh documents — the worst failure
-        // mode of cross-JVM persistence (silent data mismatch)
-        val src = Paths.get(canon, "documents.parquet")
-        val stamps = new StringBuilder(canon)
-        Files.walk(src).sorted().forEach { p =>
-          stamps.append('|').append(p.getFileName).append(':')
-            .append(Files.size(p)).append(':')
-            .append(Files.getLastModifiedTime(p).toMillis)
-        }
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(stamps.toString.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val canon = Paths.get(sfDir).toRealPath().toString
+      // the MEMO KEY is path + CONTENT stamps of documents.parquet:
+      // the fixture is regenerated in place between rounds, and a
+      // path-only key (cross-JVM or in-JVM) would reuse a STALE tree
+      // against the fresh documents — the worst failure mode of
+      // persistence (silent data mismatch). Stamps are a stat walk,
+      // recomputed per call, so an in-place regen mid-JVM also misses.
+      val key = graft.Tables.contentStamp(s"$canon/documents.parquet")
+      treeCache.getOrElseUpdate(key, {
         val base = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tree_$key")
         if (!Files.exists(base.resolve("_SUCCESS"))) {
           val stage = Files.createTempDirectory(base.getParent, s"graft_tree_${key}_stage")
@@ -96,12 +88,17 @@ object Ingest {
           try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
           catch {
             case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException |
-                 _: java.nio.file.AccessDeniedException =>
+                 _: java.nio.file.DirectoryNotEmptyException =>
               // another builder won the race; keep theirs, drop ours
               Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
                 .forEach(p => Files.deleteIfExists(p))
           }
+          // whether built, raced, or neither: the tree must actually
+          // be committed — a swallowed failure would cache a path that
+          // does not exist and poison every later scan in this JVM
+          require(Files.exists(base.resolve("_SUCCESS")),
+            s"binaryTree commit failed: $base has no _SUCCESS marker " +
+              "(move failed without a competing builder?)")
         }
         base.toString
       })

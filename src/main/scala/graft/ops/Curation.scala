@@ -361,7 +361,10 @@ object Curation {
     val fulls = filter(windows, (x, i) => pmod(i, lit(w)) === 0)
     val nTail = n % w
     val tail = array_join(slice(toks, n - nTail + 1, nTail), " ")
-    val chunks = when(n === 0, array().cast("array<string>"))
+    // NULL text must mean zero chunks (the pre-r9 when(size>0) arm's
+    // behavior): n is NULL for NULL text, so `n === 0` alone would
+    // fall through to the concat branch and emit NULL stats
+    val chunks = when(n.isNull || n === 0, array().cast("array<string>"))
       .when(nTail === 0, fulls)
       .otherwise(concat(fulls, array(tail)))
     docs.withColumn("_toks", TextAnalysis.tokens(col("text")))

@@ -37,7 +37,12 @@ object Streams {
       spark: SparkSession,
       sfDir: String,
       sentinelGapHours: Int = 6): (String, StructType) = synchronized {
-    srcDirCache.getOrElseUpdate((sfDir, sentinelGapHours), {
+    // keyed on CONTENT stamps, not the path: the fixture regenerates
+    // in place, and a path-keyed memo would keep serving the OLD
+    // sentinel (wrong max timestamp — the watermark never flushes new
+    // data) against symlinked fresh events
+    val stamp = graft.Tables.contentStamp(s"$sfDir/events.parquet")
+    srcDirCache.getOrElseUpdate((stamp, sentinelGapHours), {
       import java.nio.file.{Files, Paths}
       val src = Paths.get(s"$sfDir/events.parquet")
       val raw = spark.read.parquet(src.toString)
@@ -344,8 +349,9 @@ object Streams {
 
   private[graft] def dedupSourceDir(
       spark: SparkSession, sfDir: String): (String, StructType) = synchronized {
-    // read-only once built — memoized like [[sentinelSourceDir]]
-    dedupSrcCache.getOrElseUpdate(sfDir, {
+    // read-only once built — memoized like [[sentinelSourceDir]],
+    // content-stamped for the same in-place-regeneration reason
+    dedupSrcCache.getOrElseUpdate(graft.Tables.contentStamp(s"$sfDir/events.parquet"), {
       import java.nio.file.{Files, Paths}
       val src = Paths.get(s"$sfDir/events.parquet")
       val raw = spark.read.parquet(src.toString)

@@ -71,11 +71,18 @@ class HofGuardSpec extends SparkSpec {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        // `current` is read at delivery time, so with async delivery a
+        // hazard can be attributed to the NEXT query — the label is a
+        // debugging hint, not part of the assertion. A crashing sweep
+        // must fail the test, never silently disable the guard.
         val q = current
         try qe.optimizedPlan
           .collect { case node => node.expressions.flatMap(hazards) }
           .flatten.foreach(h => found.add(s"$q [$funcName]: $h"))
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            found.add(s"SWEEP ERROR near $q [$funcName]: $e")
+        }
       }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()

@@ -932,6 +932,11 @@ class OpsSpec extends SparkSpec {
         s"doc $id (n=${toks.length}): got ${got(id)}, " +
           s"expected (${chunks.length}, ${kept.length})")
     }
+    // a NULL text row yields zero chunks, never NULL stats
+    val nulled = graft.ops.Curation.intraDocDedup(
+      Seq((99L, Option.empty[String])).toDF("doc_id", "text"), w).head
+    assert(!nulled.isNullAt(1) && nulled.getLong(1) === 0L &&
+      nulled.getLong(2) === 0L, s"NULL text must chunk to (0, 0): $nulled")
   }
 
   test("blocklist phrase scan matches a plain-Scala sliding reference, all lengths") {

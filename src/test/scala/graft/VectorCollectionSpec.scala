@@ -869,7 +869,7 @@ class VectorCollectionSpec extends SparkSpec {
       .toDF("point_id", "embedding", "s_idx", "s_val")
     // the flat sidecar format uses ';' ':' '=' '"' — a name containing
     // one would round-trip through open() as garbage or crash its parse
-    for (bad <- Seq("te;xt", "te=xt", "te:xt", "te\"xt")) {
+    for (bad <- Seq("te;xt", "te=xt", "te:xt", "te\"xt", "te,xt", "te}xt")) {
       val err = intercept[IllegalArgumentException] {
         VectorCollection.ensure(spark, s"${tmp()}/colbad", pts,
           CollectionConfig("point_id", "embedding", 2, multiVector = false,

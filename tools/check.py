@@ -32,7 +32,11 @@ class ArrayColumn(Exception):
     pass
 
 def norm_cell(v):
-    if isinstance(v, float):          # covers np.float64 (subclass)
+    # np.float64 subclasses float; np.float32 does NOT — without the
+    # np.floating arm a REAL-typed parquet column str()s as '0.1' vs
+    # the oracle float64's '0.100000' and spurious-fails
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
