@@ -87,9 +87,11 @@ object Ingest {
           Files.write(stage.resolve("_SUCCESS"), Array.emptyByteArray)
           try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
           catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException =>
-              // another builder won the race; keep theirs, drop ours
+            // ATOMIC_MOVE surfaces a raw FileSystemException for a
+            // non-empty target (not DirectoryNotEmptyException); any
+            // move failure MIGHT be a lost race — drop our staging and
+            // let the marker check below adjudicate
+            case _: java.nio.file.FileSystemException =>
               Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
                 .forEach(p => Files.deleteIfExists(p))
           }

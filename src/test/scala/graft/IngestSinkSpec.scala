@@ -32,6 +32,44 @@ class IngestSinkSpec extends SparkSpec {
     assert(scanned.filter(col("n_bytes") <= 0).count() === 0L)
   }
 
+  test("binaryTree: fresh fixture builds; tampered base fails loudly; regen rebuilds") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a private fixture dir so content-stamp keys can't collide with
+    // the shared fixture's cached tree
+    val fx = Files.createTempDirectory("graft_tree_fx").toString
+    def writeDocs(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fx/documents.parquet")
+    writeDocs(Seq((0L, "alpha beta"), (1L, "gamma delta")))
+    val root1 = Ingest.binaryTree(spark, fx)
+    assert(Files.exists(Paths.get(root1, "_SUCCESS")))
+    // same content → same tree (memo or on-disk reuse)
+    assert(Ingest.binaryTree(spark, fx) === root1)
+    // IN-PLACE regeneration (new content, like the driver between
+    // rounds) → a DIFFERENT tree; the old path-keyed cache served the
+    // stale one here
+    Thread.sleep(1100) // mtime granularity
+    writeDocs(Seq((0L, "epsilon zeta"), (1L, "eta theta"), (2L, "iota kappa")))
+    val root2 = Ingest.binaryTree(spark, fx)
+    assert(root2 !== root1, "regenerated fixture must build a fresh tree")
+    assert(Ingest.binaryScan(spark, root2).count() !==
+      Ingest.binaryScan(spark, root1).count())
+    // tampered base (dir exists, no _SUCCESS) → loud require, never a
+    // silently cached nonexistent/incomplete path
+    Thread.sleep(1100)
+    writeDocs(Seq((0L, "lambda mu")))
+    val key3 = graft.Tables.contentStamp(s"$fx/documents.parquet")
+    val base3 = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tree_$key3")
+    Files.createDirectories(base3)
+    Files.writeString(base3.resolve("debris"), "x")
+    val e = intercept[IllegalArgumentException] { Ingest.binaryTree(spark, fx) }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
+
   test("decode stats: processed + failed == scanned (A4/C3 parity)") {
     val decoded = Ingest.tolerantDecode(Ingest.imageScanFilter(Ingest.withPaths(docs)))
     val stats = Ingest.decodeStats(decoded).collect()
