@@ -558,11 +558,20 @@ object Dedup {
       corpus: DataFrame,
       containMin: Double = 0.9,
       maxDf: Long = 64L): DataFrame = {
+    // ONE explicit h-shuffle of the posting table, reused by every
+    // consumer (ReuseExchange dedupes the identical subtree): the df
+    // aggregate, the join back, and both self-join sides all read the
+    // same computed+shuffled postings. Document frequency is a hash
+    // AGGREGATE joined on the same key, not a window — the window's
+    // per-partition SORT of the full posting table ran once per
+    // self-join side (plan-verified), the dominant wasted work at
+    // corpus scale; the aggregate is sort-free.
     val posts = withShingleHashes(corpus)
       .select(col("doc_id"), explode(col("hs")).as("h"))
+      .repartition(col("h"))
+    val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val rare = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxDf)
+      .join(dfs.filter(col("df") <= maxDf), Seq("h"))
       .select(col("doc_id"), col("h"))
     val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("sz_a"))
     val inter = rare.select(col("h"), col("doc_id").as("id_a"))

@@ -735,6 +735,18 @@ class ScaleDesignSpec extends SparkSpec {
       s"postings filter must sit below the postings partial aggregate:\n$plan")
   }
 
+  test("containment postings: df is a sort-free aggregate, not a window") {
+    // the df-per-shingle WINDOW sorted the full posting table once per
+    // self-join side; the aggregate+join formulation reuses one
+    // h-shuffle with no Sort anywhere below the final ORDER BY
+    val plan = SparkEntry.queries("x_dedup_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["),
+      s"containment must not compute df with a window:\n${plan.take(2000)}")
+    assert("Sort \\[h#".r.findAllIn(plan).isEmpty,
+      s"no posting-table sort on the shingle key:\n${plan.take(2000)}")
+  }
+
   test("sparse IDF search keeps the pruned-postings plan: IN-list below, stats broadcast") {
     val q = graft.ops.Retrieval.queries("x_sparse_idf")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
