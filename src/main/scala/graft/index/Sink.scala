@@ -23,8 +23,12 @@ object Sink {
     * if absent; true if created. First-write-wins, like the reference's
     * list-then-create. */
   def ensureCollection(spark: SparkSession, path: String, like: DataFrame): Boolean = {
-    val dir = new java.io.File(path)
-    if (dir.exists()) false
+    // Hadoop FS, not java.io.File: a java.io existence probe is always
+    // false for non-local paths (s3a://, hdfs://), which would turn
+    // the documented no-op second call into an ErrorIfExists throw
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) false
     else {
       like.limit(0).write.mode(SaveMode.ErrorIfExists).parquet(path)
       true
@@ -81,20 +85,33 @@ object Sink {
     *
     * MERGE-style delete-matched+append at file granularity: only the
     * parquet files that actually CONTAIN a matched id are rewritten —
-    * survivors from those files are re-appended alongside the incoming
+    * survivors from those files are re-staged alongside the incoming
     * rows, then the superseded files are retired. Everything else in
     * the collection is untouched, so the cost is O(touched files +
     * incoming), not O(collection) — the same shape a table format's
     * MERGE takes at 100 TB. The driver holds only the touched file
     * LIST (bounded by file count). Single-writer, like the reference's
-    * synchronous `wait=True` upsert; a production deployment wraps the
-    * append+retire pair in a transaction log. Returns rows upserted. */
+    * synchronous `wait=True` upsert.
+    *
+    * Crash safety: the touched branch runs the shared staged
+    * commit-marker protocol ([[updatePayload]]'s) — survivors+incoming
+    * stage invisibly under `_payload_staging`, the marker makes the
+    * merge logically durable, and [[repairPayloadUpdate]] (run here
+    * and by every other rewrite op) finishes an interrupted merge
+    * instead of leaving duplicated or resurrected rows. Returns rows
+    * upserted. */
   def upsertReplace(
       spark: SparkSession,
       incoming: DataFrame,
       path: String,
       idCol: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    // a sharded layout would silently flatten: the staged survivors
+    // re-enter at the root with the shard as a DATA column (the guard
+    // must live HERE, not only in the VectorCollection caller —
+    // SparkEntry and streaming call Sink directly)
+    requireUnpartitioned(spark, path, "upsertReplace")
+    repairPayloadUpdate(spark, path)
     val existing = spark.read.parquet(path)
     val cols = existing.columns.toSeq
     // one point per id even WITHIN a batch (Qdrant keeps a single point
@@ -110,19 +127,15 @@ object Sink {
     if (touched.isEmpty) {
       staged.write.mode(SaveMode.Append).parquet(path)
     } else {
-      // survivors: unmatched rows of ONLY the touched files. The append
-      // below reads exactly these files (explicit list resolved before
-      // the write starts) while adding new part files — safe, and the
-      // superseded files are deleted only after the write commits.
       val survivors = spark.read.parquet(touched: _*)
         .join(incIds, Seq(idCol), "left_anti")
         .select(cols.map(col): _*)
-      survivors.unionByName(staged).write.mode(SaveMode.Append).parquet(path)
-      val conf = spark.sparkContext.hadoopConfiguration
-      touched.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).delete(p, false)
-      }
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = fsOf(spark, path)
+      survivors.unionByName(staged).write.mode(SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
+      writeCommitMarker(fs, root, touched)
+      finishPayloadUpdate(fs, root)
     }
     staged.unpersist()
     written
@@ -131,14 +144,20 @@ object Sink {
   /** Delete points matching a predicate (Qdrant `client.delete` with a
     * points selector / filter). Same file-granular MERGE shape as
     * [[upsertReplace]]: only parquet files that CONTAIN a matching row
-    * are rewritten (their non-matching survivors re-appended), so the
-    * cost is O(touched files), not O(collection). Returns the number
-    * of rows deleted. Single-writer, like the upsert path. */
+    * are rewritten (their non-matching survivors re-staged), so the
+    * cost is O(touched files), not O(collection). Runs the shared
+    * staged commit-marker protocol, so an interruption between the
+    * survivor write and the touched-file retirement is FINISHED by
+    * [[repairPayloadUpdate]] instead of resurrecting deleted rows
+    * beside duplicated survivors. Returns the number of rows deleted.
+    * Single-writer, like the upsert path. */
   def deleteMatching(
       spark: SparkSession,
       path: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    requireUnpartitioned(spark, path, "delete")
+    repairPayloadUpdate(spark, path)
     val existing = spark.read.parquet(path)
     val cols = existing.columns.toSeq
     val touched = existing.withColumn("_file", input_file_name())
@@ -157,13 +176,15 @@ object Sink {
         org.apache.spark.sql.functions.lit(false)))
       .select(cols.map(col): _*)
     val nKept = survivors.count()
-    if (nKept > 0) survivors.write.mode(SaveMode.Append).parquet(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    touched.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).delete(p, false)
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    // stage even the zero-survivor case: empty part files are valid,
+    // and the marker must exist before any original is dropped
+    survivors.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
     touchedData.unpersist()
+    writeCommitMarker(fs, root, touched)
+    finishPayloadUpdate(fs, root)
     total - nKept
   }
 
@@ -190,7 +211,12 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf)
     }
-    entries.length
+    // the documented contract is FILES copied — count recursively, or
+    // a sharded collection would report its shard-DIRECTORY count
+    val it = fs.listFiles(dst, true)
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    n
   }
 
   /** Qdrant `recover_snapshot`: replace the collection's contents with
@@ -214,10 +240,20 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }
+    // checked renames (Hadoop reports failure by returning false):
+    // an unchecked failure followed by the cleanup delete would
+    // destroy the only copy of the collection
     val retired = new org.apache.hadoop.fs.Path(path + "_retired")
     fs.delete(retired, true)
-    if (fs.exists(dst)) fs.rename(dst, retired)
-    fs.rename(staging, dst)
+    if (fs.exists(dst))
+      require(fs.rename(dst, retired),
+        s"restore failed: could not retire $dst — collection left intact")
+    if (!fs.rename(staging, dst)) {
+      val restored = fs.exists(retired) && fs.rename(retired, dst)
+      throw new java.io.IOException(
+        s"restore failed: could not move $staging into place; original " +
+          (if (restored) s"restored at $dst" else s"left at $retired (if it existed)"))
+    }
     fs.delete(retired, true)
   }
 
@@ -246,6 +282,7 @@ object Sink {
       payloadCol: String,
       update: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    requireUnpartitioned(spark, path, "updatePayload")
     repairPayloadUpdate(spark, path)
     val existing = spark.read.parquet(path)
     val cols = existing.columns.toSeq
@@ -271,15 +308,31 @@ object Sink {
     // commit point: once the marker exists the update is logically
     // durable — any interruption from here is FINISHED by repair, not
     // rolled back
-    val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
-    val mOut = fs.create(marker, true)
-    try mOut.write(touched.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    writeCommitMarker(fs, root, touched)
     finishPayloadUpdate(fs, root)
     nUpd
   }
 
   private val PayloadStagingDir = "_payload_staging"
   private val PayloadCommitMarker = "_payload_commit"
+
+  /** Atomic commit-marker write: temp file + rename, so a crash
+    * mid-write leaves only an invisible dot-file and never a TRUNCATED
+    * marker — repair acting on a partial file list would drop only a
+    * subset of the superseded originals, permanently duplicating the
+    * rows of every unlisted one. */
+  private def writeCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      touched: Seq[String]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$PayloadCommitMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(touched.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"failed to commit the rewrite marker $marker — nothing was retired")
+  }
 
   /** Detect and resolve an interrupted [[updatePayload]]: with the
     * commit marker present the staged rewrite is complete, so finish it
@@ -396,6 +449,8 @@ object Sink {
     * the swap leaves the original intact). Returns the new file count.
     * Single-writer like the upsert path. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    healRetired(fsOf(spark, path), path)
+    repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "compact")
     val data = spark.read.parquet(path)
     val nFiles = fileCountFor(data.count(), targetRowsPerFile)
@@ -476,6 +531,10 @@ object Sink {
     * search's partition pruning would quietly degrade to full scans.
     * Refuse loudly instead; sharded collections compact per shard
     * subtree ([[compactShards]]). */
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def requireUnpartitioned(spark: SparkSession, path: String, op: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -506,6 +565,8 @@ object Sink {
       path: String,
       field: String,
       targetRowsPerFile: Long = 1L << 20): Int = {
+    healRetired(fsOf(spark, path), path)
+    repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "indexPayload")
     val data = spark.read.parquet(path)
     val nFiles = fileCountFor(data.count(), targetRowsPerFile)
@@ -538,6 +599,8 @@ object Sink {
       fieldA: String,
       fieldB: String,
       targetRowsPerFile: Long = 1L << 20): Int = {
+    healRetired(fsOf(spark, path), path)
+    repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "indexPayloadZ")
     val data = spark.read.parquet(path)
     // ONE stats pass: bounds + row count together. NaNs are excluded
@@ -588,32 +651,66 @@ object Sink {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  private def fileCountFor(rows: Long, targetRowsPerFile: Long): Int =
+  private def fileCountFor(rows: Long, targetRowsPerFile: Long): Int = {
+    // 0 would yield Infinity -> Int.MaxValue partitions; negative
+    // would silently coalesce to one file — both caller bugs
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
     math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+  }
 
   /** Copy sidecars into `staging`, then swap it in over `path` with
-    * the rename-aside dance: at no instant is `path` absent — a crash
-    * leaves either the original (possibly at path_retired) or the
-    * staged dir recoverable by name, never zero copies. Returns the
+    * the rename-aside dance. There IS an instant with `path` absent
+    * (between the two renames — same as restoreSnapshot's documented
+    * window); what the dance guarantees is that a complete copy always
+    * exists BY NAME: a failed second rename restores the retired
+    * original before throwing, and a crash inside the window is healed
+    * by [[healRetired]] at the next maintenance call. Hadoop rename
+    * reports failure by RETURNING FALSE, not throwing — every rename
+    * here is checked, because an unchecked false followed by the
+    * cleanup delete would destroy the only in-place copy. Returns the
     * parquet file count of the swapped-in directory. */
   private def swapInStaged(spark: SparkSession, path: String, staging: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
-    // sidecar files (e.g. _graft_meta.json) survive the rewrite
+    // sidecar files (e.g. _graft_meta.json) survive the rewrite; the
+    // payload-update protocol files never ride along (the caller ran
+    // repairPayloadUpdate first, and carrying a commit marker into a
+    // rewritten layout would make a later repair inject stale rows)
     fs.listStatus(dst).filter { st =>
       val n = st.getPath.getName
-      !n.endsWith(".parquet") && !n.endsWith(".crc") && n != "_SUCCESS"
+      !n.endsWith(".parquet") && !n.endsWith(".crc") && n != "_SUCCESS" &&
+        n != PayloadCommitMarker && n != PayloadStagingDir
     }.foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }
     val retired = new org.apache.hadoop.fs.Path(path + "_retired")
     fs.delete(retired, true)
-    fs.rename(dst, retired)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    require(fs.rename(dst, retired),
+      s"swap failed: could not retire $dst — collection left intact")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
+      val restored = fs.rename(retired, dst)
+      throw new java.io.IOException(
+        s"swap failed: could not move $staging into place; original " +
+          (if (restored) s"restored at $dst" else s"STRANDED at $retired"))
+    }
     fs.delete(retired, true)
     fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Self-heal the rename-aside crash window: `path` absent with a
+    * complete copy stranded at `path_retired` means a previous
+    * maintenance run died between its two renames — restore it before
+    * proceeding. Called at the head of every swap-based operation. */
+  private def healRetired(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val retired = new org.apache.hadoop.fs.Path(path + "_retired")
+    if (!fs.exists(dst) && fs.exists(retired))
+      require(fs.rename(retired, dst),
+        s"failed to restore stranded collection $retired to $dst")
   }
 
   /** Bucketed collection layout: hash-bucket the points on `idCol`

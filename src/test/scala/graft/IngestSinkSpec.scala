@@ -349,6 +349,65 @@ class IngestSinkSpec extends SparkSpec {
     before.unpersist()
   }
 
+  test("compact resolves a pending payload commit and heals a stranded rename") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkheal").toString + "/col"
+    val pts = (0L until 40L).map(i => (i, s"p$i")).toDF("id", "tag")
+    Sink.append(pts, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate a CRASHED updatePayload: staged rewrite (tag -> UPD for
+    // id < 10) + commit marker listing every original file — the state
+    // an interruption after the commit point leaves behind
+    val originals = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+    spark.read.parquet(originals: _*)
+      .select(col("id"),
+        when(col("id") < 10, lit("UPD")).otherwise(col("tag")).as("tag"))
+      .write.parquet(s"$dir/_payload_staging")
+    val mOut = fs.create(new Path(dir, "_payload_commit"), true)
+    try mOut.write(originals.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    // compact must FINISH the durable update first (not copy the marker
+    // into the compacted layout, which would inject stale rows later)
+    Sink.compact(spark, dir, 100L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 40L)
+    assert(after.filter(col("tag") === "UPD").count() === 10L,
+      "the committed payload update must survive the compaction")
+    assert(!fs.exists(new Path(dir, "_payload_commit")) &&
+      !fs.exists(new Path(dir, "_payload_staging")))
+    // stranded-rename heal: a crash between swapInStaged's two renames
+    // leaves the collection only at path_retired — the next
+    // maintenance call restores it before proceeding
+    require(fs.rename(new Path(dir), new Path(dir + "_retired")))
+    Sink.compact(spark, dir, 100L)
+    assert(spark.read.parquet(dir).count() === 40L)
+    assert(!fs.exists(new Path(dir + "_retired")))
+  }
+
+  test("interrupted deleteMatching finishes on repair: no resurrection, no duplicates") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delrep").toString + "/col"
+    Sink.append((0L until 30L).map(i => (i, s"p$i")).toDF("id", "tag"), dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate deleteMatching(id < 5) crashed right after its commit
+    // marker: survivors staged, originals still in place
+    val originals = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+    spark.read.parquet(originals: _*).filter(col("id") >= 5)
+      .write.parquet(s"$dir/_payload_staging")
+    val mOut = fs.create(new Path(dir, "_payload_commit"), true)
+    try mOut.write(originals.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    assert(Sink.repairPayloadUpdate(spark, dir))
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 25L, "deleted rows must stay deleted after repair")
+    assert(after.select("id").distinct().count() === 25L, "no duplicated survivors")
+    assert(after.filter(col("id") < 5).count() === 0L)
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
