@@ -152,6 +152,10 @@ object QueryApis {
       requests: Seq[(Long, Seq[Long], Seq[Long])],
       k: Int): DataFrame = {
     require(requests.nonEmpty, "recommendBatch needs at least one request")
+    // duplicate req_ids would silently MERGE two requests' hit lists
+    // in the per-request ranking (the queryBatch guard, shared here)
+    require(requests.map(_._1).distinct.size == requests.size,
+      "duplicate request ids in recommend batch")
     requests.foreach { case (rid, pos, _) =>
       require(pos.nonEmpty, s"request $rid needs at least one positive example") }
     val allIds = requests.flatMap { case (_, p, n) => p ++ n }.distinct
@@ -159,14 +163,9 @@ object QueryApis {
     val spark = points.sparkSession
     import spark.implicits._
     val reqRows = requests.map { case (rid, pos, neg) =>
-      val avgPos = meanVec(pos.map(vecs))
-      val qv =
-        if (neg.isEmpty) avgPos
-        else {
-          val avgNeg = meanVec(neg.map(vecs))
-          Array.tabulate(avgPos.length)(i => avgPos(i) * 2.0 - avgNeg(i))
-        }
-      (rid, qv.toSeq, (pos ++ neg).distinct)
+      // the ONE strategy formula (averageVector) — not an inline copy
+      // that could drift from the singleton recommend's
+      (rid, averageVector(vecs, pos, neg).toSeq, (pos ++ neg).distinct)
     }
     val reqs = reqRows.toDF("req_id", "qv", "excl")
     // bounded-heap ranking (the knnJoin shape): each map task
@@ -271,6 +270,8 @@ object QueryApis {
       requests: Seq[(Long, Long, Seq[(Long, Long)])],
       k: Int): DataFrame = {
     require(requests.nonEmpty, "discoverBatch needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "duplicate request ids in discover batch")
     requests.foreach { case (rid, _, ps) =>
       require(ps.nonEmpty, s"discover request $rid needs at least one context pair") }
     val ids = requests
@@ -460,15 +461,22 @@ object QueryApis {
       lookup: DataFrame,
       lookupIdCol: String,
       lookupCols: Seq[String]): DataFrame = {
-    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit)
-    val lk = lookup.select(
-      col(lookupIdCol).cast("long").as("_lk_id") +:
-        lookupCols.map(c => col(c).as(s"lk_$c")): _*)
-    val fetched = lk.join(
-      broadcast(groups.select(col("grp")).distinct()),
-      col("_lk_id") === col("grp")).drop("grp")
-    groups.join(broadcast(fetched), col("grp") === col("_lk_id"), "left")
-      .drop("_lk_id")
+    // cache the group hits: the frame is bounded (limit × groupSize
+    // rows) but its PLAN scores the corpus — referenced twice below
+    // (key fetch + outer join), an uncached plan would run the whole
+    // corpus scoring twice
+    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit).cache()
+    try {
+      val lk = lookup.select(
+        col(lookupIdCol).cast("long").as("_lk_id") +:
+          lookupCols.map(c => col(c).as(s"lk_$c")): _*)
+      val fetched = lk.join(
+        broadcast(groups.select(col("grp")).distinct()),
+        col("_lk_id") === col("grp")).drop("grp")
+      groups.join(broadcast(fetched), col("grp") === col("_lk_id"), "left")
+        .drop("_lk_id")
+        .localCheckpoint()
+    } finally groups.unpersist()
   }
 
   /** Qdrant facet API: value counts for one payload key under a
@@ -623,8 +631,11 @@ object QueryApis {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(fetchN)
       .collect()
+      // Seq[Number], not Seq[Float]: a collection whose vector column
+      // is array<double> would ClassCastException on the unbox (the
+      // fetchVecs pattern)
       .map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+        r.getSeq[Number](1).map(_.doubleValue()).toArray, r.getDouble(2)))
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // same fold shape as Kernels.cosine: dot / (sqrt(na) * sqrt(nb))
@@ -659,14 +670,24 @@ object QueryApis {
   /** Qdrant distance-matrix API (`search_matrix_pairs`): pairwise
     * nearest neighbors within a deterministic sample — each sampled
     * point's top `k` most-similar other sampled points. The sample
-    * predicate pushes to the scan; the sample side is broadcast (the
-    * API bounds the sample, never corpus-sized), so the pair scoring is
-    * shuffle-free and the per-point rank window runs over sample-sized
-    * groups. */
+    * predicate pushes to the scan; the pair side is broadcast for the
+    * all-pairs non-equi join. The sample here is a corpus FRACTION
+    * (1/sampleMod), not Qdrant's absolute count, so the broadcast
+    * claim is GUARDED: the driver counts the sample first and refuses
+    * one too large to broadcast (a silent corpus-fraction broadcast is
+    * the no-corpus-broadcast rule's failure mode) — at scale the
+    * caller picks sampleMod so the sample is matrix-sized, exactly as
+    * Qdrant's `sample` parameter does by construction. */
   def matrixPairs(points: DataFrame, sampleMod: Int, k: Int): DataFrame = {
     val sample = points
       .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
       .select(col("vec_id"), col("embedding"))
+    val maxSample = 100000L
+    val n = sample.count()
+    require(n <= maxSample,
+      s"matrixPairs sample is $n rows (sampleMod=$sampleMod) — beyond the " +
+        s"$maxSample broadcast bound; raise sampleMod (the matrix is " +
+        "all-pairs within the sample, so a corpus-fraction sample cannot scale)")
     val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val w = Window.partitionBy(col("id_a"))
@@ -783,19 +804,27 @@ object QueryApis {
     * component formula is the same left-to-right fold the Scala side
     * computes), plus the exclusion id list — shared by q_recommend
     * and q_recommend_groups. */
-  private def duckAvgVectorCtes: (String, String) = {
+  private def duckAvgVectorCtes: (String, String) =
+    duckAvgVectorCtes(RecPos, RecNeg, duckVec)
+
+  /** Parameterized form — ONE copy of the average_vector oracle
+    * formula, shared by q_recommend/q_recommend_groups (embeddings
+    * examples) and q_recommend_lookup (document-collection examples):
+    * two inline copies could silently drift apart. */
+  private def duckAvgVectorCtes(
+      pos: Seq[Long], neg: Seq[Long], vecOf: Long => String): (String, String) = {
     val exCols =
-      (RecPos.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS p$i" } ++
-        RecNeg.zipWithIndex.map { case (id, i) => s"${duckVec(id)} AS n$i" })
+      (pos.zipWithIndex.map { case (id, i) => s"${vecOf(id)} AS p$i" } ++
+        neg.zipWithIndex.map { case (id, i) => s"${vecOf(id)} AS n$i" })
         .mkString(",\n  ")
-    val posSum = RecPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
-    val negSum = RecNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
+    val posSum = pos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
+    val negSum = neg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
     val component =
-      s"(($posSum) / ${RecPos.length}.0) * 2.0 - (($negSum) / ${RecNeg.length}.0)"
+      s"(($posSum) / ${pos.length}.0) * 2.0 - (($negSum) / ${neg.length}.0)"
     val ctes =
       s"""ex AS (SELECT $exCols),
          |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)""".stripMargin
-    (ctes, (RecPos ++ RecNeg).mkString(", "))
+    (ctes, (pos ++ neg).mkString(", "))
   }
 
   /** documents embedded as a second collection in (vec_id, embedding)
@@ -851,12 +880,17 @@ object QueryApis {
     // every value — a vacuous-pass-proof check both engines can state
     "q_facet_approx" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val exact = facet(d, "lang", col("n_chars") >= 300, 10)
-      val approx = facetApprox(d, "lang", "doc_id", col("n_chars") >= 300, 10)
+      // the facet cuts use an effectively-unbounded limit and the GATE
+      // cuts first-10 BY VALUE after the join — the oracle's exact
+      // semantics. Two top-10-BY-COUNT cuts joined (the old shape)
+      // silently diverge from the oracle once the facet has more than
+      // 10 distinct values (latent on the 5-lang fixture).
+      val exact = facet(d, "lang", col("n_chars") >= 300, 1 << 20)
+      val approx = facetApprox(d, "lang", "doc_id", col("n_chars") >= 300, 1 << 20)
       exact.join(approx, Seq("value"))
         .select(col("value"),
           (abs(col("n_approx") - col("n")) <= col("n") * 0.05).as("within_rsd"))
-        .orderBy(col("value"))
+        .orderBy(col("value")).limit(10)
     }),
     // facet exact=false, bounded-work formulation: both engines draw
     // the SAME deterministic sample, so the estimates hash-match
@@ -1056,16 +1090,8 @@ object QueryApis {
         graft.index.Embedder.duckTokenHashes("text"))
       def dv(id: Long): String =
         s"(SELECT $emb FROM documents WHERE doc_id = $id)"
-      val exCols =
-        (LookupPos.zipWithIndex.map { case (id, i) => s"${dv(id)} AS p$i" } ++
-          LookupNeg.zipWithIndex.map { case (id, i) => s"${dv(id)} AS n$i" })
-          .mkString(",\n  ")
-      val posSum = LookupPos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
-      val negSum = LookupNeg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
-      val component =
-        s"(($posSum) / ${LookupPos.length}.0) * 2.0 - (($negSum) / ${LookupNeg.length}.0)"
-      s"""WITH ex AS (SELECT $exCols),
-         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)
+      val (ctes, _) = duckAvgVectorCtes(LookupPos, LookupNeg, dv)
+      s"""WITH $ctes
          |SELECT vec_id, ROUND(${duckCos("embedding", "(SELECT qv FROM q)")}, 6) AS score
          |FROM embeddings
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
@@ -1282,8 +1308,8 @@ object QueryApis {
          |SELECT offsets_row, offsets_col, scores, ids FROM o, i""".stripMargin,
 
     "q_random_sample" ->
-      """SELECT vec_id, ('0x' || substr(md5('sample:' || vec_id), 1, 15))::BIGINT AS h
-        |FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 20""".stripMargin,
+      s"""SELECT vec_id, ${graft.index.Embedder.duckStringHash64("'sample:' || vec_id")} AS h
+         |FROM embeddings ORDER BY h ASC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q_boost_formula" ->
       s"""WITH sc AS (SELECT vec_id,
