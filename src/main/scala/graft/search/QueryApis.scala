@@ -461,22 +461,22 @@ object QueryApis {
       lookup: DataFrame,
       lookupIdCol: String,
       lookupCols: Seq[String]): DataFrame = {
-    // cache the group hits: the frame is bounded (limit × groupSize
-    // rows) but its PLAN scores the corpus — referenced twice below
-    // (key fetch + outer join), an uncached plan would run the whole
-    // corpus scoring twice
-    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit).cache()
-    try {
-      val lk = lookup.select(
-        col(lookupIdCol).cast("long").as("_lk_id") +:
-          lookupCols.map(c => col(c).as(s"lk_$c")): _*)
-      val fetched = lk.join(
-        broadcast(groups.select(col("grp")).distinct()),
-        col("_lk_id") === col("grp")).drop("grp")
-      groups.join(broadcast(fetched), col("grp") === col("_lk_id"), "left")
-        .drop("_lk_id")
-        .localCheckpoint()
-    } finally groups.unpersist()
+    // materialize the group hits ONCE (eager localCheckpoint): the
+    // frame is bounded (limit × groupSize rows) but its plan scores
+    // the corpus, and it is referenced twice below (key fetch + outer
+    // join) — an unmaterialized plan would run the whole corpus
+    // scoring once per reference. The downstream broadcast joins stay
+    // in the returned plan (ScaleDesignSpec pins them).
+    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit)
+      .localCheckpoint()
+    val lk = lookup.select(
+      col(lookupIdCol).cast("long").as("_lk_id") +:
+        lookupCols.map(c => col(c).as(s"lk_$c")): _*)
+    val fetched = lk.join(
+      broadcast(groups.select(col("grp")).distinct()),
+      col("_lk_id") === col("grp")).drop("grp")
+    groups.join(broadcast(fetched), col("grp") === col("_lk_id"), "left")
+      .drop("_lk_id")
   }
 
   /** Qdrant facet API: value counts for one payload key under a
