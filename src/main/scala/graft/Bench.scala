@@ -85,10 +85,12 @@ object Bench {
         spark.conf.set("spark.graft.stream.scratchDir", runDir)
         java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
           val p = java.nio.file.Paths.get(runDir)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder())
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
         }, "graft-bench-scratch-clean"))
       }
     // SPARK_GRAFT_ONLY restricts to a comma-separated query subset

@@ -81,6 +81,8 @@ object PlanDump {
       "x_cluster_terms" -> "cluster topics: broadcast-centroid argmax assignment (narrow map) equi-joined to documents, then the two vocabulary-sized lift windows",
       "r_events_markov" -> "transition matrix: one user_id shuffle for the lag window, bounded (prev, next) count keys, exact integer ratios",
       "x_zipf_fit" -> "Zipf regression: four sums folded in rank order inside one vocabulary-bounded collected row — no corpus-sized float reduction",
+      "q_query_batch" -> "universal batch: the heterogeneous request frame (query vector + exclusion list per request) broadcasts; ONE corpus scan scores every request, bounded-heap topk_hits ranks per request — N requests never mean N scans",
+      "q_matrix_pairs" -> "distance matrix: absolute-count hash-ordered sample (TakeOrderedAndProject draw, broadcast-safe by construction — no eager guard count), pair side broadcast, rank window over sample-sized rows",
       "x_entropy_report" -> "entropy report: unigram and bigram-type tables only; sums fold type-sorted in one bounded row each")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

@@ -60,21 +60,35 @@ object Tables {
     def fromMicros(us: Column): Column = timestamp_micros(us)
   }
 
-  /** Content stamp of a fixture path (every file's name, size, mtime,
-    * recursively): the memo key for scaffolding derived from a fixture
-    * — the fixtures are regenerated IN PLACE between rounds, so any
-    * cache keyed on the path alone would serve stale derivations
-    * (the binaryTree lesson). Cheap: a stat walk, no file reads. */
+  /** Content stamp of a fixture path (every file's ROOT-RELATIVE path,
+    * size, and full-resolution mtime, recursively): the memo key for
+    * scaffolding derived from a fixture — the fixtures are regenerated
+    * IN PLACE between rounds, so any cache keyed on the path alone
+    * would serve stale derivations (the binaryTree lesson). Cheap: a
+    * stat walk, no file reads.
+    *
+    * Stamp ingredients matter: the relative path (not just the file
+    * NAME — same-named files in different subdirs must be
+    * distinguishable) and the mtime at the filesystem's full
+    * resolution via toInstant (epoch seconds + nanos — a millis-only
+    * stamp would collide with an in-place regeneration landing in the
+    * same millisecond with identical sizes, silently serving the stale
+    * derivation the key exists to prevent). The walk stream is closed
+    * (try/finally): Files.walk holds a directory-stream fd per level
+    * until closed, and this runs on every memoized-source call. */
   private[graft] def contentStamp(path: String): String = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(path)
     val sb = new StringBuilder(p.toString)
-    if (Files.exists(p))
-      Files.walk(p).sorted().forEach { f =>
-        sb.append('|').append(f.getFileName).append(':')
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted().forEach { f =>
+        val mt = Files.getLastModifiedTime(f).toInstant
+        sb.append('|').append(p.relativize(f)).append(':')
           .append(Files.size(f)).append(':')
-          .append(Files.getLastModifiedTime(f).toMillis)
-      }
+          .append(mt.getEpochSecond).append('.').append(mt.getNano)
+      } finally walk.close()
+    }
     java.security.MessageDigest.getInstance("MD5")
       .digest(sb.toString.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString

@@ -368,14 +368,18 @@ class VectorCollection private (
       col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
   }
 
-  /** The recommend/discover/groups/MMR/matrix family computes COSINE
-    * scores by contract (the strategy formulas — best_score maxima,
-    * context-pair losses, MMR's relevance−redundancy trade — are all
-    * written for a similarity where bigger is better). On a
-    * euclid/manhattan collection those formulas would silently invert
-    * (the pre-r9 queryHybrid/searchAnn bug class), so the facade
-    * refuses loudly instead. plain search()/searchAnn()/queryFormula()
-    * are fully metric-aware. */
+  /** The FORMULA-strategy family computes COSINE scores by contract —
+    * best_score maxima (a "best" negative must out-rank positives by
+    * sign flip), sum_scores folds, context-pair losses, discovery's
+    * satisfied-pair comparisons, MMR's relevance−redundancy trade, the
+    * grouped searches' per-group max — all written for a similarity
+    * where bigger is better. On a euclid/manhattan collection those
+    * formulas would silently invert (the pre-r9 queryHybrid/searchAnn
+    * bug class), so the facade refuses loudly instead. In contrast,
+    * everything that only BUILDS a query vector and then ranks with
+    * plain TopK semantics — search()/searchAnn()/queryFormula(),
+    * recommend's average_vector strategy, queryBatch — is fully
+    * metric-aware. */
   private def cosineOnly[T](api: String)(body: => T): T = {
     require(config.distance == "cosine",
       s"$api is implemented for cosine collections (this collection is " +
@@ -386,12 +390,13 @@ class VectorCollection private (
   }
 
   /** Qdrant `client.recommend` (average_vector strategy): search by
-    * 2·avg(positives) − avg(negatives), example points excluded. */
+    * 2·avg(positives) − avg(negatives), example points excluded.
+    * Metric-aware — the strategy only builds a query vector; scoring
+    * and ranking follow the collection's configured Distance
+    * (euclid/manhattan rank ASC), exactly like [[search]]. */
   def recommend(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
-    cosineOnly("recommend") {
-      graft.search.QueryApis.recommend(asPoints, posIds, negIds, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.recommend(asPoints, posIds, negIds, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `client.recommend` with `strategy=sum_scores`: score =
     * Σ_pos sim − Σ_neg sim, examples excluded — the third strategy
@@ -415,21 +420,20 @@ class VectorCollection private (
       s"lookup collection dim ${lookup.config.dim} != this collection's dim ${config.dim}")
     require(!lookup.config.multiVector && !config.multiVector,
       "recommend with lookup_from needs dense (single-vector) collections on both sides")
-    cosineOnly("recommendFrom") {
-      graft.search.QueryApis.recommendLookup(
-        asPoints, lookup.asPoints, posIds, negIds, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    // metric-aware like [[recommend]] — THIS collection's Distance
+    // drives the ranking (the lookup side only supplies the examples)
+    graft.search.QueryApis.recommendLookup(
+      asPoints, lookup.asPoints, posIds, negIds, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
   }
 
   /** Qdrant `recommend_batch`: N recommend requests, one collection
-    * pass (broadcast request frame + request-keyed rank window). */
+    * pass (broadcast request frame + bounded-heap per-request
+    * ranking). Metric-aware like [[recommend]]. */
   def recommendBatch(
       requests: Seq[(Long, Seq[Long], Seq[Long])], k: Int = 5): DataFrame =
-    cosineOnly("recommendBatch") {
-      graft.search.QueryApis.recommendBatch(asPoints, requests, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.recommendBatch(asPoints, requests, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant discovery search: rank by satisfied (positive, negative)
     * context pairs, then similarity to the target point. */
@@ -468,13 +472,13 @@ class VectorCollection private (
     * all referenced point ids resolve with a single pushed IN-list
     * scan, the request frame broadcasts, ranking is the bounded-heap
     * aggregate keyed by request. Spec-asserted equal per kind to
-    * [[search]]/[[queryByPointId]]/[[recommend]]. */
+    * [[search]]/[[queryByPointId]]/[[recommend]]. Metric-aware: every
+    * kind resolves to (query vector, exclusions) then ranks with plain
+    * TopK semantics under the collection's Distance. */
   def queryBatch(requests: Seq[graft.search.BatchQuery], k: Int = 5): DataFrame = {
     require(!config.multiVector, "batch query on a multi-vector collection")
-    cosineOnly("queryBatch") {
-      graft.search.QueryApis.queryBatch(asPoints, requests, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.queryBatch(asPoints, requests, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
   }
 
   /** Qdrant `recommend_groups`: recommendation scoring with grouped
@@ -602,10 +606,11 @@ class VectorCollection private (
   }
 
   /** Qdrant distance-matrix API (`search_matrix_pairs`) over a
-    * deterministic sample. */
-  def matrixPairs(sampleMod: Int, k: Int = 3): DataFrame =
+    * deterministic `sample`-point draw (Qdrant's absolute-count
+    * `sample` parameter — broadcast-safe by construction). */
+  def matrixPairs(sample: Int, k: Int = 3): DataFrame =
     cosineOnly("matrixPairs") {
-      graft.search.QueryApis.matrixPairs(asPoints, sampleMod, k)
+      graft.search.QueryApis.matrixPairs(asPoints, sample, k)
     }
 
   /** Qdrant random sampling (`query=sample(random)`): reproducible
@@ -1030,16 +1035,9 @@ class VectorCollection private (
 object VectorCollection {
 
   /** (score expression, ranks-ascending) for a configured Distance —
-    * the same mapping TopK.dense applies. */
+    * the ONE mapping in [[graft.search.TopK.metricFn]]. */
   private[api] def metricFn(distance: String): ((Column, Column) => Column, Boolean) =
-    distance match {
-      case "cosine" => (graft.vector.Kernels.cosine, false)
-      case "dot" => (graft.vector.Kernels.dot, false)
-      case "euclid" => (graft.vector.Kernels.euclidean, true)
-      case "manhattan" => (graft.vector.Kernels.manhattan, true)
-      case other => throw new IllegalArgumentException(
-        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
-    }
+    TopK.metricFn(distance)
 
   private def metaPath(path: String) = s"$path/_graft_meta.json"
 

@@ -92,8 +92,10 @@ object Ingest {
             // move failure MIGHT be a lost race — drop our staging and
             // let the marker check below adjudicate
             case _: java.nio.file.FileSystemException =>
-              Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+              val walk = Files.walk(stage)
+              try walk.sorted(java.util.Comparator.reverseOrder())
                 .forEach(p => Files.deleteIfExists(p))
+              finally walk.close()
           }
           // whether built, raced, or neither: the tree must actually
           // be committed — a swallowed failure would cache a path that

@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, mi
   */
 object Sink {
 
+  /** Per-collection write mutex: every mutating operation (append, the
+    * file-granular rewrites, compaction, restore) serializes on the
+    * collection's normalized path. In Spark's execution model all
+    * writes are issued from the ONE driver JVM, so a JVM-level monitor
+    * is a genuine serialization point — it turns the documented
+    * "single-writer" contract from a caller obligation into an
+    * enforced property (a compact racing an upsertReplace would
+    * otherwise lose the upsert's rows to the compact's stale-read
+    * swap; IngestSinkSpec drills the race). MULTI-driver writers to
+    * one collection remain out of scope, as for any non-transactional
+    * table layout — that coordination belongs to a table format /
+    * external lock service, and the crash-marker protocol still
+    * bounds the damage to a repairable state. Monitors are reentrant,
+    * so ops composing repair/heal steps self-nest safely. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def withPathLock[T](path: String)(body: => T): T = {
+    val key = new org.apache.hadoop.fs.Path(path).toString
+    val lock = pathLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
+  }
+
   /** C1: create the collection directory with the given (empty) schema
     * if absent; true if created. First-write-wins, like the reference's
     * list-then-create. */
@@ -51,8 +74,10 @@ object Sink {
   def append(points: DataFrame, path: String, shardCols: Seq[String]): Long = {
     val staged = points.cache()
     val written = staged.count()
-    val w = staged.write.mode(SaveMode.Append)
-    (if (shardCols.nonEmpty) w.partitionBy(shardCols: _*) else w).parquet(path)
+    withPathLock(path) {
+      val w = staged.write.mode(SaveMode.Append)
+      (if (shardCols.nonEmpty) w.partitionBy(shardCols: _*) else w).parquet(path)
+    }
     staged.unpersist()
     written
   }
@@ -104,7 +129,7 @@ object Sink {
       spark: SparkSession,
       incoming: DataFrame,
       path: String,
-      idCol: String): Long = {
+      idCol: String): Long = withPathLock(path) {
     import org.apache.spark.sql.functions.{col, input_file_name}
     // a sharded layout would silently flatten: the staged survivors
     // re-enter at the root with the shard as a DATA column (the guard
@@ -154,7 +179,7 @@ object Sink {
   def deleteMatching(
       spark: SparkSession,
       path: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: org.apache.spark.sql.Column): Long = withPathLock(path) {
     import org.apache.spark.sql.functions.{col, input_file_name}
     requireUnpartitioned(spark, path, "delete")
     repairPayloadUpdate(spark, path)
@@ -164,28 +189,30 @@ object Sink {
       .filter(cond)
       .select(col("_file")).distinct()
       .collect().map(_.getString(0))
-    if (touched.isEmpty) return 0L
-    // one scan of the touched files: cache, then both counts and the
-    // survivor write come off the cached data
-    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
-    val total = touchedData.count()
-    // NULL-predicate rows are survivors, not deletions (delete only
-    // what the filter affirmatively matches — Qdrant filter semantics)
-    val survivors = touchedData
-      .filter(!org.apache.spark.sql.functions.coalesce(cond,
-        org.apache.spark.sql.functions.lit(false)))
-      .select(cols.map(col): _*)
-    val nKept = survivors.count()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = fsOf(spark, path)
-    // stage even the zero-survivor case: empty part files are valid,
-    // and the marker must exist before any original is dropped
-    survivors.write.mode(SaveMode.Overwrite)
-      .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
-    touchedData.unpersist()
-    writeCommitMarker(fs, root, touched)
-    finishPayloadUpdate(fs, root)
-    total - nKept
+    if (touched.isEmpty) 0L
+    else {
+      // one scan of the touched files: cache, then both counts and the
+      // survivor write come off the cached data
+      val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
+      val total = touchedData.count()
+      // NULL-predicate rows are survivors, not deletions (delete only
+      // what the filter affirmatively matches — Qdrant filter semantics)
+      val survivors = touchedData
+        .filter(!org.apache.spark.sql.functions.coalesce(cond,
+          org.apache.spark.sql.functions.lit(false)))
+        .select(cols.map(col): _*)
+      val nKept = survivors.count()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = fsOf(spark, path)
+      // stage even the zero-survivor case: empty part files are valid,
+      // and the marker must exist before any original is dropped
+      survivors.write.mode(SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
+      touchedData.unpersist()
+      writeCommitMarker(fs, root, touched)
+      finishPayloadUpdate(fs, root)
+      total - nKept
+    }
   }
 
   /** Qdrant `create_snapshot`: point-in-time copy of the collection
@@ -196,7 +223,7 @@ object Sink {
     * operations, the copy is consistent under concurrent reads.
     * Returns the number of files copied. Single-writer with respect to
     * upsert/compact, like the rest of the maintenance surface. */
-  def snapshot(spark: SparkSession, path: String, snapPath: String): Int = {
+  def snapshot(spark: SparkSession, path: String, snapPath: String): Int = withPathLock(path) {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(conf)
@@ -211,11 +238,16 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf)
     }
-    // the documented contract is FILES copied — count recursively, or
-    // a sharded collection would report its shard-DIRECTORY count
+    // the documented contract is DATA files copied — count *.parquet
+    // recursively (a sharded collection would otherwise report its
+    // shard-DIRECTORY count, and counting sidecars/_SUCCESS/.crc would
+    // inflate the number relative to compact/swapInStaged, which count
+    // parquet files only)
     val it = fs.listFiles(dst, true)
     var n = 0
-    while (it.hasNext) { it.next(); n += 1 }
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
     n
   }
 
@@ -227,7 +259,7 @@ object Sink {
     * is briefly absent between the two renames — restore is a
     * maintenance operation, single-writer and reader-quiesced like
     * compact. */
-  def restoreSnapshot(spark: SparkSession, snapPath: String, path: String): Unit = {
+  def restoreSnapshot(spark: SparkSession, snapPath: String, path: String): Unit = withPathLock(path) {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
@@ -280,7 +312,8 @@ object Sink {
       path: String,
       cond: org.apache.spark.sql.Column,
       payloadCol: String,
-      update: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
+      update: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long =
+    withPathLock(path) {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
     requireUnpartitioned(spark, path, "updatePayload")
     repairPayloadUpdate(spark, path)
@@ -291,26 +324,28 @@ object Sink {
       .filter(cond)
       .select(col("_file")).distinct()
       .collect().map(_.getString(0))
-    if (touched.isEmpty) return 0L
-    val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
-    val nUpd = touchedData.filter(cond).count()
-    val rewritten = touchedData.select(cols.map { c =>
-      if (c == payloadCol)
-        when(coalesce(cond, lit(false)), update(col(c))).otherwise(col(c)).as(c)
-      else col(c)
-    }: _*)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    rewritten.write.mode(SaveMode.Overwrite)
-      .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
-    touchedData.unpersist()
-    // commit point: once the marker exists the update is logically
-    // durable — any interruption from here is FINISHED by repair, not
-    // rolled back
-    writeCommitMarker(fs, root, touched)
-    finishPayloadUpdate(fs, root)
-    nUpd
+    if (touched.isEmpty) 0L
+    else {
+      val touchedData = spark.read.parquet(touched.toIndexedSeq: _*).cache()
+      val nUpd = touchedData.filter(cond).count()
+      val rewritten = touchedData.select(cols.map { c =>
+        if (c == payloadCol)
+          when(coalesce(cond, lit(false)), update(col(c))).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      rewritten.write.mode(SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(root, PayloadStagingDir).toString)
+      touchedData.unpersist()
+      // commit point: once the marker exists the update is logically
+      // durable — any interruption from here is FINISHED by repair,
+      // not rolled back
+      writeCommitMarker(fs, root, touched)
+      finishPayloadUpdate(fs, root)
+      nUpd
+    }
   }
 
   private val PayloadStagingDir = "_payload_staging"
@@ -339,7 +374,7 @@ object Sink {
     * (move staged files in, drop the superseded originals it lists);
     * without the marker any staging debris is a pre-commit abort, so
     * discard it. Idempotent; returns whether anything needed repair. */
-  def repairPayloadUpdate(spark: SparkSession, path: String): Boolean = {
+  def repairPayloadUpdate(spark: SparkSession, path: String): Boolean = withPathLock(path) {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -448,7 +483,7 @@ object Sink {
     * dir first and swaps in only after the write commits (crash before
     * the swap leaves the original intact). Returns the new file count.
     * Single-writer like the upsert path. */
-  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = withPathLock(path) {
     healRetired(fsOf(spark, path), path)
     repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "compact")
@@ -476,7 +511,7 @@ object Sink {
     * `_compact_retired`; the next call self-heals by restoring any
     * stranded shard before compacting (IngestSinkSpec simulates the
     * crash). Returns total files written across shards. */
-  def compactShards(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+  def compactShards(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = withPathLock(path) {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -564,7 +599,7 @@ object Sink {
       spark: SparkSession,
       path: String,
       field: String,
-      targetRowsPerFile: Long = 1L << 20): Int = {
+      targetRowsPerFile: Long = 1L << 20): Int = withPathLock(path) {
     healRetired(fsOf(spark, path), path)
     repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "indexPayload")
@@ -598,7 +633,7 @@ object Sink {
       path: String,
       fieldA: String,
       fieldB: String,
-      targetRowsPerFile: Long = 1L << 20): Int = {
+      targetRowsPerFile: Long = 1L << 20): Int = withPathLock(path) {
     healRetired(fsOf(spark, path), path)
     repairPayloadUpdate(spark, path)
     requireUnpartitioned(spark, path, "indexPayloadZ")

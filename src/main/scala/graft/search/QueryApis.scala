@@ -83,19 +83,27 @@ object QueryApis {
     * vector is avg(positives) + (avg(positives) − avg(negatives)) =
     * 2·avg_pos − avg_neg (avg_pos alone when no negatives), and the
     * example points are excluded from the result. One narrow scoring
-    * pass + TakeOrderedAndProject, exactly the D1 plan. */
+    * pass + TakeOrderedAndProject, exactly the D1 plan.
+    *
+    * Metric-aware: average_vector only BUILDS a query vector — the
+    * scoring/ranking that follows is plain [[TopK.dense]] semantics,
+    * unambiguous under any Qdrant Distance (distance metrics rank
+    * ASC). The formula strategies (best_score / sum_scores), whose
+    * sign conventions genuinely differ per metric, stay cosine-only. */
   def recommend(
       points: DataFrame,
       posIds: Seq[Long],
       negIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val qv = averageVector(fetchVecs(points, posIds ++ negIds), posIds, negIds)
     points
       .filter(!col("vec_id").isInCollection(posIds ++ negIds))
       .select(col("vec_id"),
-        round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+        round(scoreOf(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
+      .orderBy(if (asc) col("score").asc else col("score").desc, col("vec_id").asc)
       .limit(k)
   }
 
@@ -129,13 +137,15 @@ object QueryApis {
       lookup: DataFrame,
       posIds: Seq[Long],
       negIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val qv = averageVector(fetchVecs(lookup, posIds ++ negIds), posIds, negIds)
     points
       .select(col("vec_id"),
-        round(Kernels.cosine(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+        round(scoreOf(col("embedding"), typedlit(qv.toSeq)), 6).as("score"))
+      .orderBy(if (asc) col("score").asc else col("score").desc, col("vec_id").asc)
       .limit(k)
   }
 
@@ -150,7 +160,8 @@ object QueryApis {
   def recommendBatch(
       points: DataFrame,
       requests: Seq[(Long, Seq[Long], Seq[Long])],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(requests.nonEmpty, "recommendBatch needs at least one request")
     // duplicate req_ids would silently MERGE two requests' hit lists
     // in the per-request ranking (the queryBatch guard, shared here)
@@ -158,6 +169,7 @@ object QueryApis {
       "duplicate request ids in recommend batch")
     requests.foreach { case (rid, pos, _) =>
       require(pos.nonEmpty, s"request $rid needs at least one positive example") }
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val allIds = requests.flatMap { case (_, p, n) => p ++ n }.distinct
     val vecs = fetchVecs(points, allIds)
     val spark = points.sparkSession
@@ -174,8 +186,8 @@ object QueryApis {
     val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
-        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-    graft.ops.Similarity.rankHits(scored, "req_id", k)
+        round(scoreOf(col("embedding"), col("qv")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "req_id", k, ascending = asc)
   }
 
   /** Qdrant `query_batch_points`: N UNIVERSAL-query requests — plain
@@ -189,7 +201,9 @@ object QueryApis {
     * cost shape as [[searchBatch]]/[[recommendBatch]], whatever mix
     * of query kinds the batch carries. Per-kind parity with the
     * singleton APIs is spec-asserted. */
-  def queryBatch(points: DataFrame, requests: Seq[BatchQuery], k: Int): DataFrame = {
+  def queryBatch(
+      points: DataFrame, requests: Seq[BatchQuery], k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(requests.nonEmpty, "queryBatch needs at least one request")
     require(requests.map(_.qid).distinct.size == requests.size,
       "duplicate request ids in query batch")
@@ -198,6 +212,10 @@ object QueryApis {
         require(pos.nonEmpty, s"request $rid needs at least one positive example")
       case _ => ()
     }
+    // every kind in the union resolves to (query vector, exclusions)
+    // then ranks with plain TopK.dense semantics — metric-unambiguous,
+    // like [[recommend]]; distance metrics rank ASC through the heap
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val refIds = requests.flatMap {
       case ByIdBatchQuery(_, p) => Seq(p)
       case RecommendBatchQuery(_, pos, neg) => pos ++ neg
@@ -218,8 +236,8 @@ object QueryApis {
     val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
-        round(Kernels.cosine(col("embedding"), col("qv")), 6).as("score"))
-    graft.ops.Similarity.rankHits(scored, "req_id", k)
+        round(scoreOf(col("embedding"), col("qv")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "req_id", k, ascending = asc)
   }
 
   /** Qdrant discovery search: rank by how many (positive, negative)
@@ -461,14 +479,20 @@ object QueryApis {
       lookup: DataFrame,
       lookupIdCol: String,
       lookupCols: Seq[String]): DataFrame = {
-    // materialize the group hits ONCE (eager localCheckpoint): the
-    // frame is bounded (limit × groupSize rows) but its plan scores
-    // the corpus, and it is referenced twice below (key fetch + outer
-    // join) — an unmaterialized plan would run the whole corpus
-    // scoring once per reference. The downstream broadcast joins stay
-    // in the returned plan (ScaleDesignSpec pins them).
-    val groups = searchGroups(points, queryVec, groupCol, groupSize, limit)
-      .localCheckpoint()
+    // materialize the group hits ONCE: the frame is bounded (limit ×
+    // groupSize rows) but its plan scores the corpus, and it is
+    // referenced twice below (key fetch + outer join) — an
+    // unmaterialized plan would run the whole corpus scoring once per
+    // reference. Collected to a LOCAL frame rather than
+    // localCheckpoint()ed: the rows are response-sized, and checkpoint
+    // blocks have no release point here — repeated calls would
+    // accumulate block-manager storage for the session's lifetime.
+    // The downstream broadcast joins stay in the returned plan
+    // (ScaleDesignSpec pins them).
+    val spark = points.sparkSession
+    val ghits = searchGroups(points, queryVec, groupCol, groupSize, limit)
+    val groups = spark.createDataFrame(
+      java.util.Arrays.asList(ghits.collect(): _*), ghits.schema)
     val lk = lookup.select(
       col(lookupIdCol).cast("long").as("_lk_id") +:
         lookupCols.map(c => col(c).as(s"lk_$c")): _*)
@@ -667,29 +691,38 @@ object QueryApis {
       .orderBy(col("rank"))
   }
 
+  /** The distance-matrix sample: Qdrant's ABSOLUTE-count `sample`
+    * parameter, drawn as the first `n` points in content-stable hash
+    * order (the [[randomSample]] draw under a distinct salt) —
+    * reproducible across runs and engines, uncorrelated with ingest
+    * order, and a TakeOrderedAndProject cut (per-partition n-heaps, no
+    * shuffle, no rand()). `limit(n)` makes the matrix's broadcast
+    * bound TRUE BY CONSTRUCTION — no guard count, no extra action. */
+  private[graft] def matrixSample(points: DataFrame, n: Int): DataFrame =
+    points
+      .select(col("vec_id"), col("embedding"),
+        graft.index.Embedder.stringHash64(
+          concat(lit("matrix:"), col("vec_id"))).as("_h"))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(n)
+      .select(col("vec_id"), col("embedding"))
+
   /** Qdrant distance-matrix API (`search_matrix_pairs`): pairwise
     * nearest neighbors within a deterministic sample — each sampled
-    * point's top `k` most-similar other sampled points. The sample
-    * predicate pushes to the scan; the pair side is broadcast for the
-    * all-pairs non-equi join. The sample here is a corpus FRACTION
-    * (1/sampleMod), not Qdrant's absolute count, so the broadcast
-    * claim is GUARDED: the driver counts the sample first and refuses
-    * one too large to broadcast (a silent corpus-fraction broadcast is
-    * the no-corpus-broadcast rule's failure mode) — at scale the
-    * caller picks sampleMod so the sample is matrix-sized, exactly as
-    * Qdrant's `sample` parameter does by construction. */
-  def matrixPairs(points: DataFrame, sampleMod: Int, k: Int): DataFrame = {
-    val sample = points
-      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
-      .select(col("vec_id"), col("embedding"))
-    val maxSample = 100000L
-    val n = sample.count()
-    require(n <= maxSample,
-      s"matrixPairs sample is $n rows (sampleMod=$sampleMod) — beyond the " +
-        s"$maxSample broadcast bound; raise sampleMod (the matrix is " +
-        "all-pairs within the sample, so a corpus-fraction sample cannot scale)")
-    val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    * point's top `k` most-similar other sampled points. `sample` is
+    * Qdrant's own absolute-count parameter ([[matrixSample]]): the
+    * sample is `limit(sample)`-defined, so the all-pairs side is
+    * broadcast-safe structurally — the pre-r10 corpus-fraction
+    * formulation needed an eager guard count per call (an extra
+    * corpus scan) to keep a silent corpus-fraction broadcast out. */
+  def matrixPairs(points: DataFrame, sample: Int, k: Int): DataFrame = {
+    val maxSample = 100000
+    require(sample > 0 && sample <= maxSample,
+      s"matrixPairs sample=$sample out of (0, $maxSample] — the matrix is " +
+        "all-pairs within the sample, so it must stay broadcast-sized")
+    val s = matrixSample(points, sample)
+    val a = s.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = s.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("score").desc, col("id_b").asc)
     a.join(broadcast(b), col("id_a") =!= col("id_b"))
@@ -793,10 +826,18 @@ object QueryApis {
   private val MmrFetch = 10
   private val MmrK = 5
   private val MmrLambda = 0.5
-  private val MatrixMod = 10
+  private val MatrixN = 50
   private val MatrixK = 3
   private val LookupPos = Seq(3L, 11L)
   private val LookupNeg = Seq(7L)
+  // batch-API gate fixtures: three requests each, heterogeneous where
+  // the API is (q_query_batch mixes all three BatchQuery kinds)
+  private val BatchK = 5
+  private val SearchBatchSrc = Seq((1L, 0L), (2L, 5L), (3L, 9L))
+  private val BatchRecReqs = Seq(
+    (1L, Seq(1L, 2L), Seq(3L)),
+    (2L, Seq(5L, 6L), Seq.empty[Long]),
+    (3L, Seq(9L), Seq(10L)))
 
   /** The ex/q CTE pair building the average_vector query literal
     * (DuckDB disallows subqueries inside lambdas, so the example
@@ -809,21 +850,27 @@ object QueryApis {
 
   /** Parameterized form — ONE copy of the average_vector oracle
     * formula, shared by q_recommend/q_recommend_groups (embeddings
-    * examples) and q_recommend_lookup (document-collection examples):
-    * two inline copies could silently drift apart. */
+    * examples), q_recommend_lookup (document-collection examples), and
+    * the per-request CTEs of the batch oracles (`suffix` keeps the CTE
+    * names request-unique): inline copies could silently drift apart.
+    * No negatives → the query vector is avg(positives) alone, the same
+    * branch [[averageVector]] takes. */
   private def duckAvgVectorCtes(
-      pos: Seq[Long], neg: Seq[Long], vecOf: Long => String): (String, String) = {
+      pos: Seq[Long], neg: Seq[Long], vecOf: Long => String,
+      suffix: String = ""): (String, String) = {
     val exCols =
       (pos.zipWithIndex.map { case (id, i) => s"${vecOf(id)} AS p$i" } ++
         neg.zipWithIndex.map { case (id, i) => s"${vecOf(id)} AS n$i" })
         .mkString(",\n  ")
     val posSum = pos.indices.map(i => s"p$i[i]::DOUBLE").mkString(" + ")
     val negSum = neg.indices.map(i => s"n$i[i]::DOUBLE").mkString(" + ")
+    val avgPos = s"(($posSum) / ${pos.length}.0)"
     val component =
-      s"(($posSum) / ${pos.length}.0) * 2.0 - (($negSum) / ${neg.length}.0)"
+      if (neg.isEmpty) avgPos
+      else s"$avgPos * 2.0 - (($negSum) / ${neg.length}.0)"
     val ctes =
-      s"""ex AS (SELECT $exCols),
-         |q AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex)""".stripMargin
+      s"""ex$suffix AS (SELECT $exCols),
+         |q$suffix AS (SELECT list_transform(range(1, 65), i -> $component) AS qv FROM ex$suffix)""".stripMargin
     (ctes, (pos ++ neg).mkString(", "))
   }
 
@@ -847,6 +894,36 @@ object QueryApis {
       recommendBestScore(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
     "q_recommend_sum" -> ((s, dir) =>
       recommendSumScores(t(s, dir, "embeddings"), RecPos, RecNeg, 10)),
+    // Qdrant search_batch: N query vectors (stored points 0/5/9 as the
+    // deterministic fixtures), ONE corpus pass, bounded-heap ranking —
+    // the composite-key heap path the per-request gates never touch
+    "q_search_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = fetchVecs(e, SearchBatchSrc.map(_._2))
+      import s.implicits._
+      val q = SearchBatchSrc.map { case (qid, p) => (qid, vecs(p).toSeq) }
+        .toDF("q_id", "qv")
+      graft.ops.Similarity.knnJoin(e, q, BatchK)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    // recommend_batch: 3 average_vector requests (one with NO
+    // negatives — the avg_pos-alone formula branch) with per-request
+    // exclusion lists through the one-pass ranking
+    "q_recommend_batch" -> ((s, dir) =>
+      recommendBatch(t(s, dir, "embeddings"), BatchRecReqs, BatchK)
+        .orderBy(col("req_id"), col("rnk"))),
+    // query_batch_points: the heterogeneous universal batch — plain
+    // vector (no exclusion), by-stored-point (self-excluded), and
+    // recommend (examples excluded) in ONE list, one corpus pass
+    "q_query_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val v0 = fetchVecs(e, Seq(0L))(0L).toSeq
+      queryBatch(e, Seq(
+        NearestBatchQuery(1L, v0),
+        ByIdBatchQuery(2L, 5L),
+        RecommendBatchQuery(3L, RecPos, RecNeg)), BatchK)
+        .orderBy(col("req_id"), col("rnk"))
+    }),
     // recommend_groups: recommend scoring, grouped results, examples out
     "q_recommend_groups" -> ((s, dir) =>
       recommendGroups(t(s, dir, "embeddings"), RecPos, RecNeg,
@@ -879,14 +956,15 @@ object QueryApis {
     // estimate must sit within the declared rsd of the exact count for
     // every value — a vacuous-pass-proof check both engines can state
     "q_facet_approx" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      // the facet cuts use an effectively-unbounded limit and the GATE
-      // cuts first-10 BY VALUE after the join — the oracle's exact
-      // semantics. Two top-10-BY-COUNT cuts joined (the old shape)
-      // silently diverge from the oracle once the facet has more than
-      // 10 distinct values (latent on the 5-lang fixture).
-      val exact = facet(d, "lang", col("n_chars") >= 300, 1 << 20)
-      val approx = facetApprox(d, "lang", "doc_id", col("n_chars") >= 300, 1 << 20)
+      val d = t(s, dir, "documents").filter(col("n_chars") >= 300)
+      // the gate needs EVERY facet value (cut first-10 BY VALUE after
+      // the join — the oracle's exact semantics; two top-10-BY-COUNT
+      // cuts joined silently diverge past 10 distinct values), so the
+      // exact and HLL++ sides are plain uncut aggregations — not
+      // facet() with an absurd top-k limit
+      val exact = d.groupBy(col("lang").as("value")).agg(count(lit(1)).as("n"))
+      val approx = d.groupBy(col("lang").as("value"))
+        .agg(approx_count_distinct(col("doc_id"), 0.01).as("n_approx"))
       exact.join(approx, Seq("value"))
         .select(col("value"),
           (abs(col("n_approx") - col("n")) <= col("n") * 0.05).as("within_rsd"))
@@ -920,7 +998,7 @@ object QueryApis {
       mmr(e, qv, MmrFetch, MmrK, MmrLambda)
     }),
     "q_matrix_pairs" -> ((s, dir) =>
-      matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
+      matrixPairs(t(s, dir, "embeddings"), MatrixN, MatrixK)
         .orderBy(col("id_a"), col("r"))),
 
     // Qdrant's SECOND distance-matrix response form
@@ -933,9 +1011,8 @@ object QueryApis {
     // columns are un-sortable by the gate's pandas compare. The sample
     // index is a tiny window over sample-sized rows, not the corpus.
     "q_matrix_offsets" -> ((s, dir) => {
-      val pr = matrixPairs(t(s, dir, "embeddings"), MatrixMod, MatrixK)
-      val ids = t(s, dir, "embeddings")
-        .filter(pmod(col("vec_id"), lit(MatrixMod.toLong)) === 0)
+      val pr = matrixPairs(t(s, dir, "embeddings"), MatrixN, MatrixK)
+      val ids = matrixSample(t(s, dir, "embeddings"), MatrixN)
         .select(col("vec_id"))
       val idx = ids.select(col("vec_id"),
         (row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -1043,6 +1120,29 @@ object QueryApis {
   private val duckCos =
     (a: String, b: String) => s"list_cosine_similarity(($a)::DOUBLE[], ($b)::DOUBLE[])"
 
+  /** DuckDB twin of [[matrixSample]]: the same content-stable
+    * hash-ordered absolute-count draw. */
+  private def duckMatrixSample: String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY ${graft.index.Embedder.duckStringHash64("'matrix:' || vec_id")} ASC, vec_id ASC
+       |  LIMIT $MatrixN""".stripMargin
+
+  /** The shared batch-oracle ranking tail: a `reqs` CTE carrying
+    * (req_id, qv, excl) — exactly the broadcast request frame the
+    * Spark batch operators build — scored against every non-excluded
+    * point and ranked per request, the row_number twin of the
+    * bounded-heap rankHits. */
+  private def duckBatchRanked(
+      idName: String, reqsCte: String, k: Int): String =
+    s"""scored AS (SELECT $idName, e.vec_id,
+       |    ROUND(${duckCos("e.embedding", "qv")}, 6) AS score
+       |  FROM embeddings e, reqs
+       |  WHERE NOT list_contains(excl, e.vec_id)),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY $idName
+       |    ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+       |SELECT $idName, vec_id, score, rnk FROM ranked WHERE rnk <= $k
+       |ORDER BY $idName, rnk""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_mrl_rescore" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1107,6 +1207,46 @@ object QueryApis {
          |  ROUND(${duckCos("embedding", duckVec(DiscTarget))}, 6) AS sim
          |FROM embeddings WHERE vec_id NOT IN (${ids.mkString(", ")})
          |ORDER BY ctx_hits DESC, sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // search_batch: the same broadcast-request + per-request-rank
+    // shape the Spark side executes, stated in SQL — queries are the
+    // stored vectors of points 0/5/9, NO exclusions
+    "q_search_batch" -> {
+      val reqs = SearchBatchSrc.map { case (qid, p) =>
+        s"SELECT $qid::BIGINT AS q_id, ${duckVec(p)} AS qv, []::BIGINT[] AS excl"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH reqs AS ($reqs),
+         |${duckBatchRanked("q_id", "reqs", BatchK)}""".stripMargin
+    },
+
+    // recommend_batch: per-request average_vector CTEs (request 2
+    // exercises the no-negatives branch) + per-request exclusion lists
+    "q_recommend_batch" -> {
+      val ctes = BatchRecReqs.map { case (rid, pos, neg) =>
+        duckAvgVectorCtes(pos, neg, duckVec, suffix = s"_$rid")._1
+      }
+      val reqs = BatchRecReqs.map { case (rid, pos, neg) =>
+        s"SELECT $rid::BIGINT AS req_id, (SELECT qv FROM q_$rid) AS qv, " +
+          s"[${(pos ++ neg).mkString(", ")}]::BIGINT[] AS excl"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${ctes.mkString(",\n")},
+         |reqs AS ($reqs),
+         |${duckBatchRanked("req_id", "reqs", BatchK)}""".stripMargin
+    },
+
+    // query_batch_points: the heterogeneous union — plain vector (no
+    // exclusion), by-stored-point (self-excluded), recommend (examples
+    // excluded) — through the ONE ranking tail
+    "q_query_batch" -> {
+      val (recCtes, recExcl) =
+        duckAvgVectorCtes(RecPos, RecNeg, duckVec, suffix = "_3")
+      s"""WITH $recCtes,
+         |reqs AS (
+         |  SELECT 1::BIGINT AS req_id, ${duckVec(0)} AS qv, []::BIGINT[] AS excl
+         |  UNION ALL SELECT 2::BIGINT, ${duckVec(5)}, [5]::BIGINT[]
+         |  UNION ALL SELECT 3::BIGINT, (SELECT qv FROM q_3), [$recExcl]::BIGINT[]),
+         |${duckBatchRanked("req_id", "reqs", BatchK)}""".stripMargin
     },
 
     "q_recommend_best" -> {
@@ -1278,7 +1418,7 @@ object QueryApis {
     },
 
     "q_matrix_pairs" ->
-      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $MatrixMod = 0),
+      s"""WITH s AS ($duckMatrixSample),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS score
          |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
@@ -1289,7 +1429,7 @@ object QueryApis {
          |ORDER BY id_a, r""".stripMargin,
 
     "q_matrix_offsets" ->
-      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $MatrixMod = 0),
+      s"""WITH s AS ($duckMatrixSample),
          |idx AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS ix FROM s),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS score

@@ -19,6 +19,21 @@ import graft.vector.Kernels
   */
 object TopK {
 
+  /** The ONE Qdrant `Distance` → (score expression, ranks-ascending)
+    * mapping, shared by every metric-aware operator (dense search, the
+    * batch APIs, recommend, the facade) so the metric semantics cannot
+    * drift between them: `cosine`/`dot` are similarities ranked DESC,
+    * `euclid`/`manhattan` are distances ranked ASC. */
+  private[graft] def metricFn(
+      metric: String): ((Column, Column) => Column, Boolean) = metric match {
+    case "cosine" => (Kernels.cosine, false)
+    case "dot" => (Kernels.dot, false)
+    case "euclid" => (Kernels.euclidean, true)
+    case "manhattan" => (Kernels.manhattan, true)
+    case other => throw new IllegalArgumentException(
+      s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
+  }
+
   /** Dense top-k (D1): score every row of `points` against the single
     * query vector in the one-row `query` frame, return best k.
     * Deterministic total order: score DESC, id ASC tiebreak.
@@ -40,14 +55,7 @@ object TopK {
       payloadFilter: Column = lit(true),
       scoreThreshold: Option[Double] = None,
       metric: String = "cosine"): DataFrame = {
-    val (scoreOf, asc): ((Column, Column) => Column, Boolean) = metric match {
-      case "cosine" => (Kernels.cosine, false)
-      case "dot" => (Kernels.dot, false)
-      case "euclid" => (Kernels.euclidean, true)
-      case "manhattan" => (Kernels.manhattan, true)
-      case other => throw new IllegalArgumentException(
-        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
-    }
+    val (scoreOf, asc) = metricFn(metric)
     val scored = points
       .filter(payloadFilter)
       .crossJoin(broadcast(query))

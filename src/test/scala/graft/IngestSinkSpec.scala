@@ -408,6 +408,54 @@ class IngestSinkSpec extends SparkSpec {
     assert(after.filter(col("id") < 5).count() === 0L)
   }
 
+  test("concurrent drill: compact racing upsertReplace loses no rows (path lock serializes)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_race").toString + "/col"
+    Sink.append((0L until 400L).map(i => (i, 0L)).toDF("id", "v"), dir)
+    // two writers on the SAME collection from different threads: the
+    // per-path write lock must serialize them — an unserialized compact
+    // reads the directory, rewrites to staging, and swaps in, so an
+    // upsertReplace landing between its read and its swap would be
+    // silently erased by the swap (lost update), and an upsertReplace
+    // reading mid-swap would see a half-renamed directory
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val rounds = 4
+    val upserter = new Thread(() => {
+      try {
+        for (r <- 1 to rounds) {
+          val lo = (r - 1) * 50L
+          Sink.upsertReplace(spark,
+            (lo until lo + 50L).map(i => (i, r.toLong)).toDF("id", "v"),
+            dir, "id")
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    }, "race-upserter")
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 1 to rounds)
+          Sink.compact(spark, dir, targetRowsPerFile = 100L)
+      } catch { case t: Throwable => errs.add(t) }
+    }, "race-compactor")
+    upserter.start(); compactor.start()
+    upserter.join(300000); compactor.join(300000)
+    assert(!upserter.isAlive && !compactor.isAlive, "writers must finish")
+    assert(errs.isEmpty, s"concurrent ops must not fail: ${errs.peek()}")
+    val after = spark.read.parquet(dir).cache()
+    assert(after.count() === 400L, "no lost or duplicated rows")
+    assert(after.select("id").distinct().count() === 400L)
+    // every upsert round survives whole: a racing compact's stale-read
+    // swap would have reverted some range to v=0
+    for (r <- 1 to rounds) {
+      val lo = (r - 1) * 50L
+      assert(after.filter(col("id") >= lo && col("id") < lo + 50L &&
+          col("v") === r.toLong).count() === 50L,
+        s"round $r upsert must survive the race")
+    }
+    assert(after.filter(col("id") >= 200L && col("v") =!= 0L).count() === 0L,
+      "untouched ids keep their original payload")
+    after.unpersist()
+  }
+
   test("incremental: re-ingest of same corpus adds zero rows") {
     val pts = Ingest.buildPoints(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()

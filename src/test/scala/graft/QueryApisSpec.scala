@@ -42,6 +42,29 @@ class QueryApisSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSeq === all.map(_._1).toSeq)
   }
 
+  test("recommend average_vector is metric-aware: every Distance ranks like dense search") {
+    import graft.search.TopK
+    val ex = vecsById(Seq(1L, 2L, 3L))
+    // the strategy's ONE job is building this vector; everything after
+    // must be exactly TopK.dense under the chosen metric
+    val qv = Array.tabulate(64)(i => (ex(1L)(i) + ex(2L)(i)) / 2.0 * 2.0 - ex(3L)(i))
+    for (metric <- Seq("cosine", "dot", "euclid", "manhattan")) {
+      val hits = QueryApis.recommend(emb, Seq(1L, 2L), Seq(3L), 10, metric).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val q = spark.range(1).select(typedlit(qv.toSeq).as("q"))
+      val expected = TopK.dense(
+          emb.filter(!col("vec_id").isInCollection(Seq(1L, 2L, 3L))),
+          q, "vec_id", "embedding", 10, metric = metric).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hits === expected, s"recommend/$metric must equal dense search")
+      val scores = hits.map(_._2)
+      if (metric == "euclid" || metric == "manhattan")
+        assert(scores === scores.sorted, s"$metric is a distance — ranks ASC")
+      else
+        assert(scores === scores.sorted.reverse, s"$metric ranks DESC")
+    }
+  }
+
   test("recommend sum_scores: per-example pulls sum, matches brute-force ranking") {
     val hits = QueryApis.recommendSumScores(emb, Seq(1L, 2L), Seq(3L), 10).collect()
     assert(hits.length === 10)
@@ -507,14 +530,21 @@ class QueryApisSpec extends SparkSpec {
   }
 
   test("matrixPairs emits k nearest sampled neighbors per sampled point") {
-    val res = QueryApis.matrixPairs(emb, sampleMod = 10, k = 3).collect()
-    val sampled = emb.filter(col("vec_id") % 10 === 0).count()
-    assert(res.length === sampled * 3)
+    val res = QueryApis.matrixPairs(emb, sample = 50, k = 3).collect()
+    // Qdrant's absolute-count sample: exactly 50 points draw (the
+    // fixture has more), each with its 3 nearest within the sample
+    assert(res.length === 50 * 3)
     val byA = res.groupBy(_.getLong(0))
+    assert(byA.keySet.size === 50)
     assert(byA.values.forall(_.length === 3))
     // no self pairs; ranks are 1..3
     assert(res.forall(r => r.getLong(0) !== r.getLong(1)))
     assert(byA.values.forall(_.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L)))
+    // the draw is content-stable: same sample every run, and the id_b
+    // side never leaves the sampled id set
+    val res2 = QueryApis.matrixPairs(emb, sample = 50, k = 3).collect()
+    assert(res.map(_.toSeq).toSeq === res2.map(_.toSeq).toSeq)
+    assert(res.map(_.getLong(1)).toSet.subsetOf(byA.keySet))
   }
 
   test("randomSample is reproducible and uncorrelated with id order") {
@@ -678,7 +708,7 @@ class QueryApisSpec extends SparkSpec {
     val qf = vecsById(Seq(0L))(0L).map(_.toFloat).toSeq
     val mmrHits = c.searchMmr(qf, k = 3).collect()
     assert(mmrHits.length === 3 && mmrHits.head.schema.fieldNames.contains("pid"))
-    assert(c.matrixPairs(sampleMod = 50, k = 2).collect().nonEmpty)
+    assert(c.matrixPairs(sample = 20, k = 2).collect().nonEmpty)
     assert(c.randomSample(5).count() === 5)
     val filtered = c.search(qf, 5,
       graft.search.Filter(must = Seq(graft.search.MatchValue("label", 3))))

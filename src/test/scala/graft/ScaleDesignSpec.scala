@@ -566,10 +566,26 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("matrix pairs broadcast the sample side; boosted search keeps the D1 plan") {
-    val mp = graft.search.QueryApis.matrixPairs(t(spark, sf, "embeddings"), 10, 3)
+    // constructing the frame must run NO job — the absolute-count
+    // sample makes the broadcast bound structural (the pre-r10
+    // corpus-fraction form paid an eager guard count() per call).
+    // Job group is thread-local, so this stays race-free against
+    // other suites sharing the session.
+    val emb = t(spark, sf, "embeddings")
+    emb.schema // force the reader's footer/schema job OUTSIDE the probe
+    spark.sparkContext.setJobGroup("mp-lazy-check", "matrixPairs laziness probe")
+    val mp =
+      try graft.search.QueryApis.matrixPairs(emb, 50, 3)
+      finally spark.sparkContext.clearJobGroup()
     val mpPlan = mp.queryExecution.executedPlan.toString
+    assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup("mp-lazy-check").isEmpty,
+      "matrixPairs construction must be lazy — no eager guard job")
     assert(mpPlan.contains("Broadcast"),
       s"bounded sample side must broadcast:\n$mpPlan")
+    // both matrix sides cut the sample with per-partition heaps
+    assert(mpPlan.contains("TakeOrderedAndProject"),
+      s"the absolute-count sample draw must be a TakeOrdered cut:\n$mpPlan")
     val qb = SparkEntry.queries("q_boost_formula")(spark, sf)
     val qbPlan = qb.queryExecution.executedPlan.toString
     assert(qbPlan.contains("TakeOrderedAndProject"),

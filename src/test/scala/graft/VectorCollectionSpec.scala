@@ -401,13 +401,31 @@ class VectorCollectionSpec extends SparkSpec {
         s"ann=${ann.toSeq}\nexact=${exact.toSeq}")
     // the self-match is nearest at distance 0, ranked FIRST
     assert(ann.head === ((7L, 0.0)))
-    // the cosine-contract family refuses loudly on a distance
-    // collection — its strategy formulas (best_score maxima, context
-    // losses, MMR) assume similarity-DESC and would silently invert
+    // recommend average_vector is METRIC-AWARE: the strategy only
+    // builds a query vector, then ranks like exact search. pos=[7]
+    // with no negatives makes that vector point 7's own, so the hits
+    // must equal exact search's (distance ASC), minus the excluded
+    // example itself
+    val recHits = c.recommend(Seq(7L), Nil, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = c.search(q, 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).filterNot(_._1 == 7L).take(5).toSeq
+    assert(recHits === expected,
+      s"euclid recommend must rank distance ASC:\nrec=$recHits\nexp=$expected")
+    assert(recHits.map(_._2) === recHits.map(_._2).sorted,
+      "distances must be non-decreasing down the hit list")
+    // the batch forms rank under the same metric as their singletons
+    val recBatch = c.recommendBatch(Seq((1L, Seq(7L), Nil)), 5).collect()
+      .sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(recBatch === recHits, "euclid recommendBatch == singleton recommend")
+    val qb = c.queryBatch(Seq(graft.search.ByIdBatchQuery(1L, 7L)), 5).collect()
+      .sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(qb === expected, "euclid queryBatch by-id == exact search minus self")
+    // the FORMULA-strategy family still refuses loudly on a distance
+    // collection — best_score maxima, context losses, per-group max,
+    // MMR's trade all assume similarity-DESC and would silently invert
     for (call <- Seq[() => Any](
-        () => c.recommend(Seq(7L)),
         () => c.recommendSum(Seq(7L)),
-        () => c.recommendBatch(Seq((1L, Seq(7L), Nil))),
         () => c.discover(7L, Seq((1L, 2L))),
         () => c.searchGroups(q, "label"),
         () => c.recommendGroups(Seq(7L), Nil, "label"),
