@@ -49,7 +49,18 @@ object Multimodal {
           // batch boundary = where a real decoder would run vectorized
           batch.map { r =>
             val n = r.content.length
-            val first = if (n > 0) r.content(0) & 0xff else 0
+            // first CODE POINT, not first byte: the oracle states
+            // ascii(substr(text,1,1)) — a code point — and the blob is
+            // the text's UTF-8 bytes (withBlob), so a first-byte read
+            // would silently diverge on a multibyte-leading document
+            // (195 for 'é' where both ascii()s say 233). Latent on the
+            // ASCII fixture; pinned here so a unicode regen can't
+            // split the engines.
+            val first =
+              if (n > 0)
+                new String(r.content, java.nio.charset.StandardCharsets.UTF_8)
+                  .codePointAt(0)
+              else 0
             MediaFeatures(
               doc_id = r.doc_id,
               byte_len = n,
@@ -170,7 +181,7 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "m_resize_plan" ->
       """WITH m AS (SELECT doc_id,
-        |    (32 + octet_length(text::BLOB) % 64)::BIGINT AS width,
+        |    (32 + octet_length(encode(text)) % 64)::BIGINT AS width,
         |    (32 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS height
         |  FROM documents),
         |g AS (SELECT doc_id, width, height,
@@ -187,7 +198,7 @@ object Multimodal {
         |FROM g ORDER BY doc_id""".stripMargin,
     "m_audio_windows" ->
       s"""WITH m AS (SELECT doc_id,
-         |    (octet_length(text::BLOB) * 7 + 300)::BIGINT AS n_samples FROM documents),
+         |    (octet_length(encode(text)) * 7 + 300)::BIGINT AS n_samples FROM documents),
          |w AS (SELECT doc_id, n_samples,
          |    unnest(list_transform(range(0, least((n_samples - 400) // 160, 7) + 1),
          |      i -> i * 160))::BIGINT AS start_sample
@@ -198,15 +209,15 @@ object Multimodal {
          |FROM w ORDER BY doc_id, start_sample""".stripMargin,
 
     "m_media_features" ->
-      """SELECT doc_id, octet_length(text::BLOB)::INT AS byte_len,
-        |  (32 + octet_length(text::BLOB) % 64)::INT AS width,
+      """SELECT doc_id, octet_length(encode(text))::INT AS byte_len,
+        |  (32 + octet_length(encode(text)) % 64)::INT AS width,
         |  (32 + ascii(substr(text, 1, 1)) % 64)::INT AS height,
-        |  (1 + octet_length(text::BLOB) % 4)::INT AS n_frames
+        |  (1 + octet_length(encode(text)) % 4)::INT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m_frame_sample" ->
       s"""WITH m AS (SELECT doc_id,
-         |    (octet_length(text::BLOB) % 120 + 8)::BIGINT AS clip_frames FROM documents),
+         |    (octet_length(encode(text)) % 120 + 8)::BIGINT AS clip_frames FROM documents),
          |f AS (SELECT doc_id, clip_frames,
          |    unnest(list_transform(range(0, least((clip_frames - 1) // 5, 5) + 1),
          |      i -> i * 5))::BIGINT AS frame_idx FROM m)

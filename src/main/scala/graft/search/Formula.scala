@@ -3,7 +3,6 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.vector.Kernels
 
 /** Qdrant formula queries — `query_points` with a `formula` rescoring
   * stage (Qdrant 1.14 "score boosting"): the prefetch stage ranks by
@@ -220,15 +219,10 @@ object Formula {
       k: Int,
       metric: String = "cosine"): DataFrame = {
     // similarity metrics rank DESC, distance metrics ASC — Qdrant's
-    // $score carries whichever the collection is configured with
-    val (scoreOf, asc): ((Column, Column) => Column, Boolean) = metric match {
-      case "cosine" => (Kernels.cosine, false)
-      case "dot" => (Kernels.dot, false)
-      case "euclid" => (Kernels.euclidean, true)
-      case "manhattan" => (Kernels.manhattan, true)
-      case other => throw new IllegalArgumentException(
-        s"unknown distance metric '$other' (cosine|dot|euclid|manhattan)")
-    }
+    // $score carries whichever the collection is configured with (the
+    // ONE mapping in TopK.metricFn; the formula's own output always
+    // ranks DESC — score boosting is bigger-is-better by definition)
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val cands = points
       .crossJoin(broadcast(queryVec))
       .select(col(idCol) +: carry.map(col) :+

@@ -598,6 +598,24 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(long).count() === 6L)
   }
 
+  test("media decode: unicode-leading blob reads the first CODE POINT, byte length stays octets") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // 'é' = U+00E9 (two UTF-8 bytes 0xC3 0xA9): the stub decode must
+    // agree with the oracle's ascii(substr(text,1,1)) — 233, never the
+    // first raw byte 195 — while byte_len stays the OCTET count (3 for
+    // "éa"), matching octet_length(encode(text)). Latent on the
+    // all-ASCII fixture; pinned here so a unicode regen can't split
+    // the engines.
+    val d = Seq((1L, "éa"), (2L, "abc")).toDF("doc_id", "text")
+    val rows = Multimodal.decodeFeatures(Multimodal.withBlob(d)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(rows(1L).byte_len === 3, "UTF-8 octet count, not char count")
+    assert(rows(1L).height === 32 + 233 % 64, "first code point, not first byte")
+    assert(rows(2L).height === 32 + 'a'.toInt % 64)
+    assert(rows(2L).byte_len === 3)
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct mostly differ") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
