@@ -637,7 +637,7 @@ class VectorCollection private (
     * ride into the index so filtered probes need no join. Centroids
     * persist in a sidecar so [[searchAnn]] works after reopen.
     * Returns the index path. */
-  def buildIvfIndex(nClusters: Int, lloydIters: Int = 2): String = {
+  def buildIvfIndex(nClusters: Int, lloydIters: Int = 2): String = Sink.withPathLock(ivfPath) {
     require(!config.multiVector, "IVF index on a multi-vector collection")
     val pts = asPoints
     val seeds = pts
@@ -722,7 +722,11 @@ class VectorCollection private (
     * periodic-maintenance concern, like Qdrant's optimizer runs); at
     * scale the anti-join's id side is the index's id column only
     * (column-pruned scan), or a bloom filter. Returns rows added. */
-  def upsertAnnIndex(points: DataFrame): Long = {
+  def upsertAnnIndex(points: DataFrame): Long = Sink.withPathLock(ivfPath) {
+    // same per-path write mutex as the Sink surface: two streaming
+    // micro-batch sinks (or a rebuild racing a live append) would
+    // otherwise interleave their anti-join reads and appends and
+    // double-insert the same fresh ids
     val cents = loadCentroids()
     val centCols = cents.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
     val others = points.columns
