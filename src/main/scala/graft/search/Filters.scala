@@ -292,24 +292,30 @@ object GeoRadius {
 
   /** Haversine distance in meters — multiplication form (sin·sin, not
     * pow) so the DuckDB twin [[duckHaversineMeters]] is the same IEEE
-    * op sequence. */
+    * op sequence. The asin argument clamps at 1.0 (the standard
+    * haversine guard): mathematically a ≤ 1, but float rounding can
+    * push it an ulp past 1 near antipodal points — where DuckDB's asin
+    * HARD-ERRORS (domain check) while Spark's returns NaN, so an
+    * unclamped near-antipode would crash the oracle and silently
+    * NaN-poison the engine. least(a, 1.0) is a no-op for every a ≤ 1,
+    * identical on both engines. */
   def haversineMeters(latC: Column, lonC: Column, lat: Double, lon: Double): Column = {
     val dLat = (radians(latC) - lit(math.toRadians(lat))) / 2
     val dLon = (radians(lonC) - lit(math.toRadians(lon))) / 2
     val a = sin(dLat) * sin(dLat) +
       lit(math.cos(math.toRadians(lat))) * cos(radians(latC)) * sin(dLon) * sin(dLon)
-    lit(2 * EarthR) * asin(sqrt(a))
+    lit(2 * EarthR) * asin(sqrt(least(a, lit(1.0))))
   }
 
   /** DuckDB twin of [[haversineMeters]]. */
   def duckHaversineMeters(latExpr: String, lonExpr: String, lat: Double, lon: Double): String = {
     val latR = math.toRadians(lat)
     val cosLat = math.cos(latR)
-    s"(2 * $EarthR) * asin(sqrt(" +
+    s"(2 * $EarthR) * asin(sqrt(least(" +
       s"sin((radians($latExpr) - $latR) / 2) * sin((radians($latExpr) - $latR) / 2) + " +
       s"$cosLat * cos(radians($latExpr)) * " +
       s"sin((radians($lonExpr) - ${math.toRadians(lon)}) / 2) * " +
-      s"sin((radians($lonExpr) - ${math.toRadians(lon)}) / 2)))"
+      s"sin((radians($lonExpr) - ${math.toRadians(lon)}) / 2), 1.0)))"
   }
 }
 

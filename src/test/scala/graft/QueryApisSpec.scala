@@ -625,6 +625,14 @@ class QueryApisSpec extends SparkSpec {
     // sides of the line and nothing else
     val box = GeoBoundingBox("lat", "lon", topLeft = (0.0, 170.0), bottomRight = (-40.0, -170.0))
     assert(pts.filter(box.toColumn).collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+    // EXACT antipode: float rounding can push the asin argument an ulp
+    // past 1, where DuckDB hard-errors and Spark NaNs — the clamp must
+    // yield the half-circumference (π·R), finite, not NaN
+    val anti = Seq((9L, -48.8566, 2.3522 - 180.0)).toDF("id", "lat", "lon")
+      .select(GeoRadius.haversineMeters(col("lat"), col("lon"), 48.8566, 2.3522).as("m"))
+      .head.getDouble(0)
+    assert(!anti.isNaN && math.abs(anti - math.Pi * GeoRadius.EarthR) < 1000,
+      s"antipodal haversine must clamp to pi*R, got $anti")
     // datetime range: half-open, string bounds, natural timestamp type
     val evs = Seq((1L, "1996-02-15 00:00:00"), (2L, "1996-03-01 00:00:00"),
       (3L, "1996-05-31 23:59:59"), (4L, "1996-06-01 00:00:00"))
