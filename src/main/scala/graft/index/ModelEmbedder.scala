@@ -189,6 +189,16 @@ object ModelEmbedder {
         require(mats.size == batch.size,
           s"${model.name}.embedBatch returned ${mats.size} matrices for " +
             s"${batch.size} inputs — a model must emit one matrix per input")
+        // and one ROW per matrix: downstream point assembly reads the
+        // pooled vector as element_at(mv, 1), which under ANSI mode
+        // dies as an opaque INVALID_ARRAY_INDEX mid-job if a backend
+        // emits a zero-token matrix — fail at the seam, with the model
+        // named (FeatureHashModel embeds empty text as one zero chunk;
+        // real backends must do the equivalent)
+        require(mats.forall(_.nonEmpty),
+          s"${model.name}.embedBatch returned an EMPTY token matrix — " +
+            "every input must embed to at least one vector (pool or " +
+            "zero-pad un-tokenizable inputs)")
         batch.iterator.zip(mats.iterator).map { case (r, m) =>
           Row.fromSeq(r.toSeq :+ m.map(_.toSeq).toSeq)
         }

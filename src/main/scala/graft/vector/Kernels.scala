@@ -70,7 +70,12 @@ object Kernels {
   /** Cosine similarity dot(a,b)/(‖a‖‖b‖), null on zero vectors — the
     * explicit guard keeps ANSI mode (Spark 4 default) enabled without
     * a lone zero vector failing a whole job at scale. Native
-    * expression; [[cosineHof]] is the HOF twin. */
+    * expression; [[cosineHof]] is the HOF twin. Portability note:
+    * DuckDB's `list_cosine_similarity` returns −1.0 for a zero vector
+    * (not NULL), so a compared query scoring a zero vector would
+    * diverge LOUDLY at the gate — zero vectors are unreachable in the
+    * fixtures (audited r10) and a cosine collection normalizes at
+    * ingest; guard the oracle with `CASE WHEN` if one ever appears. */
   def cosine(a: Column, b: Column): Column =
     ofExpr(CosineSim(exprOf(a), exprOf(b)))
 

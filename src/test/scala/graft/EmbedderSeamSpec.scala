@@ -87,6 +87,15 @@ class EmbedderSeamSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("one matrix per input")),
       s"expected the loud length-mismatch error, got: ${messages(e).take(3)}")
+    // a backend emitting an EMPTY matrix for a row must fail at the
+    // seam with the model named — not later as an opaque ANSI
+    // INVALID_ARRAY_INDEX when element_at(mv, 1) reads the pooled row
+    val e2 = intercept[Exception] {
+      ModelEmbedder.embedWith(df, "text", EmbedderSeamSpec.EmptyMatrixModel,
+        batchSize = 8).count()
+    }
+    assert(messages(e2).exists(_.contains("EMPTY token matrix")),
+      s"expected the loud empty-matrix error, got: ${messages(e2).take(3)}")
   }
 
   test("session lifecycle: one load per JVM across tasks, idempotent close, reload") {
@@ -161,6 +170,14 @@ object EmbedderSeamSpec {
     val name = "dropper"; val dim = 4
     def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
       texts.dropRight(1).map(_ => Array(new Array[Float](dim)))
+  }
+
+  /** Misbehaving backend: emits a ZERO-TOKEN matrix for every input —
+    * the empty-matrix contract violation embedWith must refuse. */
+  private[graft] object EmptyMatrixModel extends ModelEmbedder {
+    val name = "emptier"; val dim = 4
+    def embedBatch(texts: Seq[String]): Seq[Array[Array[Float]]] =
+      texts.map(_ => Array.empty[Array[Float]])
   }
 
   /** Lifecycle spies: local-mode executors share the test JVM, so
