@@ -417,10 +417,15 @@ object SparkEntry {
          |WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')
          |ORDER BY doc_id""".stripMargin,
 
+    // strlen(text) > 0 mirrors Spark's file-source planning: a
+    // ZERO-LENGTH file gets no partition, so it never appears in the
+    // binaryFile scan (r10 perturbed-fixture drill — an empty doc's
+    // empty image file was listed by the oracle, skipped by the scan)
     "a3_binary_scan" ->
       s"""WITH pathed AS ($duckPathed)
          |SELECT relative_path, strlen(text)::BIGINT AS n_bytes FROM pathed
          |WHERE lower(string_split(relative_path, '.')[-1]) IN ('jpg','jpeg','png')
+         |  AND strlen(text) > 0
          |ORDER BY relative_path""".stripMargin,
 
     "a4_decode_stats" ->

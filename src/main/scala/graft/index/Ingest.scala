@@ -114,7 +114,11 @@ object Ingest {
     * The suffix filter is the same ANY-case `lower(suffix)` predicate
     * as [[imageScanFilter]], applied post-listing: a glob would need
     * every case variant enumerated (`*.Jpg` silently slips through)
-    * and could drift from the tabular semantics the oracle encodes. */
+    * and could drift from the tabular semantics the oracle encodes.
+    * ZERO-LENGTH files never appear: Spark's file-source planner emits
+    * no partition for an empty file — documented engine behavior the
+    * oracle mirrors (a 0-byte "image" is also undecodable, so A4 would
+    * drop it one stage later anyway). */
   def binaryScan(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")

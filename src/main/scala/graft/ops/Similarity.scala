@@ -475,6 +475,12 @@ object Similarity {
       val emb = fanOutIfNarrow(t(s, dir, "documents"))
         .withColumn("_th", Embedder.tokenHashes(col("text")))
         .select(col("doc_id"), Embedder.embedRaw(col("_th")).as("v"))
+        // zero-norm (un-embeddable) docs are not scorable points:
+        // cosine against a zero vector is undefined and the engines
+        // disagree on it (guarded kernel NULL vs DuckDB −1.0), so both
+        // sides exclude them by the SAME stated predicate — caught by
+        // the r10 empty-doc perturbed-fixture drill
+        .filter(graft.vector.Kernels.l2norm(col("v")) > 0)
       val qs = emb.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("v").as("qv"))
       val scored = emb.crossJoin(broadcast(qs))
@@ -840,7 +846,11 @@ object Similarity {
 
     "x_embed_knn_docs" -> {
       import graft.index.Embedder
-      s"""WITH emb AS (SELECT doc_id, ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),
+      // emb excludes zero-norm vectors — the Spark side's stated
+      // un-embeddable-doc predicate (see the query's comment)
+      s"""WITH emb0 AS (SELECT doc_id, ${Embedder.duckEmbedRaw(Embedder.duckTokenHashes("text"))} AS v FROM documents),
+         |emb AS (SELECT * FROM emb0
+         |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
          |qs AS (SELECT doc_id AS q_id, v AS qv FROM emb WHERE doc_id < 5),
          |scored AS (SELECT q_id, e.doc_id, ROUND(${duckCosSim("e.v", "qv")}, 6) AS score FROM emb e, qs),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk FROM scored)

@@ -47,6 +47,14 @@ object TextAnalysis {
     val toks = col("_toks")
     // null (not error) on empty docs: keeps ANSI mode safe at scale
     val nTok = when(size(toks) > 0, size(toks).cast("double"))
+    // the LENGTH-CREDIT term uses the RAW count (0 for a token-free
+    // doc), NOT the null-guarded one: least() ignores NULLs in both
+    // engines, so least(NULL/50, 1.0) = 1.0 silently awarded an empty
+    // document the FULL length credit (quality 0.5) while the oracle's
+    // 0/50 scored it 0.0 — a live engine/oracle divergence on any
+    // empty/whitespace doc (caught by the r10 perturbed-fixture
+    // drill). coalesce also pins NULL text to 0 on both sides.
+    val nTokRaw = coalesce(size(toks).cast("double"), lit(0.0))
     val meanWordLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
     val stopRatio =
       size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double") / nTok
@@ -55,7 +63,7 @@ object TextAnalysis {
       round(meanWordLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stop_ratio"),
       round(
-        least(nTok / 50.0, lit(1.0)) * 0.5 +
+        least(nTokRaw / 50.0, lit(1.0)) * 0.5 +
           when(meanWordLen.between(3.0, 8.0), 0.3).otherwise(0.0) +
           when(stopRatio.between(0.01, 0.5), 0.2).otherwise(0.0),
         6).as("quality"))
@@ -1081,7 +1089,7 @@ object TextAnalysis {
        |  FROM $tbl),
        |m AS (SELECT doc_id, (nc - (nt - 1)) / nt AS mwl, ns / nt AS sr, nt FROM b),
        |q AS (SELECT doc_id, ROUND(mwl, 6) AS mean_word_len, ROUND(sr, 6) AS stop_ratio,
-       |  ROUND((least(nt / 50.0, 1.0) * 0.5 +
+       |  ROUND((least(coalesce(nt, 0) / 50.0, 1.0) * 0.5 +
        |    (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
        |    (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS quality
        |  FROM m)""".stripMargin
