@@ -368,23 +368,23 @@ class VectorCollection private (
       col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
   }
 
-  /** The FORMULA-strategy family computes COSINE scores by contract —
-    * best_score maxima (a "best" negative must out-rank positives by
-    * sign flip), sum_scores folds, context-pair losses, discovery's
-    * satisfied-pair comparisons, MMR's relevance−redundancy trade, the
-    * grouped searches' per-group max — all written for a similarity
-    * where bigger is better. On a euclid/manhattan collection those
-    * formulas would silently invert (the pre-r9 queryHybrid/searchAnn
-    * bug class), so the facade refuses loudly instead. In contrast,
-    * everything that only BUILDS a query vector and then ranks with
-    * plain TopK semantics — search()/searchAnn()/queryFormula(),
-    * recommend's average_vector strategy, queryBatch — is fully
-    * metric-aware. */
+  /** The two APIs that remain cosine-SHAPED in Qdrant itself: MMR's
+    * relevance−redundancy trade subtracts a pairwise-similarity
+    * penalty from a relevance score (the two terms must share one
+    * bounded similarity scale — λ·rel − (1−λ)·red is meaningless when
+    * "rel" is an unbounded distance), and the distance-matrix API
+    * reports pairwise COSINE similarity by definition. Everything else
+    * in the strategy family — best_score / sum_scores / context-pair
+    * losses (similarity space, distances enter negated), discovery's
+    * satisfied-pair comparisons and the grouped searches (metric
+    * space, orderings flipped) — is metric-aware since r11 via the
+    * one TopK.metricFn mapping, as are all the query-vector-building
+    * APIs (search/searchAnn/queryFormula/recommend/batches). */
   private def cosineOnly[T](api: String)(body: => T): T = {
     require(config.distance == "cosine",
       s"$api is implemented for cosine collections (this collection is " +
-        s"'${config.distance}'); its scoring formulas assume a similarity " +
-        "ranked DESC and would silently invert on a distance metric — " +
+        s"'${config.distance}'); its formula needs a BOUNDED similarity " +
+        "scale that a distance metric cannot supply — " +
         "use search()/searchAnn(), or re-create the collection with cosine")
     body
   }
@@ -400,12 +400,26 @@ class VectorCollection private (
 
   /** Qdrant `client.recommend` with `strategy=sum_scores`: score =
     * Σ_pos sim − Σ_neg sim, examples excluded — the third strategy
-    * beside average_vector ([[recommend]]) and best_score. */
+    * beside average_vector ([[recommend]]) and best_score.
+    * Metric-aware: distances enter the fold negated (similarity
+    * space), and the formula score ranks DESC on every metric — it is
+    * not the metric's distance (Qdrant's own caveat). */
   def recommendSum(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
-    cosineOnly("recommendSum") {
-      graft.search.QueryApis.recommendSumScores(asPoints, posIds, negIds, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.recommendSumScores(
+        asPoints, posIds, negIds, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
+
+  /** Qdrant `client.recommend` with `strategy=best_score`: a
+    * candidate scores its best positive similarity unless its best
+    * negative beats it, in which case the best negative returns sign-
+    * flipped — points nearer a negative than any positive sink below
+    * every in-context point. Metric-aware: "best" is max over
+    * similarities = MIN over distances (distances enter negated), and
+    * the formula score ranks DESC on every metric. */
+  def recommendBest(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 5): DataFrame =
+    graft.search.QueryApis.recommendBestScore(
+        asPoints, posIds, negIds, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `client.recommend` with `lookup_from`: the example ids
     * resolve in `lookup` (another collection of the same vector
@@ -436,33 +450,34 @@ class VectorCollection private (
       .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant discovery search: rank by satisfied (positive, negative)
-    * context pairs, then similarity to the target point. */
+    * context pairs, then similarity to the target point. Metric-aware:
+    * a pair satisfies when the candidate is at least as CLOSE to the
+    * positive (d_pos ≤ d_neg on distance metrics), `sim` stays in the
+    * metric's own space and its tiebreak ordering flips with it. */
   def discover(targetId: Long, contextPairs: Seq[(Long, Long)], k: Int = 5): DataFrame =
-    cosineOnly("discover") {
-      graft.search.QueryApis.discover(asPoints, targetId, contextPairs, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.discover(
+        asPoints, targetId, contextPairs, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `search_groups`: top `limit` groups by best hit, each with
-    * its top `groupSize` hits. */
+    * its top `groupSize` hits. Metric-aware: a group's best is MIN
+    * distance on euclid/manhattan, and group order + hit ranking flip
+    * with the metric, matching [[search]]. */
   def searchGroups(
       queryVec: Seq[Float], groupCol: String,
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    cosineOnly("searchGroups") {
-      graft.search.QueryApis.searchGroups(
-        asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.searchGroups(
+        asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit,
+        config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `discover_batch`: N discovery requests, one collection
     * pass (broadcast request frame, bounded-heap ranking on the
-    * composite (ctx_hits, sim) key). */
+    * composite (ctx_hits, sim) key). Metric-aware like [[discover]]. */
   def discoverBatch(
       requests: Seq[(Long, Long, Seq[(Long, Long)])], k: Int = 5): DataFrame =
-    cosineOnly("discoverBatch") {
-      graft.search.QueryApis.discoverBatch(asPoints, requests, k)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.discoverBatch(asPoints, requests, k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `query_batch_points`: a HETEROGENEOUS batch of universal
     * queries — [[graft.search.NearestBatchQuery]] (plain vector),
@@ -486,11 +501,9 @@ class VectorCollection private (
   def recommendGroups(
       posIds: Seq[Long], negIds: Seq[Long], groupCol: String,
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    cosineOnly("recommendGroups") {
-      graft.search.QueryApis.recommendGroups(
-        asPoints, posIds, negIds, groupCol, groupSize, limit)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.recommendGroups(
+        asPoints, posIds, negIds, groupCol, groupSize, limit, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant `search_groups` with `with_lookup`: each group carries the
     * matching record of `lookup` (another collection), joined on group
@@ -501,12 +514,10 @@ class VectorCollection private (
       queryVec: Seq[Float], groupCol: String,
       lookup: VectorCollection, lookupCols: Seq[String],
       groupSize: Int = 3, limit: Int = 5): DataFrame =
-    cosineOnly("searchGroupsWithLookup") {
-      graft.search.QueryApis.searchGroupsWithLookup(
+    graft.search.QueryApis.searchGroupsWithLookup(
         asPoints, queryVec.map(_.toDouble), groupCol, groupSize, limit,
-        lookup.table, lookup.config.idCol, lookupCols)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+        lookup.table, lookup.config.idCol, lookupCols, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
 
   /** Qdrant facet API: value counts for a payload key under a filter.
     * `exact=false` estimates each value's count with a HyperLogLog++
@@ -560,18 +571,10 @@ class VectorCollection private (
     require(badDim.isEmpty,
       s"query ${badDim.map(_._1).getOrElse(0L)} dim ${badDim.map(_._2).getOrElse(0)} " +
         s"!= collection dim ${config.dim}")
-    import spark.implicits._
-    val (scoreOf, asc) = VectorCollection.metricFn(config.distance)
-    val reqs = requests.map { case (id, v, f) => (id, v, f.map(long2Long).orNull) }
-      .toDF("_g_qid", "_g_qv", "_g_flt")
-    val scored = table
-      .select(col(config.idCol).as("vec_id"), col(config.vectorCol).as("_g_vec"),
-        col(filterCol).cast("long").as("_g_fv"))
-      .crossJoin(broadcast(reqs))
-      .filter(col("_g_flt").isNull || col("_g_fv") === col("_g_flt"))
-      .select(col("_g_qid").as("q_id"), col("vec_id"),
-        round(scoreOf(col("_g_vec"), col("_g_qv")), 6).as("score"))
-    graft.ops.Similarity.rankHits(scored, "q_id", k, ascending = asc)
+    graft.search.QueryApis.searchBatchFiltered(
+        asPoints,
+        requests.map { case (id, v, f) => (id, v.map(_.toDouble), f) },
+        filterCol, k, config.distance)
       .withColumnRenamed("vec_id", config.idCol)
   }
 

@@ -57,6 +57,21 @@ object QueryApis {
     * keyed by id (tiny: recommendation examples, not data). Fails with
     * the missing ids by name — the actionable validation error Qdrant
     * returns for an unknown example point. */
+  /** Similarity-space metric value against the current row's
+    * `embedding`: LARGER always means CLOSER — the similarity itself
+    * for cosine/dot, the NEGATED distance for euclid/manhattan. The
+    * metric value rounds at 6dp BEFORE any negation (sign flips are
+    * exact in doubles, so the cross-engine rounding pin survives).
+    * This is what lets the best_score / sum_scores / context formula
+    * family run on every Qdrant Distance with ONE formula text. */
+  private def simOf(metric: String): Column => Column = {
+    val (scoreOf, asc) = TopK.metricFn(metric)
+    (q: Column) => {
+      val r = round(scoreOf(col("embedding"), q), 6)
+      if (asc) -r else r
+    }
+  }
+
   private def fetchVecs(e: DataFrame, ids: Seq[Long]): Map[Long, Array[Double]] = {
     val found = e.filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id"), col("embedding"))
@@ -251,22 +266,28 @@ object QueryApis {
       points: DataFrame,
       targetId: Long,
       contextPairs: Seq[(Long, Long)],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(contextPairs.nonEmpty, "discover needs at least one context pair")
     val ids = (targetId +: contextPairs.flatMap(p => Seq(p._1, p._2))).distinct
     val vecs = fetchVecs(points, ids)
+    // metric-aware: a pair is satisfied when the candidate is at least
+    // as CLOSE to the positive as to the negative — sim_pos ≥ sim_neg
+    // for similarities, d_pos ≤ d_neg for distances (ties satisfy on
+    // both). `sim` stays in the metric's own space (a distance on
+    // euclid/manhattan collections, like search()) and the tiebreak
+    // ordering flips with it.
+    val (scoreOf, asc) = TopK.metricFn(metric)
+    def to(id: Long): Column =
+      round(scoreOf(col("embedding"), typedlit(vecs(id).toSeq)), 6)
     val ctxHits = contextPairs.map { case (p, n) =>
-      when(
-        round(Kernels.cosine(col("embedding"), typedlit(vecs(p).toSeq)), 6) >=
-          round(Kernels.cosine(col("embedding"), typedlit(vecs(n).toSeq)), 6),
-        1L).otherwise(0L)
+      when(if (asc) to(p) <= to(n) else to(p) >= to(n), 1L).otherwise(0L)
     }.reduce(_ + _)
     points
       .filter(!col("vec_id").isInCollection(ids))
-      .select(col("vec_id"), ctxHits.as("ctx_hits"),
-        round(Kernels.cosine(col("embedding"), typedlit(vecs(targetId).toSeq)), 6)
-          .as("sim"))
-      .orderBy(col("ctx_hits").desc, col("sim").desc, col("vec_id").asc)
+      .select(col("vec_id"), ctxHits.as("ctx_hits"), to(targetId).as("sim"))
+      .orderBy(col("ctx_hits").desc,
+        if (asc) col("sim").asc else col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
 
@@ -286,7 +307,8 @@ object QueryApis {
   def discoverBatch(
       points: DataFrame,
       requests: Seq[(Long, Long, Seq[(Long, Long)])],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(requests.nonEmpty, "discoverBatch needs at least one request")
     require(requests.map(_._1).distinct.size == requests.size,
       "duplicate request ids in discover batch")
@@ -302,16 +324,62 @@ object QueryApis {
     }
     import points.sparkSession.implicits._
     val reqs = reqRows.toDF("req_id", "qv", "pairs", "excl")
+    // metric-aware: pair satisfaction flips to d_pos ≤ d_neg on
+    // distance metrics (as in [[discover]]); the composite heap key
+    // needs a tiebreak term BOUNDED in (−1, 1] — the rounded cosine/dot
+    // similarity is by definition, while distances are unbounded and
+    // enter through the strictly MONOTONE squash −d/(1+d) ∈ (−1, 0].
+    // Monotone means rank parity with per-request [[discover]] is
+    // exact; cosine keeps the raw similarity so the q_discover_batch
+    // oracle can state the identical composite.
+    val (scoreOf, asc) = TopK.metricFn(metric)
+    def to(v: Column): Column = round(scoreOf(col("embedding"), v), 6)
+    def hit(p: Column, n: Column): Column =
+      when(if (asc) to(p) <= to(n) else to(p) >= to(n), 1L).otherwise(0L)
+    val keySim =
+      if (asc) { val s = -to(col("qv")); s / (lit(1.0) + abs(s)) }
+      else to(col("qv"))
     val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
       .select(col("req_id"), col("vec_id"),
         (aggregate(col("pairs"), lit(0L), (acc, p) =>
-          acc + when(
-            round(Kernels.cosine(col("embedding"), p.getField("_1")), 6) >=
-              round(Kernels.cosine(col("embedding"), p.getField("_2")), 6),
-            1L).otherwise(0L)).cast("double") * 4.0 +
-          round(Kernels.cosine(col("embedding"), col("qv")), 6)).as("score"))
+          acc + hit(p.getField("_1"), p.getField("_2"))).cast("double") * 4.0 +
+          keySim).as("score"))
     graft.ops.Similarity.rankHits(scored, "req_id", k)
+  }
+
+  /** Qdrant `search_batch` with PER-REQUEST payload filters — each
+    * SearchRequest optionally pins `filterCol` to a value (None =
+    * unfiltered). All requests share ONE collection pass: the
+    * broadcast request frame carries the filter value, the predicate
+    * evaluates inside the same codegen'd scoring stage, and ranking is
+    * the bounded-heap aggregate — a filtered request SHRINKS its
+    * candidate stream, costing less, not more. Scoring honors the
+    * metric (euclid/manhattan rank ASC through the heap's exact
+    * negation). Internal names are `_g`-prefixed and the scan prunes
+    * to (vec_id, embedding, filterCol), so payload names never collide
+    * with the request frame. */
+  def searchBatchFiltered(
+      points: DataFrame,
+      requests: Seq[(Long, Seq[Double], Option[Long])],
+      filterCol: String,
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
+    require(requests.nonEmpty, "searchBatchFiltered needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "duplicate request ids in search batch")
+    val (scoreOf, asc) = TopK.metricFn(metric)
+    import points.sparkSession.implicits._
+    val reqs = requests.map { case (id, v, f) => (id, v, f.map(long2Long).orNull) }
+      .toDF("_g_qid", "_g_qv", "_g_flt")
+    val scored = points
+      .select(col("vec_id"), col("embedding").as("_g_vec"),
+        col(filterCol).cast("long").as("_g_fv"))
+      .crossJoin(broadcast(reqs))
+      .filter(col("_g_flt").isNull || col("_g_fv") === col("_g_flt"))
+      .select(col("_g_qid").as("q_id"), col("vec_id"),
+        round(scoreOf(col("_g_vec"), col("_g_qv")), 6).as("score"))
+    graft.ops.Similarity.rankHits(scored, "q_id", k, ascending = asc)
   }
 
   /** Qdrant `recommend` with `strategy=best_score` (the non-default
@@ -327,11 +395,21 @@ object QueryApis {
       points: DataFrame,
       posIds: Seq[Long],
       negIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
     val vecs = fetchVecs(points, posIds ++ negIds)
-    def sims(ids: Seq[Long]): Seq[Column] = ids.map(id =>
-      round(Kernels.cosine(col("embedding"), typedlit(vecs(id).toSeq)), 6))
+    // Similarity-space scoring on EVERY metric: cosine/dot enter as-is,
+    // euclid/manhattan enter NEGATED, so "best example" is uniformly the
+    // max (max of −d = min distance) and the negative-zone sign flip
+    // keeps its meaning. Metric values round at 6dp BEFORE negation
+    // (sign flips are exact in doubles). The strategy score is a FORMULA
+    // value, not the metric's distance, and ranks DESC on every metric —
+    // Qdrant's own caveat that best_score/sum_scores scores are not
+    // distances (score_threshold is discouraged on them).
+    val sim = simOf(metric)
+    def sims(ids: Seq[Long]): Seq[Column] =
+      ids.map(id => sim(typedlit(vecs(id).toSeq)))
     val bestPos = sims(posIds).reduce((a, b) => greatest(a, b))
     val score =
       if (negIds.isEmpty) bestPos
@@ -359,11 +437,16 @@ object QueryApis {
       points: DataFrame,
       posIds: Seq[Long],
       negIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
     val vecs = fetchVecs(points, posIds ++ negIds)
-    def sims(ids: Seq[Long]): Seq[Column] = ids.map(id =>
-      round(Kernels.cosine(col("embedding"), typedlit(vecs(id).toSeq)), 6))
+    // similarity space on every metric (distances enter negated, 6dp
+    // round before the sign flip); formula scores rank DESC always —
+    // see [[recommendBestScore]] for the contract
+    val sim = simOf(metric)
+    def sims(ids: Seq[Long]): Seq[Column] =
+      ids.map(id => sim(typedlit(vecs(id).toSeq)))
     val posSum = sims(posIds).reduce(_ + _)
     val score =
       if (negIds.isEmpty) posSum
@@ -385,14 +468,18 @@ object QueryApis {
   def contextSearch(
       points: DataFrame,
       contextPairs: Seq[(Long, Long)],
-      k: Int): DataFrame = {
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
     require(contextPairs.nonEmpty, "context search needs at least one pair")
     val ids = contextPairs.flatMap(p => Seq(p._1, p._2)).distinct
     val vecs = fetchVecs(points, ids)
+    // similarity space on every metric (sim_pos − sim_neg = d_neg −
+    // d_pos after negation: positive margin = nearer the positive);
+    // the loss formula and its DESC ranking are metric-invariant
+    val sim = simOf(metric)
     val loss = contextPairs.map { case (p, n) =>
       least(lit(0.0),
-        round(Kernels.cosine(col("embedding"), typedlit(vecs(p).toSeq)), 6) -
-          round(Kernels.cosine(col("embedding"), typedlit(vecs(n).toSeq)), 6))
+        sim(typedlit(vecs(p).toSeq)) - sim(typedlit(vecs(n).toSeq)))
     }.reduce(_ + _)
     points
       .filter(!col("vec_id").isInCollection(ids))
@@ -414,25 +501,37 @@ object QueryApis {
       queryVec: Seq[Double],
       groupCol: String,
       groupSize: Int,
-      limit: Int): DataFrame = {
+      limit: Int,
+      metric: String = "cosine"): DataFrame = {
+    // metric-aware end to end: scores stay in the metric's own space
+    // (distances on euclid/manhattan, like search()), so a group's
+    // "best" hit is max(score) on similarities and MIN(score) on
+    // distances, group order and hit ranking flip with it, and the
+    // bounded heap ranks ASC via the exact-negation trick rankHits uses
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val scored = points.select(
       col("vec_id"), col(groupCol).cast("long").as("grp"),
-      round(Kernels.cosine(col("embedding"), typedlit(queryVec)), 6).as("score"))
-    val gtop = scored.groupBy(col("grp")).agg(max(col("score")).as("best"))
-      .orderBy(col("best").desc, col("grp").asc)
+      round(scoreOf(col("embedding"), typedlit(queryVec)), 6).as("score"))
+    def bestOrd = if (asc) col("best").asc else col("best").desc
+    val gtop = scored.groupBy(col("grp"))
+      .agg((if (asc) min(col("score")) else max(col("score"))).as("best"))
+      .orderBy(bestOrd, col("grp").asc)
       .limit(limit)
       // ≤ limit rows survive the cut — the global window ranks a
       // handful of group headers, not data
       .withColumn("grp_rank",
-        row_number().over(Window.orderBy(col("best").desc, col("grp").asc))
+        row_number().over(Window.orderBy(bestOrd, col("grp").asc))
           .cast("long"))
     scored
       .join(broadcast(gtop), Seq("grp"))
       .groupBy(col("grp"), col("grp_rank"), col("best"))
-      .agg(Kernels.topKHits(col("score"), col("vec_id"), groupSize).as("hits"))
+      .agg(Kernels.topKHits(
+        if (asc) -col("score") else col("score"),
+        col("vec_id"), groupSize).as("hits"))
       .select(col("grp"), col("grp_rank"), col("best"), posexplode(col("hits")))
       .select(col("grp_rank"), col("grp"), col("best"),
-        col("col.vec_id").as("vec_id"), col("col.score").as("score"),
+        col("col.vec_id").as("vec_id"),
+        (if (asc) -col("col.score") else col("col.score")).as("score"),
         (col("pos") + 1).cast("long").as("hit_rank"))
   }
 
@@ -450,12 +549,13 @@ object QueryApis {
       negIds: Seq[Long],
       groupCol: String,
       groupSize: Int,
-      limit: Int): DataFrame = {
+      limit: Int,
+      metric: String = "cosine"): DataFrame = {
     require(posIds.nonEmpty, "recommend needs at least one positive example")
     val qv = averageVector(fetchVecs(points, posIds ++ negIds), posIds, negIds)
     searchGroups(
       points.filter(!col("vec_id").isInCollection(posIds ++ negIds)),
-      qv.toSeq, groupCol, groupSize, limit)
+      qv.toSeq, groupCol, groupSize, limit, metric)
   }
 
   /** [[searchGroups]] with Qdrant's `with_lookup`: attach columns of a
@@ -478,7 +578,8 @@ object QueryApis {
       limit: Int,
       lookup: DataFrame,
       lookupIdCol: String,
-      lookupCols: Seq[String]): DataFrame = {
+      lookupCols: Seq[String],
+      metric: String = "cosine"): DataFrame = {
     // materialize the group hits ONCE: the frame is bounded (limit ×
     // groupSize rows) but its plan scores the corpus, and it is
     // referenced twice below (key fetch + outer join) — an
@@ -490,7 +591,7 @@ object QueryApis {
     // The downstream broadcast joins stay in the returned plan
     // (ScaleDesignSpec pins them).
     val spark = points.sparkSession
-    val ghits = searchGroups(points, queryVec, groupCol, groupSize, limit)
+    val ghits = searchGroups(points, queryVec, groupCol, groupSize, limit, metric)
     val groups = spark.createDataFrame(
       java.util.Arrays.asList(ghits.collect(): _*), ghits.schema)
     val lk = lookup.select(
@@ -838,6 +939,17 @@ object QueryApis {
     (1L, Seq(1L, 2L), Seq(3L)),
     (2L, Seq(5L, 6L), Seq.empty[Long]),
     (3L, Seq(9L), Seq(10L)))
+  // discover_batch gate: request 2 exercises the multi-pair fold
+  private val DiscBatchReqs = Seq(
+    (1L, 0L, Seq((1L, 2L))),
+    (2L, 5L, Seq((6L, 7L), (8L, 9L))),
+    (3L, 9L, Seq((10L, 11L))))
+  // filtered search_batch gate: (req id, stored-point query, label pin);
+  // request 2 exercises the unfiltered branch through the same pass
+  private val SbfReqs = Seq(
+    (1L, 0L, Some(3L)),
+    (2L, 5L, None),
+    (3L, 9L, Some(7L)))
 
   /** The ex/q CTE pair building the average_vector query literal
     * (DuckDB disallows subqueries inside lambdas, so the example
@@ -923,6 +1035,21 @@ object QueryApis {
         ByIdBatchQuery(2L, 5L),
         RecommendBatchQuery(3L, RecPos, RecNeg)), BatchK)
         .orderBy(col("req_id"), col("rnk"))
+    }),
+    // discover_batch: N discovery requests through the one-pass
+    // composite-key ranking (4·ctx_hits + sim)
+    "q_discover_batch" -> ((s, dir) =>
+      discoverBatch(t(s, dir, "embeddings"), DiscBatchReqs, BatchK)
+        .orderBy(col("req_id"), col("rnk"))),
+    // search_batch with PER-REQUEST payload filters: the filter value
+    // rides the broadcast request frame into the one scoring pass
+    "q_search_batch_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = fetchVecs(e, SbfReqs.map(_._2))
+      searchBatchFiltered(e,
+        SbfReqs.map { case (qid, p, f) => (qid, vecs(p).toSeq, f) },
+        "label", BatchK)
+        .orderBy(col("q_id"), col("rnk"))
     }),
     // recommend_groups: recommend scoring, grouped results, examples out
     "q_recommend_groups" -> ((s, dir) =>
@@ -1132,16 +1259,23 @@ object QueryApis {
     * Spark batch operators build — scored against every non-excluded
     * point and ranked per request, the row_number twin of the
     * bounded-heap rankHits. */
-  private def duckBatchRanked(
-      idName: String, reqsCte: String, k: Int): String =
-    s"""scored AS (SELECT $idName, e.vec_id,
-       |    ROUND(${duckCos("e.embedding", "qv")}, 6) AS score
-       |  FROM embeddings e, reqs
-       |  WHERE NOT list_contains(excl, e.vec_id)),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY $idName
+  /** The rank half of the batch-oracle tail alone — for batch oracles
+    * whose scoring is not the plain request-frame cosine (discover's
+    * composite key) but whose per-request row_number ranking must stay
+    * the ONE shared text. Expects a `scored` CTE already in scope. */
+  private def duckRankTail(idName: String, k: Int): String =
+    s"""ranked AS (SELECT *, row_number() OVER (PARTITION BY $idName
        |    ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
        |SELECT $idName, vec_id, score, rnk FROM ranked WHERE rnk <= $k
        |ORDER BY $idName, rnk""".stripMargin
+
+  private def duckBatchRanked(
+      idName: String, reqsCte: String, k: Int, extraWhere: String = ""): String =
+    s"""scored AS (SELECT $idName, e.vec_id,
+       |    ROUND(${duckCos("e.embedding", "qv")}, 6) AS score
+       |  FROM embeddings e, reqs
+       |  WHERE NOT list_contains(excl, e.vec_id)$extraWhere),
+       |${duckRankTail(idName, k)}""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_mrl_rescore" ->
@@ -1247,6 +1381,39 @@ object QueryApis {
          |  UNION ALL SELECT 2::BIGINT, ${duckVec(5)}, [5]::BIGINT[]
          |  UNION ALL SELECT 3::BIGINT, (SELECT qv FROM q_3), [$recExcl]::BIGINT[]),
          |${duckBatchRanked("req_id", "reqs", BatchK)}""".stripMargin
+    },
+
+    // discover_batch: per-request composite-key scored CTEs (the SAME
+    // 4·ctx_hits + round6(sim) formula the Spark side folds, pairs
+    // written out) through the one shared row_number rank tail
+    "q_discover_batch" -> {
+      val parts = DiscBatchReqs.map { case (rid, tgt, ps) =>
+        val excl = (tgt +: ps.flatMap(p => Seq(p._1, p._2))).distinct
+        val hits = ps.map { case (p, n) =>
+          s"CASE WHEN ROUND(${duckCos("embedding", duckVec(p))}, 6) >= " +
+            s"ROUND(${duckCos("embedding", duckVec(n))}, 6) THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""  SELECT $rid::BIGINT AS req_id, vec_id,
+           |    ($hits)::DOUBLE * 4.0 +
+           |      ROUND(${duckCos("embedding", duckVec(tgt))}, 6) AS score
+           |  FROM embeddings WHERE vec_id NOT IN (${excl.mkString(", ")})""".stripMargin
+      }
+      s"""WITH scored AS (
+         |${parts.mkString("\n  UNION ALL\n")}),
+         |${duckRankTail("req_id", BatchK)}""".stripMargin
+    },
+
+    // search_batch with per-request filters: the filter value rides the
+    // reqs CTE (NULL = unfiltered) into the shared scoring WHERE
+    "q_search_batch_filtered" -> {
+      val reqs = SbfReqs.map { case (qid, p, f) =>
+        val flt = f.map(_.toString).getOrElse("NULL")
+        s"SELECT $qid::BIGINT AS q_id, ${duckVec(p)} AS qv, " +
+          s"[]::BIGINT[] AS excl, $flt::BIGINT AS flt"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH reqs AS ($reqs),
+         |${duckBatchRanked("q_id", "reqs", BatchK,
+            "\n    AND (flt IS NULL OR e.label::BIGINT = flt)")}""".stripMargin
     },
 
     "q_recommend_best" -> {

@@ -267,6 +267,67 @@ class QueryApisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("discoverBatch on euclid equals per-request discover (monotone squash key)") {
+    // the composite heap key needs a tiebreak BOUNDED in (−1, 1];
+    // euclid distances are unbounded, so they enter via the strictly
+    // monotone −d/(1+d) squash — rank parity with per-request discover
+    // must be EXACT, including the flipped d_pos ≤ d_neg satisfaction
+    val requests = Seq(
+      (1L, 0L, Seq((1L, 2L), (3L, 4L))),
+      (2L, 5L, Seq((6L, 7L))))
+    val out = QueryApis.discoverBatch(emb, requests, k = 8, metric = "euclid").cache()
+    requests.foreach { case (rid, target, pairs) =>
+      val standalone = QueryApis.discover(emb, target, pairs, 8, metric = "euclid")
+        .collect().map(_.getLong(0)).toSeq
+      val batch = out.filter(col("req_id") === rid).orderBy(col("rnk"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(batch === standalone,
+        s"request $rid: euclid batch ranking diverges from per-request discover")
+    }
+    out.unpersist()
+  }
+
+  test("searchBatchFiltered: per-request filters shrink candidates in one shared pass") {
+    import spark.implicits._
+    val vs = vecsById(Seq(0L, 5L))
+    val reqs = Seq(
+      (1L, vs(0L).toSeq, Some(3L)),
+      (2L, vs(5L).toSeq, None))
+    val out = QueryApis.searchBatchFiltered(emb, reqs, "label", k = 4).cache()
+    // the filtered request only ever sees its label; ids pin to a
+    // driver-side brute force under the same (score DESC, id ASC) order
+    val labels = emb.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    for ((qid, qv, flt) <- reqs) {
+      val want = all
+        .filter { case (id, _) => flt.forall(_ == labels(id)) }
+        .map { case (id, v) => (id, math.rint(cosine(v, qv.toArray) * 1e6) / 1e6) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
+      val got = out.filter(col("q_id") === qid).orderBy(col("rnk"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(got === want, s"request $qid diverges from brute force (filter=$flt)")
+      assert(flt.isEmpty || got.forall(labels(_) == flt.get))
+    }
+    // the unfiltered request through the batch equals the plain
+    // search_batch path (knnJoin's bounded-heap ranking)
+    val q2 = Seq((2L, vs(5L).toSeq)).toDF("q_id", "qv")
+    val plain = graft.ops.Similarity.knnJoin(emb, q2, 4)
+      .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
+    assert(out.filter(col("q_id") === 2L).orderBy(col("rnk"))
+      .collect().map(_.getLong(1)).toSeq === plain)
+    out.unpersist()
+    // euclid flips the ranking through the same pass: the stored query
+    // point is its own nearest neighbor at distance 0
+    val eu = QueryApis.searchBatchFiltered(
+      emb, Seq((1L, vs(5L).toSeq, None)), "label", k = 3, metric = "euclid")
+      .orderBy(col("rnk")).collect()
+    assert(eu.head.getLong(1) === 5L && eu.head.getDouble(2) === 0.0,
+      "euclid filtered batch must surface the self-match at d=0 first")
+    assert(eu.map(_.getDouble(2)).toSeq === eu.map(_.getDouble(2)).toSeq.sorted)
+  }
+
   test("recommendGroups: groups rank by recommend score, examples never appear") {
     import graft.search.QueryApis
     val pos = Seq(1L, 2L); val neg = Seq(3L)

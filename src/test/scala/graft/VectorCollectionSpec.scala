@@ -421,16 +421,44 @@ class VectorCollectionSpec extends SparkSpec {
     val qb = c.queryBatch(Seq(graft.search.ByIdBatchQuery(1L, 7L)), 5).collect()
       .sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(qb === expected, "euclid queryBatch by-id == exact search minus self")
-    // the FORMULA-strategy family still refuses loudly on a distance
-    // collection — best_score maxima, context losses, per-group max,
-    // MMR's trade all assume similarity-DESC and would silently invert
-    for (call <- Seq[() => Any](
-        () => c.recommendSum(Seq(7L)),
-        () => c.discover(7L, Seq((1L, 2L))),
-        () => c.searchGroups(q, "label"),
-        () => c.recommendGroups(Seq(7L), Nil, "label"),
-        () => c.searchMmr(q),
-        () => c.matrixPairs(10))) {
+    // the strategy family is metric-aware since r11: with the single
+    // positive example 7 and no negatives, best_score's max-over-
+    // positives and sum_scores' one-term fold both collapse to
+    // −d(v, v7) ranked DESC = distance ASC — exactly exact search's
+    // order minus the excluded example
+    val expIds = expected.map(_._1)
+    assert(c.recommendBest(Seq(7L), Nil, 5).collect()
+      .map(_.getLong(0)).toSeq === expIds,
+      "euclid best_score(pos=[7]) must rank by distance ASC")
+    assert(c.recommendSum(Seq(7L), Nil, 5).collect()
+      .map(_.getLong(0)).toSeq === expIds,
+      "euclid sum_scores(pos=[7]) must rank by distance ASC")
+    // discovery on euclid: pair satisfaction flips to d_pos ≤ d_neg,
+    // sim stays a distance, ordering (ctx_hits DESC, sim ASC)
+    val disc = c.discover(7L, Seq((1L, 2L)), 5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(disc.map(_._1) === disc.map(_._1).sorted.reverse,
+      "euclid discover: ctx_hits must be non-increasing")
+    disc.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).toSeq === g.map(_._2).toSeq.sorted,
+        "euclid discover: within a hit tier, distance must rank ASC") }
+    // grouped search on euclid: a group's best is its MIN distance,
+    // group 1 is the query's own group with best = 0.0 (self-match),
+    // and hits inside each group rank distance ASC
+    val grps = c.searchGroups(q, "label", groupSize = 3, limit = 3).collect()
+      .sortBy(r => (r.getLong(0), r.getLong(5)))
+    assert(grps.head.getDouble(2) === 0.0 && grps.head.getLong(3) === 7L,
+      s"euclid searchGroups: group 1 leads with the self-match at d=0")
+    grps.groupBy(_.getLong(1)).values.foreach { g =>
+      val scores = g.sortBy(_.getLong(5)).map(_.getDouble(4)).toSeq
+      assert(scores === scores.sorted,
+        "euclid searchGroups: hits inside a group must rank distance ASC") }
+    assert(c.recommendGroups(Seq(7L), Nil, "label").collect().nonEmpty,
+      "euclid recommendGroups must run metric-aware")
+    // only the two genuinely cosine-SHAPED APIs keep the loud refusal:
+    // MMR's λ·rel − (1−λ)·red needs one bounded similarity scale, and
+    // the matrix API reports pairwise cosine by definition
+    for (call <- Seq[() => Any](() => c.searchMmr(q), () => c.matrixPairs(10))) {
       val e = intercept[IllegalArgumentException](call())
       assert(e.getMessage.contains("cosine collections"), e.getMessage)
     }
