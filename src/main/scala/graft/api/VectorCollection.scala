@@ -578,6 +578,29 @@ class VectorCollection private (
       .withColumnRenamed("vec_id", config.idCol)
   }
 
+  /** [[searchBatchFiltered]] with a FULL per-request
+    * [[graft.search.Filter]] — Qdrant's actual SearchRequest shape:
+    * every request carries its own must/should/must_not clause lists,
+    * compiled by the one E4 DSL, all through the same single
+    * collection pass. Use [[graft.search.Filter]]`()` (empty) for an
+    * unfiltered request. */
+  def searchBatchFiltered(
+      requests: Seq[(Long, Seq[Float], graft.search.Filter)],
+      k: Int): DataFrame = {
+    require(!config.multiVector, "batch search on a multi-vector collection")
+    val badDim = requests.collectFirst {
+      case (qid, v, _) if v.length != config.dim => (qid, v.length)
+    }
+    require(badDim.isEmpty,
+      s"query ${badDim.map(_._1).getOrElse(0L)} dim ${badDim.map(_._2).getOrElse(0)} " +
+        s"!= collection dim ${config.dim}")
+    graft.search.QueryApis.searchBatchFiltered(
+        asPoints,
+        requests.map { case (id, v, f) => (id, v.map(_.toDouble), f) },
+        k, config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
+  }
+
   /** D1 search routed to one shard (Qdrant `shard_key_selector`): on a
     * sharded collection the shard predicate is a directory-partition
     * filter, so the scan reads only the selected shard's subtree —

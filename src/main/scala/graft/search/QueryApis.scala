@@ -297,10 +297,12 @@ object QueryApis {
     * vector, the context-pair vectors, and the exclusion list; each
     * candidate folds its context hits over the pair array and ranks
     * through the bounded heap on the composite key
-    * `4·ctx_hits + sim` — sim ∈ [−1,1] and hits step by 1, so the
-    * composite is monotone in [[discover]]'s (ctx_hits DESC, sim DESC,
-    * id ASC) order and one heap ranks both criteria (spec-pinned equal
-    * to per-request [[discover]]). Per-pair cosines are intrinsic
+    * `4·ctx_hits + keySim` — keySim ∈ (−1, 1) (raw cosine; dot and the
+    * distance metrics enter through the monotone squash s/(1+|s|)) and
+    * hits step by 1, so the composite is monotone in [[discover]]'s
+    * (ctx_hits DESC, sim DESC, id ASC) order and one heap ranks both
+    * criteria (spec-pinned equal to per-request [[discover]] on
+    * cosine, euclid, AND dot-with-norms>2). Per-pair cosines are intrinsic
     * work, not re-evaluation: each pair is scored once per candidate,
     * exactly as N separate discover scans would — minus the N−1 extra
     * scans. */
@@ -326,18 +328,27 @@ object QueryApis {
     val reqs = reqRows.toDF("req_id", "qv", "pairs", "excl")
     // metric-aware: pair satisfaction flips to d_pos ≤ d_neg on
     // distance metrics (as in [[discover]]); the composite heap key
-    // needs a tiebreak term BOUNDED in (−1, 1] — the rounded cosine/dot
-    // similarity is by definition, while distances are unbounded and
-    // enter through the strictly MONOTONE squash −d/(1+d) ∈ (−1, 0].
-    // Monotone means rank parity with per-request [[discover]] is
-    // exact; cosine keeps the raw similarity so the q_discover_batch
-    // oracle can state the identical composite.
+    // needs a tiebreak term BOUNDED in (−1, 1) — only cosine is by
+    // definition. Distances are unbounded and enter through the
+    // strictly MONOTONE squash −d/(1+d) ∈ (−1, 0], and raw DOT is
+    // unbounded too (magnitude-sensitive on unnormalized vectors, the
+    // d1_topk_dot contract), so it takes the same squash s/(1+|s|) —
+    // a dot spread > 4 would otherwise swamp the 4·ctx_hits term and
+    // silently diverge from per-request [[discover]]. Monotone means
+    // rank parity with per-request [[discover]] is exact; cosine keeps
+    // the raw similarity so the q_discover_batch oracle can state the
+    // identical composite. Magnitude bound: the squash collapses
+    // distinct rounded values past ~1e5 (differences ~1e−6/s² fall
+    // below double epsilon near ±1), where ties fall to vec_id — see
+    // the parity specs' norm ranges.
     val (scoreOf, asc) = TopK.metricFn(metric)
     def to(v: Column): Column = round(scoreOf(col("embedding"), v), 6)
     def hit(p: Column, n: Column): Column =
       when(if (asc) to(p) <= to(n) else to(p) >= to(n), 1L).otherwise(0L)
+    def squash(s: Column): Column = s / (lit(1.0) + abs(s))
     val keySim =
-      if (asc) { val s = -to(col("qv")); s / (lit(1.0) + abs(s)) }
+      if (asc) squash(-to(col("qv")))
+      else if (metric == "dot") squash(to(col("qv")))
       else to(col("qv"))
     val scored = points.crossJoin(broadcast(reqs))
       .filter(!array_contains(col("excl"), col("vec_id")))
@@ -348,47 +359,78 @@ object QueryApis {
     graft.ops.Similarity.rankHits(scored, "req_id", k)
   }
 
-  /** Qdrant `search_batch` with PER-REQUEST payload filters — each
-    * SearchRequest optionally pins `filterCol` to a value (None =
-    * unfiltered). All requests share ONE collection pass: the
-    * broadcast request frame carries the filter value, the predicate
-    * evaluates inside the same codegen'd scoring stage, and ranking is
+  /** Qdrant `search_batch` with a FULL per-request [[Filter]] — each
+    * SearchRequest carries its own must/should/must_not clause lists
+    * (Qdrant's SearchRequest.filter), compiled by the one E4 DSL
+    * ([[Filter.toColumn]]) so batch filtering can never drift from
+    * standalone filtered search. All requests still share ONE
+    * collection pass: the request VECTORS broadcast as a frame, the
+    * per-request predicates compile into a single request-id-dispatched
+    * boolean inside the same codegen'd scoring stage (requests are a
+    * driver-side handful, like the example vectors), and ranking is
     * the bounded-heap aggregate — a filtered request SHRINKS its
-    * candidate stream, costing less, not more. Scoring honors the
-    * metric (euclid/manhattan rank ASC through the heap's exact
-    * negation). Internal names are `_g`-prefixed and the scan prunes
-    * to (vec_id, embedding, filterCol), so payload names never collide
-    * with the request frame. */
+    * candidate stream, costing less, not more. The OR of every
+    * request's filter additionally prefilters the scan side BEFORE the
+    * request fan-out (a row no request keeps never multiplies; with
+    * any unfiltered request it constant-folds away). Scoring honors
+    * the metric (euclid/manhattan rank ASC through the heap's exact
+    * negation). Internal names are `_g`-prefixed so payload names
+    * never collide with the request frame; the final projection keeps
+    * the scan pruned to (vec_id, embedding, filter-referenced cols). */
   def searchBatchFiltered(
       points: DataFrame,
-      requests: Seq[(Long, Seq[Double], Option[Long])],
-      filterCol: String,
+      requests: Seq[(Long, Seq[Double], Filter)],
       k: Int,
-      metric: String = "cosine"): DataFrame = {
+      metric: String): DataFrame = {
     require(requests.nonEmpty, "searchBatchFiltered needs at least one request")
     require(requests.map(_._1).distinct.size == requests.size,
       "duplicate request ids in search batch")
     val (scoreOf, asc) = TopK.metricFn(metric)
     import points.sparkSession.implicits._
-    val reqs = requests.map { case (id, v, f) => (id, v, f.map(long2Long).orNull) }
-      .toDF("_g_qid", "_g_qv", "_g_flt")
+    val reqs = requests.map { case (id, v, _) => (id, v) }.toDF("_g_qid", "_g_qv")
+    // superset prefilter: NULL filter results drop in standalone
+    // filtered search too, so coalesce-to-false keeps it a superset
+    val prefilter = requests
+      .map { case (_, _, f) => coalesce(f.toColumn, lit(false)) }
+      .reduce(_ || _)
+    val pred = requests
+      .map { case (id, _, f) => col("_g_qid") === lit(id) && f.toColumn }
+      .reduce(_ || _)
     val scored = points
-      .select(col("vec_id"), col("embedding").as("_g_vec"),
-        col(filterCol).cast("long").as("_g_fv"))
+      .filter(prefilter)
       .crossJoin(broadcast(reqs))
-      .filter(col("_g_flt").isNull || col("_g_fv") === col("_g_flt"))
+      .filter(pred)
       .select(col("_g_qid").as("q_id"), col("vec_id"),
-        round(scoreOf(col("_g_vec"), col("_g_qv")), 6).as("score"))
+        round(scoreOf(col("embedding"), col("_g_qv")), 6).as("score"))
     graft.ops.Similarity.rankHits(scored, "q_id", k, ascending = asc)
   }
+
+  /** [[searchBatchFiltered]] with the single-column long-equality
+    * shorthand (None = unfiltered) — the q_search_batch_filtered
+    * oracle's shape; each request compiles to a one-clause must
+    * [[MatchValue]] Filter through the same shared pass. */
+  def searchBatchFiltered(
+      points: DataFrame,
+      requests: Seq[(Long, Seq[Double], Option[Long])],
+      filterCol: String,
+      k: Int,
+      metric: String = "cosine"): DataFrame =
+    searchBatchFiltered(points,
+      requests.map { case (id, v, f) =>
+        (id, v, f.fold(Filter())(value =>
+          Filter(must = Seq(MatchValue(filterCol, value)))))
+      }, k, metric)
 
   /** Qdrant `recommend` with `strategy=best_score` (the non-default
     * strategy beside [[recommend]]'s average_vector): every candidate
     * is scored against EVERY example; its positive score is the max
     * over positives, and if the best negative beats it the candidate
-    * scores −(best negative) — points nearer a negative than any
-    * positive sink below every in-context point. Scores round at 6dp
-    * BEFORE the max/compare (the portability pin, as in [[discover]]).
+    * is penalized — on cosine/dot it scores −(best negative) (the
+    * pinned oracle formula); on euclid/manhattan, where that flip
+    * would invert the ranking, penalized candidates take a squashed
+    * key in [−2, −1) strictly below every rewarded one, ordered
+    * farthest-from-negative first. Scores round at 6dp BEFORE the
+    * max/compare (the portability pin, as in [[discover]]).
     * Still the D1 plan: example vectors are literals in one codegen'd
     * projection, TakeOrderedAndProject cut. */
   def recommendBestScore(
@@ -401,13 +443,25 @@ object QueryApis {
     val vecs = fetchVecs(points, posIds ++ negIds)
     // Similarity-space scoring on EVERY metric: cosine/dot enter as-is,
     // euclid/manhattan enter NEGATED, so "best example" is uniformly the
-    // max (max of −d = min distance) and the negative-zone sign flip
-    // keeps its meaning. Metric values round at 6dp BEFORE negation
-    // (sign flips are exact in doubles). The strategy score is a FORMULA
-    // value, not the metric's distance, and ranks DESC on every metric —
-    // Qdrant's own caveat that best_score/sum_scores scores are not
-    // distances (score_threshold is discouraged on them).
+    // max (max of −d = min distance). Metric values round at 6dp BEFORE
+    // negation (sign flips are exact in doubles). The strategy score is
+    // a FORMULA value, not the metric's distance, and ranks DESC on
+    // every metric — Qdrant's own caveat that best_score/sum_scores
+    // scores are not distances (score_threshold is discouraged on them).
+    //
+    // The penalized branch is metric-split. On cosine/dot the score is
+    // −bestNeg — the pinned q_recommend_best oracle formula. On
+    // euclid/manhattan that sign flip INVERTS: sims are negated
+    // distances (all ≤ 0), so −bestNeg = +d_neg ≥ 0 would outrank every
+    // rewarded bestPos ≤ 0 — candidates nearest a negative would rank
+    // FIRST. Distances instead take a two-zone key: rewarded candidates
+    // squash into (−1, 0] (nearest positive first), penalized into
+    // [−2, −1) (farthest from its best negative first), so every
+    // penalized candidate ranks strictly below every rewarded one —
+    // the documented "sink below" contract, literally true here. Both
+    // squashes are strictly monotone, so within-zone order is exact.
     val sim = simOf(metric)
+    val (_, asc) = TopK.metricFn(metric)
     def sims(ids: Seq[Long]): Seq[Column] =
       ids.map(id => sim(typedlit(vecs(id).toSeq)))
     val bestPos = sims(posIds).reduce((a, b) => greatest(a, b))
@@ -415,7 +469,12 @@ object QueryApis {
       if (negIds.isEmpty) bestPos
       else {
         val bestNeg = sims(negIds).reduce((a, b) => greatest(a, b))
-        when(bestPos > bestNeg, bestPos).otherwise(-bestNeg)
+        if (!asc) when(bestPos > bestNeg, bestPos).otherwise(-bestNeg)
+        else {
+          val dNeg = -bestNeg // distance to the nearest negative, ≥ 0
+          when(bestPos > bestNeg, bestPos / (lit(1.0) - bestPos))
+            .otherwise(lit(-2.0) + dNeg / (lit(1.0) + dNeg))
+        }
       }
     points
       .filter(!col("vec_id").isInCollection(posIds ++ negIds))
@@ -1271,8 +1330,12 @@ object QueryApis {
 
   private def duckBatchRanked(
       idName: String, reqsCte: String, k: Int, extraWhere: String = ""): String =
+    // `+ 0` after the ROUND: DuckDB's double ROUND keeps −0.0 where
+    // Spark's round normalizes to +0.0 (the CLAUDE.md pin) — a filtered
+    // request can shrink its pool until a score in (−5e−7, 0) survives
+    // the rnk cut and would hash as "-0.000000" vs "0.000000"
     s"""scored AS (SELECT $idName, e.vec_id,
-       |    ROUND(${duckCos("e.embedding", "qv")}, 6) AS score
+       |    ROUND(${duckCos("e.embedding", "qv")}, 6) + 0 AS score
        |  FROM embeddings e, reqs
        |  WHERE NOT list_contains(excl, e.vec_id)$extraWhere),
        |${duckRankTail(idName, k)}""".stripMargin

@@ -287,6 +287,120 @@ class QueryApisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("discoverBatch on dot with norms > 2 equals per-request discover (squash key)") {
+    // raw dot is unbounded: on unit-norm fixtures the old raw-keySim
+    // composite passed by accident, so this spec scales each vector by
+    // (id % 7 + 1) — dot spreads then exceed the 4·ctx_hits step and
+    // ONLY the monotone squash s/(1+|s|) keeps batch == per-request
+    val scale = (col("vec_id") % 7 + 1).cast("double")
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * scale).as("embedding")).cache()
+    val requests = Seq(
+      (1L, 0L, Seq((1L, 2L), (3L, 4L))),
+      (2L, 5L, Seq((6L, 7L))))
+    // non-vacuous guard: the scaled corpus's dot-to-target spread must
+    // exceed 4, or the raw key could never have swamped ctx_hits
+    val tv = scaled.filter(col("vec_id") === 0L).head.getSeq[Double](1).toArray
+    val spread = scaled.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      v.zip(tv).map { case (a, b) => a * b }.sum
+    }
+    assert(spread.max - spread.min > 4.0,
+      "fixture must produce a dot spread > 4 or the spec is vacuous")
+    val out = QueryApis.discoverBatch(scaled, requests, k = 8, metric = "dot").cache()
+    requests.foreach { case (rid, target, pairs) =>
+      val standalone = QueryApis.discover(scaled, target, pairs, 8, metric = "dot")
+        .collect().map(_.getLong(0)).toSeq
+      val batch = out.filter(col("req_id") === rid).orderBy(col("rnk"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(batch === standalone,
+        s"request $rid: dot batch ranking diverges from per-request discover")
+    }
+    out.unpersist(); scaled.unpersist()
+  }
+
+  test("recommendBestScore on euclid: penalized candidates sink below every rewarded one") {
+    val pos = Seq(1L, 2L); val neg = Seq(3L)
+    // rank the WHOLE collection: the penalized zone sits strictly below
+    // every rewarded candidate, so a small k would never surface it
+    val kAll = emb.count().toInt
+    val hits = QueryApis.recommendBestScore(emb, pos, neg, kAll, metric = "euclid")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.length === kAll - 3)
+    // driver-side truth in the engine's own rounding discipline: the
+    // metric value rounds at 6dp BEFORE negation
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ex = vecsById(pos ++ neg)
+    val truth = emb.select(col("vec_id"), col("embedding")).collect()
+      .filter(r => !Set(1L, 2L, 3L).contains(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val bestPos = pos.map(id => -r6(dist(v, ex(id)))).max
+        val bestNeg = neg.map(id => -r6(dist(v, ex(id)))).max
+        val key =
+          if (bestPos > bestNeg) bestPos / (1.0 - bestPos)
+          else -2.0 + (-bestNeg) / (1.0 + (-bestNeg))
+        (r.getLong(0), r6(key), bestPos > bestNeg)
+      }
+    val want = truth.sortBy { case (id, s, _) => (-s, id) }
+    assert(hits.map(_._1).toSeq === want.map(_._1).toSeq,
+      "euclid best_score ranking diverges from the two-zone key")
+    // the defining contract, literally: every rewarded candidate ranks
+    // above every penalized one — rewarded keys live in (−1, 0],
+    // penalized in [−2, −1)
+    val zones = truth.map { case (id, _, rewarded) => id -> rewarded }.toMap
+    val zoneSeq = hits.map { case (id, _) => zones(id) }
+    assert(zoneSeq.contains(true) && zoneSeq.contains(false),
+      "fixture must surface BOTH zones or the spec is vacuous")
+    assert(zoneSeq.dropWhile(identity).forall(!_),
+      "a penalized candidate ranked above a rewarded one")
+    // within the penalized zone, farther-from-negative ranks first
+    val penalized = hits.filter { case (id, _) => !zones(id) }.map(_._2)
+    assert(penalized.forall(s => s >= -2.0 && s < -1.0))
+    assert(penalized.zip(penalized.tail).forall { case (a, b) => a >= b })
+    // euclid with NO negatives is untouched: score = −distance, as the
+    // r11 metric-aware pins established
+    val noNeg = QueryApis.recommendBestScore(emb, pos, Nil, 5, metric = "euclid")
+      .collect().map(_.getDouble(1))
+    assert(noNeg.forall(_ <= 0.0))
+  }
+
+  test("searchBatchFiltered: full per-request Filter DSL matches standalone filtered search") {
+    import graft.search._
+    import spark.implicits._
+    val vs = vecsById(Seq(0L, 5L))
+    // two requests with DIFFERENT multi-clause filters: one range+label
+    // must list, one must_not with a should list
+    val f1 = Filter(
+      must = Seq(RangeCond("vec_id", gte = Some(10L), lt = Some(400L)),
+        MatchAnyOf("label", Seq(1, 3, 5))))
+    val f2 = Filter(
+      should = Seq(MatchValue("label", 2), MatchValue("label", 7)),
+      mustNot = Seq(MatchAnyOf("vec_id", Seq(120L, 230L))))
+    val reqs = Seq((1L, vs(0L).toSeq, f1), (2L, vs(5L).toSeq, f2))
+    val out = QueryApis.searchBatchFiltered(emb, reqs, k = 5, metric = "cosine").cache()
+    for ((qid, qv, f) <- reqs) {
+      val standalone = graft.search.TopK.dense(
+          emb.filter(f.toColumn), Seq(qv).toDF("q"), "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = out.filter(col("q_id") === qid).orderBy(col("rnk"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch === standalone,
+        s"request $qid: batched Filter diverges from standalone filtered search")
+      assert(batch.nonEmpty, s"request $qid must keep candidates (vacuity guard)")
+    }
+    // both requests' results honor their own clauses, not each other's
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r1 = out.filter(col("q_id") === 1L).collect().map(_.getLong(1))
+    assert(r1.forall(id => id >= 10L && id < 400L && Set(1, 3, 5)(labels(id))))
+    val r2 = out.filter(col("q_id") === 2L).collect().map(_.getLong(1))
+    assert(r2.forall(id => Set(2, 7)(labels(id)) && id != 120L && id != 230L))
+    out.unpersist()
+  }
+
   test("searchBatchFiltered: per-request filters shrink candidates in one shared pass") {
     import spark.implicits._
     val vs = vecsById(Seq(0L, 5L))

@@ -667,7 +667,11 @@ class ScaleDesignSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sbf.contains("partial_topk_hits") && !sbf.contains("Window"),
       s"filtered batch search ranks via the bounded heap:\n$sbf")
-    assert(sbf.indexOf("flt") > sbf.indexOf("partial_topk_hits"),
+    // the per-request predicate is the DSL-compiled literal comparison
+    // (label = 3) dispatched on the request id, and it must evaluate
+    // below the heap aggregate — a filtered request shrinks its
+    // candidate stream instead of post-filtering ranked rows
+    assert(sbf.indexOf("label") > sbf.indexOf("partial_topk_hits"),
       s"the per-request filter must evaluate below the heap aggregate:\n$sbf")
   }
 
