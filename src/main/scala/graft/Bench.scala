@@ -27,6 +27,13 @@ object Bench {
     * elapsed across its failing attempts — the cost actually paid,
     * not a near-zero analysis-error exit.
     *
+    * Reps are PER-QUERY via `repsFor`: the noise-prone iterative
+    * families (multi-round star contraction, streaming micro-batches,
+    * checkpoint-heavy pipelines) carry min-max spreads that two passes
+    * cannot reject — the r9–r11 BENCH_NOTES drift signature — so they
+    * run extra passes (pass p runs the queries with repsFor ≥ p) while
+    * the stable bulk keeps the cheap default.
+    *
     * @return (per-query (name, min, max) over counted passes,
     *          per-query failure counts — empty when all green) */
   private[graft] def timeQueries(
@@ -34,11 +41,12 @@ object Bench {
       names: Seq[String],
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       sfDir: String,
-      reps: Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
+      repsFor: String => Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
     val ok = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val bad = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
-    (1 to reps).foreach { _ =>
-      names.foreach { n =>
+    val maxReps = names.map(repsFor).max
+    (1 to maxReps).foreach { pass =>
+      names.filter(repsFor(_) >= pass).foreach { n =>
         val t0 = System.nanoTime()
         try {
           queries(n)(spark, sfDir).count()
@@ -102,6 +110,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // the high-spread set, keyed off BENCH_DETAIL noise telemetry
+    // (r9–r11): iterative/streaming/checkpoint-heavy queries whose
+    // min-max spread repeatedly dominated cross-round drift — these
+    // run min-of-4 so one run's minimum is comparable to the next's
+    val highSpread = Set(
+      "x_dedup_clusters_star", "c2_upsert_replace", "x_dedup_clusters",
+      "x_corpus_pipeline", "s_neardup_gate", "x_embed_knn_docs")
+    val repsFor: String => Int =
+      n => if (highSpread(n)) math.max(reps, 4) else reps
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warm-up (small sf, untimed)
@@ -118,7 +135,7 @@ object Bench {
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val loadBefore = loadavg()
-    val (timed, errors) = timeQueries(spark, names, SparkEntry.queries, sfDir, reps)
+    val (timed, errors) = timeQueries(spark, names, SparkEntry.queries, sfDir, repsFor)
     val loadAfter = loadavg()
     val results = timed.map { case (n, mn, _) => n -> mn }
     // Compact JSON, printed LAST (after spark.stop()) with raw stdout

@@ -27,19 +27,125 @@ object Sink {
     * "single-writer" contract from a caller obligation into an
     * enforced property (a compact racing an upsertReplace would
     * otherwise lose the upsert's rows to the compact's stale-read
-    * swap; IngestSinkSpec drills the race). MULTI-driver writers to
-    * one collection remain out of scope, as for any non-transactional
-    * table layout — that coordination belongs to a table format /
-    * external lock service, and the crash-marker protocol still
-    * bounds the damage to a repairable state. Monitors are reentrant,
-    * so ops composing repair/heal steps self-nest safely. */
+    * swap; IngestSinkSpec drills the race). Monitors are reentrant,
+    * so ops composing repair/heal steps self-nest safely.
+    *
+    * A SECOND driver is made LOUD (not silently interleaved) by a
+    * create-exclusive lease marker beside the collection directory
+    * (`<path>.__graft_lease`, sibling so snapshot/compact file copies
+    * never capture it): the outermost lock acquisition create-excl's
+    * the marker with a holder id + TTL expiry and deletes it on
+    * release; a foreign unexpired lease refuses with the holder named,
+    * an expired one (crashed writer) is broken and taken over. This is
+    * a cheap tripwire, not a distributed lock service: create-excl is
+    * atomic on local/HDFS/ABFS semantics, best-effort on S3, and a
+    * write outliving its TTL (default 10 min,
+    * `spark.graft.lease.ttlMs`) can be broken — real multi-driver
+    * coordination still belongs to a table format / lock service, and
+    * the crash-marker protocol bounds any damage to a repairable
+    * state. */
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Reentrancy depth per path — mutated only while holding the path's
+    * monitor; the lease is taken/released at depth 0 only. */
+  private val lockDepth =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] val LeaseSuffix = ".__graft_lease"
+
+  /** This writer's identity in lease markers: stable for the JVM's
+    * lifetime, unique across drivers (pid + a random token). */
+  private val holderId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown-host" }
+    s"${java.lang.ProcessHandle.current.pid}@$host#" +
+      java.util.UUID.randomUUID.toString.take(8)
+  }
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def leaseTtlMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.lease.ttlMs").toLong).toOption)
+      .getOrElse(600000L)
+
+  /** Parse `holder expiresAtMillis`; an unreadable/corrupt marker (a
+    * writer that crashed inside create-before-write) reads as expired
+    * — breakable, never a permanent wedge. */
+  private def readLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (String, Long) =
+    try {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split(' ') match {
+        case Array(h, e) => (h, e.toLong)
+        case _ => ("corrupt", Long.MinValue)
+      }
+    } catch { case _: Throwable => ("unreadable", Long.MinValue) }
+
+  private def acquireLease(key: String): Unit = {
+    val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
+    val fs = leasePath.getFileSystem(hadoopConf)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(leasePath, false)
+        try out.write(s"$holderId ${System.currentTimeMillis + leaseTtlMs}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val (holder, expires) = readLease(fs, leasePath)
+      if (System.currentTimeMillis <= expires)
+        throw new IllegalStateException(
+          s"collection $key is write-leased by another driver " +
+            s"($holder, expires in ${expires - System.currentTimeMillis} ms) " +
+            "— refusing to interleave writes; retry after the lease " +
+            "expires or releases")
+      // expired (or corrupt) lease: its writer crashed — break it. The
+      // delete+create is not atomic; losing the re-create race to
+      // another breaker is the loud path again, never interleaving.
+      fs.delete(leasePath, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"collection $key: lost the lease takeover race — another " +
+            "driver broke the expired lease first; retry")
+    }
+  }
+
+  private def releaseLease(key: String): Unit =
+    try {
+      val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
+      val fs = leasePath.getFileSystem(hadoopConf)
+      // delete only OUR lease: if this write outlived its TTL and a
+      // second driver legitimately took over, their marker stays
+      if (readLease(fs, leasePath)._1 == holderId)
+        fs.delete(leasePath, false)
+    } catch { case _: Throwable => () } // release is best-effort
 
   private[graft] def withPathLock[T](path: String)(body: => T): T = {
     val key = new org.apache.hadoop.fs.Path(path).toString
     val lock = pathLocks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized(body)
+    lock.synchronized {
+      val depth = lockDepth.getOrDefault(key, 0)
+      if (depth == 0) acquireLease(key)
+      lockDepth.put(key, depth + 1)
+      try body
+      finally {
+        val d = lockDepth.get(key) - 1
+        if (d == 0) { lockDepth.remove(key); releaseLease(key) }
+        else lockDepth.put(key, d)
+      }
+    }
   }
 
   /** C1: create the collection directory with the given (empty) schema

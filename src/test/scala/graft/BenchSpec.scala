@@ -15,7 +15,7 @@ class BenchSpec extends SparkSpec {
 
   test("timeQueries counts failures per query and times the rest") {
     val (timed, errors) = Bench.timeQueries(spark,
-      Seq("g", "b"), Map("g" -> good, "b" -> broken), sf, reps = 2)
+      Seq("g", "b"), Map("g" -> good, "b" -> broken), sf, _ => 2)
     assert(errors === Map("b" -> 2), "every failing pass must be counted")
     val byName = timed.map(t => t._1 -> t).toMap
     assert(byName("g")._2 > 0.0, "successful query reports its min time")
@@ -27,8 +27,22 @@ class BenchSpec extends SparkSpec {
 
   test("all-green run returns an empty error map") {
     val (timed, errors) = Bench.timeQueries(spark,
-      Seq("g"), Map("g" -> good), sf, reps = 2)
+      Seq("g"), Map("g" -> good), sf, _ => 2)
     assert(errors.isEmpty)
     assert(timed.head._2 <= timed.head._3, "min over passes <= max")
+  }
+
+  test("per-query reps: a high-spread query runs its extra passes, the rest stay cheap") {
+    val counts = scala.collection.mutable.Map("hot" -> 0, "cold" -> 0)
+    def counting(name: String): (SparkSession, String) => DataFrame =
+      (s, _) => { counts(name) += 1; s.range(3).toDF("id") }
+    val (timed, errors) = Bench.timeQueries(spark,
+      Seq("hot", "cold"),
+      Map("hot" -> counting("hot"), "cold" -> counting("cold")),
+      sf, n => if (n == "hot") 4 else 2)
+    assert(errors.isEmpty)
+    assert(counts("hot") === 4, "high-spread query must run min-of-4")
+    assert(counts("cold") === 2, "stable query keeps the cheap default")
+    assert(timed.map(_._1).toSet === Set("hot", "cold"))
   }
 }

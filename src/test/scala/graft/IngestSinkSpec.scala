@@ -110,6 +110,38 @@ class IngestSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 20L)
   }
 
+  test("second-writer lease: a foreign unexpired lease refuses loudly, expired breaks") {
+    val dir = Files.createTempDirectory("graft_lease").toFile
+    val path = s"${dir.getAbsolutePath}/col"
+    val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).limit(5).cache()
+    val leaseFile = new java.io.File(path + Sink.LeaseSuffix)
+    // normal write: lease is taken and RELEASED — nothing left behind
+    assert(Sink.append(pts, path) === 5L)
+    assert(!leaseFile.exists(), "lease must release after the write")
+    // a second driver's FRESH lease (expires in the future): this
+    // driver must refuse to interleave, naming the holder — the
+    // silent-corruption path converted to a loud error
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      s"9999@other-host#deadbeef ${System.currentTimeMillis + 60000}")
+    val boom = intercept[IllegalStateException](Sink.append(pts, path))
+    assert(boom.getMessage.contains("other-host"),
+      "refusal must name the foreign holder")
+    assert(spark.read.parquet(path).count() === 5L, "no write happened")
+    // an EXPIRED foreign lease (crashed writer) is broken and taken
+    // over; the write proceeds and releases cleanly
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      s"9999@other-host#deadbeef ${System.currentTimeMillis - 1000}")
+    assert(Sink.append(pts, path) === 5L)
+    assert(!leaseFile.exists(), "broken+retaken lease must release")
+    // a corrupt marker (writer crashed mid-create) reads as expired —
+    // breakable, never a permanent wedge
+    java.nio.file.Files.writeString(leaseFile.toPath, "garbage")
+    assert(Sink.append(pts, path) === 5L)
+    assert(spark.read.parquet(path).count() === 15L)
+    pts.unpersist()
+  }
+
   test("dynamic map payload: per-row keys, element_at filter, Unknown default") {
     val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
