@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Out-of-suite scale-curve harness: times the heavy operator
+  * families at every SF fixture PLUS the [[ScaleData]]-synthesized
+  * ~10× corpus, and fits per-segment growth exponents
+  * (`ln(tᵢ₊₁/tᵢ) / ln(nᵢ₊₁/nᵢ)` on the query's primary-table row
+  * count) so the 100 TB extrapolation is a measured slope, not a
+  * plan-shape argument. An exponent ≈ 1 over the top segment means
+  * linear scaling; ≳ 1.5 is a super-linear family to root-cause.
+  *
+  * Isolated by construction: only the selected queries run (no suite
+  * interleaving), each min-of-`SPARK_GRAFT_SCALE_REPS` (default 4)
+  * back-to-back per (query, dir), smallest dirs first so the 10×
+  * corpus runs against a fully warmed JVM. The small-SF points sit on
+  * the fixed per-query floor (session + planning + task dispatch,
+  * ~0.1–0.3 s), so the LAST segment (sf0.1 → 10×) is the honest
+  * scale signal and is reported separately as `exp_top`.
+  *
+  * Output: ONE JSON line `{"metric":"scale", "rows":…, "times":…,
+  * "exps":…, "exp_top":…}` — consumed into the BENCH_NOTES
+  * scale-curve table.
+  */
+object ScaleBench {
+
+  /** The measured families (VERDICT r10–r12 task #1): near-dup pair
+    * generation (minhash bands, df-capped containment postings), the
+    * O(log n) star contraction, line dedup, IVF probe vs brute-force
+    * dense search, and streaming dedup state. Each keyed to the table
+    * whose row count drives its cost. */
+  private val DefaultQueries: Seq[(String, String)] = Seq(
+    "x_dedup_minhash" -> "documents",
+    "x_dedup_containment" -> "documents",
+    "x_dedup_clusters_star" -> "documents",
+    "x_line_dedup" -> "documents",
+    "d1_topk_dense" -> "embeddings",
+    "x_ann_ivf" -> "embeddings",
+    "s_stream_dedup" -> "events")
+
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1," +
+        "/tmp/graft_scale/x10")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val qsel = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = DefaultQueries.filter { case (n, _) => qsel.forall(_.contains(n)) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      spark.conf.set("spark.graft.stream.scratchDir",
+        s"/dev/shm/graft_scale_${java.lang.ProcessHandle.current.pid}")
+    // warm-up at the smallest fixture: JIT + codegen, untimed
+    queries.foreach { case (n, _) =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = dirs.map { d =>
+      d -> Seq("documents", "embeddings", "events").map(t =>
+        t -> spark.read.parquet(s"$d/$t.parquet").count()).toMap
+    }.toMap
+    val times = queries.map { case (name, table) =>
+      name -> dirs.map { d =>
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // progress to stderr (stdout carries only the final JSON line):
+        // long 100×-corpus stages are otherwise indistinguishable from
+        // a hang from outside the JVM
+        System.err.println(
+          s"[scalebench] $name @ $d: min=${f3(samples.min)} " +
+            s"all=${samples.map(f3).mkString(",")}")
+        d -> samples.min
+      }
+    }
+    // per-adjacent-segment exponents on the query's primary table rows
+    val exps = times.map { case (name, ts) =>
+      val table = queries.find(_._1 == name).get._2
+      val segs = ts.zip(ts.tail).map { case ((d1, t1), (d2, t2)) =>
+        math.log(t2 / t1) / math.log(
+          rows(d2)(table).toDouble / rows(d1)(table).toDouble)
+      }
+      name -> segs
+    }
+    spark.stop()
+    def obj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rowsJson = obj(dirs.map(d => d -> obj(
+      rows(d).toSeq.sortBy(_._1).map { case (t, n) => t -> n.toString })))
+    val timesJson = obj(times.map { case (n, ts) =>
+      n -> obj(ts.map { case (d, t) => d -> f3(t) }) })
+    val expsJson = obj(exps.map { case (n, segs) =>
+      n -> segs.map(e => f3(e)).mkString("[", ",", "]") })
+    val topJson = obj(exps.map { case (n, segs) => n -> f3(segs.last) })
+    println(s"""{"metric":"scale","reps":$reps,"dirs":${
+      dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    },"rows":$rowsJson,"times":$timesJson,"exps":$expsJson,"exp_top":$topJson}""")
+  }
+}

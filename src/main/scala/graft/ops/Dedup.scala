@@ -546,41 +546,72 @@ object Dedup {
     * which symmetric Jaccard structurally misses: a 40% excerpt has
     * J ≈ 0.4, below every Jaccard threshold, but C = 1.0.
     *
-    * Plan: an inverted shingle-hash postings self-join. Shingles with
-    * more than `maxDf` postings drop from BOTH sides before the join —
-    * they are boilerplate, not containment evidence, and they are the
-    * join's only skew surface (the cap bounds any hash's pair fan-out
-    * at maxDf²). The containment denominator is the CAPPED shingle
-    * count, keeping the measure consistent with its own universe. At
-    * 100 TB the postings table is a persisted index and df comes free
-    * from its maintenance stats. */
+    * Plan: PREFIX-FILTERED inverted postings (the PPJoin/All-Pairs
+    * candidate rule, Xiao et al. WWW'08 / Bayardo et al. WWW'07,
+    * adapted to asymmetric containment). Shingles with more than
+    * `maxDf` postings drop from BOTH sides first — boilerplate, not
+    * containment evidence — and the containment denominator is the
+    * CAPPED shingle count, keeping the measure consistent with its
+    * own universe. Then, instead of self-joining the FULL capped
+    * postings (whose output is Σ_h df², and the df distribution
+    * SHIFTS UP with corpus size — measured super-linear at exponent
+    * 1.42 on the r12 scale curves: 840M joined rows at 100× vs 35M at
+    * 10×), each doc probes with only its `⌊(1−t)·|A|⌋+3` RAREST
+    * shingles (global (df, h) order): if C(A→B) ≥ t then B misses at
+    * most ⌊(1−t)·|A|⌋+1 of A's shingles (the +1 absorbs the 6dp
+    * rounding slack of the ≥-t filter, the further +1 the floating
+    * floor's ulp hazard), so any that-many-plus-one probe shingles
+    * must hit B — a LOSSLESS candidate pruning, and rarest-first makes
+    * it maximally selective (a df=1 probe shingle is in no other doc
+    * and generates zero candidates, which is exactly the verdict "no
+    * B can contain A at this threshold" for docs of mostly-unique
+    * content). Survivors verify exactly against the two docs' capped
+    * shingle ARRAYS (`array_intersect` — per-candidate work, no
+    * re-join of the posting table). Candidate volume is Σ over probe
+    * postings of df(h) with df capped and probes ~(1−t) of each doc —
+    * linear in the corpus at fixed t (re-measured exponent ≤ ~1 on
+    * the same curve after this change).
+    *
+    * Document frequency stays a sort-free hash AGGREGATE on the one
+    * explicit h-shuffle of the posting table (ReuseExchange dedupes
+    * the subtree across the df aggregate, the cap join, and the
+    * candidate probe — the r9 window formulation sorted the posting
+    * table once per side, plan-asserted gone). */
   def containmentPairs(
       corpus: DataFrame,
       containMin: Double = 0.9,
       maxDf: Long = 64L): DataFrame = {
-    // ONE explicit h-shuffle of the posting table, reused by every
-    // consumer (ReuseExchange dedupes the identical subtree): the df
-    // aggregate, the join back, and both self-join sides all read the
-    // same computed+shuffled postings. Document frequency is a hash
-    // AGGREGATE joined on the same key, not a window — the window's
-    // per-partition SORT of the full posting table ran once per
-    // self-join side (plan-verified), the dominant wasted work at
-    // corpus scale; the aggregate is sort-free.
     val posts = withShingleHashes(corpus)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .repartition(col("h"))
     val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val rare = posts
       .join(dfs.filter(col("df") <= maxDf), Seq("h"))
-      .select(col("doc_id"), col("h"))
-    val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("sz_a"))
-    val inter = rare.select(col("h"), col("doc_id").as("id_a"))
+      .select(col("doc_id"), col("h"), col("df"))
+    // per-doc capped shingle set, rarest-first ((df, h) struct sort —
+    // deterministic; correctness needs only SOME fixed probe subset)
+    val shSets = rare.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val plen = least(size(col("sh")),
+      (floor(lit(1.0 - containMin) * size(col("sh"))) + lit(3L)).cast("int"))
+    val probe = shSets.select(col("doc_id").as("id_a"),
+      explode(transform(slice(col("sh"), lit(1), plen),
+        s => s.getField("h"))).as("h"))
+    val cands = probe
       .join(rare.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).cast("double").as("inter"))
-    inter.join(sz.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val setsA = shSets.select(col("doc_id").as("id_a"),
+      transform(col("sh"), s => s.getField("h")).as("set_a"),
+      size(col("sh")).cast("double").as("sz_a"))
+    val setsB = shSets.select(col("doc_id").as("id_b"),
+      transform(col("sh"), s => s.getField("h")).as("set_b"))
+    cands
+      .join(setsA, Seq("id_a"))
+      .join(setsB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter") / col("sz_a"), 6).as("containment"))
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+          / col("sz_a"), 6).as("containment"))
       .filter(col("containment") >= containMin)
   }
 
