@@ -679,7 +679,13 @@ class VectorCollection private (
     val centCols = trained.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
     val idx = pts.select(col("*"),
       graft.ops.Similarity.ivfClusterId(col("embedding"), centCols).as("cluster_id"))
-    idx.write.mode("overwrite").partitionBy("cluster_id").parquet(ivfPath)
+    // range-cluster before the partitioned write (the fixture-index
+    // rationale, ops/Similarity.ivfIndexPath): a bare partitionBy
+    // fragments each cluster into one file per input task, and probes
+    // pay listing+open per fragment; one build-time range shuffle
+    // yields ≤ shuffle.partitions sized files, cluster-contiguous
+    idx.repartitionByRange(col("cluster_id"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(ivfPath)
     val sidecar = trained
       .map { case (id, v) => s"$id,${v.mkString(",")}" }
       .mkString("\n")

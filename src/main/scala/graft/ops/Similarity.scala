@@ -233,7 +233,17 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath + "/col"
-      ivfAssign(e, cents).write.partitionBy("cluster_id").parquet(path)
+      // range-cluster the assignment before the partitioned write: a
+      // bare partitionBy writes one file per (input task × cluster) —
+      // K tiny files per scan task, and every probe then pays file
+      // listing + open per fragment (measured as the dominant probe
+      // cost at the 100× scale corpus). The range shuffle is one
+      // build-time pass that yields ≤ shuffle.partitions sized files,
+      // each holding ONE cluster's contiguous id range — probes read
+      // a handful of files whatever the corpus size.
+      ivfAssign(e, cents)
+        .repartitionByRange(col("cluster_id"), col("vec_id"))
+        .write.partitionBy("cluster_id").parquet(path)
       path
     })
   }
@@ -356,11 +366,14 @@ object Similarity {
   private def fixtureQuerySetup(
       s: SparkSession, dir: String): (Seq[(Long, Array[Float])], Array[Float]) = {
     val e = t(s, dir, "embeddings")
+    // ONE pushed scan serves both constants: the centroid set
+    // (vec_id < 8) contains point 0, whose stored vector is the
+    // fixture query — the second corpus scan this setup used to pay
+    // per ANN query was pure overhead
     val cents = e.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(r.fieldIndex("vec_id")),
         r.getSeq[Float](r.fieldIndex("embedding")).toArray)).toSeq
-    val q = e.filter(col("vec_id") === 0).head
-    (cents, q.getSeq[Float](q.fieldIndex("embedding")).toArray)
+    (cents, cents.find(_._1 == 0L).get._2)
   }
 
   // -- query/oracle registry ---------------------------------------

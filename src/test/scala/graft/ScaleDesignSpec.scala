@@ -61,6 +61,16 @@ class ScaleDesignSpec extends SparkSpec {
       s"IVF probe must prune on cluster_id partitions:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"IVF top-k must plan as TakeOrderedAndProject:\n$plan")
+    // file-count bound: the build's range shuffle keeps the index at
+    // ≤ shuffle.partitions + nClusters files TOTAL (a bare partitionBy
+    // writes input-tasks × clusters fragments, and probes pay
+    // listing+open per fragment — the r12 100×-corpus finding)
+    val idxDir = Similarity.ivfIndexPath(spark, sf)
+    val nFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val bound = spark.conf.get("spark.sql.shuffle.partitions").toInt + 8
+    assert(nFiles <= bound,
+      s"IVF index fragmented into $nFiles files (bound $bound)")
   }
 
   test("AQE is available for runtime re-planning") {
