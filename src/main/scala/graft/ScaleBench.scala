@@ -33,10 +33,35 @@ object ScaleBench {
     "x_dedup_minhash" -> "documents",
     "x_dedup_containment" -> "documents",
     "x_dedup_clusters_star" -> "documents",
+    "x_dedup_clusters" -> "documents",
+    "x_dedup_pagerank" -> "documents",
+    "x_dedup_ngram" -> "documents",
+    "x_dedup_simhash" -> "documents",
+    "x_substring_dedup" -> "documents",
     "x_line_dedup" -> "documents",
+    "x_bm25_topk" -> "documents",
     "d1_topk_dense" -> "embeddings",
     "x_ann_ivf" -> "embeddings",
-    "s_stream_dedup" -> "events")
+    "x_dedup_embedding_lsh" -> "embeddings",
+    "x_knn_join_lsh" -> "embeddings",
+    "s_stream_dedup" -> "events",
+    "s_neardup_gate" -> "documents",
+    "x_dedup_simhash64" -> "documents",
+    "x_dedup_embedding_lsh_auto" -> "embeddings")
+
+  /** Scale-path variants that are not suite queries (the suite pins
+    * their narrow-parameter twins for oracle stability) but whose
+    * growth curves are exactly what the at-scale story claims — run
+    * here under the same timing discipline. */
+  private val ExtraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "x_dedup_simhash64" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs64(
+        graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
+    "x_dedup_embedding_lsh_auto" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))))
+
+  private def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    SparkEntry.queries.getOrElse(name, ExtraProbes(name))
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
@@ -63,7 +88,7 @@ object ScaleBench {
         s"/dev/shm/graft_scale_${java.lang.ProcessHandle.current.pid}")
     // warm-up at the smallest fixture: JIT + codegen, untimed
     queries.foreach { case (n, _) =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try queryFn(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -71,13 +96,18 @@ object ScaleBench {
       d -> Seq("documents", "embeddings", "events").map(t =>
         t -> spark.read.parquet(s"$d/$t.parquet").count()).toMap
     }.toMap
+    // a rep that blows past the cap is itself the finding (a
+    // super-linear family under investigation) — take what we have
+    // rather than spend 4× the runaway time on a min that won't move
+    val repCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REP_CAP", "120").toDouble
     val times = queries.map { case (name, table) =>
       name -> dirs.map { d =>
-        val samples = (1 to reps).map { _ =>
+        val samples = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, d).count()
+          queryFn(name)(spark, d).count()
           (System.nanoTime() - t0) / 1e9
-        }
+        }.scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
+          .find(s => s.last > repCap || s.size == reps).get
         // progress to stderr (stdout carries only the final JSON line):
         // long 100×-corpus stages are otherwise indistinguishable from
         // a hang from outside the JVM

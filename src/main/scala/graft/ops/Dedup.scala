@@ -499,6 +499,62 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit SimHash — the documented scale twin of [[simhash]],
+    * realized after the r12 scale curves measured the 32-bit variant
+    * at exponent 1.38 (154 s at the 100× corpus). Two failure modes,
+    * both width-inherent: 4×8-bit chunks give 1024 buckets total, so
+    * bucket population (and with it the candidate join) grows
+    * quadratically; and the OUTPUT itself goes quadratic — random
+    * 32-bit fingerprints land within hamming ≤ 3 with probability
+    * ≈ 5489/2³² ≈ 1.3e−6, which at 500k docs is ~10⁵ false pairs
+    * (Manku et al., WWW'07 use 64-bit fingerprints for exactly this
+    * reason; at 64 bits the same probability is ~2e−15 — zero false
+    * pairs at any realistic corpus). Built from two independent
+    * 31-bit poly-hash Simhash halves (mults 131/137) — bits 31 and 63
+    * are structurally zero, leaving 62 informative bits; no new
+    * expression, both halves reuse the audited native. */
+  def simhash64(text: Column): Column = {
+    val P31 = 2147483647L
+    def half(mult: Long): Column = Kernels.ofExpr(graft.vector.SimhashBits(
+      graft.vector.PolyTokenHashes(Kernels.exprOf(text), mult, P31)))
+    half(131L).bitwiseOR(shiftleft(half(137L), 32))
+  }
+
+  /** [[simhashPairs]] on the 64-bit fingerprint with 4×16-bit chunks
+    * (32768 usable values each after the two structurally-zero bits)
+    * — pigeonhole-complete for hamming ≤ 3 like the 32-bit plan, same
+    * bucket-join shape, 64× the bucket space. The suite keeps the
+    * 32-bit query pinned for oracle stability; this is the variant a
+    * corpus-scale deployment runs (measured on the r12 curves where
+    * the 32-bit one is super-linear).
+    *
+    * Threshold semantics, measured honestly: with UNWEIGHTED ±1 token
+    * votes, near-dup hamming scales with fingerprint width (the r12
+    * fixture's 3-token-edit dups sit at hamming 0–8 on 32 bits but
+    * 1–14 on 64), so hamming ≤ 3 at 64 bits is a STRICTER near-dup
+    * test — verbatim and near-verbatim copies, fewer tiny-edit
+    * catches on SHORT docs (long docs concentrate margins; Manku et
+    * al.'s production variant adds tf-idf feature weighting for the
+    * same reason). That strictness is what corpus-scale dedup wants
+    * from simhash — tiny-edit recall on short text is the MinHash
+    * family's job ([[minhashPairs]], already linear). */
+  def simhashPairs64(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = corpus.withColumn("fp", simhash64(col("text")))
+    val chunkArr = array((0 until 4).map(j =>
+      shiftright(col("fp"), j * 16).bitwiseAND(lit(65535L))): _*)
+    val chunks = fp.select(col("doc_id"), col("fp"), posexplode(chunkArr))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+      .repartition(col("ci"), col("cv"))
+    val a = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def duckSimhashPairs(maxHamming: Int = 3): String =
     s"""WITH corpus AS ($duckCorpusWithDups),
        |fps AS (SELECT doc_id, ${duckSimhash("text")} AS fp FROM corpus),
@@ -513,16 +569,49 @@ object Dedup {
   // -- n-gram Jaccard (blocked) ------------------------------------
 
   /** Blocked n-gram Jaccard: candidate pairs share a length-band block
-    * (cheap blocking for the oracle-checked variant; MinHash is the
-    * scale path), verified with exact 3-gram Jaccard. */
+    * AND (since r12) at least one of the probe doc's rarest shingles,
+    * verified with exact 3-gram Jaccard.
+    *
+    * The r12 scale curves measured the block-only join at exponent
+    * 2.04 (588 s at the 100× corpus): block population grows linearly
+    * with the corpus, so all-pairs-within-block is quadratic — and the
+    * join dragged both full shingle ARRAYS through the shuffle for
+    * every in-block pair it would immediately reject. The added
+    * prefix filter is LOSSLESS (same pigeonhole as
+    * [[containmentPairs]]): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·|A|, so
+    * B misses at most ⌊(1−t)·|A|⌋+1 of A's shingles (+1 for the 6dp
+    * rounding slack of the ≥-t filter, a further +1 for the float
+    * floor) — any ⌊(1−t)·|A|⌋+3 probe shingles of A must hit B.
+    * Candidates join on (blk, h), so the block semantics are exactly
+    * the oracle's; unrelated same-length docs (the quadratic mass)
+    * almost never share a rare shingle and drop before any array
+    * moves. Output pairs identical — the oracle is untouched. */
   def ngramJaccardPairs(corpus: DataFrame, jaccardMin: Double = 0.5): DataFrame = {
     val sh = withShingleHashes(corpus)
       .withColumn("blk", (length(col("text")) / 16).cast("long"))
-      .repartition(col("blk"))
-    val a = sh.select(col("blk"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
-    val b = sh.select(col("blk"), col("doc_id").as("id_b"), col("hs").as("hs_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+    val posts = sh.select(col("doc_id"), col("blk"), explode(col("hs")).as("h"))
+      .repartition(col("h"))
+    val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val probeSets = posts.join(dfs, Seq("h"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
+    val plen = least(size(col("sh")),
+      (floor(lit(1.0 - jaccardMin) * size(col("sh"))) + lit(3L)).cast("int"))
+    val probe = probeSets.select(col("doc_id").as("id_p"), col("blk"),
+      explode(transform(slice(col("sh"), lit(1), plen),
+        s => s.getField("h"))).as("h"))
+    // either orientation's probe hitting suffices; canonicalize to
+    // id_a < id_b before the dedup so a pair found both ways is one row
+    val cands = probe
+      .join(posts.select(col("blk"), col("h"), col("doc_id").as("id_f")),
+        Seq("blk", "h"))
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
@@ -808,16 +897,35 @@ object Dedup {
       emb: DataFrame,
       simMin: Double = 0.9,
       bands: Int = 10,
-      planesPerBand: Int = 5): DataFrame = {
+      planesPerBand: Int = 5,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val corpus = embCorpusWithDups(emb, withLabel = false)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     // (band, bval, vec_id) — the narrow exploded candidate key; the
     // embedding stays behind in `vecs` so the bucket shuffle moves ids,
     // not 64-float payloads (same shape as minhashPairs)
-    val bandTable = corpus.select(col("vec_id"),
+    val rawBands = corpus.select(col("vec_id"),
         posexplode(Similarity.bandedBuckets(col("embedding"), bands, planesPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
       .repartition(col("band"), col("bval"))
+    // optional hot-bucket cap, the minhashPairs maxBucket lever: a
+    // bucket of b members contributes b² candidate rows, and a DENSE
+    // EMBEDDING CLUSTER (all mutually similar, all sharing buckets in
+    // many bands at once) makes that quadratic in the cluster size —
+    // the r12 100×-corpus run spilled 76 GB of candidate shuffle and
+    // died on it. Dropping oversized buckets bounds per-bucket work at
+    // maxBucket²; pairs inside a dense cluster are still found through
+    // any of its UNSATURATED bands, and cluster-shaped mass belongs to
+    // SemDeDup/clustering, not a pair list (x_semdedup). Default ∞
+    // keeps the pinned fixture query's plan byte-identical.
+    val bandTable =
+      if (maxBucket == Long.MaxValue) rawBands
+      else {
+        val sizes = rawBands.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("_n"))
+        rawBands.join(sizes.filter(col("_n") <= maxBucket), Seq("band", "bval"))
+          .select(col("vec_id"), col("band"), col("bval"))
+      }
     // candidate ids duplicated across colliding bands — distinct the
     // narrow (id_a, id_b) pairs BEFORE fetching vectors. Measured at
     // sf0.1 the raw candidate stream is 2.6× the distinct set (1.65M
@@ -836,6 +944,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Kernels.cosine(col("v_a"), col("v_b")), 6).as("sim"))
       .filter(col("sim") >= simMin)
+  }
+
+  /** Corpus-size-aware banding for [[embeddingPairsLsh]]: planes per
+    * band from the corpus count, bands from the sign-LSH S-curve.
+    *
+    * The fixture's pinned (bands=10, planes=5) has a 10×32 = 320-value
+    * bucket space — population n/2^planes grows linearly with the
+    * corpus and the bucket self-join quadratically (measured exponent
+    * 1.95 on the r12 curves: 118 s at the 10× corpus). The knob is
+    * planes (the [[simhashPairs64]] chunk-width lever): holding bucket
+    * population ≈ constant needs planes ≈ log₂(n) − log₂(target), and
+    * recall at `simMin` is then restored by bands via the sign-LSH
+    * per-band collision probability q = (1 − arccos(s)/π)^planes —
+    * bands = ⌈ln(1−recall)/ln(1−q)⌉ (1 − (1−q)^b ≥ recall). Returns
+    * (bands, planes) so callers can log the sizing; the one extra
+    * count() job is index-build-time cost, not per-query. */
+  def lshAutoParams(
+      n: Long, simMin: Double,
+      targetBucket: Long = 64L, targetRecall: Double = 0.95): (Int, Int) = {
+    require(n > 0 && simMin > 0 && simMin < 1 && targetRecall > 0 && targetRecall < 1)
+    val planes = math.min(24, math.max(5,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+    val q = math.pow(1.0 - math.acos(simMin) / math.Pi, planes.toDouble)
+    val bands = math.min(64, math.max(2,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - q)).toInt))
+    (bands, planes)
+  }
+
+  /** [[embeddingPairsLsh]] with [[lshAutoParams]] sizing and the
+    * hot-bucket cap engaged (8× the target population) — the
+    * corpus-scale entry point (the pinned-parameter query stays for
+    * oracle stability; measured on the r12 curves). With the cap,
+    * candidate volume is bounded by bands · maxBucket · n — O(n log n)
+    * overall, since bands grows with planes ≈ log₂ n. */
+  def embeddingPairsLshAuto(
+      emb: DataFrame, simMin: Double = 0.9,
+      targetBucket: Long = 64L): DataFrame = {
+    val (bands, planes) = lshAutoParams(emb.count(), simMin, targetBucket)
+    embeddingPairsLsh(emb, simMin, bands, planes, maxBucket = targetBucket * 8)
   }
 
   def duckEmbeddingPairsLsh(

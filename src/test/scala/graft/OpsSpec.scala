@@ -1019,6 +1019,88 @@ class OpsSpec extends SparkSpec {
     assert(res === Map("ab" -> 3L, "bc" -> 1L))
   }
 
+  test("simhash64: exact dups at hamming 0, strictness and false-pair bounds vs 32-bit") {
+    import spark.implicits._
+    // EXACT duplicates are width-invariant (hamming 0) — the class the
+    // 64-bit fingerprint must always catch
+    val exactDups = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(exactDups)
+    val pairs64 = Dedup.simhashPairs64(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0)).toSet
+    val exactFound = planted.filter(id =>
+      pairs64.exists(p => p._1 == id && p._2 == id + 7000000L && p._3 == 0))
+    assert(exactFound.size === planted.size,
+      s"${exactFound.size} of ${planted.size} exact dups at hamming 0")
+    // unweighted near-dup hamming SCALES with width (measured: the
+    // 3-token-edit dups sit at 0-8 on 32 bits, 1-14 on 64), so 64@3 is
+    // the STRICTER test: it must find a subset-sized tiny-edit catch,
+    // and never more total pairs than 32-bit (whose random-collision
+    // rate is ~1.3e-6/pair — the quadratic-junk lever width fixes)
+    val perturbed = Dedup.corpusWithDups(docs)
+    val n64 = Dedup.simhashPairs64(perturbed).count()
+    val n32 = Dedup.simhashPairs(perturbed).count()
+    assert(n64 <= n32,
+      s"64-bit ($n64 pairs) must not out-pair 32-bit ($n32) at equal hamming")
+  }
+
+  test("lshAutoParams: planes track corpus size, true-pair recall tracks the pinned banding") {
+    // planes grow with log2(n) so bucket population stays ~targetBucket
+    val (b1, p1) = Dedup.lshAutoParams(2000L, 0.9)
+    val (b2, p2) = Dedup.lshAutoParams(200000L, 0.9)
+    val (b3, p3) = Dedup.lshAutoParams(20000000L, 0.9)
+    assert(p1 < p2 && p2 < p3, s"planes must grow: $p1, $p2, $p3")
+    assert(p2 - p1 >= 6 && p2 - p1 <= 7, "100x corpus adds ~log2(100) planes")
+    // the S-curve keeps >= 0.95 nominal recall at simMin for every sizing
+    for ((b, p) <- Seq((b1, p1), (b2, p2), (b3, p3))) {
+      val q = math.pow(1.0 - math.acos(0.9) / math.Pi, p.toDouble)
+      assert(1.0 - math.pow(1.0 - q, b.toDouble) >= 0.95,
+        s"banding ($b, $p) misses the recall target")
+    }
+    // end-to-end against the right denominator: only planted dups whose
+    // VERIFIED cosine clears simMin are true pairs (the fixture's
+    // planted cosines span 0.77-0.97 — below-threshold plants are not
+    // recall misses). The auto sizing must find >= 4/5 of what the
+    // pinned (10, 5) banding finds — both verify exactly, so any gap
+    // is candidate recall alone.
+    val emb = t(spark, sf, "embeddings")
+    val pinned = Dedup.embeddingPairsLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.embeddingPairsLshAuto(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinned.nonEmpty, "fixture must surface true pairs (vacuity guard)")
+    assert((auto & pinned).size * 5 >= pinned.size * 4,
+      s"auto found ${(auto & pinned).size} of ${pinned.size} pinned-banding pairs")
+  }
+
+  test("ngram jaccard: prefix-filtered candidates lose no pair vs the naive block join") {
+    import graft.vector.Kernels
+    // the naive formulation the r12 prefix filter replaced (quadratic
+    // in block population — kept here as the brute-force truth)
+    val corpus = Dedup.corpusWithDups(docs.limit(400))
+    val fast = Dedup.ngramJaccardPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: all same-block pairs, exact jaccard — on a bounded
+    // corpus slice so the quadratic join stays cheap in the suite
+    val blocked = corpus.select(col("doc_id"), col("text"),
+      (length(col("text")) / 16).cast("long").as("blk"))
+    val withHs = blocked.withColumn("hs", Dedup.shingleHashes(col("text")))
+    val naive = withHs.select(col("blk"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
+      .join(withHs.select(col("blk"), col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Kernels.ofExpr(graft.vector.JaccardSorted(
+          Kernels.exprOf(col("hs_a")), Kernels.exprOf(col("hs_b")))), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === naive,
+      "prefix filtering must be lossless: same pairs, same scores")
+    assert(naive.nonEmpty, "fixture must plant same-block near-dups (vacuity guard)")
+  }
+
   test("containment pairs: excerpt flags inside its source asymmetrically; census non-vacuous") {
     import spark.implicits._
     val corpus = Seq(
