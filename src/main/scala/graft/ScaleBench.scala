@@ -47,7 +47,10 @@ object ScaleBench {
     "s_stream_dedup" -> "events",
     "s_neardup_gate" -> "documents",
     "x_dedup_simhash64" -> "documents",
-    "x_dedup_embedding_lsh_auto" -> "embeddings")
+    "x_dedup_embedding_lsh_auto" -> "embeddings",
+    "x_dedup_exact" -> "documents",
+    "x_semdedup" -> "embeddings",
+    "s_stream_join" -> "events")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose

@@ -49,7 +49,7 @@ object Streams {
       val codec = graft.Tables.tsCodec(raw.schema)
       val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
       val dir = scratchDir(spark, "graft_stream_src")
-      Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+      linkEventsInto(dir, src)
       writeSingleFile(spark, sentinelRow(spark, codec, maxUs, sentinelGapHours),
         dir.resolve("01_sentinel.parquet").toString)
       (dir.toString, raw.schema)
@@ -120,6 +120,37 @@ object Streams {
         Files.createTempDirectory(Files.createDirectories(Paths.get(base)), prefix)
       case None => Files.createTempDirectory(prefix)
     }
+  }
+
+  /** Stage an events fixture into a stream source dir as symlinks,
+    * sorted FIRST in file order (prefix `00_`). The fixture path may
+    * be a single parquet FILE (the driver-generated testdata shape) or
+    * a DIRECTORY of part files (the shape of anything Spark itself
+    * wrote — every engine collection, and the synthesized scale
+    * corpora): Spark's FileStreamSource lists FILES and silently skips
+    * a symlinked subdirectory, so the directory case must link each
+    * part file individually — the r12 scale sweep caught the
+    * single-file assumption reading ZERO rows from a 10M-event
+    * directory corpus (a vacuously-fast "measurement" and an
+    * empty-sink crash, never a wrong row). */
+  private def linkEventsInto(
+      dir: java.nio.file.Path, src: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(src)) {
+      val stream = Files.list(src)
+      val parts =
+        try {
+          val b = Seq.newBuilder[java.nio.file.Path]
+          stream.forEach(p =>
+            if (p.getFileName.toString.endsWith(".parquet")) b += p)
+          b.result().sortBy(_.getFileName.toString)
+        } finally stream.close()
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.createSymbolicLink(
+          dir.resolve(f"00_${i}%04d_events.parquet"), p)
+      }
+    } else Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
   }
 
   /** Per-batch progress of the MOST RECENT [[runToParquet]] run on this
@@ -396,7 +427,7 @@ object Streams {
       val codec = graft.Tables.tsCodec(raw.schema)
       val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
       val dir = scratchDir(spark, "graft_stream_dedup_src")
-      Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+      linkEventsInto(dir, src)
       writeSingleFile(spark,
         raw.filter(codec.toMicros >= maxUs - 3600L * 1000000L),
         dir.resolve("01_dups.parquet").toString)
@@ -441,7 +472,7 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
     val dir = scratchDir(spark, "graft_stream_join_src")
-    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    linkEventsInto(dir, src)
     streamStreamJoinFrom(spark, dir.toString,
       spark.read.parquet(src.toString).schema, None)
   }
@@ -512,7 +543,7 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
     val dir = scratchDir(spark, "graft_stream_enrich_src")
-    Files.createSymbolicLink(dir.resolve("00_events.parquet"), src)
+    linkEventsInto(dir, src)
     streamStaticEnrichFrom(spark, dir.toString,
       spark.read.parquet(src.toString).schema, sfDir, None)
   }
