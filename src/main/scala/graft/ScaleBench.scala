@@ -50,7 +50,13 @@ object ScaleBench {
     "x_dedup_embedding_lsh_auto" -> "embeddings",
     "x_dedup_exact" -> "documents",
     "x_semdedup" -> "embeddings",
-    "s_stream_join" -> "events")
+    "s_stream_join" -> "events",
+    "x_dedup_embedding" -> "embeddings",
+    "x_bpe_encode" -> "documents",
+    "x_kn_logprob" -> "documents",
+    "x_winnow" -> "documents",
+    "x_boilerplate" -> "documents",
+    "x_lang_id" -> "documents")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose

@@ -862,7 +862,19 @@ object Dedup {
   /** Embedding-space near-dup: perturbed copies of every 20th vector
     * (last component replaced) joined back through a label block, kept
     * at cosine ≥ simMin. Label plays the coarse ANN bucket; the scale
-    * path swaps in the LSH sign-sketch (Similarity.signBucket). */
+    * path swaps in the LSH sign-sketch (Similarity.signBucket).
+    *
+    * Scale verdict (r12 curves, measured): exponent 1.80 — quadratic
+    * BY DESIGN, and inherently so: this is the EXACT all-pairs truth
+    * path (the recall denominator of x_dedup_lsh_recall), block
+    * population grows linearly under a fixed label alphabet, and
+    * exact cosine-threshold pair enumeration in 64-d has no lossless
+    * subquadratic algorithm — triangle-inequality/cluster pruning is
+    * vacuous on spread high-dimensional data (cluster radii ≈ √2 on
+    * near-orthogonal directions swallow any distance bound; the same
+    * reason FAISS/ScaNN are approximate). Corpus-scale callers use
+    * [[embeddingPairsLshAuto]] (measured exponent 1.07) and keep this
+    * as the sampled/audit truth. */
   def embeddingPairs(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
     val corpus = embCorpusWithDups(emb, withLabel = true)
       // shuffle once on the block key; both join sides reuse the exchange
