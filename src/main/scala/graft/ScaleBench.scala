@@ -56,7 +56,16 @@ object ScaleBench {
     "x_kn_logprob" -> "documents",
     "x_winnow" -> "documents",
     "x_boilerplate" -> "documents",
-    "x_lang_id" -> "documents")
+    "x_lang_id" -> "documents",
+    "r_q1_pricing" -> "lineitem",
+    "r_q3_top_orders" -> "lineitem",
+    "r_q5_region_revenue" -> "lineitem",
+    "r_q6_forecast" -> "lineitem",
+    "r_big_orders" -> "lineitem",
+    "r_window_range" -> "orders",
+    "r_range_join" -> "events",
+    "r_asof_join" -> "events",
+    "r_gaps_islands" -> "events")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -101,8 +110,9 @@ object ScaleBench {
       catch { case _: Throwable => () }
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val tables = queries.map(_._2).distinct
     val rows = dirs.map { d =>
-      d -> Seq("documents", "embeddings", "events").map(t =>
+      d -> tables.map(t =>
         t -> spark.read.parquet(s"$d/$t.parquet").count()).toMap
     }.toMap
     // a rep that blows past the cap is itself the finding (a

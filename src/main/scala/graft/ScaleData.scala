@@ -107,6 +107,18 @@ object ScaleData {
       (col("user_id") + lit(c * 10000000L)).as("user_id"),
       col("event_type"), col("value"), col("props"))
 
+  /** TPC-H copy c: every surrogate key shifts by c·1e7 IN LOCKSTEP
+    * across fact and dimension (an order's lineitems, customer, part,
+    * and supplier all land in the same copy — referential integrity
+    * per copy), while nation/region stay the fixed shared alphabet,
+    * exactly TPC-H's own scaling rule (dates/amounts untouched: 10×
+    * rows in the same date range = density growth, like events). */
+  private[graft] def tpchCopy(keys: Seq[String])(df: DataFrame, c: Int): DataFrame =
+    df.select(df.columns.map { name =>
+      if (keys.contains(name)) (col(name) + lit(c * 10000000L)).as(name)
+      else col(name)
+    }: _*)
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale/x10")
@@ -133,7 +145,22 @@ object ScaleData {
     val nd = build("documents", docsCopy, math.max(4, copies * 8 / 10))
     val ne = build("embeddings", embCopy, math.max(2, copies * 4 / 10))
     val nv = build("events", eventsCopy, math.max(8, copies * 16 / 10))
+    val nl = build("lineitem",
+      tpchCopy(Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      math.max(8, copies * 16 / 10))
+    val no = build("orders", tpchCopy(Seq("o_orderkey", "o_custkey")),
+      math.max(4, copies * 8 / 10))
+    val nc = build("customer", tpchCopy(Seq("c_custkey")),
+      math.max(2, copies * 4 / 10))
+    val np = build("part", tpchCopy(Seq("p_partkey")),
+      math.max(2, copies * 4 / 10))
+    val ns = build("supplier", tpchCopy(Seq("s_suppkey")), 2)
+    // fixed shared alphabets — copied once, never scaled (TPC-H's rule)
+    Seq("nation", "region").foreach { name =>
+      Tables.t(spark, src, name).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
     spark.stop()
-    println(s"""{"out":"$out","copies":$copies,"documents":$nd,"embeddings":$ne,"events":$nv}""")
+    println(s"""{"out":"$out","copies":$copies,"documents":$nd,"embeddings":$ne,"events":$nv,"lineitem":$nl,"orders":$no,"customer":$nc,"part":$np,"supplier":$ns}""")
   }
 }
