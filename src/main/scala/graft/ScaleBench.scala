@@ -65,7 +65,13 @@ object ScaleBench {
     "r_window_range" -> "orders",
     "r_range_join" -> "events",
     "r_asof_join" -> "events",
-    "r_gaps_islands" -> "events")
+    "r_gaps_islands" -> "events",
+    "x_corpus_pipeline" -> "documents",
+    "x_dedup_incremental" -> "documents",
+    "x_sparse_topk" -> "documents",
+    "x_hybrid_rrf" -> "documents",
+    "x_quant_rerank" -> "embeddings",
+    "x_multistage_rescore" -> "embeddings")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
