@@ -44,7 +44,9 @@ object Bench {
       repsFor: String => Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
     val ok = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val bad = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
-    val maxReps = names.map(repsFor).max
+    // maxOption: an empty selection (SPARK_GRAFT_ONLY matching nothing)
+    // degrades to an empty result, not an UnsupportedOperationException
+    val maxReps = names.map(repsFor).maxOption.getOrElse(0)
     (1 to maxReps).foreach { pass =>
       names.filter(repsFor(_) >= pass).foreach { n =>
         val t0 = System.nanoTime()

@@ -78,10 +78,16 @@ object ScaleData {
       col("lang"), col("source"), col("n_chars"))
   }
 
-  /** embeddings copy c: dimensions cyclically rotated by c·7, with a
-    * reversal composed in for every second 64-copy block so transforms
-    * stay distinct past dim copies (norm preserved throughout,
-    * direction ~orthogonal to the original); ids shifted. */
+  /** embeddings copy c: dimensions cyclically rotated by c·7, then
+    * per-copy deterministic SIGN FLIPS keyed on (copy, dim index) via
+    * murmur3 — each copy is a rigid transform (norms and every
+    * intra-copy pairwise similarity preserved EXACTLY, so the planted
+    * dup structure carries over), and with 2^dim sign patterns the
+    * transforms stay distinct for any realistic copy count. Rotation
+    * alone has only `dim` variants — the r12 advisor caught copy 128
+    * as an exact content duplicate of copy 0 at dim 64 (worse at
+    * smaller dims), reintroducing the duplicate-banding pathology this
+    * synthesizer exists to avoid. */
   private[graft] def embCopy(emb: DataFrame, c: Int): DataFrame = {
     val dim = size(col("embedding"))
     val shift = lit(c * 7) % dim
@@ -91,7 +97,8 @@ object ScaleData {
         val r = concat(
           slice(col("embedding"), shift + 1, dim - shift),
           slice(col("embedding"), lit(1), shift))
-        if ((c / 64) % 2 == 1) reverse(r) else r
+        transform(r, (x, i) =>
+          when(pmod(hash(lit(c), i), lit(2)) === 1, -x).otherwise(x))
       }
     emb.select(
       (col("vec_id") + lit(c * 10000000L)).as("vec_id"),

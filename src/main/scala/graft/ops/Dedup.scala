@@ -468,19 +468,27 @@ object Dedup {
       s"THEN (2.0 ** j)::BIGINT ELSE 0 END), (a, b) -> a + b)"
   }
 
-  /** SimHash near-dup pairs: 4×8-bit chunk index (pigeonhole: any pair
-    * within hamming ≤ 3 shares an identical chunk; we verify with a
-    * wider hamming ≤ maxHamming cut), bucket-join on (chunk, value).
-    *
-    * Scale knob: the CHUNK WIDTH, not a bucket cap. 4×8-bit chunks
-    * give only 1024 buckets — at corpus scale every bucket is hot by
-    * construction, so the 100 TB deployment widens the fingerprint to
-    * 64 bits and the chunks to 16 bits (4×65536 buckets, still
-    * pigeonhole-complete for hamming ≤ 3) — same plan, wider key.
-    * That is the same lever as [[embeddingPairsLsh]]'s planesPerBand;
-    * [[minhashPairs]]' maxBucket cap is the complementary guard for
-    * ADVERSARIALLY hot buckets in an otherwise high-cardinality key. */
-  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs — the public name DELEGATES to the 64-bit
+    * implementation ([[simhashPairs64]], measured exponent 0.44): the
+    * operator a user reaches for by name must be the one that survives
+    * a corpus, not the 32-bit variant whose random-collision rate
+    * (~1.3e-6/pair) makes its OUTPUT quadratic at scale. The 32-bit
+    * form survives as [[simhashPairs32Oracle]] for the frozen suite
+    * query only (r12 verdict, What's wrong #3). */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairs64(corpus, maxHamming)
+
+  /** LEGACY 32-bit SimHash pairs, oracle-pinned: kept solely because
+    * the frozen suite query `x_dedup_simhash` hashes against the
+    * 32-bit DuckDB oracle ([[duckSimhashPairs]]) and the suite does
+    * not change (r11 verdict). Not a corpus-scale operator — 4×8-bit
+    * chunks give 1024 buckets total (every bucket hot by construction;
+    * measured exponent 1.38) and the 32-bit fingerprint's collision
+    * rate produces quadratic junk output at corpus row counts. New
+    * callers use [[simhashPairs]], which is the 64-bit plan with
+    * 4×16-bit chunks — same shape, 64× the bucket space, ~zero false
+    * pairs. */
+  def simhashPairs32Oracle(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = corpus.withColumn("fp", simhash(col("text")))
     val chunks = fp.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0L), lit(3L)),
@@ -859,6 +867,13 @@ object Dedup {
        |  FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
   }
 
+  /** Input-row bound above which [[embeddingPairs]] refuses without
+    * `forceExact`: 2^16 vectors is ~30 s of exact all-pairs on 32
+    * cores (extrapolated from the measured exp-1.80 curve: 3.9 s at
+    * 20k, 245 s at 200k) — generous headroom for a recall-audit
+    * sample, three decades short of a corpus. */
+  val ExactPairsMaxRows: Long = 1L << 16
+
   /** Embedding-space near-dup: perturbed copies of every 20th vector
     * (last component replaced) joined back through a label block, kept
     * at cosine ≥ simMin. Label plays the coarse ANN bucket; the scale
@@ -874,8 +889,28 @@ object Dedup {
     * near-orthogonal directions swallow any distance bound; the same
     * reason FAISS/ScaNN are approximate). Corpus-scale callers use
     * [[embeddingPairsLshAuto]] (measured exponent 1.07) and keep this
-    * as the sampled/audit truth. */
-  def embeddingPairs(emb: DataFrame, simMin: Double = 0.9): DataFrame = {
+    * as the sampled/audit truth.
+    *
+    * The routing is ENFORCED, not advisory (the r12 verdict's one
+    * remaining scale-killer): above [[ExactPairsMaxRows]] input
+    * vectors the call REFUSES loudly (the lineDedup 2^20 pattern —
+    * a measured-quadratic path must be impossible to point at a
+    * corpus by accident). `forceExact = true` is the deliberate
+    * escape hatch for recall audits that really do want the exact
+    * denominator at a larger sample; the count it pays is one
+    * parquet-footer metadata job on the usual raw-scan input. */
+  def embeddingPairs(
+      emb: DataFrame, simMin: Double = 0.9,
+      forceExact: Boolean = false): DataFrame = {
+    if (!forceExact) {
+      val n = emb.count()
+      require(n <= ExactPairsMaxRows,
+        s"embeddingPairs is the EXACT all-pairs audit path (measured " +
+          s"growth exponent 1.80 — quadratic): refusing $n input vectors " +
+          s"> $ExactPairsMaxRows. Corpus-scale near-dup goes through " +
+          "embeddingPairsLshAuto (measured exponent 1.07); a deliberate " +
+          "large recall audit passes forceExact = true.")
+    }
     val corpus = embCorpusWithDups(emb, withLabel = true)
       // shuffle once on the block key; both join sides reuse the exchange
       .repartition(col("label"))
@@ -975,21 +1010,53 @@ object Dedup {
   def lshAutoParams(
       n: Long, simMin: Double,
       targetBucket: Long = 64L, targetRecall: Double = 0.95): (Int, Int) = {
-    require(n > 0 && simMin > 0 && simMin < 1 && targetRecall > 0 && targetRecall < 1)
-    val planes = math.min(24, math.max(5,
+    require(n > 0 && simMin > 0 && simMin < 1 && targetRecall > 0 &&
+      targetRecall < 1 && targetBucket > 0,
+      s"lshAutoParams needs n > 0, 0 < simMin < 1, 0 < targetRecall < 1, " +
+        s"targetBucket > 0; got n=$n simMin=$simMin " +
+        s"targetRecall=$targetRecall targetBucket=$targetBucket")
+    def bandsNeeded(p: Int): Double = {
+      val q = math.pow(1.0 - math.acos(simMin) / math.Pi, p.toDouble)
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - q))
+    }
+    // planes = log₂(n/targetBucket) keeps bucket population ≈ constant
+    // (the lever that bounds the self-join); per-band recall then
+    // FALLS as n^(log₂ q) and bands must grow ∝ n^(−log₂ q) to hold
+    // the recall contract — the sign-LSH ρ-exponent, not a tunable. The
+    // old flat bands ≤ 64 cap silently dropped nominal recall
+    // 0.95 → ~0.79 once n ≳ 3.4e7 at simMin 0.9 (the r12 advisor
+    // finding); holding planes DOWN instead would push bucket
+    // population past the auto path's maxBucket cap and drop recall
+    // even harder. So bands floats to what recall requires, under a
+    // 512 sanity ceiling (at simMin 0.9 that covers n ≈ 10¹²); if even
+    // 512 cannot meet the target the degradation is LOGGED with the
+    // achieved number, never silent.
+    val planes = math.min(30, math.max(5,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
-    val q = math.pow(1.0 - math.acos(simMin) / math.Pi, planes.toDouble)
-    val bands = math.min(64, math.max(2,
-      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - q)).toInt))
+    val needed = bandsNeeded(planes)
+    if (needed > 512) {
+      val q = math.pow(1.0 - math.acos(simMin) / math.Pi, planes.toDouble)
+      val achieved = 1.0 - math.pow(1.0 - q, 512.0)
+      System.err.println(
+        f"[graft] lshAutoParams: recall $targetRecall at simMin=$simMin " +
+          f"needs ${needed}%.0f bands (> the 512 ceiling) at planes=$planes " +
+          f"— achieved nominal recall $achieved%.3f; lower the recall " +
+          "target or simMin deliberately")
+    }
+    val bands = math.min(512, math.max(2, needed.toInt))
     (bands, planes)
   }
 
   /** [[embeddingPairsLsh]] with [[lshAutoParams]] sizing and the
     * hot-bucket cap engaged (8× the target population) — the
     * corpus-scale entry point (the pinned-parameter query stays for
-    * oracle stability; measured on the r12 curves). With the cap,
-    * candidate volume is bounded by bands · maxBucket · n — O(n log n)
-    * overall, since bands grows with planes ≈ log₂ n. */
+    * oracle stability; measured on the r12 curves, exponent 1.07).
+    * With the cap, candidate volume is bounded by bands · maxBucket ·
+    * n; bands grows ∝ n^(−log₂ q) once recall requires it (the
+    * sign-LSH ρ-exponent, ≈ n^0.22 at simMin 0.9 — see
+    * [[lshAutoParams]]), so the total is O(n^{1+ρ}) — mildly
+    * super-linear by LSH theory, with the recall contract held instead
+    * of silently degraded. */
   def embeddingPairsLshAuto(
       emb: DataFrame, simMin: Double = 0.9,
       targetBucket: Long = 64L): DataFrame = {
@@ -1354,8 +1421,10 @@ object Dedup {
     "x_minhash_estimate" -> ((s, dir) =>
       minhashEstimate(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
+    // oracle-pinned 32-bit legacy form: the frozen suite hashes
+    // against the 32-bit DuckDB twin; the PUBLIC simhashPairs is 64-bit
     "x_dedup_simhash" -> ((s, dir) =>
-      simhashPairs(corpusWithDups(t(s, dir, "documents")))
+      simhashPairs32Oracle(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_ngram" -> ((s, dir) =>
       ngramJaccardPairs(corpusWithDups(t(s, dir, "documents")))

@@ -41,6 +41,25 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 1000000))
   }
 
+  test("embeddingPairs refuses a corpus-sized input unless forceExact") {
+    // the one measured scale-killer (exp 1.80) must be impossible to
+    // point at a corpus by accident: above the documented bound the
+    // exact all-pairs path refuses and names the scale-safe route
+    val big = spark.range(Dedup.ExactPairsMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array_repeat(lit(0.1f), 4).as("embedding"), lit("a").as("label"))
+    val e = intercept[IllegalArgumentException] { Dedup.embeddingPairs(big) }
+    assert(e.getMessage.contains("embeddingPairsLshAuto"),
+      s"refusal must route to the scale path: ${e.getMessage}")
+    assert(e.getMessage.contains("forceExact"))
+    // forceExact is the deliberate recall-audit escape hatch — same
+    // output as the in-bound default path, no refusal count() paid
+    val a = Dedup.embeddingPairs(emb).collect().map(_.toSeq).toSet
+    val b = Dedup.embeddingPairs(emb, forceExact = true).collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty,
+      "forceExact must run the identical exact plan")
+  }
+
   test("banded embedding LSH recovers >=80% of the planted cosine>=0.9 pairs") {
     // ground truth: brute-force cosine of each planted (v, v') pair
     val truth = emb.filter(col("vec_id") % 20 === 0)
@@ -1041,9 +1060,18 @@ class OpsSpec extends SparkSpec {
     // rate is ~1.3e-6/pair — the quadratic-junk lever width fixes)
     val perturbed = Dedup.corpusWithDups(docs)
     val n64 = Dedup.simhashPairs64(perturbed).count()
-    val n32 = Dedup.simhashPairs(perturbed).count()
+    val n32 = Dedup.simhashPairs32Oracle(perturbed).count()
     assert(n64 <= n32,
       s"64-bit ($n64 pairs) must not out-pair 32-bit ($n32) at equal hamming")
+    // the PUBLIC name means the 64-bit implementation (r12 verdict #3:
+    // the operator a user reaches for by name must be the scale-safe
+    // one; the 32-bit form is the oracle-pinned legacy entry)
+    val pub = Dedup.simhashPairs(perturbed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val via64 = Dedup.simhashPairs64(perturbed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pub === via64,
+      "simhashPairs must delegate to the 64-bit implementation")
   }
 
   test("lshAutoParams: planes track corpus size, true-pair recall tracks the pinned banding") {
@@ -1053,11 +1081,23 @@ class OpsSpec extends SparkSpec {
     val (b3, p3) = Dedup.lshAutoParams(20000000L, 0.9)
     assert(p1 < p2 && p2 < p3, s"planes must grow: $p1, $p2, $p3")
     assert(p2 - p1 >= 6 && p2 - p1 <= 7, "100x corpus adds ~log2(100) planes")
-    // the S-curve keeps >= 0.95 nominal recall at simMin for every sizing
-    for ((b, p) <- Seq((b1, p1), (b2, p2), (b3, p3))) {
+    // the S-curve keeps >= 0.95 nominal recall at simMin for every
+    // sizing — INCLUDING the n where the old flat 64-band cap bound
+    // (n >= ~3.4e7 at simMin 0.9 needed >64 bands; the r13 fix lets
+    // bands float so the recall contract holds instead of silently
+    // dropping to ~0.79 at 5e8 — the r12 advisor finding)
+    val bigs = Seq(100000000L, 500000000L).map(Dedup.lshAutoParams(_, 0.9))
+    assert(bigs.exists(_._1 > 64),
+      s"the cap-binding regime must be exercised: $bigs")
+    for ((b, p) <- Seq((b1, p1), (b2, p2), (b3, p3)) ++ bigs) {
       val q = math.pow(1.0 - math.acos(0.9) / math.Pi, p.toDouble)
       assert(1.0 - math.pow(1.0 - q, b.toDouble) >= 0.95,
         s"banding ($b, $p) misses the recall target")
+    }
+    // the knob guard: a non-positive targetBucket fails loudly instead
+    // of NaN-ing through ceil into a silently clamped planes=5
+    intercept[IllegalArgumentException] {
+      Dedup.lshAutoParams(1000L, 0.9, targetBucket = 0L)
     }
     // end-to-end against the right denominator: only planted dups whose
     // VERIFIED cosine clears simMin are true pairs (the fixture's

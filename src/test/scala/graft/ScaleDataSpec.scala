@@ -57,6 +57,25 @@ class ScaleDataSpec extends SparkSpec {
     }
   }
 
+  test("embedding transforms stay distinct past the rotation period") {
+    // rotation alone repeats with period dim/gcd(7,dim)·(reversal 2) —
+    // copy 128 was an EXACT content dup of copy 0 at dim 64 (r12
+    // advisor); the sign-flip composition must keep every copy pair
+    // distinct while staying rigid (norms checked in the test above)
+    def vecs(c: Int) = ScaleData.embCopy(emb.limit(10), c).collect()
+      .map(r => (r.getLong(0) - c * 10000000L,
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toMap
+    val base = vecs(0)
+    for (c <- Seq(64, 128, 192, 256)) {
+      val copied = vecs(c)
+      val collisions = base.keys.count(id => copied(id) == base(id))
+      assert(collisions === 0,
+        s"copy $c duplicates copy 0 on $collisions of ${base.size} vectors")
+    }
+    // and distinct from EACH OTHER in the same rotation class
+    assert(vecs(128).values.toSeq !== vecs(256).values.toSeq)
+  }
+
   test("events and TPC-H copies shift keys only; ts and measures untouched") {
     val ev = Tables.t(spark, sf, "events").limit(20)
     val evC = ScaleData.eventsCopy(ev, 3).collect()
