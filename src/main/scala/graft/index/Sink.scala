@@ -127,10 +127,54 @@ object Sink {
       val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
       val fs = leasePath.getFileSystem(hadoopConf)
       // delete only OUR lease: if this write outlived its TTL and a
-      // second driver legitimately took over, their marker stays
-      if (readLease(fs, leasePath)._1 == holderId)
-        fs.delete(leasePath, false)
+      // second driver legitimately took over, their marker stays — and
+      // that hazard is LOUD (r12 advisor): the commit fences abort the
+      // renames, but a lost lease detected only here means the write
+      // completed its final stage after a takeover began
+      val (h, _) = readLease(fs, leasePath)
+      if (h == holderId) fs.delete(leasePath, false)
+      else System.err.println(
+        s"[graft] WARNING: write lease on $key was lost mid-write (" +
+          (if (h == "unreadable") "marker now absent" else s"now held by $h") +
+          "): this write outlived its TTL; a takeover writer may be " +
+          "active — check the collection with the repair path")
     } catch { case _: Throwable => () } // release is best-effort
+
+  /** Commit-point fence (r12 verdict #2): the lease is acquired once
+    * at [[withPathLock]] entry, so a write outliving its TTL could be
+    * legitimately broken by a second driver while the first is
+    * mid-rewrite — and the first's commit renames would then proceed
+    * against the takeover writer's files. Every commit-point rename
+    * ([[swapInStaged]], [[restoreSnapshot]], the [[writeCommitMarker]]
+    * protocol, each [[compactShards]] shard swap) re-reads the lease
+    * IMMEDIATELY before renaming: a foreign or missing holder aborts
+    * loudly with nothing retired (staging debris is the next repair's
+    * to discard). On success the TTL is re-extended best-effort —
+    * the expensive staging write precedes each fence, so a healthy
+    * long write renews between stages instead of aging toward expiry.
+    * The renewal overwrite is reached only by the verified unexpired
+    * holder; the read→write window is microseconds against a takeover
+    * that requires a whole TTL already elapsed. */
+  private def verifyLeaseForCommit(path: String): Unit = {
+    val key = new org.apache.hadoop.fs.Path(path).toString
+    val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
+    val fs = leasePath.getFileSystem(hadoopConf)
+    val (holder, _) = readLease(fs, leasePath)
+    if (holder != holderId)
+      throw new IllegalStateException(
+        s"collection $key: write lease lost before commit (" +
+          (if (holder == "unreadable") "marker absent"
+           else s"held by $holder") +
+          ") — this write outlived its TTL and another driver took " +
+          "over; aborting with nothing renamed so the takeover " +
+          "writer's files stay intact")
+    try {
+      val out = fs.create(leasePath, true)
+      try out.write(s"$holderId ${System.currentTimeMillis + leaseTtlMs}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Throwable => () } // renewal is best-effort
+  }
 
   private[graft] def withPathLock[T](path: String)(body: => T): T = {
     val key = new org.apache.hadoop.fs.Path(path).toString
@@ -381,6 +425,7 @@ object Sink {
     // checked renames (Hadoop reports failure by returning false):
     // an unchecked failure followed by the cleanup delete would
     // destroy the only copy of the collection
+    verifyLeaseForCommit(path)
     val retired = new org.apache.hadoop.fs.Path(path + "_retired")
     fs.delete(retired, true)
     if (fs.exists(dst))
@@ -466,6 +511,9 @@ object Sink {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       touched: Seq[String]): Unit = {
+    // the marker rename IS the logical commit of a staged merge —
+    // fence it like the directory swaps
+    verifyLeaseForCommit(root.toString)
     val marker = new org.apache.hadoop.fs.Path(root, PayloadCommitMarker)
     val tmp = new org.apache.hadoop.fs.Path(root, s".$PayloadCommitMarker.tmp")
     val out = fs.create(tmp, true)
@@ -653,6 +701,9 @@ object Sink {
       val staging = new org.apache.hadoop.fs.Path(stagingRoot, sub.getName)
       data.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val retired = new org.apache.hadoop.fs.Path(retiredRoot, sub.getName)
+      // per-shard fence + renewal: a 100 TB collection compacts many
+      // shards sequentially — each swap re-verifies and re-extends
+      verifyLeaseForCommit(path)
       fs.delete(retired, true)
       fs.mkdirs(retiredRoot)
       require(fs.rename(sub, retired),
@@ -827,6 +878,7 @@ object Sink {
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(staging, st.getPath.getName), false, conf)
     }
+    verifyLeaseForCommit(path)
     val retired = new org.apache.hadoop.fs.Path(path + "_retired")
     fs.delete(retired, true)
     require(fs.rename(dst, retired),

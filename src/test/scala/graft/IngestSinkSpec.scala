@@ -142,6 +142,68 @@ class IngestSinkSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("commit fence: a TTL-expired takeover aborts the swap, never renames over it") {
+    val dir = Files.createTempDirectory("graft_fence").toFile
+    val path = s"${dir.getAbsolutePath}/col"
+    val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).limit(8).cache()
+    assert(Sink.append(pts, path) === 8L)
+    val before = spark.read.parquet(path)
+      .select("point_id").collect().map(_.getLong(0)).toSet
+    val leaseFile = new java.io.File(path + Sink.LeaseSuffix)
+    // a takeover replaces the marker whole (delete + create-excl, like
+    // acquireLease's break path); the drill must do the same — an
+    // in-place content overwrite would leave OUR stale Hadoop .crc
+    // sidecar beside it and read back as corrupt, not as the usurper
+    def usurpLease(): Unit = {
+      java.nio.file.Files.deleteIfExists(leaseFile.toPath)
+      java.nio.file.Files.deleteIfExists(new java.io.File(
+        dir.getAbsolutePath, s".col${Sink.LeaseSuffix}.crc").toPath)
+      java.nio.file.Files.writeString(leaseFile.toPath,
+        s"4242@usurper-host#cafebabe ${System.currentTimeMillis + 60000}")
+    }
+    // simulate the r12 finding: this writer's lease expires mid-write
+    // and a second driver legitimately takes over. From inside the
+    // write's own (reentrant) lock scope, swap the marker for the
+    // takeover writer's — the commit-point fence must then abort the
+    // swap BEFORE any rename, not proceed against the foreign files.
+    val boom = intercept[IllegalStateException] {
+      Sink.withPathLock(path) {
+        usurpLease()
+        Sink.compact(spark, path, targetRowsPerFile = 4L)
+      }
+    }
+    assert(boom.getMessage.contains("lease lost before commit"),
+      s"fence must name the hazard: ${boom.getMessage}")
+    assert(boom.getMessage.contains("usurper-host"))
+    // nothing retired, nothing renamed: collection exactly as before
+    assert(spark.read.parquet(path)
+      .select("point_id").collect().map(_.getLong(0)).toSet === before)
+    assert(!new java.io.File(path + "_retired").exists(),
+      "no retire rename may have happened")
+    // our release must NOT delete the takeover writer's lease
+    assert(leaseFile.exists(), "takeover lease must survive our release")
+    // same fence on the staged-merge commit marker (updatePayload /
+    // upsertReplace protocol): abort before the marker rename, leaving
+    // no marker and no visible change. Clear the foreign marker first —
+    // entry-time acquire would otherwise refuse before the body runs;
+    // the fence drill needs the usurpation to happen MID-write.
+    java.nio.file.Files.delete(leaseFile.toPath)
+    val boom2 = intercept[IllegalStateException] {
+      Sink.withPathLock(path) {
+        usurpLease()
+        Sink.updatePayload(spark, path, col("point_id").isNotNull,
+          "payload", identity)
+      }
+    }
+    assert(boom2.getMessage.contains("lease lost before commit"))
+    assert(!new java.io.File(s"$path/_payload_commit").exists(),
+      "no commit marker may exist after an aborted merge")
+    assert(spark.read.parquet(path).count() === 8L)
+    java.nio.file.Files.deleteIfExists(leaseFile.toPath)
+    pts.unpersist()
+  }
+
   test("dynamic map payload: per-row keys, element_at filter, Unknown default") {
     val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()
