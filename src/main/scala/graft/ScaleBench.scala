@@ -71,7 +71,12 @@ object ScaleBench {
     "x_sparse_topk" -> "documents",
     "x_hybrid_rrf" -> "documents",
     "x_quant_rerank" -> "embeddings",
-    "x_multistage_rescore" -> "embeddings")
+    "x_multistage_rescore" -> "embeddings",
+    "x_bpe_merges" -> "documents",
+    "q_query_batch" -> "embeddings",
+    "s_sessionize" -> "events",
+    "s_session_builtin" -> "events",
+    "s_stream_topk" -> "events")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -125,6 +130,12 @@ object ScaleBench {
     // super-linear family under investigation) — take what we have
     // rather than spend 4× the runaway time on a min that won't move
     val repCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REP_CAP", "120").toDouble
+    // streaming state telemetry: max state-store rows observed across a
+    // query's micro-batches at each dir — the bounded-state CLAIM of
+    // the stateful families read off the same runs that time them
+    // (flat max rows across data decades = state tracks live keys /
+    // in-flight windows, not corpus size)
+    val stateRows = scala.collection.mutable.Map[(String, String), Long]()
     val times = queries.map { case (name, table) =>
       name -> dirs.map { d =>
         val samples = (1 to reps).iterator.map { _ =>
@@ -133,12 +144,18 @@ object ScaleBench {
           (System.nanoTime() - t0) / 1e9
         }.scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
           .find(s => s.last > repCap || s.size == reps).get
+        if (name.startsWith("s_")) {
+          val rows = graft.streaming.Streams.lastRunProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+          if (rows.nonEmpty) stateRows((name, d)) = rows.max
+        }
         // progress to stderr (stdout carries only the final JSON line):
         // long 100×-corpus stages are otherwise indistinguishable from
         // a hang from outside the JVM
         System.err.println(
           s"[scalebench] $name @ $d: min=${f3(samples.min)} " +
-            s"all=${samples.map(f3).mkString(",")}")
+            s"all=${samples.map(f3).mkString(",")}" +
+            stateRows.get((name, d)).map(r => s" stateRowsMax=$r").getOrElse(""))
         d -> samples.min
       }
     }
@@ -161,8 +178,12 @@ object ScaleBench {
     val expsJson = obj(exps.map { case (n, segs) =>
       n -> segs.map(e => f3(e)).mkString("[", ",", "]") })
     val topJson = obj(exps.map { case (n, segs) => n -> f3(segs.last) })
+    val stateJson = obj(stateRows.keys.map(_._1).toSeq.distinct.sorted.map { n =>
+      n -> obj(dirs.flatMap(d =>
+        stateRows.get((n, d)).map(r => d -> r.toString)))
+    })
     println(s"""{"metric":"scale","reps":$reps,"dirs":${
       dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    },"rows":$rowsJson,"times":$timesJson,"exps":$expsJson,"exp_top":$topJson}""")
+    },"rows":$rowsJson,"times":$timesJson,"exps":$expsJson,"exp_top":$topJson,"state_rows_max":$stateJson}""")
   }
 }

@@ -139,16 +139,24 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional table subset (SPARK_GRAFT_SCALE_TABLES, comma list):
+    // the deepest decades are built per-family — a 1000×-events corpus
+    // for the stateful-streaming curves has no use for 1000× documents
+    val tableSel = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = tableSel.forall(_.contains(name))
     // multiple output files per table: a 10× corpus arriving as one
     // file would serialize its scan on row-group boundaries — at scale
     // data comes in many splits, and the curve should measure that
-    def build(name: String, copy: (DataFrame, Int) => DataFrame, files: Int): Long = {
-      val base = Tables.t(spark, src, name)
-      val all = (0 until copies).map(copy(base, _)).reduce(_ unionByName _)
-      all.repartition(files)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      spark.read.parquet(s"$out/$name.parquet").count()
-    }
+    def build(name: String, copy: (DataFrame, Int) => DataFrame, files: Int): Long =
+      if (!want(name)) -1L
+      else {
+        val base = Tables.t(spark, src, name)
+        val all = (0 until copies).map(copy(base, _)).reduce(_ unionByName _)
+        all.repartition(files)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        spark.read.parquet(s"$out/$name.parquet").count()
+      }
     val nd = build("documents", docsCopy, math.max(4, copies * 8 / 10))
     val ne = build("embeddings", embCopy, math.max(2, copies * 4 / 10))
     val nv = build("events", eventsCopy, math.max(8, copies * 16 / 10))
@@ -163,7 +171,7 @@ object ScaleData {
       math.max(2, copies * 4 / 10))
     val ns = build("supplier", tpchCopy(Seq("s_suppkey")), 2)
     // fixed shared alphabets — copied once, never scaled (TPC-H's rule)
-    Seq("nation", "region").foreach { name =>
+    Seq("nation", "region").filter(want).foreach { name =>
       Tables.t(spark, src, name).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }

@@ -144,6 +144,59 @@ class EmbedderSeamSpec extends SparkSpec {
     model.close()
   }
 
+  test("learned-projection backend: weights-load -> index -> search with driver/executor parity") {
+    import EmbedderSeamSpec.{ProjectionCounters => P}
+    // REAL fixed weights on disk (the r12 verdict #6 drill: a
+    // non-loopback model through the seam): dim x 32 floats, values a
+    // deterministic ramp so any row/column transposition or partial
+    // load changes the output
+    val dim = 8
+    val w = Array.tabulate(dim, 32)((i, j) => (((i * 31 + j * 7) % 13) - 6) / 10.0f)
+    val modelFile = java.nio.file.Files.createTempFile("graft_proj", ".csv")
+    java.nio.file.Files.writeString(modelFile,
+      w.map(_.mkString(",")).mkString("\n"))
+    val model = new EmbedderSeamSpec.LearnedProjectionEmbedder(modelFile.toString, dim)
+    P.reset()
+    val batchSize = 16
+    val pts = Ingest.buildPointsWith(decoded, model, batchSize).cache()
+    val n = pts.count()
+    // batch-contract round-trip: every row embedded exactly once, no
+    // model call over the DataLoader batch size, one weight load per JVM
+    assert(n === Ingest.buildPoints(decoded).count())
+    assert(P.texts.get() >= n, s"model saw ${P.texts.get()} texts for $n rows")
+    assert(P.maxBatch.get() <= batchSize,
+      s"batch contract violated: ${P.maxBatch.get()} > $batchSize")
+    assert(P.loads.get() === 1, s"expected one weights load, got ${P.loads.get()}")
+    // executor-side embeddings equal DRIVER-side embedBatch of the same
+    // text bit-for-bit — the parity a swapped runtime must preserve
+    val sample = pts.select(col("text"), col("embedding")).limit(5).collect()
+    sample.foreach { r =>
+      val driverSide = model.embedBatch(Seq(r.getString(0))).head.head
+        .map(_.toDouble).toSeq
+      assert(r.getSeq[Double](1) === driverSide,
+        s"driver/executor embedding diverge for '${r.getString(0).take(30)}...'")
+    }
+    // index -> search: append to a real collection, query with a
+    // driver-embedded vector; the identical-text point must surface at
+    // cosine 1 through the untouched dense top-k path
+    val dir = java.nio.file.Files.createTempDirectory("graft_proj_col")
+    val path = s"$dir/col"
+    graft.index.Sink.append(pts.drop("mv"), path)
+    val stored = spark.read.parquet(path)
+    val probe = pts.orderBy(col("point_id")).limit(1)
+      .select(col("point_id"), col("text")).head
+    val qv = model.embedBatch(Seq(probe.getString(1))).head.head.map(_.toDouble).toSeq
+    import spark.implicits._
+    val hits = graft.search.TopK.dense(
+      stored, Seq(qv).toDF("q"), "point_id", "embedding", 3).collect()
+    assert(hits.nonEmpty)
+    val self = hits.find(_.getLong(0) == probe.getLong(0))
+    assert(self.isDefined, "the probe's own point must be in its top-3")
+    assert(self.get.getDouble(1) >= 0.999999,
+      s"self-similarity must be ~1.0, got ${self.get.getDouble(1)}")
+    model.close()
+  }
+
   test("embedWith batches stream per-partition without reordering rows") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"tok$i")).toDF("id", "text")
@@ -221,6 +274,75 @@ object EmbedderSeamSpec {
         v(0) = s.scale * math.max(t.length, 1)
         var i = 0
         while (i < t.length) { v(1 + t.charAt(i) % (dim - 1)) += s.scale; i += 1 }
+        Array(v)
+      }
+    }
+  }
+
+  private[graft] object ProjectionCounters {
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val texts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { loads.set(0); batches.set(0); texts.set(0); maxBatch.set(0) }
+  }
+
+  /** A NON-loopback session backend: a learned linear projection with
+    * real fixed weights — the session is a dim×32 weight matrix
+    * parsed from the model file (plain arrays, the shape a distilled
+    * linear probing head ships in), inference is feature-extraction
+    * (char-class histogram) followed by a real matrix multiply. This
+    * is the exact computation an ONNX linear layer would run, minus
+    * the runtime — it proves the seam carries a model whose OUTPUT
+    * depends on loaded weights in a nontrivial way (not a tagged echo
+    * of its input like the loopback drill). */
+  private[graft] class LearnedProjectionEmbedder(path: String, val dim: Int)
+      extends SessionEmbedder[Array[Array[Float]]](path) {
+    val name = "learned-projection"
+    protected def loadSession(p: String): Array[Array[Float]] = {
+      ProjectionCounters.loads.incrementAndGet()
+      val rows = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+      val w = new Array[Array[Float]](rows.size())
+      var i = 0
+      while (i < rows.size()) {
+        w(i) = rows.get(i).split(",").map(_.toFloat); i += 1
+      }
+      require(w.length == dim && w.forall(_.length == 32),
+        s"weight matrix must be ${dim}x32, got ${w.length}x${w.headOption.fold(0)(_.length)}")
+      w
+    }
+    /** 32-dim input features: letter histogram (26) + digit count,
+      * space count, other count, length, distinct-char count, bias. */
+    private def features(t: String): Array[Float] = {
+      val f = new Array[Float](32)
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c >= 'a' && c <= 'z') f(c - 'a') += 1f
+        else if (c >= 'A' && c <= 'Z') f(c - 'A') += 1f
+        else if (c >= '0' && c <= '9') f(26) += 1f
+        else if (c == ' ') f(27) += 1f
+        else f(28) += 1f
+        i += 1
+      }
+      f(29) = t.length.toFloat
+      f(30) = t.toSet.size.toFloat
+      f(31) = 1f // bias
+      f
+    }
+    protected def run(w: Array[Array[Float]], texts: Seq[String]) = {
+      ProjectionCounters.batches.incrementAndGet()
+      ProjectionCounters.texts.addAndGet(texts.size)
+      ProjectionCounters.maxBatch.getAndUpdate(m => math.max(m, texts.size))
+      texts.map { t =>
+        val x = features(t)
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0f; var j = 0
+          while (j < 32) { s += w(i)(j) * x(j); j += 1 }
+          v(i) = s; i += 1
+        }
         Array(v)
       }
     }
