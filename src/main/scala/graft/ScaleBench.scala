@@ -76,7 +76,8 @@ object ScaleBench {
     "q_query_batch" -> "embeddings",
     "s_sessionize" -> "events",
     "s_session_builtin" -> "events",
-    "s_stream_topk" -> "events")
+    "s_stream_topk" -> "events",
+    "s_session_builtin_rocks" -> "events")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -87,7 +88,20 @@ object ScaleBench {
       graft.ops.Dedup.simhashPairs64(
         graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
     "x_dedup_embedding_lsh_auto" -> ((s, dir) =>
-      graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))))
+      graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))),
+    // the built-in session_window with the RocksDB state store — the
+    // deployment knob for its pre-merge state (measured r13: ~60× the
+    // custom operator's rows; the default HDFS-backed store OOMs at
+    // 100M single-batch events where flatMapGroupsWithState runs in
+    // 37 s). RocksDB spills state to local disk instead of holding
+    // every version on-heap — the provider a 100 TB streaming job
+    // would configure anyway.
+    "s_session_builtin_rocks" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try graft.streaming.Streams.sessionizeBuiltin(s, dir)
+      finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }))
 
   private def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     SparkEntry.queries.getOrElse(name, ExtraProbes(name))
@@ -138,32 +152,45 @@ object ScaleBench {
     val stateRows = scala.collection.mutable.Map[(String, String), Long]()
     val times = queries.map { case (name, table) =>
       name -> dirs.map { d =>
+        // a failing rep records -1 and stops further reps for this
+        // (query, dir) instead of killing the whole sweep (the r13
+        // s_session_builtin OOM aborted s_stream_topk unmeasured) —
+        // the FAILURE is the finding and must reach the output
         val samples = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
-          queryFn(name)(spark, d).count()
-          (System.nanoTime() - t0) / 1e9
+          try { queryFn(name)(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[scalebench] $name @ $d: FAILED " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).replace('\n', ' ').take(200))
+            -1.0
+          }
         }.scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
-          .find(s => s.last > repCap || s.size == reps).get
+          .find(s => s.last > repCap || s.last < 0 || s.size == reps).get
         if (name.startsWith("s_")) {
           val rows = graft.streaming.Streams.lastRunProgress
             .flatMap(_.stateOperators.map(_.numRowsTotal))
           if (rows.nonEmpty) stateRows((name, d)) = rows.max
         }
+        val good = samples.filter(_ >= 0)
+        val best = if (good.nonEmpty) good.min else -1.0
         // progress to stderr (stdout carries only the final JSON line):
         // long 100×-corpus stages are otherwise indistinguishable from
         // a hang from outside the JVM
         System.err.println(
-          s"[scalebench] $name @ $d: min=${f3(samples.min)} " +
+          s"[scalebench] $name @ $d: min=${f3(best)} " +
             s"all=${samples.map(f3).mkString(",")}" +
             stateRows.get((name, d)).map(r => s" stateRowsMax=$r").getOrElse(""))
-        d -> samples.min
+        d -> best
       }
     }
     // per-adjacent-segment exponents on the query's primary table rows
+    // (a failed point poisons its segments to NaN, rendered as null)
     val exps = times.map { case (name, ts) =>
       val table = queries.find(_._1 == name).get._2
       val segs = ts.zip(ts.tail).map { case ((d1, t1), (d2, t2)) =>
-        math.log(t2 / t1) / math.log(
+        if (t1 <= 0 || t2 <= 0) Double.NaN
+        else math.log(t2 / t1) / math.log(
           rows(d2)(table).toDouble / rows(d1)(table).toDouble)
       }
       name -> segs
@@ -175,9 +202,10 @@ object ScaleBench {
       rows(d).toSeq.sortBy(_._1).map { case (t, n) => t -> n.toString })))
     val timesJson = obj(times.map { case (n, ts) =>
       n -> obj(ts.map { case (d, t) => d -> f3(t) }) })
+    def fexp(e: Double): String = if (e.isNaN) "null" else f3(e)
     val expsJson = obj(exps.map { case (n, segs) =>
-      n -> segs.map(e => f3(e)).mkString("[", ",", "]") })
-    val topJson = obj(exps.map { case (n, segs) => n -> f3(segs.last) })
+      n -> segs.map(fexp).mkString("[", ",", "]") })
+    val topJson = obj(exps.map { case (n, segs) => n -> fexp(segs.last) })
     val stateJson = obj(stateRows.keys.map(_._1).toSeq.distinct.sorted.map { n =>
       n -> obj(dirs.flatMap(d =>
         stateRows.get((n, d)).map(r => d -> r.toString)))
