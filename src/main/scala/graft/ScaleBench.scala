@@ -77,7 +77,8 @@ object ScaleBench {
     "s_sessionize" -> "events",
     "s_session_builtin" -> "events",
     "s_stream_topk" -> "events",
-    "s_session_builtin_rocks" -> "events")
+    "s_session_builtin_heap" -> "events",
+    "x_sink_upsert" -> "embeddings")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -89,18 +90,49 @@ object ScaleBench {
         graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
     "x_dedup_embedding_lsh_auto" -> ((s, dir) =>
       graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))),
-    // the built-in session_window with the RocksDB state store — the
-    // deployment knob for its pre-merge state (measured r13: ~60× the
-    // custom operator's rows; the default HDFS-backed store OOMs at
-    // 100M single-batch events where flatMapGroupsWithState runs in
-    // 37 s). RocksDB spills state to local disk instead of holding
-    // every version on-heap — the provider a 100 TB streaming job
-    // would configure anyway.
-    "s_session_builtin_rocks" -> ((s, dir) => {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the built-in session_window FORCED onto the session's (on-heap)
+    // state store — the contrast for the r13 finding that made RocksDB
+    // the entry point's default: session_window buffers ~0.91 pre-merge
+    // state rows per input event, and the on-heap store OOMs at 100M
+    // single-batch events (where flatMapGroupsWithState runs in 37 s
+    // and the RocksDB-backed default carries the builtin through in
+    // 397 s). Expected to FAIL at the top decade; the failure is the
+    // documented measurement.
+    "s_session_builtin_heap" -> ((s, dir) => {
+      s.conf.set("spark.graft.stream.stateStore", "session")
       try graft.streaming.Streams.sessionizeBuiltin(s, dir)
-      finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      finally s.conf.unset("spark.graft.stream.stateStore")
+    }),
+    // the WRITE path's growth curve (the one family the suite can't
+    // time in isolation: c2_upsert_replace rebuilds its collection
+    // every call, so its cost is the initial write, not the merge).
+    // Rep 1 builds a range-clustered base collection per dir (memoized
+    // on disk — min-of-N reports the later steady-state reps); each
+    // rep then replace-upserts a contiguous 1% id range. Expected
+    // shape: the discovery scan (id column + input_file_name over the
+    // whole collection) is the linear term; the rewrite is bounded by
+    // the ~1% of files the range-clustered layout localizes the edit
+    // to — O(collection) column scan + O(touched) full rewrite.
+    "x_sink_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, transform, lit}
+      val base = "/tmp/graft_scale_sink/" +
+        java.lang.Integer.toHexString(dir.hashCode) + "/col"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val emb = Tables.t(s, dir, "embeddings")
+      val n = emb.count()
+      if (!fs.exists(basePath)) {
+        // ~4k rows per file so file count grows with the collection
+        // (touched-file locality is what the probe exists to show)
+        val nFiles = math.max(8L, n / 4096L).toInt
+        emb.repartitionByRange(nFiles, col("vec_id"))
+          .write.parquet(base)
+      }
+      val edited = emb.filter(col("vec_id") < n / 100L)
+        .withColumn("embedding",
+          transform(col("embedding"), e => e * lit(1.0f)))
+      graft.index.Sink.upsertReplace(s, edited, base, "vec_id")
+      s.read.parquet(base).groupBy().count()
     }))
 
   private def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =

@@ -382,6 +382,32 @@ class StreamingSpec extends SparkSpec {
     assert(custom.exceptAll(builtin).count() === 0L)
   }
 
+  test("built-in session_window defaults to RocksDB state and restores the session conf") {
+    import scala.jdk.CollectionConverters._
+    def ranOnRocksDb: Boolean = Streams.lastRunProgress.exists(_.stateOperators.exists(
+      _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))))
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.get(k)
+    val (dir, schema) = advancingBatches(3, Seq("click"))
+    Streams.sessionizeBuiltinFrom(spark, dir, schema, Some(1)).count()
+    // the provider is an observable of the run (RocksDB publishes
+    // rocksdb* custom metrics on its state operator), not just a conf
+    assert(ranOnRocksDb,
+      "the builtin sessionizer must default to the RocksDB provider " +
+        "(its pre-merge state is event-proportional — measured OOM on " +
+        "the on-heap store at 100M single-batch events)")
+    assert(spark.conf.get(k) === prior,
+      "the session's provider conf must be restored after the query")
+    // the opt-out knob honors whatever provider the session pinned
+    spark.conf.set("spark.graft.stream.stateStore", "session")
+    try {
+      val (dir2, schema2) = advancingBatches(3, Seq("click"))
+      Streams.sessionizeBuiltinFrom(spark, dir2, schema2, Some(1)).count()
+      assert(!ranOnRocksDb,
+        "stateStore=session must leave the session's (on-heap) provider in charge")
+    } finally spark.conf.unset("spark.graft.stream.stateStore")
+  }
+
   test("stream-stream join state stays flat across watermark-advancing batches") {
     val (dir, schema) = advancingBatches(4, Seq("click", "purchase"))
     Streams.streamStreamJoinFrom(spark, dir, schema, Some(1)).count()
