@@ -78,7 +78,9 @@ object ScaleBench {
     "s_session_builtin" -> "events",
     "s_stream_topk" -> "events",
     "s_session_builtin_heap" -> "events",
-    "x_sink_upsert" -> "embeddings")
+    "x_sink_upsert" -> "embeddings",
+    "x_dedup_minhash_auto" -> "documents",
+    "x_dedup_ngram_wide" -> "documents")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -90,6 +92,17 @@ object ScaleBench {
         graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
     "x_dedup_embedding_lsh_auto" -> ((s, dir) =>
       graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))),
+    // the r13 corpus-scale twins of the two families the 4th-decade
+    // sweep measured super-linear (minhash exp 1.63 from r=2 banding
+    // over a saturated ~1e6 hash space; ngram's prefix filter losing
+    // selectivity on the same saturation, 70 GB scratch exhausted)
+    "x_dedup_minhash_auto" -> ((s, dir) =>
+      graft.ops.Dedup.minhashPairsAuto(
+        graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
+    "x_dedup_ngram_wide" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(
+        graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")),
+        wideHashes = true)),
     // the built-in session_window FORCED onto the session's (on-heap)
     // state store — the contrast for the r13 finding that made RocksDB
     // the entry point's default: session_window buffers ~0.91 pre-merge

@@ -168,6 +168,14 @@ object Dedup {
     (bands, hsTable)
   }
 
+  /** Fixture-pinned MinHash pairing (k=8, bands of 2, ~1e6 hash
+    * space). CORPUS-SCALE CALLERS USE [[minhashPairsAuto]]: the r13
+    * 4th-decade sweep (5.2M docs) measured this banding at exponent
+    * 1.63 (114 s) because its chance-candidate mass grows ∝ J² per
+    * pair (r=2) and the ~1e6 feature-hash space saturates (53M
+    * distinct candidate pairs, each dragging two shingle arrays
+    * through the verify joins). The suite keeps this form pinned for
+    * oracle stability — its DuckDB twin shares the hash space. */
   def minhashPairs(
       corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
@@ -215,6 +223,122 @@ object Dedup {
         round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
       .distinct()
+  }
+
+  /** Identity-grade (60-bit md5-prefix) shingle hashes, sorted
+    * distinct — the wide twin of [[shingleHashes]] for corpus-scale
+    * near-dup work. The ~1e6 poly space is a FEATURE-BUCKET width
+    * (fine for the oracle-pinned fixtures); as a shingle IDENTITY it
+    * saturates around 1M distinct shingles — the r13 4th-decade sweep
+    * measured every one of the 1000003 values occupied at 5.2M docs
+    * (max df 200322), which destroys df-based pruning and inflates
+    * minhash chance collisions. 60 bits keep collisions ~n²/2⁶⁰ ≈ 0
+    * at any realistic corpus (the CLAUDE.md identity-vs-bucket rule,
+    * applied to shingles). */
+  def shingleHashes64(text: Column): Column =
+    array_sort(array_distinct(
+      transform(shingles(text), s => Embedder.stringHash64(s))))
+
+  /** Recall-honest MinHash banding for [[minhashPairsAuto]]: pick the
+    * DEEPEST rows-per-band r (in 2..8) whose band count for
+    * `1 − (1 − t^r)^bands ≥ targetRecall` stays ≤ 64, then that band
+    * count. Deeper bands cut chance candidates ∝ J^r per pair — the
+    * r=2 of the pinned query passes J² mass (a J=0.25 pair collides
+    * with p≈0.06 per band), which the r13 sweep measured as 53M junk
+    * candidates at 5.2M docs; r=4 drops the same pair to p≈0.004.
+    * At t=0.5 this yields (47 bands × 4 rows, k=188); at t=0.9,
+    * (6 × 8, k=48). Returns (bands, rowsPerBand). */
+  def minhashAutoParams(
+      jaccardMin: Double, targetRecall: Double = 0.95): (Int, Int) = {
+    require(jaccardMin > 0 && jaccardMin < 1 &&
+      targetRecall > 0 && targetRecall < 1,
+      s"minhashAutoParams needs 0 < jaccardMin < 1, 0 < targetRecall < 1; " +
+        s"got jaccardMin=$jaccardMin targetRecall=$targetRecall")
+    def bandsFor(r: Int): Int = {
+      val q = math.pow(jaccardMin, r)
+      math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - q)).toInt)
+    }
+    val r = (2 to 8).filter(r => bandsFor(r) <= 64).lastOption.getOrElse(2)
+    (bandsFor(r), r)
+  }
+
+  /** Corpus-scale MinHash near-dup pairing — the scale twin of
+    * [[minhashPairs]] (the same relationship [[simhashPairs64]] has to
+    * the 32-bit oracle form): identity-grade 60-bit shingle hashes
+    * ([[shingleHashes64]]), recall-honest deep banding
+    * ([[minhashAutoParams]]), the hot-bucket cap engaged, and the
+    * candidate pair set DISTINCT'd before the shingle-array fetch
+    * (deep bands duplicate a true pair up to `bands` times; the
+    * pinned query's ≤4 duplicates argument does not hold at 47 bands).
+    * Output semantics: pairs with exact string-set Jaccard ≥
+    * `jaccardMin` among band-collided candidates, at ≥ `targetRecall`
+    * nominal recall at the threshold — the Jaccard here is
+    * collision-free (wide hashes), i.e. the TRUE shingle-set Jaccard
+    * rather than the ~1e6-bucketed approximation the pinned oracle
+    * form computes.
+    *
+    * Per-permutation minhash values are `(h XOR seed_i) mod (2³¹−1)`
+    * — overflow-free under ANSI (h < 2⁶⁰, no multiply), distributed
+    * by the md5 base hash; the per-band chance collision is then
+    * (m/2³¹)^r ≈ 0, so chance candidates vanish and candidate volume
+    * is carried by genuinely-similar pairs (∝ Σ bands·J^r). */
+  /** Seed base shared by the native wide signature and its HOF twin. */
+  private val MhSeedBase = 0x9E3779B97F4A7C15L
+  private val MhPrime31 = 2147483647L
+
+  /** Wide-hash minhash signature: sig_i = min_h ((h XOR seed_i) mod
+    * (2³¹−1)). Native one-pass expression; HOF twin below for parity
+    * cross-checks (the twin is 8× slower interpreted — measured 6.0 s
+    * vs 0.7 s at sf0.1 — and exists as documentation + audit, not the
+    * hot path). */
+  def minhashSigXor(shingleHashes: Column, k: Int): Column =
+    Kernels.ofExpr(graft.vector.MinhashSigXor(
+      Kernels.exprOf(shingleHashes), k, MhPrime31, MhSeedBase))
+
+  /** HOF twin of [[minhashSigXor]] — same seeds, same arithmetic. */
+  def minhashSigXorHof(shingleHashes: Column, k: Int): Column = {
+    val seeds = {
+      var x = MhSeedBase
+      Array.fill(k) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        x & ((1L << 60) - 1)
+      }
+    }
+    array((0 until k).map(i => array_min(transform(shingleHashes,
+      h => pmod(h.bitwiseXOR(lit(seeds(i))), lit(MhPrime31))))): _*)
+  }
+
+  def minhashPairsAuto(
+      corpus: DataFrame, jaccardMin: Double = 0.5,
+      targetRecall: Double = 0.95, maxBucket: Int = 1000): DataFrame = {
+    val (b, r) = minhashAutoParams(jaccardMin, targetRecall)
+    val k = b * r
+    val sh = corpus.withColumn("hs", shingleHashes64(col("text")))
+      .withColumn("sig", minhashSigXor(col("hs"), k))
+    val bvals = array((0 until b).map(g => concat_ws(":",
+      (0 until r).map(j =>
+        element_at(col("sig"), g * r + j + 1).cast("string")): _*)): _*)
+    val rawBands = sh.select(col("doc_id"), posexplode(bvals))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      .repartition(col("band"), col("bval"))
+    val bands = rawBands
+      .withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    val cands = bands.select(col("band"), col("bval"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("bval"), col("doc_id").as("id_b")),
+        Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val hsTable = sh.select(col("doc_id"), col("hs"))
+    cands
+      .join(hsTable.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hsTable.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
   }
 
   /** DuckDB twins of [[sigBands]] — one definition feeding both the
@@ -528,13 +652,26 @@ object Dedup {
     half(131L).bitwiseOR(shiftleft(half(137L), 32))
   }
 
-  /** [[simhashPairs]] on the 64-bit fingerprint with 4×16-bit chunks
-    * (32768 usable values each after the two structurally-zero bits)
-    * — pigeonhole-complete for hamming ≤ 3 like the 32-bit plan, same
-    * bucket-join shape, 64× the bucket space. The suite keeps the
-    * 32-bit query pinned for oracle stability; this is the variant a
-    * corpus-scale deployment runs (measured on the r12 curves where
-    * the 32-bit one is super-linear).
+  /** [[simhashPairs]] on the 64-bit fingerprint — pigeonhole-complete
+    * for hamming ≤ 3 with Manku et al.'s multi-table blocking
+    * (WWW'07 §3): the fingerprint splits into SIX blocks
+    * (4×11 + 2×10 bits) and candidates key on every C(6,3) = 20
+    * combination of THREE blocks packed into one long. A pair within
+    * hamming ≤ 3 has its differing bits in at most 3 blocks, so at
+    * least 3 blocks match — some 3-combo key collides. The suite keeps
+    * the 32-bit query pinned for oracle stability; this is the variant
+    * a corpus-scale deployment runs.
+    *
+    * Why combos and not the r12 4×16-bit chunks: a chunk key's bucket
+    * space is FIXED (2^15–2^16 values), so bucket population grows
+    * ∝ n and the candidate self-join ∝ n² — measured at the r13
+    * 4th-decade corpus (5.2M docs): Σ population² went 1.7e9 → 1.4e11
+    * (82× for 10× docs; 163 s wall). A 3-block combo key spans ~2^31
+    * values, so chance collisions are ~n²/2^32 per table — at 5.2M
+    * docs that is ~6k rows per table, and candidate volume is the 20n
+    * posting rows plus near-dup matches: linear. Verification
+    * (hamming over the full fingerprint) and therefore OUTPUT are
+    * identical to the chunk plan — only candidate generation changed.
     *
     * Threshold semantics, measured honestly: with UNWEIGHTED ±1 token
     * votes, near-dup hamming scales with fingerprint width (the r12
@@ -547,15 +684,26 @@ object Dedup {
     * from simhash — tiny-edit recall on short text is the MinHash
     * family's job ([[minhashPairs]], already linear). */
   def simhashPairs64(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 6 blocks tolerate ≤ 3 differing bits (pigeonhole over 3-combos);
+    // a larger budget would need more blocks per key — refuse loudly
+    // rather than silently losing pairs
+    require(maxHamming <= 3,
+      s"simhashPairs64's 6-block/3-combo blocking is pigeonhole-complete " +
+        s"only for hamming <= 3; got maxHamming=$maxHamming")
     val fp = corpus.withColumn("fp", simhash64(col("text")))
-    val chunkArr = array((0 until 4).map(j =>
-      shiftright(col("fp"), j * 16).bitwiseAND(lit(65535L))): _*)
-    val chunks = fp.select(col("doc_id"), col("fp"), posexplode(chunkArr))
-      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
-      .repartition(col("ci"), col("cv"))
-    val a = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = chunks.select(col("ci"), col("cv"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("ci", "cv"))
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    def blk(m: Int): Column =
+      shiftright(col("fp"), blocks(m)._1).bitwiseAND(lit((1L << blocks(m)._2) - 1))
+    val combos = (0 until 6).combinations(3).toSeq // 20, deterministic order
+    val keys = array(combos.zipWithIndex.map { case (c, idx) =>
+      ((lit(idx.toLong) * lit(2048L) + blk(c(0))) * lit(2048L) + blk(c(1))) *
+        lit(2048L) + blk(c(2))
+    }: _*)
+    val tables = fp.select(col("doc_id"), col("fp"), explode(keys).as("k"))
+      .repartition(col("k"))
+    val a = tables.select(col("k"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = tables.select(col("k"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("k"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -593,9 +741,25 @@ object Dedup {
     * Candidates join on (blk, h), so the block semantics are exactly
     * the oracle's; unrelated same-length docs (the quadratic mass)
     * almost never share a rare shingle and drop before any array
-    * moves. Output pairs identical — the oracle is untouched. */
-  def ngramJaccardPairs(corpus: DataFrame, jaccardMin: Double = 0.5): DataFrame = {
-    val sh = withShingleHashes(corpus)
+    * moves. Output pairs identical — the oracle is untouched.
+    *
+    * `wideHashes` (corpus-scale callers set true; default false keeps
+    * the oracle-pinned hash space): the r13 4th-decade sweep measured
+    * the ~1e6 shingle space SATURATED at 5.2M docs — all 1000003
+    * values occupied, max df 200322 — so "rarest" shingles stop being
+    * rare (df floors in the tens), the prefix filter loses its
+    * selectivity, and the candidate shuffle exhausted 70 GB of scratch
+    * disk. [[shingleHashes64]] keeps dfs honest at any corpus size;
+    * the verified Jaccard is then the collision-free string-set value
+    * (the semantics a corpus deployment wants) rather than the
+    * bucketed approximation the pinned oracle computes. */
+  def ngramJaccardPairs(
+      corpus: DataFrame, jaccardMin: Double = 0.5,
+      wideHashes: Boolean = false): DataFrame = {
+    val hashed =
+      if (wideHashes) corpus.withColumn("hs", shingleHashes64(col("text")))
+      else withShingleHashes(corpus)
+    val sh = hashed
       .withColumn("blk", (length(col("text")) / 16).cast("long"))
     val posts = sh.select(col("doc_id"), col("blk"), explode(col("hs")).as("h"))
       .repartition(col("h"))
@@ -945,16 +1109,26 @@ object Dedup {
       simMin: Double = 0.9,
       bands: Int = 10,
       planesPerBand: Int = 5,
-      maxBucket: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Long = Long.MaxValue,
+      numPartitions: Option[Int] = None): DataFrame = {
     val corpus = embCorpusWithDups(emb, withLabel = false)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     // (band, bval, vec_id) — the narrow exploded candidate key; the
     // embedding stays behind in `vecs` so the bucket shuffle moves ids,
-    // not 64-float payloads (same shape as minhashPairs)
-    val rawBands = corpus.select(col("vec_id"),
+    // not 64-float payloads (same shape as minhashPairs).
+    // numPartitions sizes the band shuffle and everything downstream of
+    // it (candidate distinct, vector-fetch joins ride the same width):
+    // at session-default widths (32 locally) a corpus-scale candidate
+    // stream concentrates gigabytes per task and the r13 sweep OOM'd
+    // the SMJ sorter at 2M vectors — the auto path passes a width
+    // proportional to its own band-row volume; None keeps the pinned
+    // fixture plan byte-identical.
+    def widen(df: DataFrame, cols: Seq[Column]): DataFrame =
+      numPartitions.fold(df.repartition(cols: _*))(p => df.repartition(p, cols: _*))
+    val rawBands = widen(corpus.select(col("vec_id"),
         posexplode(Similarity.bandedBuckets(col("embedding"), bands, planesPerBand)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      .repartition(col("band"), col("bval"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval"),
+      Seq(col("band"), col("bval")))
     // optional hot-bucket cap, the minhashPairs maxBucket lever: a
     // bucket of b members contributes b² candidate rows, and a DENSE
     // EMBEDDING CLUSTER (all mutually similar, all sharing buckets in
@@ -979,11 +1153,19 @@ object Dedup {
     // vs 637k: clustered embeddings collide in many bands at once), so
     // deduping 16-byte id pairs first saves 2.6× of the expensive part
     // — the two vector-fetch joins and the 64-d cosine.
-    val cands = bandTable.select(col("band"), col("bval"), col("vec_id").as("id_a"))
+    val rawCands = bandTable.select(col("band"), col("bval"), col("vec_id").as("id_a"))
       .join(bandTable.select(col("band"), col("bval"), col("vec_id").as("id_b")),
         Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // the distinct's aggregation reuses the widened partitioning (the
+    // explicit repartition satisfies the aggregate's requirement, so
+    // Catalyst elides a second exchange and the dedup runs at the
+    // widened task count instead of the session default); without
+    // numPartitions no extra node is inserted — the pinned fixture
+    // plan stays byte-identical
+    val cands = numPartitions
+      .fold(rawCands)(p => rawCands.repartition(p, col("id_a"), col("id_b")))
       .distinct()
     cands
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), Seq("id_a"))
@@ -1059,9 +1241,26 @@ object Dedup {
     * of silently degraded. */
   def embeddingPairsLshAuto(
       emb: DataFrame, simMin: Double = 0.9,
-      targetBucket: Long = 64L): DataFrame = {
-    val (bands, planes) = lshAutoParams(emb.count(), simMin, targetBucket)
-    embeddingPairsLsh(emb, simMin, bands, planes, maxBucket = targetBucket * 8)
+      targetBucket: Long = 16L): DataFrame = {
+    // targetBucket 16 (was 64 in r12): candidate volume is
+    // bands · n · pop/2, LINEAR in the target population while bands
+    // only grows ∝ n^ρ as planes deepen — at 2M vectors the 64-row
+    // target produced ~1.8B candidate rows (30 bands × pop 64) whose
+    // sort-spill exhausted 70 GB of scratch disk (r13 4th-decade
+    // sweep); 16 cuts that 4× (41 bands × pop 8 ≈ 0.7B) for the same
+    // recall contract, which the solver holds by construction
+    val n = emb.count()
+    val (bands, planes) = lshAutoParams(n, simMin, targetBucket)
+    // shuffle width ∝ the path's own band-row volume (~250k rows per
+    // task): at the session default (32 locally) a corpus-scale
+    // candidate stream concentrates ≥ GB-scale sorts per task — the
+    // r13 sweep OOM'd the candidate-join sorter at 2M vectors × 30
+    // bands on exactly that; on a real cluster this is the same
+    // decision as sizing spark.sql.shuffle.partitions to the data,
+    // made locally by the one operator that knows its fan-out
+    val parts = math.min(4096L, math.max(32L, n * bands / 250000L)).toInt
+    embeddingPairsLsh(emb, simMin, bands, planes, maxBucket = targetBucket * 8,
+      numPartitions = Some(parts))
   }
 
   def duckEmbeddingPairsLsh(

@@ -623,6 +623,49 @@ case class MinhashSignature(child: Expression, k: Int, prime: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Wide-hash MinHash signature (Dedup.minhashPairsAuto's hot path):
+  * sig_i = min_h ((h XOR seed_i) mod prime) over 60-bit shingle
+  * hashes, seeds derived from `seedBase` by the same driver-side
+  * xorshift as the HOF twin (Dedup.minhashSigXorHof). Multiply-free —
+  * h < 2⁶⁰ XOR a 60-bit seed stays non-negative in a Long, so the
+  * plain % IS pmod and nothing can overflow under ANSI. One pass per
+  * (i, element): the k×m work the interpreted per-element HOF lambda
+  * made 8× slower at fixture scale (measured 6.0 s vs 0.7 s at sf0.1
+  * before this native existed). */
+case class MinhashSigXor(child: Expression, k: Int, prime: Long, seedBase: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  private lazy val seeds: Array[Long] = {
+    var x = seedBase
+    Array.fill(k) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      x & ((1L << 60) - 1)
+    }
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val s = seeds(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val x = (hs.getLong(j) ^ s) % prime
+        if (x < best) best = x
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 32-bit SimHash from token hashes (Dedup.simhash twin): bit j set
   * iff Σ_tokens (2·bit_j(h)−1) > 0. */
 case class SimhashBits(child: Expression)

@@ -220,6 +220,15 @@ class NativeParitySpec extends SparkSpec {
     assert(d.count() === 0L)
   }
 
+  test("wide minhash signature (xor-seed): native == HOF on 60-bit shingle hashes") {
+    val hs = docs.select(col("doc_id"),
+      Dedup.shingleHashes64(col("text")).as("hs"))
+    val d = hs.select(Dedup.minhashSigXor(col("hs"), 12).as("a"),
+        Dedup.minhashSigXorHof(col("hs"), 12).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(d.count() === 0L)
+  }
+
   test("euclidean: native == HOF on all fixture pairs vs vector 0") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
     val d = emb.crossJoin(broadcast(q))

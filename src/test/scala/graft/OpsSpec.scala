@@ -27,6 +27,49 @@ class OpsSpec extends SparkSpec {
     assert(planted.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("minhashPairsAuto: recall-honest banding finds the planted dups on wide hashes") {
+    // solver shape: deepest r whose band count stays <= 64
+    assert(Dedup.minhashAutoParams(0.5) === (47, 4))
+    assert(Dedup.minhashAutoParams(0.9) === (6, 8))
+    val corpus = Dedup.corpusWithDups(docs)
+    val auto = Dedup.minhashPairsAuto(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every emitted pair passes the exact (collision-free) Jaccard gate
+    assert(auto.nonEmpty && auto.forall(_._3 >= 0.5))
+    // recall against the planted truth: compute each planted pair's
+    // TRUE wide-hash Jaccard; pairs comfortably above threshold
+    // (>= 0.6, where the 47x4 S-curve passes with p ~ 1 - 2e-3 per
+    // band set and the fixed seeds make the outcome deterministic)
+    // must all be found
+    val wide = corpus.withColumn("hs", Dedup.shingleHashes64(col("text")))
+    val truth = wide.as("a").join(wide.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.doc_id"),
+        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
+          size(array_union(col("a.hs"), col("b.hs")))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val comfortable = truth.filter(_._2 >= 0.6).map(_._1).toSet
+    assert(comfortable.nonEmpty)
+    val found = auto.map(_._1).toSet
+    val missed = comfortable -- found
+    assert(missed.isEmpty,
+      s"planted pairs with true Jaccard >= 0.6 missed by auto banding: $missed")
+  }
+
+  test("ngram wideHashes: planted dups found with honest dfs, same threshold semantics") {
+    val corpus = Dedup.corpusWithDups(docs)
+    val widePairs = Dedup.ngramJaccardPairs(corpus, wideHashes = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(widePairs.nonEmpty && widePairs.forall(_._3 >= 0.5))
+    // the planted +1e6 dups live in the same length block and share
+    // nearly all shingles — the wide-hash prefix filter must keep them
+    val plantedFound = widePairs.count(p => p._2 == p._1 + 1000000L)
+    val plantedPinned = Dedup.ngramJaccardPairs(corpus).collect()
+      .count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(plantedFound === plantedPinned,
+      s"wide hashes found $plantedFound planted pairs vs pinned $plantedPinned")
+  }
+
   test("simhash: hamming 0 for identical text; chunk join finds planted dups") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
@@ -1072,6 +1115,20 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pub === via64,
       "simhashPairs must delegate to the 64-bit implementation")
+    // blocking completeness (r13: candidate generation moved from
+    // 4×16-bit chunks to Manku C(6,3) 3-block combos for linear
+    // candidate volume): the output must STILL be exactly the
+    // brute-force hamming ≤ 3 truth — blocking is lossless pruning
+    val fps = perturbed.withColumn("fp", Dedup.simhash64(col("text")))
+      .select(col("doc_id"), col("fp"))
+    val brute = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(via64 === brute,
+      "combo blocking must reproduce the brute-force hamming truth exactly")
   }
 
   test("lshAutoParams: planes track corpus size, true-pair recall tracks the pinned banding") {
