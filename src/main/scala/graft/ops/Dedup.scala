@@ -1229,28 +1229,70 @@ object Dedup {
     (bands, planes)
   }
 
-  /** [[embeddingPairsLsh]] with [[lshAutoParams]] sizing and the
-    * hot-bucket cap engaged (8× the target population) — the
-    * corpus-scale entry point (the pinned-parameter query stays for
-    * oracle stability; measured on the r12 curves, exponent 1.07).
-    * With the cap, candidate volume is bounded by bands · maxBucket ·
-    * n; bands grows ∝ n^(−log₂ q) once recall requires it (the
-    * sign-LSH ρ-exponent, ≈ n^0.22 at simMin 0.9 — see
-    * [[lshAutoParams]]), so the total is O(n^{1+ρ}) — mildly
-    * super-linear by LSH theory, with the recall contract held instead
-    * of silently degraded. */
+  /** [[embeddingPairsLsh]] with [[lshAutoParams]] sizing, a measured
+    * recall margin, and the hot-bucket cap engaged — the corpus-scale
+    * entry point (the pinned-parameter query stays for oracle
+    * stability). Candidate volume is bounded by bands · maxBucket · n;
+    * bands grows ∝ n^(−log₂ q) as planes deepen (the sign-LSH
+    * ρ-exponent, ≈ n^0.22 at simMin 0.9 — see [[lshAutoParams]]), so
+    * the total is O(n^{1+ρ}) — mildly super-linear by LSH theory.
+    * Measured r13 (x1000doc corpus): completes 2M vectors where the
+    * r12 sizing exhausted scratch disk; top-decade exponent ≈ 1.4 =
+    * the ρ law plus spill constants. See the parameter notes below
+    * for why the nominal S-curve needs `bandsMargin` — the closed
+    * form is an IDEAL-PLANE bound, and the r13 recall audit measured
+    * the gap. */
   def embeddingPairsLshAuto(
       emb: DataFrame, simMin: Double = 0.9,
-      targetBucket: Long = 16L): DataFrame = {
+      targetBucket: Long = 16L,
+      targetRecall: Double = 0.95,
+      bandsMargin: Double = 2.0,
+      capMultiple: Long = 8L): DataFrame = {
     // targetBucket 16 (was 64 in r12): candidate volume is
     // bands · n · pop/2, LINEAR in the target population while bands
     // only grows ∝ n^ρ as planes deepen — at 2M vectors the 64-row
     // target produced ~1.8B candidate rows (30 bands × pop 64) whose
     // sort-spill exhausted 70 GB of scratch disk (r13 4th-decade
-    // sweep); 16 cuts that 4× (41 bands × pop 8 ≈ 0.7B) for the same
-    // recall contract, which the solver holds by construction
+    // sweep); 16 cuts that 4×.
+    //
+    // bandsMargin and capMultiple exist because the r13 recall AUDIT
+    // (exact forceExact truth at 20k vectors, 456 pairs) measured the
+    // ideal-plane S-curve badly overstating recall on this corpus —
+    // and the audit's truth set is the structural worst case on BOTH
+    // axes, worth spelling out because it bounds what any banding can
+    // do here:
+    //  * every truth pair is a SINGLE-COORDINATE perturbation, and an
+    //    axis-concentrated Δ against ±1 Rademacher hyperplanes is the
+    //    worst case (every plane sees the full |Δ| where a diffuse Δ
+    //    averages out): uncapped recall read 0.70 at the solver's
+    //    nominal 0.95, and DOUBLING bands only bought 0.75 — misses
+    //    concentrate on the high-split-probability pairs, so the
+    //    (1−q)^b independence the closed form assumes does not hold;
+    //  * the fixture's vectors live in direction CLUSTERS (8 base
+    //    centroids × the ScaleData copy transforms ⇒ thousands of
+    //    ~250-member micro-clusters at the 4th decade), so bucket
+    //    population is cluster-sized in EVERY band at once and the
+    //    cap-vs-recall trade is binary: a cap below the cluster size
+    //    deletes same-cluster pairs (recall 0.23 at 8×target, 0.34 at
+    //    16× on the 20k audit), while a cap above it pays
+    //    cluster-quadratic candidate volume (the 16× default was
+    //    re-measured EXHAUSTING 70 GB of scratch at 2M vectors — 8×
+    //    is the shipped default because completing with documented
+    //    recall beats dying). Pair-level LSH on heavily-clustered
+    //    data is the wrong tool — that mass belongs to [[semDedup]]
+    //    (centroid assignment + within-cluster pruning handles the
+    //    cluster geometry in measured sub-linear time), and
+    //    recall-critical audits belong to the exact path (forceExact
+    //    sampling). On spread-direction corpora with diffuse
+    //    differences — the shape real embedding near-dups take — the
+    //    S-curve applies and the margin is headroom, not a patch.
+    // This operator's contract is therefore bounded near-linear work
+    // with S-curve recall ON ITS INTENDED GEOMETRY, measured honestly
+    // on the adversarial one; it does not promise certainty anywhere.
     val n = emb.count()
-    val (bands, planes) = lshAutoParams(n, simMin, targetBucket)
+    val (bands0, planes) = lshAutoParams(n, simMin, targetBucket)
+    val bands = math.min(512, math.max(2,
+      math.ceil(bands0 * bandsMargin).toInt))
     // shuffle width ∝ the path's own band-row volume (~250k rows per
     // task): at the session default (32 locally) a corpus-scale
     // candidate stream concentrates ≥ GB-scale sorts per task — the
@@ -1259,7 +1301,8 @@ object Dedup {
     // decision as sizing spark.sql.shuffle.partitions to the data,
     // made locally by the one operator that knows its fan-out
     val parts = math.min(4096L, math.max(32L, n * bands / 250000L)).toInt
-    embeddingPairsLsh(emb, simMin, bands, planes, maxBucket = targetBucket * 8,
+    embeddingPairsLsh(emb, simMin, bands, planes,
+      maxBucket = targetBucket * capMultiple,
       numPartitions = Some(parts))
   }
 
