@@ -51,7 +51,15 @@ object Bench {
       names.filter(repsFor(_) >= pass).foreach { n =>
         val t0 = System.nanoTime()
         try {
-          queries(n)(spark, sfDir).count()
+          // force via toRdd.count(), NOT Dataset.count(): under a count
+          // aggregate Catalyst legally prunes every column (a map-only
+          // query collapses to a parquet row-group count) and drops
+          // left-join subtrees with unique keys (a census query's
+          // expensive branch vanishes) — measured r13: 22 of 197
+          // queries ran 2-12x under their real cost. toRdd executes
+          // the plan AS WRITTEN (all output columns materialized) and
+          // only the row iteration is extra.
+          queries(n)(spark, sfDir).queryExecution.toRdd.count()
           ok(n) += (System.nanoTime() - t0) / 1e9
         } catch {
           case _: Throwable => bad(n) += (System.nanoTime() - t0) / 1e9
@@ -125,7 +133,8 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // warm-up (small sf, untimed)
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.toRdd.count()
       catch { case _: Throwable => }
     }
     // 1-min/5-min/15-min load averages — recorded in both output files so

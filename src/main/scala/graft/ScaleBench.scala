@@ -176,7 +176,8 @@ object ScaleBench {
         s"/dev/shm/graft_scale_${java.lang.ProcessHandle.current.pid}")
     // warm-up at the smallest fixture: JIT + codegen, untimed
     queries.foreach { case (n, _) =>
-      try queryFn(n)(spark, "/root/testdata/sf0.001").count()
+      try queryFn(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -203,7 +204,12 @@ object ScaleBench {
         // the FAILURE is the finding and must reach the output
         val samples = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
-          try { queryFn(name)(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
+          // toRdd.count(), not Dataset.count(): count-rewrites prune
+          // map-only projections and unique-key left-join subtrees —
+          // the r13 audit caught x_semdedup's curve measuring a
+          // pruned plan (0.4 s where the census costs 7+ min at 100×)
+          try { queryFn(name)(spark, d).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[scalebench] $name @ $d: FAILED " +
               s"${e.getClass.getSimpleName}: " +

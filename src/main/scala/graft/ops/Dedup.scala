@@ -1279,9 +1279,12 @@ object Dedup {
     //    re-measured EXHAUSTING 70 GB of scratch at 2M vectors — 8×
     //    is the shipped default because completing with documented
     //    recall beats dying). Pair-level LSH on heavily-clustered
-    //    data is the wrong tool — that mass belongs to [[semDedup]]
-    //    (centroid assignment + within-cluster pruning handles the
-    //    cluster geometry in measured sub-linear time), and
+    //    data is the wrong tool — that mass belongs to the SemDeDup
+    //    family (centroid assignment + within-cluster pruning, which
+    //    is bounded when the cluster COUNT scales with the corpus so
+    //    per-cluster size stays fixed — the Abbas et al. regime; the
+    //    fixture census query pins k=8 centroids for its oracle and
+    //    is cluster-quadratic at corpus scale BY that pin), and
     //    recall-critical audits belong to the exact path (forceExact
     //    sampling). On spread-direction corpora with diffuse
     //    differences — the shape real embedding near-dups take — the
