@@ -134,6 +134,15 @@ object ScaleBench {
       val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val emb = Tables.t(s, dir, "embeddings")
       val n = emb.count()
+      // the memo key is the dir PATH, but ScaleData rebuilds fixtures
+      // in place (and SPARK_GRAFT_SCALE_TABLES encourages per-family
+      // rebuilds at the same out path) — validate the stored base
+      // against the CURRENT row count and rebuild on mismatch, else
+      // the timed upsert merges against a collection that no longer
+      // matches the corpus it claims to describe (r13 advisor)
+      if (fs.exists(basePath) &&
+          s.read.parquet(base).count() != n)
+        fs.delete(basePath, true)
       if (!fs.exists(basePath)) {
         // ~4k rows per file so file count grows with the collection
         // (touched-file locality is what the probe exists to show)
@@ -202,6 +211,14 @@ object ScaleBench {
         // (query, dir) instead of killing the whole sweep (the r13
         // s_session_builtin OOM aborted s_stream_topk unmeasured) —
         // the FAILURE is the finding and must reach the output
+        //
+        // state-rows telemetry is per-(query, dir): clear the previous
+        // run's progress BEFORE the reps so a failed streaming run
+        // reports no state rows instead of a stale neighbor's (r13
+        // advisor: s_session_builtin_heap's expected top-decade OOM was
+        // otherwise attributed the PRIOR query's bounded state)
+        if (name.startsWith("s_"))
+          graft.streaming.Streams.lastRunProgress = Nil
         val samples = (1 to reps).iterator.map { _ =>
           val t0 = System.nanoTime()
           // toRdd.count(), not Dataset.count(): count-rewrites prune
@@ -218,13 +235,16 @@ object ScaleBench {
           }
         }.scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
           .find(s => s.last > repCap || s.last < 0 || s.size == reps).get
-        if (name.startsWith("s_")) {
+        val good = samples.filter(_ >= 0)
+        val best = if (good.nonEmpty) good.min else -1.0
+        // record state rows only for runs that actually completed: a
+        // dead run's stateRowsMax would be whatever partial progress
+        // (or nothing) the failure left behind, not a bounded-state claim
+        if (name.startsWith("s_") && best >= 0) {
           val rows = graft.streaming.Streams.lastRunProgress
             .flatMap(_.stateOperators.map(_.numRowsTotal))
           if (rows.nonEmpty) stateRows((name, d)) = rows.max
         }
-        val good = samples.filter(_ >= 0)
-        val best = if (good.nonEmpty) good.min else -1.0
         // progress to stderr (stdout carries only the final JSON line):
         // long 100×-corpus stages are otherwise indistinguishable from
         // a hang from outside the JVM

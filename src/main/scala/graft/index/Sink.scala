@@ -152,14 +152,18 @@ object Sink {
     * to discard). On success the TTL is re-extended best-effort —
     * the expensive staging write precedes each fence, so a healthy
     * long write renews between stages instead of aging toward expiry.
-    * The renewal overwrite is reached only by the verified unexpired
-    * holder; the read→write window is microseconds against a takeover
-    * that requires a whole TTL already elapsed. */
+    * The renewal overwrite is reached only by the verified UNEXPIRED
+    * holder — a self-owned but TTL-expired lease aborts exactly like
+    * a foreign one (r13 advisor: renewing an expired self-lease races
+    * a takeover driver sitting between its readLease and its
+    * delete+create break — both would then believe they hold it).
+    * With the expiry check, the double-writer window shrinks to the
+    * read→rename microseconds already documented. */
   private def verifyLeaseForCommit(path: String): Unit = {
     val key = new org.apache.hadoop.fs.Path(path).toString
     val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
     val fs = leasePath.getFileSystem(hadoopConf)
-    val (holder, _) = readLease(fs, leasePath)
+    val (holder, expires) = readLease(fs, leasePath)
     if (holder != holderId)
       throw new IllegalStateException(
         s"collection $key: write lease lost before commit (" +
@@ -168,6 +172,14 @@ object Sink {
           ") — this write outlived its TTL and another driver took " +
           "over; aborting with nothing renamed so the takeover " +
           "writer's files stay intact")
+    if (System.currentTimeMillis > expires)
+      throw new IllegalStateException(
+        s"collection $key: write lease lost before commit (self-" +
+          s"expired ${System.currentTimeMillis - expires} ms ago) — " +
+          "this write outlived its TTL; a takeover driver may already " +
+          "have read the marker as breakable, so renewing now could " +
+          "seat two writers. Aborting with nothing renamed; raise " +
+          "spark.graft.lease.ttlMs for stages this long")
     try {
       val out = fs.create(leasePath, true)
       try out.write(s"$holderId ${System.currentTimeMillis + leaseTtlMs}"

@@ -258,8 +258,25 @@ object Dedup {
       val q = math.pow(jaccardMin, r)
       math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - q)).toInt)
     }
-    val r = (2 to 8).filter(r => bandsFor(r) <= 64).lastOption.getOrElse(2)
-    (bandsFor(r), r)
+    (2 to 8).filter(r => bandsFor(r) <= 64).lastOption match {
+      case Some(r) => (bandsFor(r), r)
+      case None =>
+        // infeasible floor (jaccardMin below ~0.18 at recall 0.95): no
+        // r reaches the target within 64 bands. The r13 advisor caught
+        // the old fallback returning bandsFor(2) UNCAPPED — e.g.
+        // jaccardMin=0.1 gave 299 bands / k=598, exactly the signature
+        // blow-up this solver exists to prevent. Cap at the same 64
+        // bands the search used and say loudly what recall that buys
+        // (the lshAutoParams ceiling-binds pattern).
+        val b = math.min(64, bandsFor(2))
+        val achieved = 1 - math.pow(1 - jaccardMin * jaccardMin, b)
+        System.err.println(
+          f"[graft] minhashAutoParams: jaccardMin=$jaccardMin%.3f is " +
+            f"below the feasible floor for targetRecall=$targetRecall%.3f " +
+            f"within the 64-band cap — capped at ($b%d bands, r=2), " +
+            f"nominal recall at the threshold $achieved%.3f")
+        (b, 2)
+    }
   }
 
   /** Corpus-scale MinHash near-dup pairing — the scale twin of

@@ -204,6 +204,51 @@ class IngestSinkSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("lost-lease repair drill: self-expired writer aborts, takeover commits, one consistent collection") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_leaserepair")
+      .toString + "/col"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sink.append((0L until 8L).map(i => (i, s"v0_$i")).toDF("id", "tag"), dir)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    // WRITER A: its lease is already past TTL by the time the merge
+    // reaches its commit marker (instant-expiry TTL simulates a write
+    // that outlived its lease mid-stage). The staged survivor write
+    // completes; the marker fence must then abort rather than renew —
+    // renewing a self-expired lease races a takeover driver between
+    // its readLease and its break (r13 advisor).
+    spark.conf.set("spark.graft.lease.ttlMs", "-1000")
+    val editA = Seq((0L, "A_EDIT"), (1L, "A_EDIT")).toDF("id", "tag")
+    val boom = intercept[IllegalStateException](
+      Sink.upsertReplace(spark, editA, dir, "id"))
+    assert(boom.getMessage.contains("self-expired"), boom.getMessage)
+    spark.conf.unset("spark.graft.lease.ttlMs")
+    // A aborted PRE-commit: no marker, staging debris left behind, and
+    // the collection reads exactly as before — A's edit is invisible
+    assert(!fs.exists(new Path(dir, "_payload_commit")))
+    assert(fs.exists(new Path(dir, "_payload_staging")),
+      "an aborted merge leaves its staging debris for the repair")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toMap === before)
+    // WRITER B takes over (A released its expired marker; an unreleased
+    // one would read expired and be broken at acquire) and commits ITS
+    // edit — the head-of-write repairPayloadUpdate discards A's
+    // pre-commit debris before B stages anything
+    val editB = Seq((0L, "B_EDIT"), (1L, "B_EDIT")).toDF("id", "tag")
+    assert(Sink.upsertReplace(spark, editB, dir, "id") === 2L)
+    val after = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(after.length === 8, "no lost or duplicated rows")
+    val m = after.toMap
+    assert(m.keySet === (0L until 8L).toSet)
+    assert(m(0L) === "B_EDIT" && m(1L) === "B_EDIT",
+      "the takeover writer's committed edit must win")
+    (2L until 8L).foreach(i => assert(m(i) === before(i)))
+    assert(!fs.exists(new Path(dir, "_payload_staging")),
+      "repair must clear the aborted writer's debris")
+    assert(!fs.exists(new Path(dir + Sink.LeaseSuffix)),
+      "no lease marker may outlive the drill")
+  }
+
   test("dynamic map payload: per-row keys, element_at filter, Unknown default") {
     val pts = Ingest.buildPointsDynamic(Ingest.tolerantDecode(
       Ingest.imageScanFilter(Ingest.withPaths(docs)))).cache()

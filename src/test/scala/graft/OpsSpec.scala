@@ -31,6 +31,10 @@ class OpsSpec extends SparkSpec {
     // solver shape: deepest r whose band count stays <= 64
     assert(Dedup.minhashAutoParams(0.5) === (47, 4))
     assert(Dedup.minhashAutoParams(0.9) === (6, 8))
+    // below the feasible floor the fallback must CAP at 64 bands (the
+    // r13 advisor caught it returning 299 bands / k=598 uncapped —
+    // the signature blow-up the solver exists to prevent)
+    assert(Dedup.minhashAutoParams(0.1) === (64, 2))
     val corpus = Dedup.corpusWithDups(docs)
     val auto = Dedup.minhashPairsAuto(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
