@@ -80,7 +80,8 @@ object ScaleBench {
     "s_session_builtin_heap" -> "events",
     "x_sink_upsert" -> "embeddings",
     "x_dedup_minhash_auto" -> "documents",
-    "x_dedup_ngram_wide" -> "documents")
+    "x_dedup_ngram_wide" -> "documents",
+    "x_semdedup_scaled" -> "embeddings")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -96,6 +97,11 @@ object ScaleBench {
     // sweep measured super-linear (minhash exp 1.63 from r=2 banding
     // over a saturated ~1e6 hash space; ngram's prefix filter losing
     // selectivity on the same saturation, 70 GB scratch exhausted)
+    // the r14 k-scaling SemDeDup (cluster count ∝ corpus, fixed
+    // cluster size): the scale-safe twin of the refusal-guarded
+    // fixed-k census query
+    "x_semdedup_scaled" -> ((s, dir) =>
+      graft.ops.Similarity.semDedupProbe(s, dir)),
     "x_dedup_minhash_auto" -> ((s, dir) =>
       graft.ops.Dedup.minhashPairsAuto(
         graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),

@@ -1028,7 +1028,7 @@ object Dedup {
     * the plant can never diverge between them or from
     * [[duckEmbCorpusWithDups]]. `withLabel` keeps the block key for
     * the label-blocked variant. */
-  private[ops] def embCorpusWithDups(emb: DataFrame, withLabel: Boolean): DataFrame = {
+  private[graft] def embCorpusWithDups(emb: DataFrame, withLabel: Boolean): DataFrame = {
     val labelCols = if (withLabel) Seq(col("label")) else Nil
     val dups = emb.filter(col("vec_id") % 20 === 0)
       .select(Seq((col("vec_id") + DupOffset).as("vec_id"),

@@ -450,6 +450,309 @@ object Similarity {
        |ORDER BY distortion DESC, id_a, id_b LIMIT 200""".stripMargin
   }
 
+  // -- SemDeDup (semantic dedup) -------------------------------------
+
+  /** Input-row bound above which [[semDedupCensusPinned]] refuses
+    * without `forcePinned`: the k-PINNED census is cluster-quadratic
+    * BY ITS PIN (per-cluster population n/k grows with the corpus —
+    * honest r13 measurement: exp 1.92, 816 s at 520k vectors), so a
+    * corpus must be impossible to point at it by accident — the
+    * [[graft.ops.Dedup.embeddingPairs]] `ExactPairsMaxRows` pattern. */
+  val SemDedupPinnedMaxRows: Long = 1L << 16
+
+  /** The FIXED-k SemDeDup census (the suite's `x_semdedup` oracle
+    * form): assign to the given pinned centroids, drop a point when an
+    * earlier same-cluster point sits at cosine ≥ `simMin`, return the
+    * per-cluster keep/drop census. With k pinned, per-cluster
+    * population grows ∝ corpus and the within-cluster verify is
+    * quadratic — this is the fixture-scale census, NOT the corpus
+    * operator; above [[SemDedupPinnedMaxRows]] rows it refuses loudly
+    * and routes to [[semDedup]], whose cluster COUNT scales with the
+    * corpus instead (the Abbas et al. 2023 regime). `forcePinned` is
+    * the deliberate escape for bounded audits. */
+  def semDedupCensusPinned(
+      corpus: DataFrame, cents: DataFrame,
+      simMin: Double = 0.9, forcePinned: Boolean = false): DataFrame = {
+    if (!forcePinned) {
+      val n = corpus.count()
+      require(n <= SemDedupPinnedMaxRows,
+        s"semDedupCensusPinned keeps the cluster COUNT fixed, so its " +
+          s"within-cluster verify is quadratic in the corpus (measured " +
+          s"growth exponent 1.92; 816 s at 520k vectors): refusing $n " +
+          s"input rows > $SemDedupPinnedMaxRows. Corpus-scale semantic " +
+          "dedup goes through semDedup(corpus, targetClusterSize), " +
+          "which grows the cluster count with the corpus; a deliberate " +
+          "bounded census passes forcePinned = true.")
+    }
+    val asg = ivfAssign(corpus, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    val a = asg.select(col("cluster_id"), col("vec_id").as("i"),
+      col("embedding").as("va")).repartition(col("cluster_id"))
+    val b = asg.select(col("cluster_id"), col("vec_id").as("j"),
+      col("embedding").as("vb")).repartition(col("cluster_id"))
+    // carry the cluster with the dropped id so the census aggregates
+    // the already-shuffled sides — no third pass over the assignment
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("i") < col("j"))
+      .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= simMin)
+      .select(col("cluster_id"), col("j")).distinct()
+    val nDropped = dropped.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_dropped"))
+    a.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_points"))
+      .join(nDropped, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_points"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** k-SCALING SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the
+    * regime the paper actually runs at web scale): the cluster COUNT
+    * grows with the corpus so per-cluster population stays
+    * ~`targetClusterSize`, and the within-cluster earlier-point prune
+    * is then Σ popᵢ² ≈ n·targetClusterSize — LINEAR in the corpus for
+    * a fixed target size. This is the scale-safe entry point the
+    * LSH-auto scaladoc routes clustered-geometry mass to
+    * ([[graft.ops.Dedup.embeddingPairsLshAuto]]); the fixed-k census
+    * above is the fixture-scale oracle form.
+    *
+    * Returns one row per input point: (vec_id, cluster_id, dropped) —
+    * dropped = an earlier point (lower vec_id) in the same terminal
+    * cluster sits at cosine ≥ `simMin`. Deterministic end to end: seed
+    * draws are content-hash ranks, Lloyd means are exact averages, no
+    * RNG anywhere.
+    *
+    * Mechanics (each stage linear, shuffles keyed on bounded keys):
+    *
+    *  1. EXACT-DIRECTION COLLAPSE. Bit-identical embeddings cannot be
+    *     separated by any centroid (every seed sees the same cosine:
+    *     the argmax tie-break routes the whole group to one child
+    *     forever — the one genuinely unsplittable geometry), and they
+    *     are mutual duplicates at ANY threshold. One window over the
+    *     embedding value collapses each group to its min-id
+    *     representative; members return as drops at the end. This is
+    *     exactly semantics-preserving: rep = min(group), and a point p
+    *     is dropped iff some group with min < p clears the threshold —
+    *     which the representative census decides verbatim.
+    *  2. ADAPTIVE HIERARCHICAL k-MEANS. Clusters larger than the
+    *     target split `branch` ways per level: per oversized node,
+    *     draw ~8·branch content-stable sample rows (hash-threshold on
+    *     a per-level salt — NO global window: ranking a node's full
+    *     population through one task is the level-0 scale-killer),
+    *     rank the tiny sample per node for `branch` seed points, run
+    *     `lloydIters` DISTRIBUTED Lloyd steps (argmax-assign, then
+    *     per-(node, child) element-wise means via posexplode — the
+    *     driver-side [[ivfRefineCentroids]] collects k×dim to the
+    *     driver, which cannot scale to k ∝ n), and re-assign. Nodes at
+    *     or under the target retire from the loop, so each level
+    *     touches only still-oversized mass. Levels are capped at
+    *     log_branch(n/target)+4; anything still oversized then is
+    *     surfaced on stderr and censused as-is (its quadratic cost is
+    *     bounded by the warning, not hidden).
+    *  3. BOUNDED CENSUS. The within-cluster pairwise verify runs as a
+    *     self-equi-join repartitioned on cluster_id (the plan-hygiene
+    *     rule); per-cluster volume is capped by the target size.
+    *
+    * At 100 TB: stage 1 is one shuffle on the vector value; stage 2 is
+    * O(log(n/target)) passes, each one hash-partition shuffle of the
+    * still-active rows plus a seed-table equi-join (the seed table has
+    * branch rows per ACTIVE node — never collected, never broadcast by
+    * hand; Catalyst broadcasts it while it is small and shuffles it
+    * when it is not); stage 3 shuffles each point once on its terminal
+    * cluster. Assignment arithmetic is branch cosines per point per
+    * level via [[graft.vector.Expressions.CosineSim]] under a
+    * per-element-once `transform` (HofGuard-clean: the lambda touches
+    * only attributes and its own variable). */
+  def semDedup(
+      emb: DataFrame,
+      targetClusterSize: Long = 256L,
+      simMin: Double = 0.9,
+      branch: Int = 8,
+      lloydIters: Int = 1,
+      overlap: Double = 0.1): DataFrame = {
+    require(targetClusterSize >= 2, s"targetClusterSize must be >= 2: $targetClusterSize")
+    require(branch >= 2 && branch <= 64, s"branch must be in [2, 64]: $branch")
+    require(overlap >= 0 && overlap < 1, s"overlap must be in [0, 1): $overlap")
+    val basePts = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // 1. exact-direction collapse (one shuffle on the vector value).
+    // localCheckpoint (not persist) throughout the driver loop: each
+    // level's frame references its parent several times (population
+    // join, seed draw, Lloyd means, re-assignment), so a lazy lineage
+    // GROWS EXPONENTIALLY in the level count — by level 5 the logical
+    // plan holds ~4^5 copies of the scan and the plan STRING alone
+    // OOMs the driver. Checkpointing flattens each level to a
+    // LogicalRDD; blocks are freed when the frames are GC'd.
+    val wRep = Window.partitionBy(col("embedding"))
+    val withRep = basePts.withColumn("rep_id", min(col("vec_id")).over(wRep))
+      .localCheckpoint(true)
+    val reps = withRep.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
+    val members = withRep.filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("rep_id"))
+    // 2. adaptive splitting. Rows carry a `primary` flag: the argmax
+    // path (one per point — the output assignment) plus, when
+    // `overlap` > 0, canopy-style probe paths into every child within
+    // `overlap` cosine of the point's best — those exist ONLY so the
+    // census can see across the Voronoi boundary (the SemDeDup paper's
+    // one blind spot: a dup pair whose two members argmax into sibling
+    // children is invisible to a within-cluster-only verify). If the
+    // twins' per-centroid cosine shift is ε, an argmax-split pair is
+    // within 2ε of sharing the best child, so overlap ≥ 2ε guarantees
+    // a shared census cluster; the sound-for-any-geometry bound
+    // 2·√(2−2·simMin) is uselessly wide (≈0.9 at simMin 0.9 — it
+    // would probe everything), so the default 0.1 is the practical
+    // knob for near-dup perturbations, stated honestly rather than
+    // promised. Probe fan-out multiplies census volume and is
+    // measured, not assumed, in the scale probe.
+    var active = reps.withColumn("cluster_id", lit(0L))
+      .withColumn("primary", lit(true))
+    var activeCnt = active.count()
+    val maxLevels = math.min(20, math.max(1, math.ceil(
+      math.log(math.max(1.0, activeCnt.toDouble / targetClusterSize)) /
+        math.log(branch.toDouble)).toInt) + 4)
+    val finishedParts = scala.collection.mutable.Buffer.empty[DataFrame]
+    var lvl = 0
+    while (activeCnt > 0 && lvl < maxLevels) {
+      val pops = active.groupBy(col("cluster_id")).agg(count(lit(1)).as("pop"))
+      val tagged = active.join(pops, Seq("cluster_id"))
+      val doneNow = tagged.filter(col("pop") <= targetClusterSize)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"), col("primary"))
+        .localCheckpoint(true)
+      val over = tagged.filter(col("pop") > targetClusterSize)
+      // per-level content-stable draw: ~8·branch expected samples per
+      // node whatever its population; the per-level salt makes a
+      // zero-sample node (probability e^{-8·branch}) re-draw next level.
+      // Seeds come off PRIMARY rows so probe duplicates cannot seed
+      // two siblings with the same point.
+      val drawKey = Embedder.stringHash64(
+        concat_ws(":", col("vec_id").cast("string"), lit(lvl)))
+      val sampled = over.filter(col("primary")).filter(
+        pmod(drawKey, lit(1000000L)).cast("double") <
+          least(lit(1.0), lit(8.0 * branch) / col("pop")) * 1000000.0)
+      val wSeed = Window.partitionBy(col("cluster_id"))
+        .orderBy(drawKey.asc, col("vec_id").asc)
+      var cands: DataFrame = sampled
+        .withColumn("child", (row_number().over(wSeed) - 1).cast("long"))
+        .filter(col("child") < branch)
+        .select(col("cluster_id"), col("child"), col("embedding").as("cv"))
+      val overRows = over.select(col("vec_id"), col("embedding"),
+        col("cluster_id"), col("primary"))
+      for (_ <- 0 until lloydIters) {
+        // distributed Lloyd step: child means (over the argmax
+        // assignment only) replace the drawn points
+        cands = assignChildren(overRows, cands, overlap = 0.0)
+          .filter(col("primary"))
+          .select(col("cluster_id"), col("child"), posexplode(col("embedding")))
+          .groupBy(col("cluster_id"), col("child"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("cluster_id"), col("child"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+      }
+      val next = assignChildren(overRows, cands, overlap)
+        .select(col("vec_id"), col("embedding"),
+          (col("cluster_id") * branch + col("child")).as("cluster_id"),
+          col("primary"))
+        .localCheckpoint(true)
+      if (doneNow.count() > 0) finishedParts += doneNow
+      active = next
+      activeCnt = next.count()
+      lvl += 1
+    }
+    if (activeCnt > 0) {
+      System.err.println(
+        s"[graft] semDedup: $activeCnt rows remain in oversized " +
+          s"clusters after $lvl levels (near-identical directions the " +
+          "split cannot separate) — censusing them as-is; their " +
+          "pairwise cost is population-squared")
+      finishedParts += active
+    }
+    val clustered =
+      if (finishedParts.isEmpty) active.limit(0)
+      else finishedParts.reduce(_ unionByName _)
+    // probe fan-out is a measured number, not a footnote (the r13
+    // LSH-recall lesson): say what the census actually pays
+    val censusRows = clustered.count()
+    val repCnt = reps.count()
+    if (repCnt > 0)
+      System.err.println(
+        f"[graft] semDedup: census over $censusRows rows for $repCnt " +
+          f"points (probe fan-out ${censusRows.toDouble / repCnt}%.2f× " +
+          f"at overlap $overlap%.2f)")
+    // 3. bounded within-cluster census — over ALL assignments (probe
+    // rows included: they exist exactly so boundary pairs share a
+    // census cluster); the output keeps one row per point (primary)
+    val a = clustered.select(col("cluster_id"), col("vec_id").as("i"),
+      col("embedding").as("va")).repartition(col("cluster_id"))
+    val b = clustered.select(col("cluster_id"), col("vec_id").as("j"),
+      col("embedding").as("vb")).repartition(col("cluster_id"))
+    val dropIds = a.join(b, Seq("cluster_id"))
+      .filter(col("i") < col("j"))
+      .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= simMin)
+      .select(col("j").as("vec_id")).distinct()
+    val repsOut = clustered.filter(col("primary"))
+      .select(col("vec_id"), col("cluster_id"))
+      .join(dropIds.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+    // exact-group members inherit their representative's cluster and
+    // are drops by construction (an identical earlier point exists)
+    val memberOut = members
+      .join(repsOut.select(col("vec_id").as("rep_id"), col("cluster_id")),
+        Seq("rep_id"))
+      .select(col("vec_id"), col("cluster_id"), lit(true).as("dropped"))
+    // materialize the result too: the census self-join is the
+    // expensive stage, and the operator is eager by construction
+    // (per-level population counts) — a caller re-running actions on
+    // the returned frame must not re-pay it
+    repsOut.unionByName(memberOut).localCheckpoint(true)
+  }
+
+  /** ScaleBench probe body for the k-scaling operator: same planted-dup
+    * corpus as the pinned census, corpus-scale parameters. Lives here
+    * because [[graft.ops.Dedup.embCorpusWithDups]] is package-private
+    * (the plant must never diverge between the queries sharing it). */
+  def semDedupProbe(s: SparkSession, dir: String): DataFrame =
+    semDedup(Dedup.embCorpusWithDups(t(s, dir, "embeddings"),
+      withLabel = false))
+
+  /** Child assignment for one [[semDedup]] level: the branch candidate
+    * centroids of each node ride ONE array row per node (collect_list
+    * over ≤ branch rows), the data side equi-joins on the node id, and
+    * the argmax is an array_max over (cosine, −child) structs —
+    * `branch` CosineSim evaluations per point, each element exactly
+    * once, nothing but attributes and lambda variables inside the
+    * lambdas (the HofGuard rule; the best-score struct is hoisted to
+    * its own column, referenced twice so CollapseProject keeps it a
+    * real projection). Emits one row per (point, child within
+    * `overlap` of the point's best); exactly one carries
+    * `primary = incoming primary && child == argmax` — tie-break
+    * similarity DESC, child ASC, the [[ivfClusterId]] convention. A
+    * node whose sample drew no seeds (probability e^{-8·branch})
+    * keeps child 0 and re-draws next level under the level salt. */
+  private def assignChildren(
+      rows: DataFrame, cands: DataFrame, overlap: Double): DataFrame = {
+    val nodeCands = cands.groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("child"), col("cv")))).as("cands"))
+    rows.join(nodeCands, Seq("cluster_id"), "left")
+      .withColumn("scored", transform(col("cands"), c =>
+        struct(
+          coalesce(Kernels.cosine(col("embedding"), c.getField("cv")),
+            lit(-2.0)).as("s"),
+          c.getField("child").as("child"))))
+      .withColumn("best", array_max(transform(col("scored"), x =>
+        struct(x.getField("s").as("s"), (-x.getField("child")).as("nc")))))
+      .withColumn("pc", explode(
+        when(col("cands").isNull,
+          array(struct(lit(-2.0).as("s"), lit(0L).as("child"))))
+        .otherwise(filter(col("scored"), x =>
+          x.getField("s") >= col("best").getField("s") - overlap))))
+      .withColumn("child", col("pc").getField("child"))
+      .withColumn("primary",
+        col("primary") && (col("cands").isNull ||
+          col("child") === -col("best").getField("nc")))
+      .drop("cands", "scored", "best", "pc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cluster inspection (the DataComp/SemDeDup workflow step after
     // clustering: WHAT is in each cluster?): assign every embedding to
@@ -580,12 +883,11 @@ object Similarity {
     }),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup blocked by k-means
-    // clusters — within each IVF cluster, a point is DROPPED when an
-    // earlier point sits above the cosine threshold. The cluster block
-    // bounds the pairwise work to per-cluster volumes (the paper's
-    // trick for web scale); the self-join repartitions both sides on
-    // cluster_id per the plan-hygiene rule. Emits the per-cluster
-    // keep/drop census a curation run reports.
+    // clusters — within each cluster, a point is DROPPED when an
+    // earlier point sits above the cosine threshold. This suite query
+    // is the FIXED-k (8 fixture centroids) census — the oracle-stable
+    // fixture form, refusal-guarded against corpus input since r14;
+    // the corpus-scale operator is [[semDedup]] (cluster count ∝ n).
     "x_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // the SHARED planted-dup corpus (Dedup.embCorpusWithDups) —
@@ -593,25 +895,7 @@ object Similarity {
       val corpus = Dedup.embCorpusWithDups(e, withLabel = false)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      val asg = ivfAssign(corpus, cents)
-        .select(col("vec_id"), col("embedding"), col("cluster_id"))
-      val a = asg.select(col("cluster_id"), col("vec_id").as("i"),
-        col("embedding").as("va")).repartition(col("cluster_id"))
-      val b = asg.select(col("cluster_id"), col("vec_id").as("j"),
-        col("embedding").as("vb")).repartition(col("cluster_id"))
-      // carry the cluster with the dropped id so the census aggregates
-      // the already-shuffled sides — no third pass over the assignment
-      val dropped = a.join(b, Seq("cluster_id"))
-        .filter(col("i") < col("j"))
-        .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
-        .select(col("cluster_id"), col("j")).distinct()
-      val nDropped = dropped.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_dropped"))
-      a.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_points"))
-        .join(nDropped, Seq("cluster_id"), "left")
-        .select(col("cluster_id"), col("n_points"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
-        .orderBy(col("cluster_id"))
+      semDedupCensusPinned(corpus, cents, simMin = 0.9)
     }),
 
     // LSH-bucketed k-NN join: 50 queries through the shuffle-join

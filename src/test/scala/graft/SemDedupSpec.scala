@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.Tables.t
+
+/** The r14 k-scaling SemDeDup operator (VERDICT r13 task #1): cluster
+  * COUNT grows with the corpus (fixed target cluster size — the Abbas
+  * et al. 2023 regime), so the within-cluster verify stays linear,
+  * unlike the fixed-k census the suite pins for its oracle. */
+class SemDedupSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def corpus01 =
+    Dedup.embCorpusWithDups(t(spark, sf01, "embeddings"), withLabel = false)
+
+  private def dropSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.filter(col("dropped")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("fast == census on fixture scale: the adaptive clustering loses no drop") {
+    val corpus = corpus01
+    val n = corpus.count()
+    // single-cluster run = the exact all-pairs truth (zero levels:
+    // everything retires into cluster 0, the census is brute force)
+    val truth = Similarity.semDedup(corpus, targetClusterSize = 1000000L)
+    val fast = Similarity.semDedup(corpus, targetClusterSize = 16L, branch = 4)
+    // one output row per input point on both paths
+    assert(truth.count() === n)
+    assert(fast.count() === n)
+    assert(fast.select("vec_id").distinct().count() === n)
+    val truthDrops = dropSet(truth)
+    val fastDrops = dropSet(fast)
+    // the planted near-dups exist and are found
+    assert(truthDrops.nonEmpty)
+    assert(truthDrops.exists(_ >= 1000000L), "planted dup ids must drop")
+    // precision is structural (every fast drop has a real cosine>=0.9
+    // witness); the spec pins RECALL too: the hierarchical clustering
+    // must not split any true dup pair on the fixture
+    assert(fastDrops === truthDrops,
+      s"fast-vs-census drop sets diverge: only-truth=${truthDrops -- fastDrops} " +
+        s"only-fast=${fastDrops -- truthDrops}")
+  }
+
+  test("cluster sizes respect the target: per-cluster population stays bounded") {
+    val fast = Similarity.semDedup(corpus01, targetClusterSize = 16L, branch = 4)
+    val maxPop = fast.groupBy(col("cluster_id")).agg(count(lit(1)).as("pop"))
+      .agg(max(col("pop"))).head.getLong(0)
+    assert(maxPop <= 16L,
+      s"a terminal cluster holds $maxPop > 16 points — the adaptive split " +
+        "did not converge on the fixture")
+    // cluster COUNT scales with the corpus: >> the census's pinned k=8
+    val k = fast.select("cluster_id").distinct().count()
+    assert(k > 8L, s"only $k clusters — the k-scaling regime must grow k")
+  }
+
+  test("exact-direction collapse: identical embeddings drop via their min-id rep") {
+    import spark.implicits._
+    // 60 bit-identical vectors (unsplittable by ANY centroid geometry —
+    // the argmax tie-break routes the whole group together forever) +
+    // 20 mutually-orthogonal one-hots (no dups among them)
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == k) 1.0f else 0.0f)
+    val rows = (0L until 60L).map(i => (i, oneHot(63))) ++
+      (0 until 20).map(i => (100L + i, oneHot(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, targetClusterSize = 8L, branch = 2)
+    assert(out.count() === 80L)
+    val drops = dropSet(out)
+    // every identical copy except the min id drops; no orthogonal
+    // vector drops (cosine 0 to everything else)
+    assert(drops === (1L until 60L).toSet)
+    // the whole identical group carries its representative's cluster
+    val clustersOfGroup = out.filter(col("vec_id") < 60)
+      .select("cluster_id").distinct().count()
+    assert(clustersOfGroup === 1L)
+  }
+
+  test("pinned census refuses a corpus; forcePinned is the bounded escape") {
+    val big = spark.range(70000)
+      .select(col("id").as("vec_id"),
+        typedlit(Array.tabulate(64)(_.toFloat)).as("embedding"))
+    val cents = spark.range(1)
+      .select(col("id").as("c_id"),
+        typedlit(Array.tabulate(64)(_.toFloat)).as("cv"))
+    val boom = intercept[IllegalArgumentException](
+      Similarity.semDedupCensusPinned(big, cents))
+    assert(boom.getMessage.contains("refusing 70000"))
+    assert(boom.getMessage.contains("semDedup(corpus, targetClusterSize)"))
+    // the deliberate escape builds the plan without the row gate (not
+    // executed here — the quadratic census is exactly what it costs)
+    val forced = Similarity.semDedupCensusPinned(big, cents, forcePinned = true)
+    assert(forced.columns.toSeq === Seq("cluster_id", "n_points", "n_dropped"))
+  }
+}
