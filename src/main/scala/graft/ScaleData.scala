@@ -106,13 +106,28 @@ object ScaleData {
       col("label"))
   }
 
-  /** events copy c: fresh event/user key ranges, raw ts untouched. */
-  private[graft] def eventsCopy(ev: DataFrame, c: Int): DataFrame =
+  /** events copy c: fresh event/user key ranges, raw ts untouched
+    * (default) — K× rows in the same time range = K× traffic DENSITY.
+    * With `spanUs` > 0 (SPARK_GRAFT_SCALE_TS_EXTEND=1) copy c shifts
+    * its timestamps by c·spanUs instead: the time AXIS extends with
+    * the corpus and per-window density stays at the fixture's — the
+    * shape real event history grows in, and the synthesis the
+    * range-join/sessionization curves need to separate "operator
+    * scales badly" from "output volume is quadratic by densification"
+    * (the r13 r_range_join retraction). The shift rides the fixture's
+    * own ts encoding via Tables.TsCodec — never an inlined assumption
+    * (the encoding has already changed once). */
+  private[graft] def eventsCopy(spanUs: Long)(ev: DataFrame, c: Int): DataFrame = {
+    val codec = Tables.tsCodec(ev.schema)
+    val ts =
+      if (spanUs <= 0 || c == 0) col("ts")
+      else codec.fromMicros(codec.toMicros + lit(c * spanUs)).as("ts")
     ev.select(
       (col("event_id") + lit(c * 100000000L)).as("event_id"),
-      col("ts"),
+      ts.as("ts"),
       (col("user_id") + lit(c * 10000000L)).as("user_id"),
       col("event_type"), col("value"), col("props"))
+  }
 
   /** TPC-H copy c: every surrogate key shifts by c·1e7 IN LOCKSTEP
     * across fact and dimension (an order's lineitems, customer, part,
@@ -159,7 +174,18 @@ object ScaleData {
       }
     val nd = build("documents", docsCopy, math.max(4, copies * 8 / 10))
     val ne = build("embeddings", embCopy, math.max(2, copies * 4 / 10))
-    val nv = build("events", eventsCopy, math.max(8, copies * 16 / 10))
+    // time-extension mode: copy c shifts its events by c·(fixture span
+    // + one hour) so copies never interleave and per-window density
+    // stays at the fixture's
+    val tsSpanUs: Long =
+      if (sys.env.get("SPARK_GRAFT_SCALE_TS_EXTEND").exists(_ == "1") &&
+          want("events")) {
+        val raw = Tables.t(spark, src, "events")
+        val us = Tables.tsCodec(raw.schema).toMicros
+        val mm = raw.agg(min(us).as("lo"), max(us).as("hi")).head
+        mm.getLong(1) - mm.getLong(0) + 3600L * 1000000L
+      } else 0L
+    val nv = build("events", eventsCopy(tsSpanUs), math.max(8, copies * 16 / 10))
     val nl = build("lineitem",
       tpchCopy(Seq("l_orderkey", "l_partkey", "l_suppkey")),
       math.max(8, copies * 16 / 10))

@@ -1259,12 +1259,31 @@ object Dedup {
     * for why the nominal S-curve needs `bandsMargin` — the closed
     * form is an IDEAL-PLANE bound, and the r13 recall audit measured
     * the gap. */
+  /** The full parameter plan [[embeddingPairsLshAuto]] derives for a
+    * corpus of `n` vectors — (bands, planesPerBand, maxBucket,
+    * shufflePartitions). Exposed so [[lshRecallAudit]] can run a
+    * SAMPLE under the exact banding the full corpus would get (an
+    * audit at sample-sized parameters would measure the wrong plan). */
+  def lshAutoPlan(
+      n: Long, simMin: Double = 0.9,
+      targetBucket: Long = 16L,
+      targetRecall: Double = 0.95,
+      bandsMargin: Double = 2.0,
+      capMultiple: Long = 8L): (Int, Int, Long, Int) = {
+    val (bands0, planes) = lshAutoParams(n, simMin, targetBucket)
+    val bands = math.min(512, math.max(2,
+      math.ceil(bands0 * bandsMargin).toInt))
+    val parts = math.min(4096L, math.max(32L, n * bands / 250000L)).toInt
+    (bands, planes, targetBucket * capMultiple, parts)
+  }
+
   def embeddingPairsLshAuto(
       emb: DataFrame, simMin: Double = 0.9,
       targetBucket: Long = 16L,
       targetRecall: Double = 0.95,
       bandsMargin: Double = 2.0,
-      capMultiple: Long = 8L): DataFrame = {
+      capMultiple: Long = 8L,
+      auditSampleRows: Long = 0L): DataFrame = {
     // targetBucket 16 (was 64 in r12): candidate volume is
     // bands · n · pop/2, LINEAR in the target population while bands
     // only grows ∝ n^ρ as planes deepen — at 2M vectors the 64-row
@@ -1309,21 +1328,94 @@ object Dedup {
     // This operator's contract is therefore bounded near-linear work
     // with S-curve recall ON ITS INTENDED GEOMETRY, measured honestly
     // on the adversarial one; it does not promise certainty anywhere.
+    // shuffle width (the plan's 4th element) ∝ the path's own band-row
+    // volume (~250k rows per task): at the session default (32
+    // locally) a corpus-scale candidate stream concentrates ≥ GB-scale
+    // sorts per task — the r13 sweep OOM'd the candidate-join sorter
+    // at 2M vectors × 30 bands on exactly that; on a real cluster this
+    // is the same decision as sizing spark.sql.shuffle.partitions to
+    // the data, made locally by the one operator that knows its fan-out
     val n = emb.count()
-    val (bands0, planes) = lshAutoParams(n, simMin, targetBucket)
-    val bands = math.min(512, math.max(2,
-      math.ceil(bands0 * bandsMargin).toInt))
-    // shuffle width ∝ the path's own band-row volume (~250k rows per
-    // task): at the session default (32 locally) a corpus-scale
-    // candidate stream concentrates ≥ GB-scale sorts per task — the
-    // r13 sweep OOM'd the candidate-join sorter at 2M vectors × 30
-    // bands on exactly that; on a real cluster this is the same
-    // decision as sizing spark.sql.shuffle.partitions to the data,
-    // made locally by the one operator that knows its fan-out
-    val parts = math.min(4096L, math.max(32L, n * bands / 250000L)).toInt
+    val (bands, planes, maxBucket, parts) =
+      lshAutoPlan(n, simMin, targetBucket, targetRecall, bandsMargin, capMultiple)
+    // auditSampleRows > 0: measure achieved recall on a sample UNDER
+    // THIS PLAN before returning the corpus frame, so clustered-
+    // geometry degradation is a logged number at run time, not a
+    // scaladoc footnote (r13 verdict #2)
+    if (auditSampleRows > 0)
+      lshRecallAudit(emb, simMin, auditSampleRows, targetBucket,
+        targetRecall, bandsMargin, capMultiple)
     embeddingPairsLsh(emb, simMin, bands, planes,
-      maxBucket = targetBucket * capMultiple,
+      maxBucket = maxBucket,
       numPartitions = Some(parts))
+  }
+
+  /** Sampled recall self-audit for [[embeddingPairsLshAuto]] (r13
+    * verdict #2: the measured recall degradation on clustered
+    * geometry was documented but not OBSERVABLE — a caller got
+    * silently low recall with no runtime signal). Draws a
+    * content-stable ~`sampleRows`-vector sample, runs the exact pair
+    * path as truth ([[embeddingPairs]] `forceExact` — the sample is
+    * bounded by construction) against the banding AT THE FULL
+    * CORPUS'S auto parameters ([[lshAutoPlan]] of the corpus n, not
+    * the sample n — the sample must see the plan the corpus gets),
+    * logs and returns achieved recall at the threshold. NaN when the
+    * sample holds no true pair (nothing to measure — widen the
+    * sample). Cost: one exact pass over ≤ `sampleRows` vectors
+    * (quadratic in the SAMPLE only) + one banding pass over the same
+    * sample; both trivially bounded next to the corpus run the number
+    * de-risks. */
+  def lshRecallAudit(
+      emb: DataFrame, simMin: Double = 0.9,
+      sampleRows: Long = 5000L,
+      targetBucket: Long = 16L,
+      targetRecall: Double = 0.95,
+      bandsMargin: Double = 2.0,
+      capMultiple: Long = 8L): Double = {
+    // 16384² ≈ 268M sampled cosines is the honest ceiling for an
+    // UNBLOCKED all-pairs truth (the label-blocked embeddingPairs
+    // bound does not apply: the audit's truth must not depend on a
+    // fixture block key, and must count cross-block pairs too)
+    require(sampleRows > 0 && sampleRows <= 16384,
+      s"lshRecallAudit sample must be in (0, 16384]: $sampleRows")
+    val n = emb.count()
+    val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .filter(pmod(Embedder.stringHash64(
+          concat_ws(":", col("vec_id").cast("string"), lit("lshaudit"))),
+        lit(1000000L)).cast("double") < p * 1000000.0)
+      .localCheckpoint(true) // both paths read it; don't re-scan the corpus
+    val (bands, planes, maxBucket, _) =
+      lshAutoPlan(n, simMin, targetBucket, targetRecall, bandsMargin, capMultiple)
+    // UNBLOCKED exact truth over the same planted corpus the banding
+    // sees — a deliberate bounded nested-loop join (the one shape the
+    // codebase bans elsewhere), behind the sampleRows gate above
+    val corpus = embCorpusWithDups(sample, withLabel = false)
+    val truth = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b")),
+        col("id_a") < col("id_b"))
+      .filter(round(Kernels.cosine(col("v_a"), col("v_b")), 6) >= simMin)
+      .select(col("id_a"), col("id_b"))
+    val truthN = truth.count()
+    if (truthN == 0) {
+      System.err.println(
+        "[graft] lshRecallAudit: sample holds no true pair at the " +
+          s"threshold (n=$n, sampled ~${(p * n).toLong}) — widen " +
+          "sampleRows to measure recall")
+      Double.NaN
+    } else {
+      val hits = embeddingPairsLsh(sample, simMin, bands, planes, maxBucket)
+        .select(col("id_a"), col("id_b"))
+      val recall = hits.intersect(truth).count().toDouble / truthN
+      System.err.println(
+        f"[graft] lshRecallAudit: achieved recall $recall%.3f at " +
+          f"simMin=$simMin%.2f over $truthN true pairs (corpus n=$n, " +
+          f"plan bands=$bands planes=$planes maxBucket=$maxBucket; " +
+          f"nominal $targetRecall%.2f×$bandsMargin%.1f margin) — " +
+          "clustered geometry degrades banding recall; route that " +
+          "mass to Similarity.semDedup")
+      recall
+    }
   }
 
   def duckEmbeddingPairsLsh(

@@ -115,8 +115,54 @@ object Relational {
     * bucket (shuffle-partitionable, AQE-skew-splittable), and the
     * exact inequality filters the candidates. Integer micros
     * throughout — no float time math. */
-  def rangeJoinBucketed(events: DataFrame, windowUs: Long): DataFrame = {
+  def rangeJoinBucketed(events: DataFrame, windowUs: Long): DataFrame =
+    rangeJoinBucketed(events, windowUs,
+      maxCandidatePairs = RangeJoinMaxCandidates, forceQuadratic = false)
+
+  /** Candidate-pair bound above which [[rangeJoinBucketed]] refuses
+    * without `forceQuadratic`: 2³¹ candidates ≈ tens of GB of joined
+    * rows before the exact filter — the scale at which the r13 honest
+    * sweep exhausted 70 GB of scratch materializing the answer. */
+  val RangeJoinMaxCandidates: Long = 1L << 31
+
+  /** [[rangeJoinBucketed]] with the r14 OUTPUT-VOLUME guard (VERDICT
+    * r13 #3): the bucketed plan is the standard interval-join shape
+    * and its WORK is linear — but its OUTPUT is Σ over buckets of
+    * (a-side fan-out × b-side population), which grows ∝ density²
+    * when the time axis is fixed while rows multiply (the r13 100×
+    * sweep died exhausting scratch on 23B pairs: the spill WAS the
+    * answer being materialized). A real corpus usually extends the
+    * time axis as it grows — window population then stays ~flat — but
+    * one hot window in a skewed workload hits the same wall, so the
+    * operator now estimates its candidate volume with one linear
+    * pre-pass (Σ cᵦ·(cᵦ+cᵦ₋₁) over per-bucket counts — exact, not a
+    * heuristic) and refuses loudly above `maxCandidatePairs`; a caller
+    * that truly wants the quadratic output passes `forceQuadratic`
+    * (the lineDedup/forceExact pattern). */
+  def rangeJoinBucketed(
+      events: DataFrame, windowUs: Long,
+      maxCandidatePairs: Long,
+      forceQuadratic: Boolean): DataFrame = {
     val ev = events.select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    if (!forceQuadratic) {
+      // candidates = Σ cᵦ·(cᵦ + cᵦ₋₁) exactly as the plan fans out,
+      // computed on the bucket-count frame (one row per non-empty
+      // window) via an adjacent-bucket equi-join — distributed, no
+      // global-order window: the count frame itself grows with a
+      // time-extending corpus and must not funnel through one task
+      val counts = ev.groupBy(expr(s"tus div $windowUs").as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val prev = counts.select((col("bkt") + 1).as("bkt"), col("c").as("cPrev"))
+      val est = counts.join(prev, Seq("bkt"), "left")
+        .agg(sum(col("c") * (col("c") + coalesce(col("cPrev"), lit(0L)))).as("cand"))
+        .head.getLong(0)
+      require(est <= maxCandidatePairs,
+        s"rangeJoinBucketed would materialize ~$est candidate pairs " +
+          s"(> $maxCandidatePairs): within-window population grows the " +
+          "OUTPUT quadratically when rows densify a fixed time range. " +
+          "Narrow windowUs, pre-filter the stream, or pass " +
+          "forceQuadratic = true to pay for exactly this output.")
+    }
     val a = ev.select(col("event_id").as("a_id"), col("tus").as("ta"),
       explode(array(expr(s"tus div $windowUs"),
         expr(s"tus div $windowUs") + 1)).as("bkt"))

@@ -759,6 +759,36 @@ class OpsSpec extends SparkSpec {
     assert(bucketed === naive, "2-bucket fan-out must lose no pair and add none")
   }
 
+  test("range-join output guard: dense windows refuse, forceQuadratic escapes, extended axis passes") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import spark.implicits._
+    // 1000 events inside one 600 s window: candidate volume ~1e6 —
+    // the fixed-axis densification that killed the r13 100× sweep,
+    // reproduced at unit scale against a 1e5 bound
+    val dense = spark.range(1000).select(col("id").as("event_id"),
+      timestamp_micros(col("id")).as("ts"))
+    val boom = intercept[IllegalArgumentException](
+      graft.ops.Relational.rangeJoinBucketed(
+        dense, 600L * 1000000L, maxCandidatePairs = 100000L,
+        forceQuadratic = false))
+    assert(boom.getMessage.contains("candidate pairs"), boom.getMessage)
+    assert(boom.getMessage.contains("forceQuadratic"))
+    // the deliberate escape pays for exactly this output: all C(1000,2)
+    // pairs sit within the window (distinct µs timestamps, gap > 0)
+    val forced = graft.ops.Relational.rangeJoinBucketed(
+      dense, 600L * 1000000L, maxCandidatePairs = 100000L,
+      forceQuadratic = true)
+    assert(forced.count() === 1000L * 999L / 2)
+    // a time-EXTENDED corpus of the same row count sails through the
+    // guard (per-window population stays small — the shape real event
+    // history grows in)
+    val spreadEv = spark.range(1000).select(col("id").as("event_id"),
+      timestamp_micros(col("id") * 1000000000L).as("ts"))
+    assert(graft.ops.Relational.rangeJoinBucketed(
+      spreadEv, 600L * 1000000L, maxCandidatePairs = 100000L,
+      forceQuadratic = false).count() === 0L)
+  }
+
   test("gaps-and-islands sessions: consecutive, non-overlapping, gap-bounded") {
     val gap = 1800L * 1000000L
     val sess = graft.ops.Relational.sessionizeBatch(graft.Tables.events(spark, sf), gap)
@@ -1133,6 +1163,40 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(via64 === brute,
       "combo blocking must reproduce the brute-force hamming truth exactly")
+  }
+
+  test("lshRecallAudit: clustered geometry reports its degraded recall, spread reports ~nominal") {
+    // the r13 finding made observable (verdict #2): the achieved-recall
+    // number is now a runtime return value + log line, measured on a
+    // content-stable sample under the FULL corpus's auto plan.
+    // Deterministic end to end (hash draws, fixed planes), so the two
+    // geometries pin to their measured values:
+    //  * the sf0.1 fixture (8 direction clusters, single-coordinate
+    //    perturbation plants — both axes of the banding's worst case)
+    //    measures 0.848 (39/46 true pairs),
+    //  * a spread-direction corpus of the same size measures 0.960 —
+    //    at the solver's 0.95 nominal.
+    val clustered = Dedup.lshRecallAudit(
+      t(spark, "/root/testdata/sf0.1", "embeddings"), sampleRows = 5000)
+    assert(clustered > 0.7 && clustered < 0.9,
+      s"clustered fixture must report its measured degradation: $clustered")
+    val spread = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), j =>
+        (pmod(graft.index.Embedder.stringHash64(
+          concat_ws(":", col("id").cast("string"), j.cast("string"))),
+          lit(2001L)).cast("double") / 1000.0 - 1.0).cast("float")).as("embedding"))
+    val spreadRecall = Dedup.lshRecallAudit(spread, sampleRows = 5000)
+    assert(spreadRecall >= 0.95,
+      s"spread-direction corpus must reach ~nominal recall: $spreadRecall")
+    // no true pair in the sample -> NaN, loudly not zero (a zero would
+    // read as catastrophic recall; an empty denominator is "unmeasured").
+    // ids 1..3 dodge the %20 plant, so three spread vectors share no pair
+    val tiny = spark.range(1, 4).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), j =>
+        (pmod(graft.index.Embedder.stringHash64(
+          concat_ws(":", col("id").cast("string"), j.cast("string"))),
+          lit(2001L)).cast("double") / 1000.0 - 1.0).cast("float")).as("embedding"))
+    assert(Dedup.lshRecallAudit(tiny, sampleRows = 100).isNaN)
   }
 
   test("lshAutoParams: planes track corpus size, true-pair recall tracks the pinned banding") {

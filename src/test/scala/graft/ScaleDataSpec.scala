@@ -78,13 +78,24 @@ class ScaleDataSpec extends SparkSpec {
 
   test("events and TPC-H copies shift keys only; ts and measures untouched") {
     val ev = Tables.t(spark, sf, "events").limit(20)
-    val evC = ScaleData.eventsCopy(ev, 3).collect()
+    val evC = ScaleData.eventsCopy(0L)(ev, 3).collect()
     val evB = ev.collect()
     evC.zip(evB).foreach { case (c, b) =>
       assert(c.getLong(0) === b.getLong(0) + 300000000L)
       assert(c.get(1) === b.get(1), "raw ts must pass through unchanged")
       assert(c.getDouble(4) === b.getDouble(4))
     }
+    // time-extension mode: copy c shifts by exactly c·span in epoch
+    // µs THROUGH THE CODEC (never an inlined encoding assumption)
+    val codec = Tables.tsCodec(ev.schema)
+    val spanUs = 7L * 86400L * 1000000L
+    val us0 = ev.select(codec.toMicros.as("us")).collect().map(_.getLong(0))
+    val usC = ScaleData.eventsCopy(spanUs)(ev, 3)
+      .select(codec.toMicros.as("us")).collect().map(_.getLong(0))
+    usC.zip(us0).foreach { case (c, b) => assert(c === b + 3L * spanUs) }
+    // copy 0 is the identity in extension mode too
+    assert(ScaleData.eventsCopy(spanUs)(ev, 0).collect().map(_.get(1)).toSeq
+      === evB.map(_.get(1)).toSeq)
     val li = Tables.t(spark, sf, "lineitem").limit(20)
     val liC = ScaleData.tpchCopy(Seq("l_orderkey", "l_partkey", "l_suppkey"))(li, 2)
       .collect()
