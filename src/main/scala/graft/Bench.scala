@@ -121,12 +121,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // the high-spread set, keyed off BENCH_DETAIL noise telemetry
-    // (r9–r11): iterative/streaming/checkpoint-heavy queries whose
-    // min-max spread repeatedly dominated cross-round drift — these
-    // run min-of-4 so one run's minimum is comparable to the next's
+    // (r9–r11, re-pinned r14 under toRdd forcing from three honest
+    // runs' noise_top10): iterative/streaming/checkpoint-heavy queries
+    // whose min-max spread repeatedly dominated cross-round drift —
+    // these run min-of-4 so one run's minimum is comparable to the
+    // next's. r14 adds the four repeat offenders the honest forcing
+    // surfaced (their expensive final projections were invisible under
+    // count forcing): containment, keep_quality, interp/kn logprob.
     val highSpread = Set(
       "x_dedup_clusters_star", "c2_upsert_replace", "x_dedup_clusters",
-      "x_corpus_pipeline", "s_neardup_gate", "x_embed_knn_docs")
+      "x_corpus_pipeline", "s_neardup_gate", "x_embed_knn_docs",
+      "x_dedup_containment", "x_dedup_keep_quality",
+      "x_interp_logprob", "x_kn_logprob")
     val repsFor: String => Int =
       n => if (highSpread(n)) math.max(reps, 4) else reps
     val names = SparkEntry.queries.keys.toSeq.sorted
