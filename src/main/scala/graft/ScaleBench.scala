@@ -81,7 +81,13 @@ object ScaleBench {
     "x_sink_upsert" -> "embeddings",
     "x_dedup_minhash_auto" -> "documents",
     "x_dedup_ngram_wide" -> "documents",
-    "x_semdedup_scaled" -> "embeddings")
+    "x_semdedup_scaled" -> "embeddings",
+    // the r14 prunable-top re-measurement class (ForcingAudit ratio
+    // >= 1.3 at sf0.1: their historical exponents were count-pruned)
+    "x_interp_logprob" -> "documents",
+    "x_dsir_weights" -> "documents",
+    "x_chunk_embed" -> "documents",
+    "q_facet_approx" -> "embeddings")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
