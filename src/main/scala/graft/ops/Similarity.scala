@@ -590,10 +590,12 @@ object Similarity {
       .select(col("vec_id"), col("rep_id"))
     // 2. adaptive splitting. Rows carry a `primary` flag: the argmax
     // path (one per point — the output assignment) plus, when
-    // `overlap` > 0, canopy-style probe paths into every child within
-    // `overlap` cosine of the point's best — those exist ONLY so the
-    // census can see across the Voronoi boundary (the SemDeDup paper's
-    // one blind spot: a dup pair whose two members argmax into sibling
+    // `overlap` > 0, ONE canopy-style probe path per level into the
+    // best runner-up child within `overlap` cosine of the point's
+    // best (primary rows only — see assignChildren for why probe rows
+    // must not re-probe). Probes exist ONLY so the census can see
+    // across the Voronoi boundary (the SemDeDup paper's one blind
+    // spot: a dup pair whose two members argmax into sibling
     // children is invisible to a within-cluster-only verify). If the
     // twins' per-centroid cosine shift is ε, an argmax-split pair is
     // within 2ε of sharing the best child, so overlap ≥ 2ε guarantees
@@ -718,13 +720,14 @@ object Similarity {
   /** Child assignment for one [[semDedup]] level: the branch candidate
     * centroids of each node ride ONE array row per node (collect_list
     * over ≤ branch rows), the data side equi-joins on the node id, and
-    * the argmax is an array_max over (cosine, −child) structs —
+    * children rank by an ascending (−cosine, child) struct sort —
     * `branch` CosineSim evaluations per point, each element exactly
     * once, nothing but attributes and lambda variables inside the
-    * lambdas (the HofGuard rule; the best-score struct is hoisted to
-    * its own column, referenced twice so CollapseProject keeps it a
-    * real projection). Emits one row per (point, child within
-    * `overlap` of the point's best); exactly one carries
+    * lambdas (the HofGuard rule; the best score is hoisted to its own
+    * column before the probe filter references it). A PRIMARY row
+    * emits its argmax child plus at most ONE probe row (the best
+    * runner-up within `overlap` cosine); a probe row emits argmax
+    * only. Exactly one output row per point carries
     * `primary = incoming primary && child == argmax` — tie-break
     * similarity DESC, child ASC, the [[ivfClusterId]] convention. A
     * node whose sample drew no seeds (probability e^{-8·branch})
@@ -733,24 +736,37 @@ object Similarity {
       rows: DataFrame, cands: DataFrame, overlap: Double): DataFrame = {
     val nodeCands = cands.groupBy(col("cluster_id"))
       .agg(sort_array(collect_list(struct(col("child"), col("cv")))).as("cands"))
+    // probe discipline (the first cut of this operator let EVERY row
+    // probe every within-margin child and the ScaleData micro-cluster
+    // geometry compounded that multiplicatively across levels —
+    // measured fan-out 80–116× with millions of rows marooned in
+    // oversized clusters): only the PRIMARY row probes, its probe set
+    // is capped at the best runner-up within the margin, and probe
+    // rows themselves follow argmax alone — path count per point
+    // grows by at most one per level instead of a factor per level
     rows.join(nodeCands, Seq("cluster_id"), "left")
       .withColumn("scored", transform(col("cands"), c =>
         struct(
-          coalesce(Kernels.cosine(col("embedding"), c.getField("cv")),
-            lit(-2.0)).as("s"),
+          (-coalesce(Kernels.cosine(col("embedding"), c.getField("cv")),
+            lit(-2.0))).as("ns"),
           c.getField("child").as("child"))))
-      .withColumn("best", array_max(transform(col("scored"), x =>
-        struct(x.getField("s").as("s"), (-x.getField("child")).as("nc")))))
+      // ascending sort on (−score, child) = best-first, ties by child
+      .withColumn("ranked", sort_array(col("scored")))
+      // hoisted so the probe filter's lambda closes over a plain
+      // attribute (the HofGuard rule), not an element_at chain
+      .withColumn("bestNs", element_at(col("ranked"), 1).getField("ns"))
       .withColumn("pc", explode(
         when(col("cands").isNull,
-          array(struct(lit(-2.0).as("s"), lit(0L).as("child"))))
-        .otherwise(filter(col("scored"), x =>
-          x.getField("s") >= col("best").getField("s") - overlap))))
+          array(struct(lit(2.0).as("ns"), lit(0L).as("child"))))
+        .when(col("primary"), slice(
+          filter(col("ranked"), x =>
+            x.getField("ns") <= col("bestNs") + overlap), 1, 2))
+        .otherwise(slice(col("ranked"), 1, 1))))
       .withColumn("child", col("pc").getField("child"))
       .withColumn("primary",
         col("primary") && (col("cands").isNull ||
-          col("child") === -col("best").getField("nc")))
-      .drop("cands", "scored", "best", "pc")
+          col("child") === element_at(col("ranked"), 1).getField("child")))
+      .drop("cands", "scored", "ranked", "bestNs", "pc")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
