@@ -748,6 +748,25 @@ class ScaleDesignSpec extends SparkSpec {
       naivePlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semDedup census plan: cluster-keyed equi-join, repartitioned, never a nested loop") {
+    // the lazy census form (the suite's oracle shape and the tail of
+    // the k-scaling operator): both self-join sides must ride the
+    // cluster_id exchange — the plan-hygiene rule for self-joins —
+    // and the pinned-centroid assignment must stay a narrow per-row
+    // expression, not a join against a materialized centroid table
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val q = graft.ops.Similarity.semDedupCensusPinned(
+      e.select(col("vec_id"), col("embedding")), cents)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the census must equi-join on cluster_id:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(cluster_id"),
+      s"both census sides must repartition on the cluster key:\n$plan")
+  }
+
   test("sparse search: query dims prune the postings build below the aggregate") {
     val q = graft.ops.Retrieval.queries("x_sparse_topk")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
