@@ -112,6 +112,23 @@ class SemDedupSpec extends SparkSpec {
     assert(clustersOfGroup === 1L)
   }
 
+  test("degenerate inputs: empty corpus and corpus below the target size") {
+    import spark.implicits._
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == k) 1.0f else 0.0f)
+    // empty input -> empty output, same schema, no throw
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out0 = Similarity.semDedup(empty, targetClusterSize = 8L)
+    assert(out0.columns.toSeq === Seq("vec_id", "cluster_id", "dropped"))
+    assert(out0.count() === 0L)
+    // n <= target -> zero levels, single cluster 0, exact census
+    val tiny = (0 until 5).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding")
+    val out1 = Similarity.semDedup(tiny, targetClusterSize = 8L)
+    assert(out1.count() === 5L)
+    assert(out1.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(dropSet(out1).isEmpty, "orthogonal one-hots share no dup")
+  }
+
   test("pinned census refuses a corpus; forcePinned is the bounded escape") {
     val big = spark.range(70000)
       .select(col("id").as("vec_id"),
