@@ -914,19 +914,35 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tf = docs
+    // shuffle width ∝ the exploded gram volume (the lshAuto pattern:
+    // the operator that knows its own fan-out sizes its exchanges) —
+    // ~300 uni+bigrams per fixture doc, ~4M gram rows per task
+    // measured as the sweet spot (r14, 5M docs: 32 parts = 186–239 s,
+    // 256 = 136–172, 1024 = 157–196; both wide shuffles — the gram
+    // aggregate AND the per-doc term regroup — otherwise funnel ~1B
+    // and ~750M rows through the 32 session partitions). At or below
+    // the session width nothing is inserted, so fixture plans (and the
+    // bench base) stay byte-identical. The explicit repartition keys
+    // equal the aggregate keys, so Catalyst elides its own exchange
+    // and the aggregation runs at the widened width.
+    val session = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.min(4096L, docs.count() * 300L / 4000000L).toInt
+    def widen(df: DataFrame, keys: Seq[Column]): DataFrame =
+      if (parts > session) df.repartition(parts, keys: _*) else df
+    val grams = docs
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, bgArr)).as("g"))
       .select(col("doc_id"), col("is_target"),
         (Embedder.tokenHash(col("g")) % buckets).as("b"))
+    val tf = widen(grams, Seq(col("doc_id"), col("is_target"), col("b")))
       .groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("k"))
     val cb = tf.groupBy(col("b")).agg(
       sum(col("k")).as("cr"),
       sum(when(col("is_target"), col("k")).otherwise(0L)).as("ct"))
     val tot = cb.agg(sum(col("cr")).as("rt"), sum(col("ct")).as("tt"))
-    tf
+    widen(tf
       .join(broadcast(cb), Seq("b"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("b"), col("k"),
@@ -934,7 +950,8 @@ object TextAnalysis {
           (log((col("ct") + 1).cast("double") /
               (col("tt") + buckets).cast("double")) -
             log((col("cr") + 1).cast("double") /
-              (col("rt") + buckets).cast("double")))).as("v"))
+              (col("rt") + buckets).cast("double")))).as("v")),
+      Seq(col("doc_id")))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("k")).as("n_grams"),
