@@ -673,7 +673,29 @@ object TextAnalysis {
     * sums over those rows (no second corpus pass, no self-join); the
     * per-doc float fold runs over the bigram-sorted term list
     * (association pinned, the unigram/BM25 rule). */
+  /** Self-sized exchange width for the n-gram family's wide shuffles
+    * (the lshAuto rule: the operator that knows its own fan-out sizes
+    * its exchanges — a 5M-doc corpus explodes to ~1B gram rows, and
+    * funneling that through the 32 session partitions was the r14
+    * 4th-decade bottleneck). ~300 uni+bigrams per fixture doc; ~4M
+    * gram rows per task measured as the sweet spot (dsir at 5M docs:
+    * 32 parts = 186–239 s, 256 = 136–172, 1024 = 157–196). At or
+    * below the session width the returned widen is the IDENTITY, so
+    * fixture plans — and the committed bench base — stay
+    * byte-identical. The explicit repartition keys always equal the
+    * downstream aggregate/window/join keys, so Catalyst elides its
+    * own exchange and the operator runs at the widened width. Values
+    * are partition-order independent everywhere this is used (integer
+    * counts, windows over them, and order-pinned float folds). */
+  private def gramWiden(docs: DataFrame): (DataFrame, Seq[Column]) => DataFrame = {
+    val session = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.min(4096L, docs.count() * 300L / 4000000L).toInt
+    if (parts <= session) (df, _) => df
+    else (df, keys) => df.repartition(parts, keys: _*)
+  }
+
   def bigramLogprob(docs: DataFrame): DataFrame = {
+    val widen = gramWiden(docs)
     val toks = tokens(col("text"))
     val bgArr = when(size(toks) >= 2,
       zip_with(
@@ -681,15 +703,18 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tf = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+    val tf = widen(docs.select(col("doc_id"), explode(bgArr).as("bg")),
+        Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    tf
+    val byBg = widen(tf, Seq(col("bg")))
       .withColumn("c2", sum(col("k")).over(Window.partitionBy(col("bg"))))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val scored = widen(byBg, Seq(col("w1")))
       .withColumn("c1", sum(col("k")).over(Window.partitionBy(col("w1"))))
       .select(col("doc_id"), col("bg"), col("k"),
         (col("k").cast("double") *
           log(col("c2").cast("double") / col("c1").cast("double"))).as("v"))
+    widen(scored, Seq(col("doc_id")))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("k")).as("n_bigrams"),
@@ -719,6 +744,7 @@ object TextAnalysis {
     * engines cannot disagree on 1−λ's last bit. Per-doc sums fold a
     * bigram-sorted list. */
   def interpLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val widen = gramWiden(docs)
     val toks = tokens(col("text"))
     val bgArr = when(size(toks) >= 2,
       zip_with(
@@ -726,15 +752,17 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tf = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+    val tf = widen(docs.select(col("doc_id"), explode(bgArr).as("bg")),
+        Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val uni = docs.select(explode(toks).as("w2"))
+    val uni = widen(docs.select(explode(toks).as("w2")), Seq(col("w2")))
       .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
     val nu = uni.agg(sum(col("cu")).as("nu"))
-    tf
+    val byBg = widen(tf, Seq(col("bg")))
       .withColumn("c2", sum(col("k")).over(Window.partitionBy(col("bg"))))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val scored = widen(byBg, Seq(col("w1")))
       .withColumn("c1", sum(col("k")).over(Window.partitionBy(col("w1"))))
       .join(broadcast(uni), Seq("w2"))
       .crossJoin(broadcast(nu))
@@ -743,6 +771,7 @@ object TextAnalysis {
           log(lit(lambda) * (col("c2").cast("double") / col("c1").cast("double")) +
             lit(1.0 - lambda) * (col("cu").cast("double") / col("nu").cast("double"))))
           .as("v"))
+    widen(scored, Seq(col("doc_id")))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sort_array(collect_list(struct(col("bg"), col("v")))).as("l"))
@@ -811,18 +840,23 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tfDoc = docs.withColumn("_toks", tokens(col("text")))
-      .select(col("doc_id"), explode(bgArr).as("bg"))
+    val widen = gramWiden(docs)
+    val tfDoc = widen(docs.withColumn("_toks", tokens(col("text")))
+        .select(col("doc_id"), explode(bgArr).as("bg")),
+        Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val types = tfDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+    val types0 = widen(tfDoc, Seq(col("bg")))
+      .groupBy(col("bg")).agg(sum(col("k")).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val types1 = widen(types0, Seq(col("w1")))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
       .withColumn("n1f", count(lit(1)).over(Window.partitionBy(col("w1"))))
+    val types = widen(types1, Seq(col("w2")))
       .withColumn("n1b", count(lit(1)).over(Window.partitionBy(col("w2"))))
     val n1all = types.agg(count(lit(1)).as("nall"))
     val d = lit(discount)
-    tfDoc.join(types, Seq("bg"))
+    widen(tfDoc, Seq(col("bg"))).join(widen(types, Seq(col("bg"))), Seq("bg"))
       .crossJoin(broadcast(n1all))
       .select(col("doc_id"), col("bg"), col("k"),
         (col("k").cast("double") * log(
@@ -831,6 +865,7 @@ object TextAnalysis {
           (d * col("n1f").cast("double") / col("c1").cast("double")) *
             (col("n1b").cast("double") / col("nall").cast("double"))))
           .as("v"))
+      .transform(widen(_, Seq(col("doc_id"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sort_array(collect_list(struct(col("bg"), col("v")))).as("l"))
