@@ -1315,19 +1315,23 @@ object Dedup {
     //    re-measured EXHAUSTING 70 GB of scratch at 2M vectors — 8×
     //    is the shipped default because completing with documented
     //    recall beats dying). Pair-level LSH on heavily-clustered
-    //    data is the wrong tool — that mass belongs to the SemDeDup
-    //    family (centroid assignment + within-cluster pruning, which
-    //    is bounded when the cluster COUNT scales with the corpus so
-    //    per-cluster size stays fixed — the Abbas et al. regime; the
-    //    fixture census query pins k=8 centroids for its oracle and
-    //    is cluster-quadratic at corpus scale BY that pin), and
-    //    recall-critical audits belong to the exact path (forceExact
-    //    sampling). On spread-direction corpora with diffuse
-    //    differences — the shape real embedding near-dups take — the
-    //    S-curve applies and the margin is headroom, not a patch.
+    //    data is the wrong tool — that mass belongs to
+    //    [[graft.ops.Similarity.semDedup]] (r14: the k-SCALING
+    //    SemDeDup — cluster count ∝ corpus, per-cluster size fixed,
+    //    the Abbas et al. regime — measured at-worst-linear to 2M
+    //    vectors with boundary recall 0.957 spec-pinned on this very
+    //    geometry; the fixture census query keeps k=8 for its oracle
+    //    and refuses corpora), and recall-critical audits belong to
+    //    the exact path (forceExact sampling). On spread-direction
+    //    corpora with diffuse differences — the shape real embedding
+    //    near-dups take — the S-curve applies and the margin is
+    //    headroom, not a patch.
     // This operator's contract is therefore bounded near-linear work
     // with S-curve recall ON ITS INTENDED GEOMETRY, measured honestly
-    // on the adversarial one; it does not promise certainty anywhere.
+    // on the adversarial one; it does not promise certainty anywhere —
+    // and since r14 the achieved recall is a RUNTIME number, not a
+    // footnote: pass auditSampleRows (or call [[lshRecallAudit]]) to
+    // measure it on a sample under this corpus's own plan.
     // shuffle width (the plan's 4th element) ∝ the path's own band-row
     // volume (~250k rows per task): at the session default (32
     // locally) a corpus-scale candidate stream concentrates ≥ GB-scale
