@@ -517,9 +517,14 @@ object Similarity {
     *
     * Returns one row per input point: (vec_id, cluster_id, dropped) —
     * dropped = an earlier point (lower vec_id) in the same terminal
-    * cluster sits at cosine ≥ `simMin`. Deterministic end to end: seed
-    * draws are content-hash ranks, Lloyd means are exact averages, no
-    * RNG anywhere.
+    * cluster sits at cosine ≥ `simMin`. No RNG anywhere: seed draws
+    * are content-hash ranks and every tie-break is pinned. The one
+    * cross-run float sensitivity is the Lloyd mean's double summation
+    * order (partition-dependent, like any distributed `avg`), which
+    * can flip a child argmax only on an exact near-tie — it cannot
+    * change WHICH pairs clear `simMin`, only occasionally which
+    * cluster id a boundary point census-joins through; the fixture
+    * drop sets have been bit-stable across runs in practice.
     *
     * Mechanics (each stage linear, shuffles keyed on bounded keys):
     *
