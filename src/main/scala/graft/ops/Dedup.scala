@@ -1270,7 +1270,9 @@ object Dedup {
       targetRecall: Double = 0.95,
       bandsMargin: Double = 2.0,
       capMultiple: Long = 8L): (Int, Int, Long, Int) = {
-    val (bands0, planes) = lshAutoParams(n, simMin, targetBucket)
+    // forward targetRecall (the r14 self-review caught the auto path
+    // sizing bands for the hardcoded 0.95 while advertising the knob)
+    val (bands0, planes) = lshAutoParams(n, simMin, targetBucket, targetRecall)
     val bands = math.min(512, math.max(2,
       math.ceil(bands0 * bandsMargin).toInt))
     val parts = math.min(4096L, math.max(32L, n * bands / 250000L)).toInt
@@ -1389,8 +1391,17 @@ object Dedup {
           concat_ws(":", col("vec_id").cast("string"), lit("lshaudit"))),
         lit(1000000L)).cast("double") < p * 1000000.0)
       .localCheckpoint(true) // both paths read it; don't re-scan the corpus
-    val (bands, planes, maxBucket, _) =
+    val (bands, planes, maxBucketCorpus, _) =
       lshAutoPlan(n, simMin, targetBucket, targetRecall, bandsMargin, capMultiple)
+    // scale the hot-bucket cap by the sample fraction: bucket
+    // POPULATION is ∝ corpus size, so running the sample under the
+    // corpus's absolute cap would never trip it — the audit would be
+    // blind to exactly the cap-deletes-cluster-pairs degradation it
+    // exists to expose (clustered geometry, the r13 finding). With
+    // cap·p the sample's buckets trip at the same RELATIVE density
+    // the corpus's would; an approximation (collision counts are not
+    // exactly linear in p), stated rather than hidden.
+    val maxBucket = math.max(1L, math.round(maxBucketCorpus * p))
     // UNBLOCKED exact truth over the same planted corpus the banding
     // sees — a deliberate bounded nested-loop join (the one shape the
     // codebase bans elsewhere), behind the sampleRows gate above
@@ -1414,7 +1425,8 @@ object Dedup {
       System.err.println(
         f"[graft] lshRecallAudit: achieved recall $recall%.3f at " +
           f"simMin=$simMin%.2f over $truthN true pairs (corpus n=$n, " +
-          f"plan bands=$bands planes=$planes maxBucket=$maxBucket; " +
+          f"plan bands=$bands planes=$planes maxBucket=$maxBucketCorpus " +
+          f"(sample-scaled ${maxBucket}%d); " +
           f"nominal $targetRecall%.2f×$bandsMargin%.1f margin) — " +
           "clustered geometry degrades banding recall; route that " +
           "mass to Similarity.semDedup")

@@ -154,8 +154,9 @@ object Relational {
         .agg(count(lit(1)).as("c"))
       val prev = counts.select((col("bkt") + 1).as("bkt"), col("c").as("cPrev"))
       val est = counts.join(prev, Seq("bkt"), "left")
-        .agg(sum(col("c") * (col("c") + coalesce(col("cPrev"), lit(0L)))).as("cand"))
-        .head.getLong(0)
+        .agg(coalesce(sum(col("c") * (col("c") + coalesce(col("cPrev"), lit(0L)))),
+          lit(0L)).as("cand"))
+        .head.getLong(0) // coalesce: sum over ZERO buckets is null, not 0
       require(est <= maxCandidatePairs,
         s"rangeJoinBucketed would materialize ~$est candidate pairs " +
           s"(> $maxCandidatePairs): within-window population grows the " +

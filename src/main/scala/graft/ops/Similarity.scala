@@ -549,8 +549,11 @@ object Similarity {
     *     driver-side [[ivfRefineCentroids]] collects k×dim to the
     *     driver, which cannot scale to k ∝ n), and re-assign. Nodes at
     *     or under the target retire from the loop, so each level
-    *     touches only still-oversized mass. Levels are capped at
-    *     log_branch(n/target)+4; anything still oversized then is
+    *     touches only still-oversized mass. Cluster ids are 1-based
+    *     b-ary heap numbers (injective across levels, so a retired
+    *     cluster can never share an id with a live one). Levels are
+    *     capped at log_branch(n/target)+4 and by the 62-bit id
+    *     space; anything still oversized then is
     *     surfaced on stderr and censused as-is (its quadratic cost is
     *     bounded by the warning, not hidden).
     *  3. BOUNDED CENSUS. The within-cluster pairwise verify runs as a
@@ -589,9 +592,16 @@ object Similarity {
     val wRep = Window.partitionBy(col("embedding"))
     val withRep = basePts.withColumn("rep_id", min(col("vec_id")).over(wRep))
       .localCheckpoint(true)
-    val reps = withRep.filter(col("vec_id") === col("rep_id"))
+    // zero vectors are EXCLUDED from the collapse's auto-drop: the
+    // guarded cosine is NULL on a zero vector, so the census form
+    // never drops an all-zero duplicate — collapsing it would diverge
+    // from the operator's own oracle twin (r14 self-review). Zero rows
+    // flow through as ordinary points (they cluster via the argmax
+    // fallback and can never clear simMin).
+    val zero = Kernels.l2norm(col("embedding")) === 0.0
+    val reps = withRep.filter(col("vec_id") === col("rep_id") || zero)
       .select(col("vec_id"), col("embedding"))
-    val members = withRep.filter(col("vec_id") =!= col("rep_id"))
+    val members = withRep.filter(col("vec_id") =!= col("rep_id") && !zero)
       .select(col("vec_id"), col("rep_id"))
     // 2. adaptive splitting. Rows carry a `primary` flag: the argmax
     // path (one per point — the output assignment) plus, when
@@ -620,9 +630,16 @@ object Similarity {
     var active = reps.withColumn("cluster_id", lit(0L))
       .withColumn("primary", lit(true))
     var activeCnt = active.count()
-    val maxLevels = math.min(20, math.max(1, math.ceil(
-      math.log(math.max(1.0, activeCnt.toDouble / targetClusterSize)) /
-        math.log(branch.toDouble)).toInt) + 4)
+    // level cap = the formula bound, and above it only the 62-bit id
+    // space (heap numbering spends ceil(log2 branch) bits per level —
+    // 61 levels at branch 2, 19 at branch 8); the r14 self-review
+    // caught a flat min(20, ...) silently undercutting the documented
+    // formula for small branch factors
+    val bitsPerLevel = 64 - java.lang.Long.numberOfLeadingZeros(branch - 1L)
+    val maxLevels = math.min(math.max(1, 62 / bitsPerLevel - 1),
+      math.max(1, math.ceil(
+        math.log(math.max(1.0, activeCnt.toDouble / targetClusterSize)) /
+          math.log(branch.toDouble)).toInt) + 4)
     val finishedParts = scala.collection.mutable.Buffer.empty[DataFrame]
     var lvl = 0
     while (activeCnt > 0 && lvl < maxLevels) {
@@ -662,9 +679,16 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("cv"))
       }
+      // heap-unique child ids (+1): with plain cluster_id·b + child, a
+      // cluster RETIRED at level L shares its number with a different
+      // level-L+1 cluster (e.g. retired id 1 vs child 1 of id 0) and
+      // the census silently merges them — the r14 self-review finding.
+      // 1-based b-ary heap numbering (children of i are i·b+1 … i·b+b)
+      // is injective across ALL levels, so retired and live ids can
+      // never collide.
       val next = assignChildren(overRows, cands, overlap)
         .select(col("vec_id"), col("embedding"),
-          (col("cluster_id") * branch + col("child")).as("cluster_id"),
+          (col("cluster_id") * branch + col("child") + 1).as("cluster_id"),
           col("primary"))
         .localCheckpoint(true)
       if (doneNow.count() > 0) finishedParts += doneNow

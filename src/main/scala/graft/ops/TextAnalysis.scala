@@ -949,21 +949,11 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    // shuffle width ∝ the exploded gram volume (the lshAuto pattern:
-    // the operator that knows its own fan-out sizes its exchanges) —
-    // ~300 uni+bigrams per fixture doc, ~4M gram rows per task
-    // measured as the sweet spot (r14, 5M docs: 32 parts = 186–239 s,
-    // 256 = 136–172, 1024 = 157–196; both wide shuffles — the gram
-    // aggregate AND the per-doc term regroup — otherwise funnel ~1B
-    // and ~750M rows through the 32 session partitions). At or below
-    // the session width nothing is inserted, so fixture plans (and the
-    // bench base) stay byte-identical. The explicit repartition keys
-    // equal the aggregate keys, so Catalyst elides its own exchange
-    // and the aggregation runs at the widened width.
-    val session = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.min(4096L, docs.count() * 300L / 4000000L).toInt
-    def widen(df: DataFrame, keys: Seq[Column]): DataFrame =
-      if (parts > session) df.repartition(parts, keys: _*) else df
+    // both wide shuffles — the gram aggregate AND the per-doc term
+    // regroup — otherwise funnel ~1B and ~750M rows through the 32
+    // session partitions at 5M docs (measured: 32 parts = 186–239 s,
+    // 256 = 136–172, 1024 = 157–196); the shared family sizer applies
+    val widen = gramWiden(docs)
     val grams = docs
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),

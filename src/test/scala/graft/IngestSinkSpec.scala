@@ -218,12 +218,15 @@ class IngestSinkSpec extends SparkSpec {
     // completes; the marker fence must then abort rather than renew —
     // renewing a self-expired lease races a takeover driver between
     // its readLease and its break (r13 advisor).
-    spark.conf.set("spark.graft.lease.ttlMs", "-1000")
-    val editA = Seq((0L, "A_EDIT"), (1L, "A_EDIT")).toDF("id", "tag")
-    val boom = intercept[IllegalStateException](
-      Sink.upsertReplace(spark, editA, dir, "id"))
+    // try/finally: a failed intercept must not leak the poison TTL
+    // into the shared session and cascade-fail every later Sink test
+    val boom = try {
+      spark.conf.set("spark.graft.lease.ttlMs", "-1000")
+      val editA = Seq((0L, "A_EDIT"), (1L, "A_EDIT")).toDF("id", "tag")
+      intercept[IllegalStateException](
+        Sink.upsertReplace(spark, editA, dir, "id"))
+    } finally spark.conf.unset("spark.graft.lease.ttlMs")
     assert(boom.getMessage.contains("self-expired"), boom.getMessage)
-    spark.conf.unset("spark.graft.lease.ttlMs")
     // A aborted PRE-commit: no marker, staging debris left behind, and
     // the collection reads exactly as before — A's edit is invisible
     assert(!fs.exists(new Path(dir, "_payload_commit")))
