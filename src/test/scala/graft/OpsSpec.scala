@@ -787,6 +787,13 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Relational.rangeJoinBucketed(
       spreadEv, 600L * 1000000L, maxCandidatePairs = 100000L,
       forceQuadratic = false).count() === 0L)
+    // an EMPTY stream passes the estimate (sum over zero buckets is
+    // null, coalesced — was an NPE; the guard's own error message
+    // recommends pre-filtering, so the pre-filtered-to-empty case
+    // must work) and returns an empty frame
+    assert(graft.ops.Relational.rangeJoinBucketed(
+      dense.filter(col("event_id") < 0), 600L * 1000000L,
+      maxCandidatePairs = 100000L, forceQuadratic = false).count() === 0L)
   }
 
   test("gaps-and-islands sessions: consecutive, non-overlapping, gap-bounded") {

@@ -129,6 +129,22 @@ class SemDedupSpec extends SparkSpec {
     assert(dropSet(out1).isEmpty, "orthogonal one-hots share no dup")
   }
 
+  test("zero vectors never drop: the collapse must not outrun the guarded cosine") {
+    import spark.implicits._
+    // two identical ALL-ZERO vectors + one real pair of near-dups:
+    // the census form's cosine is NULL on zero vectors, so the zero
+    // twin must survive — an unconditional identical-collapse would
+    // have dropped it (r14 self-review)
+    def vec(x: Float): Array[Float] = Array.tabulate(64)(j => if (j == 0) x else 1.0f)
+    val emb = Seq(
+      (1L, Array.fill(64)(0.0f)), (2L, Array.fill(64)(0.0f)),
+      (10L, vec(1.0f)), (11L, vec(1.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, targetClusterSize = 8L)
+    assert(out.count() === 4L)
+    assert(dropSet(out) === Set(11L),
+      "only the real near-dup drops; zero twins both survive")
+  }
+
   test("pinned census refuses a corpus; forcePinned is the bounded escape") {
     val big = spark.range(70000)
       .select(col("id").as("vec_id"),
