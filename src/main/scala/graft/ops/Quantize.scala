@@ -165,15 +165,20 @@ object Quantize {
 
   /** Mean squared reconstruction error — the objective [[pqTrain]]
     * minimizes (per-subspace k-means inertia, summed). */
-  def pqInertia(data: DataFrame, cb: Seq[Seq[Float]], m: Int, subDim: Int): Double =
-    data.select(
+  def pqInertia(data: DataFrame, cb: Seq[Seq[Float]], m: Int, subDim: Int): Double = {
+    val row = data.select(
         aggregate(
           zip_with(col("embedding"),
             pqDecode(pqCodes(col("embedding"), cb, m, subDim), cb, m, subDim),
             (x, y) => (x.cast("double") - y.cast("double")) *
               (x.cast("double") - y.cast("double"))),
           lit(0.0), (a, x) => a + x).as("e"))
-      .agg(avg(col("e"))).head.getDouble(0)
+      .agg(avg(col("e"))).head
+    require(!row.isNullAt(0),
+      "pqInertia over an empty corpus — the reconstruction objective is " +
+        "undefined on zero vectors (was an NPE)")
+    row.getDouble(0)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quantized search + full-precision rerank: top-20 candidates by

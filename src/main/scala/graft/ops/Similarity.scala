@@ -214,10 +214,14 @@ object Similarity {
     val centCols = cents.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
     val centMap = map(cents.flatMap { case (id, v) =>
       Seq(lit(id), typedlit(v.toSeq)) }: _*)
-    data.select(
+    val row = data.select(
         (lit(1.0) - Kernels.cosine(col("embedding"),
           element_at(centMap, ivfClusterId(col("embedding"), centCols)))).as("d"))
-      .agg(avg(col("d"))).head.getDouble(0)
+      .agg(avg(col("d"))).head
+    require(!row.isNullAt(0),
+      "ivfInertia over an empty corpus — the k-means objective is " +
+        "undefined on zero assigned vectors (was an NPE)")
+    row.getDouble(0)
   }
 
   /** Per-JVM registry of built IVF indexes: the index is built ONCE per

@@ -1283,7 +1283,9 @@ object TextAnalysis {
         col("n"))
     var cur = words0.cache()
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       // bind the symbol split once and build adjacent pairs closure-
       // free: this loop's plans are interior (executed per round, not
       // part of the returned frame), so the HofGuardSpec sweep cannot
@@ -1294,20 +1296,29 @@ object TextAnalysis {
       val pairCol = zip_with(
         slice(syms, lit(1), width), slice(syms, lit(2), width),
         (a, b) => concat(a, lit(" "), b))
-      val best = cur.withColumn("_syms", split(trim(col("sym")), " "))
+      val bestRows = cur.withColumn("_syms", split(trim(col("sym")), " "))
         .select(explode(pairCol).as("pair"), col("n"))
         .groupBy(col("pair")).agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
-        .limit(1).head()
-      val pair = best.getString(0)
-      merges += ((r.toLong, pair, best.getLong(1)))
-      val next = cur.select(
-        call_function("replace", col("sym"),
-          lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("sym"),
-        col("n")).cache()
-      next.count() // materialize before releasing the parent round
-      cur.unpersist()
-      cur = next
+        .limit(1).collect()
+      if (bestRows.isEmpty) {
+        // no adjacent pair remains (empty corpus, or every word fused
+        // to a single symbol — rounds > achievable merges): the merge
+        // list is simply shorter than asked, not a crash
+        exhausted = true
+      } else {
+        val best = bestRows.head
+        val pair = best.getString(0)
+        merges += ((r.toLong, pair, best.getLong(1)))
+        val next = cur.select(
+          call_function("replace", col("sym"),
+            lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("sym"),
+          col("n")).cache()
+        next.count() // materialize before releasing the parent round
+        cur.unpersist()
+        cur = next
+      }
+      r += 1
     }
     cur.unpersist()
     merges.result().toDF("round", "pair", "cnt")

@@ -47,7 +47,11 @@ object Streams {
       val src = Paths.get(s"$sfDir/events.parquet")
       val raw = spark.read.parquet(src.toString)
       val codec = graft.Tables.tsCodec(raw.schema)
-      val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
+      val maxRow = raw.agg(max(codec.toMicros)).head
+      require(!maxRow.isNullAt(0),
+        s"empty events input at $src — the sentinel needs a max timestamp " +
+          "(was an NPE; an empty fixture has nothing to stream)")
+      val maxUs = maxRow.getLong(0)
       val dir = scratchDir(spark, "graft_stream_src")
       linkEventsInto(dir, src)
       writeSingleFile(spark, sentinelRow(spark, codec, maxUs, sentinelGapHours),
@@ -455,7 +459,11 @@ object Streams {
       val src = Paths.get(s"$sfDir/events.parquet")
       val raw = spark.read.parquet(src.toString)
       val codec = graft.Tables.tsCodec(raw.schema)
-      val maxUs = raw.agg(max(codec.toMicros)).head.getLong(0)
+      val maxRow = raw.agg(max(codec.toMicros)).head
+      require(!maxRow.isNullAt(0),
+        s"empty events input at $src — the replay window needs a max " +
+          "timestamp (was an NPE; an empty fixture has nothing to stream)")
+      val maxUs = maxRow.getLong(0)
       val dir = scratchDir(spark, "graft_stream_dedup_src")
       linkEventsInto(dir, src)
       writeSingleFile(spark,
@@ -637,8 +645,13 @@ object Streams {
     * is deterministic and the planted copies MUST flag against their
     * batch-0/1 sources — non-vacuous by construction. */
   def streamingNearDupGate(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val (srcDir, srcSchema) = neardupSourceDir(spark, sfDir)
+    streamingNearDupGateFrom(spark, srcDir, srcSchema)
+  }
+
+  private[graft] def streamingNearDupGateFrom(
+      spark: SparkSession, srcDir: String, srcSchema: StructType): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(srcDir)
     val work = scratchDir(spark, "graft_neardup_work")
     val bandsPath = s"$work/bands"; val hsPath = s"$work/hs"
@@ -668,7 +681,14 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    spark.read.parquet(outPath).orderBy(col("new_id"), col("hist_id"))
+    // a single-batch source (first-ever ingest: no history yet) never
+    // writes the flagged sink — read.parquet on the missing path was a
+    // PATH_NOT_FOUND crash; "no prior batch" means zero flags
+    if (!Files.exists(Paths.get(outPath)))
+      spark.range(0).select(
+        col("id").as("new_id"), col("id").as("hist_id"),
+        col("id").cast("double").as("jaccard"))
+    else spark.read.parquet(outPath).orderBy(col("new_id"), col("hist_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1391,6 +1391,35 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq((1L, "a a", 3L), (2L, "a a", 1L)))
   }
 
+  test("bpe training: merge exhaustion stops early instead of crashing") {
+    import spark.implicits._
+    // "ab ab" → one merge fuses every word to a single symbol; a round
+    // asked beyond that found NO pairs and head() threw — the merge
+    // list must just be shorter than `rounds`
+    val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(d, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges === Seq((1L, "a b", 2L)))
+    // empty corpus: zero merge rounds, not a crash
+    assert(TextAnalysis.bpeTrain(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 3).count() === 0L)
+  }
+
+  test("inertia objectives refuse an empty corpus with a named error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val c = Seq((0L, Array.fill(64)(1.0f)))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfInertia(empty, c)
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+    val cb = Seq.fill(4)(Seq.fill(64)(0.0f))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Quantize.pqInertia(empty, cb, 8, 8)
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("normalize text: control chars stripped, whitespace runs collapsed, trim applied") {
     import spark.implicits._
     import java.security.MessageDigest

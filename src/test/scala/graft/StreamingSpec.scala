@@ -26,6 +26,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("empty events input refuses with a named error, not an NPE") {
+    import java.nio.file.Files
+    // an sf dir whose events table has the fixture schema but ZERO
+    // rows: the sentinel/replay builders need a max timestamp and must
+    // say so (max over empty was an NPE at the getLong)
+    val base = Files.createTempDirectory("graft_empty_ev").toFile.getAbsolutePath
+    Tables.events(spark, sf).limit(0).write.parquet(s"$base/events.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.sentinelSourceDir(spark, base)
+    }
+    assert(e1.getMessage.contains("empty events input"))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.dedupSourceDir(spark, base)
+    }
+    assert(e2.getMessage.contains("empty events input"))
+  }
+
+  test("near-dup gate: a single first batch (no history) flags nothing, not a crash") {
+    import java.nio.file.Files
+    // one arriving file = one micro-batch: there is no prior history
+    // to flag against, the flagged sink is never written, and the
+    // read-back was a PATH_NOT_FOUND crash — the correct answer is an
+    // empty (new_id, hist_id, jaccard) frame
+    val src = Files.createTempDirectory("graft_neardup_single").toFile.getAbsolutePath
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text")).limit(40)
+    Streams.writeSingleFile(spark, docs, s"$src/00_only.parquet")
+    val out = Streams.streamingNearDupGateFrom(spark, src, docs.schema)
+    assert(out.columns.toSeq === Seq("new_id", "hist_id", "jaccard"))
+    assert(out.count() === 0L)
+  }
+
   test("incremental index stream: ingests once, re-run adds nothing") {
     import graft.api.{CollectionConfig, VectorCollection}
     import graft.streaming.IncrementalIndex
