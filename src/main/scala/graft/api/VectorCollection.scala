@@ -666,6 +666,7 @@ class VectorCollection private (
   def buildIvfIndex(nClusters: Int, lloydIters: Int = 2): String = Sink.withPathLock(ivfPath) {
     require(!config.multiVector, "IVF index on a multi-vector collection")
     val pts = asPoints
+    require(nClusters > 0, s"buildIvfIndex needs nClusters > 0, got $nClusters")
     val seeds = pts
       .select(col("vec_id"), col("embedding"),
         graft.index.Embedder.stringHash64(
@@ -675,6 +676,11 @@ class VectorCollection private (
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
       .toSeq
+    // the empty-aggregate class: zero seeds would fail deep inside the
+    // centroid argmax with an opaque error instead of naming the cause
+    require(seeds.nonEmpty,
+      "buildIvfIndex on an empty collection — no vectors to seed " +
+        "centroids from; upsert points first")
     val trained = graft.ops.Similarity.ivfRefineCentroids(pts, seeds, lloydIters)
     val centCols = trained.map { case (id, v) => (id, typedlit(v.toSeq): Column) }
     val idx = pts.select(col("*"),
@@ -689,15 +695,14 @@ class VectorCollection private (
     val sidecar = trained
       .map { case (id, v) => s"$id,${v.mkString(",")}" }
       .mkString("\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(centroidsPath), sidecar)
+    Sink.writeSidecar(centroidsPath, sidecar)
     ivfPath
   }
 
   private def loadCentroids(): Seq[(Long, Array[Float])] = {
-    val p = java.nio.file.Paths.get(centroidsPath)
-    require(java.nio.file.Files.exists(p),
+    require(Sink.sidecarExists(centroidsPath),
       s"no IVF index for $path — call buildIvfIndex first")
-    java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+    Sink.readSidecar(centroidsPath).split("\n").toSeq
       .filter(_.nonEmpty)
       .map { line =>
         val parts = line.split(",")
@@ -1127,7 +1132,10 @@ object VectorCollection {
       val json =
         s"""{"idCol":"${config.idCol}","vectorCol":"${config.vectorCol}",""" +
           s""""dim":${config.dim},"multiVector":${config.multiVector}$shard$named$dist$sparse}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(path)), json)
+      // Hadoop-FS sidecar IO, matching ensureCollection/exists — a
+      // java.nio write would crash on the hdfs://-s3a:// paths the
+      // rest of the surface supports
+      Sink.writeSidecar(metaPath(path), json)
     }
     new VectorCollection(spark, path, config)
   }
@@ -1189,7 +1197,7 @@ object VectorCollection {
 
   /** Open an existing collection with its persisted config. */
   def open(spark: SparkSession, path: String): VectorCollection = {
-    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath(path)))
+    val json = Sink.readSidecar(metaPath(path))
     def field(k: String): String =
       json.split(s""""$k":""")(1).split("[,}]")(0).replaceAll("\"", "")
     val shard =

@@ -188,6 +188,30 @@ object Sink {
     } catch { case _: Throwable => () } // renewal is best-effort
   }
 
+  /** Hadoop-FS string sidecar IO (collection meta, IVF centroids): the
+    * sidecars must ride the SAME FileSystem API as every other
+    * maintenance op so a collection at an hdfs:// / s3a:// path works
+    * end to end — java.nio.file is local-disk only (the `info`
+    * rationale applied to reads AND writes). */
+  private[graft] def writeSidecar(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(hadoopConf).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readSidecar(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(hadoopConf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private[graft] def sidecarExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+
   private[graft] def withPathLock[T](path: String)(body: => T): T = {
     val key = new org.apache.hadoop.fs.Path(path).toString
     val lock = pathLocks.computeIfAbsent(key, _ => new Object)

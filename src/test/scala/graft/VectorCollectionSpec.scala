@@ -33,6 +33,17 @@ class VectorCollectionSpec extends SparkSpec {
     assert(col1.count === n)
   }
 
+  test("buildIvfIndex on an empty collection refuses with a named error") {
+    val dir = s"${tmp()}/col"
+    val pts = points.limit(0)
+    val c = VectorCollection.ensure(spark, dir, pts,
+      CollectionConfig("point_id", "embedding", 64, multiVector = false))
+    val e = intercept[IllegalArgumentException] { c.buildIvfIndex(4) }
+    assert(e.getMessage.contains("empty collection"))
+    val e2 = intercept[IllegalArgumentException] { c.buildIvfIndex(0) }
+    assert(e2.getMessage.contains("nClusters"))
+  }
+
   test("get_collections / collection_exists / delete_collection lifecycle") {
     val root = tmp()
     val pts = points.limit(20).cache()
