@@ -182,7 +182,17 @@ object ModelEmbedder {
     val textIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val mats = model.embedBatch(batch.map(_.getString(textIdx)))
+        // a NULL text NPEs inside the backend (the columnar twin
+        // null-propagates to a NULL embedding instead) — refuse by
+        // name at the seam rather than crash a task mid-batch
+        val texts = batch.map { r =>
+          val t = r.getString(textIdx)
+          require(t != null,
+            s"embedWith: NULL $textCol — the model seam cannot embed " +
+              "null text; filter or coalesce nulls upstream")
+          t
+        }
+        val mats = model.embedBatch(texts)
         // loud, not truncating: a backend that drops an un-tokenizable
         // input would otherwise silently zip away the batch's tail —
         // rows missing from the index with no error

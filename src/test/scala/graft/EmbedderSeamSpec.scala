@@ -96,6 +96,16 @@ class EmbedderSeamSpec extends SparkSpec {
     }
     assert(messages(e2).exists(_.contains("EMPTY token matrix")),
       s"expected the loud empty-matrix error, got: ${messages(e2).take(3)}")
+    // a NULL text row NPE'd inside the backend (the columnar twin
+    // null-propagates) — the seam must refuse by name instead
+    val withNull = (0L until 5L).map(i => (i, if (i == 3) null else s"t$i"))
+      .toDF("id", "text")
+    val e3 = intercept[Exception] {
+      ModelEmbedder.embedWith(withNull, "text", FeatureHashModel(),
+        batchSize = 8).count()
+    }
+    assert(messages(e3).exists(_.contains("NULL text")),
+      s"expected the loud null-text error, got: ${messages(e3).take(3)}")
   }
 
   test("session lifecycle: one load per JVM across tasks, idempotent close, reload") {
