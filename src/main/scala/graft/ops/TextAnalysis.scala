@@ -554,16 +554,23 @@ object TextAnalysis {
     * types are X% of the stream"). Counts are exact integers; the
     * share is one rounded ratio per row.
     *
-    * Scale: one token shuffle; the ranking window runs over the
-    * VOCABULARY (bounded), not the corpus — on open-web vocabularies
-    * the same curve comes from the [[tokenCms]] sketch at fixed
+    * Scale: one token shuffle; the vocabulary is CUT to the top
+    * `max(ks)` types (TakeOrderedAndProject — per-partition heaps, no
+    * global sort) BEFORE the ranking window, so the one-partition
+    * window ranks max(ks) rows, never the vocabulary: every emitted
+    * rank ≤ max(ks) and cumulative sums over the head are unaffected
+    * by the dropped tail, so the cut is exactly output-preserving.
+    * On open-web vocabularies where even the aggregate state is too
+    * much, the same curve comes from the [[tokenCms]] sketch at fixed
     * memory. */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage needs at least one k")
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c").desc, col("w").asc)
     val tot = uni.agg(sum(col("c")).as("total"))
-    uni.withColumn("rnk", row_number().over(w).cast("long"))
+    uni.orderBy(col("c").desc, col("w").asc).limit(ks.max)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("covered", sum(col("c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rnk").isInCollection(ks.map(_.toLong)))

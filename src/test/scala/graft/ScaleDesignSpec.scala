@@ -146,6 +146,17 @@ class ScaleDesignSpec extends SparkSpec {
       "a range-partitioned global sort means the limit did not plan as top-k")
   }
 
+  test("vocab coverage: the ranking window sees the top-max(ks) cut, not the vocabulary") {
+    val q = graft.ops.TextAnalysis.queries("x_vocab_coverage")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocabulary must cut to max(ks) via TakeOrderedAndProject " +
+        s"BEFORE the one-partition ranking window:\n$plan")
+    // identical output either way on the fixture — the cut is the
+    // scale property, the gate is the correctness property
+    assert(q.count() === 5)
+  }
+
   test("retrieval cuts are TakeOrderedAndProject; fusion windows never see the corpus") {
     val bm = graft.ops.Retrieval.queries("x_bm25_topk")(spark, sf)
     assert(bm.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
