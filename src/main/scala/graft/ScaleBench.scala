@@ -87,7 +87,12 @@ object ScaleBench {
     "x_interp_logprob" -> "documents",
     "x_dsir_weights" -> "documents",
     "x_chunk_embed" -> "documents",
-    "q_facet_approx" -> "embeddings")
+    "q_facet_approx" -> "embeddings",
+    // vocab-coverage curve + the pre-r14 full-vocabulary-rank contrast
+    // (the s_session_builtin_heap pattern: the rejected formulation
+    // stays measurable so the improvement is a number, not an argument)
+    "x_vocab_coverage" -> "documents",
+    "x_vocab_coverage_fullrank" -> "documents")
 
   /** Scale-path variants that are not suite queries (the suite pins
     * their narrow-parameter twins for oracle stability) but whose
@@ -97,6 +102,28 @@ object ScaleBench {
     "x_dedup_simhash64" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs64(
         graft.ops.Dedup.corpusWithDups(Tables.t(s, dir, "documents")))),
+    // the pre-r14 vocabCoverage formulation: the one-partition ranking
+    // window consumes the WHOLE vocabulary (no top-max(ks) cut) — kept
+    // as the contrast probe for the shipped cut's curve
+    "x_vocab_coverage_fullrank" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, explode, lit,
+        row_number, sum, round, broadcast}
+      import org.apache.spark.sql.expressions.Window
+      val ks = Seq(1L, 2L, 5L, 10L, 20L)
+      val uni = Tables.t(s, dir, "documents")
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("w").asc)
+      val tot = uni.agg(sum(col("c")).as("total"))
+      uni.withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("covered", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rnk").isInCollection(ks))
+        .crossJoin(broadcast(tot))
+        .select(col("rnk").as("k"), col("covered"), col("total"),
+          round(col("covered").cast("double") / col("total").cast("double"), 6)
+            .as("share"))
+    }),
     "x_dedup_embedding_lsh_auto" -> ((s, dir) =>
       graft.ops.Dedup.embeddingPairsLshAuto(Tables.t(s, dir, "embeddings"))),
     // the r13 corpus-scale twins of the two families the 4th-decade
