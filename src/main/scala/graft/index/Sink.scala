@@ -194,10 +194,26 @@ object Sink {
     * end to end — java.nio.file is local-disk only (the `info`
     * rationale applied to reads AND writes). */
   private[graft] def writeSidecar(path: String, content: String): Unit = {
+    // tmp + rename (the setAlias pattern), never create(p, true) in
+    // place: withPathLock is same-JVM only, so a reader in ANOTHER
+    // process (open/loadCentroids/searchAnn) racing a rewrite could
+    // observe a truncated sidecar mid-overwrite. Rename is atomic on
+    // HDFS and local FS; the sub-ms delete-then-rename window is the
+    // documented setAlias trade.
     val p = new org.apache.hadoop.fs.Path(path)
-    val out = p.getFileSystem(hadoopConf).create(p, true)
+    val fs = p.getFileSystem(hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(
+        s"sidecar write failed: could not delete old $p")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"sidecar write failed: rename $tmp -> $p returned false " +
+          "(racing writer or permissions); old sidecar was removed - retry")
   }
 
   private[graft] def readSidecar(path: String): String = {

@@ -565,6 +565,11 @@ object TextAnalysis {
     * memory. */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty, "vocabCoverage needs at least one k")
+    // refuse by name, not via the planner: limit(ks.max) throws an
+    // AnalysisException on a non-positive max where the pre-cut
+    // formulation returned an empty frame (r14 advisor)
+    require(ks.forall(_ > 0),
+      s"vocabCoverage ks must all be positive: ${ks.mkString(",")}")
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c").desc, col("w").asc)
@@ -680,6 +685,17 @@ object TextAnalysis {
     * sums over those rows (no second corpus pass, no self-join); the
     * per-doc float fold runs over the bigram-sorted term list
     * (association pinned, the unigram/BM25 rule). */
+  /** Memoized per (session, sorted input-file listing): four operators
+    * widen from the same corpus table in the suite, and shared sizing
+    * must not pay four count jobs (r14 what's-wrong #2). The file
+    * listing — not the canonicalized plan — is the key because two
+    * `read.parquet` calls on the same path build relations that do NOT
+    * compare equal (fresh FileIndex), while `inputFiles` is a public,
+    * job-free, path-stable fingerprint. Bounded — cleared past 64
+    * entries (a sizing miss just re-counts; never wrong). */
+  private val gramCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
   /** Self-sized exchange width for the n-gram family's wide shuffles
     * (the lshAuto rule: the operator that knows its own fan-out sizes
     * its exchanges — a 5M-doc corpus explodes to ~1B gram rows, and
@@ -693,10 +709,49 @@ object TextAnalysis {
     * downstream aggregate/window/join keys, so Catalyst elides its
     * own exchange and the operator runs at the widened width. Values
     * are partition-order independent everywhere this is used (integer
-    * counts, windows over them, and order-pinned float folds). */
+    * counts, windows over them, and order-pinned float folds).
+    * Sizing runs NO job on a derived input (optimizer stats) and at
+    * most one memoized footer-count per bare table. */
   private def gramWiden(docs: DataFrame): (DataFrame, Seq[Column]) => DataFrame = {
-    val session = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.min(4096L, docs.count() * 300L / 4000000L).toInt
+    val spark = docs.sparkSession
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val plan = docs.queryExecution.optimizedPlan
+    val rows: Long =
+      if (plan.children.isEmpty) {
+        // bare relation (Tables.t, every suite/probe input): the count
+        // is a parquet footer-metadata job (declared in BENCH_NOTES) —
+        // run it ONCE per (session, table) via the memo, so repeated
+        // widening off the same table shares one job. A file-less leaf
+        // (LocalRelation test frame) just counts: its data is already
+        // on the driver, and a schema-only key could collide.
+        val files = docs.inputFiles
+        if (files.isEmpty) docs.count()
+        else {
+          if (gramCountMemo.size > 64) gramCountMemo.clear()
+          gramCountMemo.computeIfAbsent(
+            (spark, files.sorted.mkString(",")), _ => docs.count(): java.lang.Long)
+        }
+      } else {
+        // derived input (filter/join/transform): an eager count here
+        // would scan the full upstream at OPERATOR-CONSTRUCTION time,
+        // before the caller runs any action on the result (r14
+        // what's-wrong #2) — size from optimizer statistics instead:
+        // driver-side file listing propagated through the plan, ZERO
+        // jobs. Without CBO rowCount, rows ≈ sizeInBytes / the
+        // schema's defaultSize row width; defaultSize UNDERestimates
+        // real text rows, so this OVERestimates rows and can only
+        // over-widen — the safe direction under the 4096 cap (an
+        // exchange too wide costs small-task overhead; one too narrow
+        // was the r14 4th-decade bottleneck).
+        val st = plan.stats
+        st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+          val perRow =
+            math.max(1L, plan.schema.map(_.dataType.defaultSize.toLong).sum + 8L)
+          (st.sizeInBytes.min(BigInt(Long.MaxValue)) / perRow).toLong
+        }
+      }
+    val parts =
+      math.min(4096L, math.min(rows, Long.MaxValue / 300L) * 300L / 4000000L).toInt
     if (parts <= session) (df, _) => df
     else (df, keys) => df.repartition(parts, keys: _*)
   }

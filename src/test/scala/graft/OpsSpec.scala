@@ -357,6 +357,59 @@ class OpsSpec extends SparkSpec {
       s"repeated 'x y' (${m(1L)}) must beat the scattered form (${m(2L)})")
   }
 
+  test("gramWiden: zero jobs at operator-construction on a derived input; memoized bare-table count") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settled(): Int = {
+        // the listener bus is async; calibrate with a known job and
+        // wait until its event lands, so a later zero is meaningful
+        var last = -1
+        var cur = jobs.get()
+        while (cur != last) { last = cur; Thread.sleep(200); cur = jobs.get() }
+        cur
+      }
+      docs.count() // calibration job: prove events reach the listener
+      assert(settled() > 0, "listener calibration: the count must be seen")
+      // derived input: construction must run NO job (r14 what's-wrong
+      // #2 — the pre-change gramWiden ran an eager docs.count() that
+      // scanned the full upstream of a filtered frame)
+      val derived = docs.filter(length(col("text")) > 0)
+      val before = settled()
+      val frame = TextAnalysis.bigramLogprob(derived)
+      assert(settled() === before,
+        "constructing bigramLogprob on a derived frame must be job-free")
+      assert(frame.count() > 0L) // the deferred work runs at the action
+      // bare-table input: at most one footer count, memoized — the
+      // second construction off the same loaded table runs zero jobs
+      // (one `docs` read: re-calling read.parquet pays its own
+      // schema-inference job, which is not gramWiden's)
+      val base = docs
+      TextAnalysis.bigramLogprob(base)
+      val afterFirst = settled()
+      TextAnalysis.bigramLogprob(base)
+      assert(settled() === afterFirst,
+        "second bare-table construction must reuse the memoized count")
+      // fixture-scale widths are the identity: no injected repartition
+      val plan = TextAnalysis.bigramLogprob(base)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RepartitionByExpression"),
+        "fixture-scale plans must stay byte-identical (identity widen)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("vocabCoverage refuses non-positive ks by name") {
+    val boom = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, Seq(5, 0))
+    }
+    assert(boom.getMessage.contains("positive"))
+  }
+
   test("dsir: target-domain docs outscore off-domain; weights bounded; self-target ranks itself") {
     import spark.implicits._
     val w = TextAnalysis.dsirWeights(docs, col("lang") === "en")
