@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement main for the [[graft.ops.Similarity.semDedup]] /
+  * LSH-banding audit family (r15). Three modes via
+  * `SPARK_GRAFT_AUDIT_MODE`:
+  *
+  *  - `jobs` (default): job-count + wall-time of the semDedup level
+  *    loop on the planted probe corpus at `SPARK_GRAFT_AUDIT_DIR`.
+  *    The r15 level-loop restructure (one checkpointed pops table per
+  *    level, both counts off it) claims a measured action-count cut —
+  *    this measures it, before and after, same corpus, same params.
+  *  - `recall`: [[graft.ops.Similarity.semDedupRecallAudit]] at each
+  *    of `SPARK_GRAFT_AUDIT_DIRS` — the drop-set-recall CURVE
+  *    (sampled exact truth, full-corpus operator run), extending the
+  *    fixture-pinned 1.0 / 0.957 to the 3rd/4th decade.
+  *  - `lshcap`: empirical validation of
+  *    [[graft.ops.Dedup.lshRecallAudit]]'s cap·p scaling (r14
+  *    what's-wrong #3): bucket collision counts are not exactly
+  *    linear in the sample fraction, so compare the SAMPLE's cap-kill
+  *    rate (pairs lost to the sample-scaled hot-bucket cap) against
+  *    the CORPUS's actual kill rate under its absolute cap, same
+  *    clustered geometry, same auto plan.
+  *
+  * Prints one JSON line per mode.
+  */
+object SemDedupAudit {
+  def main(args: Array[String]): Unit = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_AUDIT_MODE", "jobs")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def f3(v: Double): String =
+      if (v.isNaN) "null" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    mode match {
+      case "jobs" =>
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.1")
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        })
+        // warm on the smallest fixture (JIT + codegen), uncounted
+        graft.ops.Similarity.semDedupProbe(spark, "/root/testdata/sf0.001")
+          .queryExecution.toRdd.count()
+        Thread.sleep(1000)
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.semDedupProbe(spark, dir)
+          .queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // drain the async listener bus
+        val counted = jobs.get()
+        spark.stop()
+        println(s"""{"metric":"semdedup_jobs","dir":"$dir","jobs":$counted,"secs":${f3(secs)}}""")
+
+      case "recall" =>
+        val dirs = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIRS",
+            "/root/testdata/sf0.1,/tmp/graft_scale/x10,/tmp/graft_scale/x100")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sampleRows =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_SAMPLE", "5000").toLong
+        val target =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_TARGET", "256").toLong
+        val branch = sys.env.getOrElse("SPARK_GRAFT_AUDIT_BRANCH", "8").toInt
+        val overlap =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_OVERLAP", "0.1").toDouble
+        val out = dirs.map { d =>
+          val emb = Tables.t(spark, d, "embeddings")
+          val n = emb.count()
+          val t0 = System.nanoTime()
+          val r = graft.ops.Similarity.semDedupRecallAudit(
+            emb, targetClusterSize = target, sampleRows = sampleRows,
+            branch = branch, overlap = overlap)
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[audit] recall @ $d (n=$n): ${f3(r)} in ${f3(secs)} s")
+          s""""$d":{"n":$n,"recall":${f3(r)},"secs":${f3(secs)}}"""
+        }
+        spark.stop()
+        println(s"""{"metric":"semdedup_recall","sample":$sampleRows,"target":$target,""" +
+          s""""branch":$branch,"overlap":$overlap,"dirs":{${out.mkString(",")}}}""")
+
+      case "lshcap" =>
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.1")
+        val sampleRows =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_SAMPLE", "5000").toLong
+        val simMin = 0.9
+        val emb = Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val n = emb.count()
+        val (bands, planes, capCorpus, _) = graft.ops.Dedup.lshAutoPlan(n, simMin)
+        def pairCount(input: org.apache.spark.sql.DataFrame, cap: Long): Long =
+          graft.ops.Dedup.embeddingPairsLsh(emb = input, simMin = simMin,
+            bands = bands, planesPerBand = planes, maxBucket = cap).count()
+        // corpus truth: pairs found under the absolute cap vs uncapped
+        val corpusCap = pairCount(emb, capCorpus)
+        val corpusNoCap = pairCount(emb, Long.MaxValue)
+        val corpusKill = 1.0 - corpusCap.toDouble / math.max(1L, corpusNoCap)
+        // the audit's sample under the SCALED cap (the cap·p rule)
+        val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
+        val sample = emb.filter(
+          pmod(graft.index.Embedder.stringHash64(
+              concat_ws(":", col("vec_id").cast("string"), lit("lshaudit"))),
+            lit(1000000L)).cast("double") < p * 1000000.0)
+          .localCheckpoint(true)
+        val capSample = math.max(1L, math.round(capCorpus * p))
+        val sampleCap = pairCount(sample, capSample)
+        val sampleNoCap = pairCount(sample, Long.MaxValue)
+        val sampleKill = 1.0 - sampleCap.toDouble / math.max(1L, sampleNoCap)
+        spark.stop()
+        println(s"""{"metric":"lsh_cap_audit","dir":"$dir","n":$n,""" +
+          s""""bands":$bands,"planes":$planes,"cap_corpus":$capCorpus,""" +
+          s""""cap_sample":$capSample,"pairs_corpus":[$corpusCap,$corpusNoCap],""" +
+          s""""pairs_sample":[$sampleCap,$sampleNoCap],""" +
+          s""""kill_corpus":${f3(corpusKill)},"kill_sample":${f3(sampleKill)}}""")
+
+      case other =>
+        spark.stop()
+        sys.error(s"unknown SPARK_GRAFT_AUDIT_MODE: $other")
+    }
+  }
+}

@@ -573,18 +573,70 @@ object Similarity {
     * cluster. Assignment arithmetic is branch cosines per point per
     * level via [[graft.vector.Expressions.CosineSim]] under a
     * per-element-once `transform` (HofGuard-clean: the lambda touches
-    * only attributes and its own variable). */
+    * only attributes and its own variable).
+    *
+    * Durability: with session conf `spark.graft.semdedup.checkpointDir`
+    * set, every per-level materialization is a RELIABLE
+    * `Dataset.checkpoint` under that directory — executor loss on a
+    * multi-hour run recovers from the checkpoint files instead of
+    * killing the job (localCheckpoint's truncated executor-block
+    * lineage cannot recompute). Sandbox default stays localCheckpoint;
+    * outputs are identical either way (spec-asserted). The caller owns
+    * cleanup of the directory.
+    *
+    * Keeper policy: `quality` — an optional (vec_id, quality) frame —
+    * switches the survivor order from earliest-id to
+    * (quality DESC NULLS LAST, id ASC), the
+    * [[graft.ops.Dedup.keeperizeByQuality]] formula, applied to both
+    * the exact-collapse representative pick and the census witness
+    * direction. */
   def semDedup(
       emb: DataFrame,
       targetClusterSize: Long = 256L,
       simMin: Double = 0.9,
       branch: Int = 8,
       lloydIters: Int = 1,
-      overlap: Double = 0.1): DataFrame = {
+      overlap: Double = 0.1,
+      quality: Option[DataFrame] = None): DataFrame = {
     require(targetClusterSize >= 2, s"targetClusterSize must be >= 2: $targetClusterSize")
     require(branch >= 2 && branch <= 64, s"branch must be in [2, 64]: $branch")
     require(overlap >= 0 && overlap < 1, s"overlap must be in [0, 1): $overlap")
-    val basePts = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val spark = emb.sparkSession
+    // checkpoint durability (r14 what's-wrong #1): localCheckpoint
+    // stores blocks ON EXECUTORS with TRUNCATED lineage — right for
+    // the sandbox (see the lineage note below), but on a multi-hour
+    // 100 TB run losing ONE executor makes the truncated lineage
+    // unrecomputable and kills the job. With
+    // `spark.graft.semdedup.checkpointDir` set, every per-level frame
+    // uses reliable Dataset.checkpoint into that directory instead:
+    // executor loss recovers from the checkpoint files, and nothing
+    // pins block-manager storage. Failure-recovery contract: a lost
+    // executor costs re-reading checkpoint files, never a dead job.
+    // The caller owns the directory's lifecycle (Spark does not clean
+    // reliable checkpoints by default).
+    val ckptDir = spark.conf.getOption("spark.graft.semdedup.checkpointDir")
+    ckptDir.foreach { d =>
+      if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
+        spark.sparkContext.setCheckpointDir(d)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // keeper policy: by default the EARLIEST id in a dup relation
+    // survives; with `quality` — a (vec_id, quality double) frame —
+    // the keeper order becomes (quality DESC NULLS LAST, vec_id ASC),
+    // the [[graft.ops.Dedup.keeperizeByQuality]] formula: a near-dup
+    // group often holds one clean copy and n boilerplate-wrapped
+    // ones, and id-order keeps whichever was ingested first. Missing
+    // or NULL quality orders last (loses to any scored witness).
+    val basePts0 = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val basePts = quality match {
+      case Some(q) =>
+        basePts0.join(
+          q.select(col("vec_id").cast("long").as("vec_id"),
+            col("quality").cast("double").as("q")),
+          Seq("vec_id"), "left")
+      case None => basePts0
+    }
     // 1. exact-direction collapse (one shuffle on the vector value).
     // localCheckpoint (not persist) throughout the driver loop: each
     // level's frame references its parent several times (population
@@ -594,8 +646,14 @@ object Similarity {
     // OOMs the driver. Checkpointing flattens each level to a
     // LogicalRDD; blocks are freed when the frames are GC'd.
     val wRep = Window.partitionBy(col("embedding"))
-    val withRep = basePts.withColumn("rep_id", min(col("vec_id")).over(wRep))
-      .localCheckpoint(true)
+    val repPick = quality match {
+      case Some(_) =>
+        first(col("vec_id")).over(
+          wRep.orderBy(col("q").desc_nulls_last, col("vec_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      case None => min(col("vec_id")).over(wRep)
+    }
+    val withRep = ckpt(basePts.withColumn("rep_id", repPick))
     // zero vectors are EXCLUDED from the collapse's auto-drop: the
     // guarded cosine is NULL on a zero vector, so the census form
     // never drops an all-zero duplicate — collapsing it would diverge
@@ -629,7 +687,13 @@ object Similarity {
     // capped runner-up was not the partner's subtree — SemDedupSpec
     // pins both numbers); the LSH-auto banding reads 0.848 on the
     // same geometry, and the paper's plain within-cluster regime
-    // promises nothing across boundaries. Precision is structural:
+    // promises nothing across boundaries. The r15 DEEP-hierarchy
+    // extension of that curve (semDedupRecallAudit, sampled exact
+    // truth): recall COMPOUNDS DOWN with split depth — 0.67 at 200k
+    // (6 levels), 0.42 at 2M (9 levels) on clustered-replica
+    // geometry; target ×16 buys ≈ +0.1, overlap is flat. The
+    // operator logs the depth warning at runtime and callers measure
+    // their own corpus with the audit. Precision is structural:
     // every emitted drop has a real cosine ≥ simMin witness.
     var active = reps.withColumn("cluster_id", lit(0L))
       .withColumn("primary", lit(true))
@@ -647,11 +711,28 @@ object Similarity {
     val finishedParts = scala.collection.mutable.Buffer.empty[DataFrame]
     var lvl = 0
     while (activeCnt > 0 && lvl < maxLevels) {
+      // Level-loop action economics (r14 next-round #2, MEASURED and
+      // partially RETRACTED in r15 — BENCH_NOTES): the pops aggregate
+      // and the tagged join stay LAZY inside both wide checkpoint
+      // jobs ON PURPOSE. Both the aggregate and the SMJ partition
+      // `active` by cluster_id, so ReuseExchange gives each wide job
+      // ONE shuffle of active serving agg + join together — the
+      // "recomputed join" is nearly free. Both r15 attempts to fold
+      // it away measured SLOWER: checkpointing the joined wide frame
+      // re-materialized every active row per level (+40% at 20k);
+      // checkpointing the tiny pops table broke the exchange reuse,
+      // shuffling active three times per level instead of two (2.7×
+      // at 2M: 327 s vs the shipped 119 s). What WAS avoidable: the
+      // two standalone full count() passes per level — retire/
+      // continue gating only needs emptiness, so they are now
+      // limit-1 isEmpty probes. Locally that trims block scans; in
+      // reliable-checkpoint mode (the 100 TB durable path) it is the
+      // difference between touching one file and RE-READING the
+      // whole level's checkpoint files twice per level.
       val pops = active.groupBy(col("cluster_id")).agg(count(lit(1)).as("pop"))
       val tagged = active.join(pops, Seq("cluster_id"))
-      val doneNow = tagged.filter(col("pop") <= targetClusterSize)
-        .select(col("vec_id"), col("embedding"), col("cluster_id"), col("primary"))
-        .localCheckpoint(true)
+      val doneNow = ckpt(tagged.filter(col("pop") <= targetClusterSize)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"), col("primary")))
       val over = tagged.filter(col("pop") > targetClusterSize)
       // per-level content-stable draw: ~8·branch expected samples per
       // node whatever its population; the per-level salt makes a
@@ -690,19 +771,20 @@ object Similarity {
       // 1-based b-ary heap numbering (children of i are i·b+1 … i·b+b)
       // is injective across ALL levels, so retired and live ids can
       // never collide.
-      val next = assignChildren(overRows, cands, overlap)
+      val next = ckpt(assignChildren(overRows, cands, overlap)
         .select(col("vec_id"), col("embedding"),
           (col("cluster_id") * branch + col("child") + 1).as("cluster_id"),
-          col("primary"))
-        .localCheckpoint(true)
-      if (doneNow.count() > 0) finishedParts += doneNow
+          col("primary")))
+      if (!doneNow.isEmpty) finishedParts += doneNow
       active = next
-      activeCnt = next.count()
+      activeCnt = if (next.isEmpty) 0L else 1L
       lvl += 1
     }
     if (activeCnt > 0) {
+      // leftover count is worth a real pass only on the rare path
+      // that reports it
       System.err.println(
-        s"[graft] semDedup: $activeCnt rows remain in oversized " +
+        s"[graft] semDedup: ${active.count()} rows remain in oversized " +
           s"clusters after $lvl levels (near-identical directions the " +
           "split cannot separate) — censusing them as-is; their " +
           "pairwise cost is population-squared")
@@ -719,7 +801,25 @@ object Similarity {
       System.err.println(
         f"[graft] semDedup: census over $censusRows rows for $repCnt " +
           f"points (probe fan-out ${censusRows.toDouble / repCnt}%.2f× " +
-          f"at overlap $overlap%.2f)")
+          f"at overlap $overlap%.2f, $lvl split levels)")
+    // recall degrades with hierarchy DEPTH, and the caller must hear
+    // it at runtime, not find it in a doc (the lshRecallAudit rule):
+    // argmax boundary splits compound per level and the capped
+    // one-runner-up probe cannot rescue multi-level divergence —
+    // measured drop-set recall on clustered-replica geometry falls
+    // 0.957 (3 levels, 2k) → 0.67 (6 levels, 200k) → 0.42 (9 levels,
+    // 2M) at the default target, and the knobs only soften it
+    // (target ×16 buys ≈ +0.1; overlap is flat — r15 sweep,
+    // BENCH_NOTES). Precision stays structural (every drop has a
+    // cosine ≥ simMin witness).
+    if (lvl >= 6)
+      System.err.println(
+        s"[graft] semDedup: $lvl split levels — boundary-split recall " +
+          "degrades with depth (measured 0.957@3lv/0.67@6lv/0.42@9lv " +
+          "on clustered-replica geometry). MEASURE yours with " +
+          "Similarity.semDedupRecallAudit(emb); recall-critical " +
+          "near-dup mass belongs to embeddingPairsLshAuto or a larger " +
+          "targetClusterSize")
     // 3. bounded within-cluster census — over ALL assignments (probe
     // rows included: they exist exactly so boundary pairs share a
     // census cluster); the output keeps one row per point (primary)
@@ -727,8 +827,25 @@ object Similarity {
       col("embedding").as("va")).repartition(col("cluster_id"))
     val b = clustered.select(col("cluster_id"), col("vec_id").as("j"),
       col("embedding").as("vb")).repartition(col("cluster_id"))
-    val dropIds = a.join(b, Seq("cluster_id"))
-      .filter(col("i") < col("j"))
+    // witness precedence: id order by default; under the quality
+    // keeper policy a point drops iff a SIMILAR point strictly
+    // precedes it in (quality DESC NULLS LAST, vec_id ASC) — the
+    // keeperizeByQuality order, a strict total order, so a dup pair
+    // can never drop both ways. Quality rides a (vec_id, q) join onto
+    // the census sides only (the level loop never carries it).
+    val precedes = quality match {
+      case Some(_) =>
+        val qa = withRep.select(col("vec_id").as("i"),
+          coalesce(col("q"), lit(Double.NegativeInfinity)).as("qi"))
+        val qb = withRep.select(col("vec_id").as("j"),
+          coalesce(col("q"), lit(Double.NegativeInfinity)).as("qj"))
+        (df: DataFrame) => df.join(qa, Seq("i")).join(qb, Seq("j"))
+          .filter(col("qi") > col("qj") ||
+            (col("qi") === col("qj") && col("i") < col("j")))
+      case None =>
+        (df: DataFrame) => df.filter(col("i") < col("j"))
+    }
+    val dropIds = precedes(a.join(b, Seq("cluster_id")))
       .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= simMin)
       .select(col("j").as("vec_id")).distinct()
     val repsOut = clustered.filter(col("primary"))
@@ -737,7 +854,9 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
     // exact-group members inherit their representative's cluster and
-    // are drops by construction (an identical earlier point exists)
+    // are drops by construction: the rep is the group's FIRST point
+    // in the keeper order (min id, or best quality under the policy),
+    // so every member has a preceding identical witness
     val memberOut = members
       .join(repsOut.select(col("vec_id").as("rep_id"), col("cluster_id")),
         Seq("rep_id"))
@@ -746,7 +865,7 @@ object Similarity {
     // expensive stage, and the operator is eager by construction
     // (per-level population counts) — a caller re-running actions on
     // the returned frame must not re-pay it
-    repsOut.unionByName(memberOut).localCheckpoint(true)
+    ckpt(repsOut.unionByName(memberOut))
   }
 
   /** ScaleBench probe body for the k-scaling operator: same planted-dup
@@ -756,6 +875,68 @@ object Similarity {
   def semDedupProbe(s: SparkSession, dir: String): DataFrame =
     semDedup(Dedup.embCorpusWithDups(t(s, dir, "embeddings"),
       withLabel = false))
+
+  /** Runtime drop-set-recall audit for [[semDedup]] — the
+    * [[graft.ops.Dedup.lshRecallAudit]] pattern applied to the
+    * clustering path, so boundary-split loss is a measured curve at
+    * ANY corpus size, not a fixture constant (r14 next-round #4; the
+    * fixture pins 1.0 at sf0.01 and 0.957 at sf0.1 only).
+    *
+    * Draws a content-stable ≤ `sampleRows` sample of the RAW vectors,
+    * plants the probe dups on the sample (planting is per-row
+    * deterministic, so plant(sample) ⊆ plant(corpus) — every sampled
+    * original carries its partner, sidestepping the p² pair-sampling
+    * trap), computes the EXACT true-pair set within the planted
+    * sample (bounded nested loop, quadratic in the SAMPLE only), runs
+    * the operator over the FULL planted corpus, and reports the
+    * fraction of sampled true pairs whose id-later member the run
+    * dropped — the single-cluster truth's verdict for that pair.
+    * NaN when the sample holds no true pair (widen it). */
+  def semDedupRecallAudit(
+      emb: DataFrame,
+      targetClusterSize: Long = 256L,
+      simMin: Double = 0.9,
+      sampleRows: Long = 5000L,
+      branch: Int = 8,
+      overlap: Double = 0.1): Double = {
+    require(sampleRows > 0 && sampleRows <= 16384,
+      s"semDedupRecallAudit sample must be in (0, 16384]: $sampleRows")
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val n = base.count()
+    val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
+    val sample = base.filter(
+      pmod(Embedder.stringHash64(
+          concat_ws(":", col("vec_id").cast("string"), lit("semaudit"))),
+        lit(1000000L)).cast("double") < p * 1000000.0)
+      .localCheckpoint(true)
+    val planted = Dedup.embCorpusWithDups(sample, withLabel = false)
+    val truth = planted
+      .select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(planted.select(col("vec_id").as("j"), col("embedding").as("vb")),
+        col("i") < col("j"))
+      .filter(round(Kernels.cosine(col("va"), col("vb")), 6) >= simMin)
+      .select(col("i"), col("j")).localCheckpoint(true)
+    val truthN = truth.count()
+    if (truthN == 0) {
+      System.err.println(
+        "[graft] semDedupRecallAudit: sample holds no true pair at " +
+          s"the threshold (n=$n, sampled ~${(p * n).toLong}) — widen " +
+          "sampleRows to measure recall")
+      Double.NaN
+    } else {
+      val drops = semDedup(Dedup.embCorpusWithDups(base, withLabel = false),
+          targetClusterSize, simMin, branch = branch, overlap = overlap)
+        .filter(col("dropped")).select(col("vec_id").as("j"))
+      val hit = truth.join(drops, Seq("j")).count()
+      val recall = hit.toDouble / truthN
+      System.err.println(
+        f"[graft] semDedupRecallAudit: drop-set recall $recall%.3f " +
+          f"over $truthN sampled true pairs (corpus n=$n, target " +
+          f"$targetClusterSize, branch=$branch, overlap=$overlap%.2f, " +
+          f"simMin=$simMin%.2f)")
+      recall
+    }
+  }
 
   /** Child assignment for one [[semDedup]] level: the branch candidate
     * centroids of each node ride ONE array row per node (collect_list

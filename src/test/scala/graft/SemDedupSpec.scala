@@ -145,6 +145,109 @@ class SemDedupSpec extends SparkSpec {
       "only the real near-dup drops; zero twins both survive")
   }
 
+  test("reliable-checkpoint mode: identical drop set, files land under the dir") {
+    // the 100 TB durability knob (r15): with the conf set, every
+    // per-level materialization is a reliable Dataset.checkpoint —
+    // executor loss recovers from files instead of killing the job.
+    // The contract spec-asserted here: OUTPUTS ARE IDENTICAL to the
+    // localCheckpoint default, and the checkpoint actually wrote.
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-ckpt")
+      .toString
+    val emb = Dedup.embCorpusWithDups(t(spark, sf, "embeddings"), withLabel = false)
+    val base = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
+    spark.conf.set("spark.graft.semdedup.checkpointDir", dir)
+    try {
+      val durable = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
+      assert(durable === base,
+        "reliable-checkpoint run must produce the identical drop set")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "the reliable path must have written checkpoint files")
+    } finally {
+      spark.conf.unset("spark.graft.semdedup.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("quality keeper policy: best-quality member survives, keeperizeByQuality order") {
+    import spark.implicits._
+    // three planted near-dup CLIQUES (pairwise cosine ~1 within, 0
+    // across) + one exact-duplicate pair; qualities chosen so the
+    // keeper is NEVER the min id, with one NULL (orders last) and one
+    // tie (id-asc tiebreak) — the keeperizeByQuality formula:
+    // (quality DESC NULLS LAST, id ASC)
+    def nearDup(k: Int, i: Int): Array[Float] =
+      Array.tabulate(64)(j =>
+        if (j == k) 1.0f else if (j == k + 32) 0.001f * i else 0.0f)
+    val rows = Seq(
+      (1L, nearDup(0, 1)), (2L, nearDup(0, 2)), (3L, nearDup(0, 3)),
+      (10L, nearDup(1, 1)), (11L, nearDup(1, 2)),
+      (20L, nearDup(2, 0)), (21L, nearDup(2, 0))) // exact duplicates
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, None), // keeper 2; null last
+      (10L, Some(0.5)), (11L, Some(0.5)),           // tie -> keeper 10
+      (20L, Some(0.1)), (21L, Some(0.8)))           // exact pair: keeper 21
+      .toDF("vec_id", "quality")
+    val out = Similarity.semDedup(emb, targetClusterSize = 8L, branch = 2,
+      quality = Some(q))
+    assert(out.count() === 7L)
+    val survivors = out.filter(!col("dropped"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(2L, 10L, 21L),
+      s"quality keepers must be {2, 10, 21}, got $survivors")
+    // default id-order policy on the same corpus keeps the min ids —
+    // the two policies must actually differ where quality says so
+    val byId = Similarity.semDedup(emb, targetClusterSize = 8L, branch = 2)
+    val idSurvivors = byId.filter(!col("dropped"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idSurvivors === Set(1L, 10L, 20L))
+  }
+
+  test("quality keeper at fixture scale: same dup GROUPS as id-order, keepers re-picked") {
+    // on the planted corpus the dup relation is unchanged by the
+    // keeper policy — only WHICH member survives moves. Pin that: the
+    // set of points involved in any dup group must match the default
+    // run, and every id-order survivor that lost its crown lost it to
+    // a strictly higher-quality (or equal-quality lower-id) witness.
+    val emb = Dedup.embCorpusWithDups(t(spark, sf, "embeddings"), withLabel = false)
+    // deterministic content-stable quality: favors HIGH ids, so
+    // planted copies (id >= 1000000) outrank their originals
+    val q = emb.select(col("vec_id"),
+      (pmod(col("vec_id"), lit(97L)).cast("double") / 97.0 +
+        when(col("vec_id") >= 1000000L, 10.0).otherwise(0.0)).as("quality"))
+    val base = Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4)
+    val qual = Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4,
+      quality = Some(q))
+    // group membership invariant: dropped(base) + its keepers ==
+    // dropped(qual) + its keepers, pairwise within the same groups —
+    // compare the SYMMETRIC population: a point is in a dup group iff
+    // dropped under EITHER policy or it is a witness for a drop.
+    // Cheap exact proxy on this fixture (cliques): drop-count equal,
+    // and every quality-run drop set member belongs to the id-run's
+    // {drops union keepers-of-drops}
+    val baseDrops = dropSet(base)
+    val qualDrops = dropSet(qual)
+    assert(qualDrops.size === baseDrops.size,
+      "keeper policy must re-pick keepers, never change group sizes")
+    assert(qualDrops.nonEmpty)
+    // planted copies outrank originals, so the ORIGINALS must now be
+    // among the drops for every planted group the default run caught
+    val plantedKept = baseDrops.filter(_ >= 1000000L)
+    val originalsOfKept = plantedKept.map(_ - 1000000L)
+    assert(originalsOfKept.forall(qualDrops.contains),
+      "high-quality planted copies must dethrone their originals")
+  }
+
+  test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
+    // sampleRows (5000) >= n (sf0.01), so p = 1: the sampled truth IS
+    // the full exact pair set and the audited recall must equal the
+    // fixture-pinned fast==census parity (1.0). At scale the same
+    // code runs with p << 1 — the curve legs in SemDedupAudit.
+    val r = Similarity.semDedupRecallAudit(t(spark, sf01, "embeddings"))
+    assert(r === 1.0, s"exact-sample audit must read 1.0, got $r")
+  }
+
   test("pinned census refuses a corpus; forcePinned is the bounded escape") {
     val big = spark.range(70000)
       .select(col("id").as("vec_id"),
