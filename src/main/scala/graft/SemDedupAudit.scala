@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Measurement main for the [[graft.ops.Similarity.semDedup]] /
-  * LSH-banding audit family (r15). Three modes via
+  * LSH-banding audit family (r15). Four modes via
   * `SPARK_GRAFT_AUDIT_MODE`:
   *
   *  - `jobs` (default): job-count + wall-time of the semDedup level
@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *    rate (pairs lost to the sample-scaled hot-bucket cap) against
   *    the CORPUS's actual kill rate under its absolute cap, same
   *    clustered geometry, same auto plan.
+  *  - `diag`: for each sampled true pair the operator MISSED, the
+  *    centroid cosine of the two terminal clusters its members landed
+  *    in — the evidence that killed the r15 centroid-stitch idea
+  *    (missed wide-angle pairs land in near-orthogonal clusters, so
+  *    no cluster-neighborhood census can see them; BENCH_NOTES r15).
   *
   * Prints one JSON line per mode.
   */
@@ -88,7 +93,68 @@ object SemDedupAudit {
         }
         spark.stop()
         println(s"""{"metric":"semdedup_recall","sample":$sampleRows,"target":$target,""" +
-          s""""branch":$branch,"overlap":$overlap,"dirs":{${out.mkString(",")}}}""")
+          s""""branch":$branch,"overlap":$overlap,""" +
+          s""""dirs":{${out.mkString(",")}}}""")
+
+      case "diag" =>
+        // where do MISSED truth pairs land? For each sampled true
+        // pair the operator failed to drop, report the centroid
+        // cosine of the two terminal clusters its members were
+        // assigned to — measured -0.22..0.56 at 200k: the misses are
+        // NOT neighboring-cluster splits, which is why the r15
+        // centroid-stitch pass was retracted.
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
+        val sampleRows =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_SAMPLE", "5000").toLong
+        val emb = Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val n = emb.count()
+        val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
+        val sample = emb.filter(
+          org.apache.spark.sql.functions.pmod(graft.index.Embedder.stringHash64(
+              concat_ws(":", col("vec_id").cast("string"), lit("semaudit"))),
+            lit(1000000L)).cast("double") < p * 1000000.0)
+          .localCheckpoint(true)
+        val planted = graft.ops.Dedup.embCorpusWithDups(sample, withLabel = false)
+        val truth = planted
+          .select(col("vec_id").as("i"), col("embedding").as("va"))
+          .join(planted.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+          .filter(org.apache.spark.sql.functions.round(
+            graft.vector.Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
+          .select(col("i"), col("j")).localCheckpoint(true)
+        val out = graft.ops.Similarity.semDedup(
+            graft.ops.Dedup.embCorpusWithDups(emb, withLabel = false))
+          .localCheckpoint(true)
+        val assign = out.select(col("vec_id"), col("cluster_id"))
+        val drops = out.filter(col("dropped")).select(col("vec_id").as("j"))
+        val missed = truth.join(drops, Seq("j"), "left_anti")
+          .join(assign.select(col("vec_id").as("i"), col("cluster_id").as("c_i")), Seq("i"))
+          .join(assign.select(col("vec_id").as("j"), col("cluster_id").as("c_j")), Seq("j"))
+        // centroids over the full corpus assignment
+        val corpus = graft.ops.Dedup.embCorpusWithDups(emb, withLabel = false)
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .join(assign, Seq("vec_id"))
+        val cents = corpus
+          .select(col("cluster_id"), posexplode(col("embedding")))
+          .groupBy(col("cluster_id"), col("pos")).agg(avg(col("col")).as("m"))
+          .groupBy(col("cluster_id"))
+          .agg(org.apache.spark.sql.functions.transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+        val rows = missed
+          .join(cents.select(col("cluster_id").as("c_i"), col("cv").as("cv_i")), Seq("c_i"))
+          .join(cents.select(col("cluster_id").as("c_j"), col("cv").as("cv_j")), Seq("c_j"))
+          .select(col("i"), col("j"), col("c_i"), col("c_j"),
+            org.apache.spark.sql.functions.round(
+              graft.vector.Kernels.cosine(col("cv_i"), col("cv_j")), 4).as("cent_cos"),
+            (col("c_i") === col("c_j")).as("same_cluster"))
+          .collect()
+        spark.stop()
+        val sameN = rows.count(_.getBoolean(5))
+        val cos = rows.filterNot(_.getBoolean(5)).map(_.getDouble(4)).sorted
+        println(s"""{"metric":"semdedup_diag","dir":"$dir","missed":${rows.length},""" +
+          s""""same_cluster":$sameN,"cent_cos_sorted":[${cos.mkString(",")}]}""")
 
       case "lshcap" =>
         val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.1")

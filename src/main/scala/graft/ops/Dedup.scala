@@ -1127,8 +1127,23 @@ object Dedup {
       bands: Int = 10,
       planesPerBand: Int = 5,
       maxBucket: Long = Long.MaxValue,
+      numPartitions: Option[Int] = None): DataFrame =
+    embeddingPairsLshRaw(embCorpusWithDups(emb, withLabel = false),
+      simMin, bands, planesPerBand, maxBucket, numPartitions)
+
+  /** [[embeddingPairsLsh]] WITHOUT the probe-dup planting — the
+    * banding over exactly the corpus the caller passes. The planting
+    * wrapper stays the suite/oracle entry point (its DuckDB twin
+    * plants identically); a production caller deduping their OWN
+    * corpus wants this or [[embeddingPairsLshAutoRaw]], not a
+    * fixture plant. */
+  def embeddingPairsLshRaw(
+      corpus: DataFrame,
+      simMin: Double,
+      bands: Int,
+      planesPerBand: Int,
+      maxBucket: Long = Long.MaxValue,
       numPartitions: Option[Int] = None): DataFrame = {
-    val corpus = embCorpusWithDups(emb, withLabel = false)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     // (band, bval, vec_id) — the narrow exploded candidate key; the
     // embedding stays behind in `vecs` so the bucket shuffle moves ids,
@@ -1354,6 +1369,26 @@ object Dedup {
     embeddingPairsLsh(emb, simMin, bands, planes,
       maxBucket = maxBucket,
       numPartitions = Some(parts))
+  }
+
+  /** [[embeddingPairsLshAuto]] minus the probe planting: auto-sized
+    * banding over exactly the corpus passed (see
+    * [[embeddingPairsLshRaw]]) — the production entry point for
+    * near-dup pairs over a caller's own corpus. The one extra
+    * count() is the same index-build-time cost the planting path
+    * pays. */
+  def embeddingPairsLshAutoRaw(
+      corpus: DataFrame, simMin: Double = 0.9,
+      targetBucket: Long = 16L,
+      targetRecall: Double = 0.95,
+      bandsMargin: Double = 2.0,
+      capMultiple: Long = 8L): DataFrame = {
+    val n = corpus.count()
+    val (bands, planes, maxBucket, parts) =
+      lshAutoPlan(math.max(1L, n), simMin, targetBucket, targetRecall,
+        bandsMargin, capMultiple)
+    embeddingPairsLshRaw(corpus, simMin, bands, planes,
+      maxBucket = maxBucket, numPartitions = Some(parts))
   }
 
   /** Sampled recall self-audit for [[embeddingPairsLshAuto]] (r13

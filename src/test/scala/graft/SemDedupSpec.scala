@@ -248,6 +248,58 @@ class SemDedupSpec extends SparkSpec {
     assert(r === 1.0, s"exact-sample audit must read 1.0, got $r")
   }
 
+  test("probes rescue force-split tight clusters; the banding raw entry factors cleanly") {
+    import spark.implicits._
+    // a near-identical "duplicate farm": 96 distinct perturbations of
+    // one direction (pairwise cosine ~0.917 across perturbation dims,
+    // >= 0.9 everywhere) + 24 orthogonal singles. targetClusterSize 8
+    // FORCES the hierarchy to carve the farm into ~8 terminal
+    // clusters, and the canopy PROBES are what rescue the cross-cut
+    // pairs: with overlap 0.1 the drop-set recall vs the planted
+    // truth is 1.0; with probes OFF it measurably degrades. This pins
+    // the probe mechanism's regime — tight clusters whose per-level
+    // cosine gaps fit inside `overlap`. (The r15 session measured the
+    // OTHER regime too: wide-angle cosine-0.9 pairs at 6-9 split
+    // levels land in near-orthogonal clusters — diag mode, centroid
+    // cosines -0.22..0.56 — where neither probes, nor a banding-drop
+    // union, nor a centroid-stitch census recovers them; both
+    // attempted fixes were measured at zero gain and retracted.
+    // BENCH_NOTES r15.)
+    def farm(i: Int): Array[Float] =
+      Array.tabulate(64)(j =>
+        if (j == 0) 1.0f else if (j == 1 + (i % 32)) 0.3f + 0.001f * i else 0.0f)
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == k) 1.0f else 0.0f)
+    val rows = (0 until 96).map(i => (i.toLong, farm(i))) ++
+      (0 until 24).map(i => (1000L + i, oneHot(32 + i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val truthDrops = (1L until 96L).toSet
+    val withProbes = dropSet(Similarity.semDedup(emb, targetClusterSize = 8L, branch = 2))
+    val noProbes = dropSet(Similarity.semDedup(emb, targetClusterSize = 8L, branch = 2,
+      overlap = 0.0))
+    assert((withProbes -- truthDrops).isEmpty && (noProbes -- truthDrops).isEmpty,
+      "precision is structural with or without probes")
+    assert(withProbes === truthDrops,
+      s"probes must fully rescue the tight farm: missed ${truthDrops -- withProbes}")
+    assert(noProbes.size < truthDrops.size,
+      "without probes the forced split must measurably lose pairs - " +
+        "otherwise this fixture pins nothing")
+  }
+
+  test("embeddingPairsLshAutoRaw: the non-planting entry equals the planted path's pairs") {
+    // the planting wrapper is the fixture/oracle twin; production
+    // banding over a caller's own corpus goes through the Raw entry.
+    // Factoring proof: Raw over an explicitly planted corpus emits
+    // exactly the planted path's pair set.
+    val emb = t(spark, sf, "embeddings")
+    val viaPlanted = Dedup.embeddingPairsLshAuto(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRaw = Dedup.embeddingPairsLshAutoRaw(
+        Dedup.embCorpusWithDups(emb, withLabel = false))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRaw === viaPlanted)
+  }
+
   test("pinned census refuses a corpus; forcePinned is the bounded escape") {
     val big = spark.range(70000)
       .select(col("id").as("vec_id"),
