@@ -589,7 +589,11 @@ object Similarity {
     * (quality DESC NULLS LAST, id ASC), the
     * [[graft.ops.Dedup.keeperizeByQuality]] formula, applied to both
     * the exact-collapse representative pick and the census witness
-    * direction. */
+    * direction. CONTRACT: `quality` must carry at most ONE row per
+    * vec_id — it joins onto the corpus, so duplicate keys would
+    * silently duplicate points and break the one-output-row-per-point
+    * shape (the usual keyed-lookup rule; missing ids are fine and
+    * order last). */
   def semDedup(
       emb: DataFrame,
       targetClusterSize: Long = 256L,
