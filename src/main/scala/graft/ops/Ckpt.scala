@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Reliable-vs-local checkpoint switch for the iterative operators
+  * (semDedup's level loop, clusters' label propagation, clustersStar's
+  * contraction rounds — every loop that truncates lineage per round).
+  *
+  * Default: `localCheckpoint` — right for a single-box session, but
+  * its blocks live ON EXECUTORS with truncated lineage, so on a
+  * multi-hour cluster run losing ONE executor makes the loop state
+  * unrecomputable and kills the job (the r14 semDedup finding,
+  * generalized r15 to the whole iterative family). With session conf
+  * `spark.graft.checkpointDir` set, every call is a RELIABLE
+  * `Dataset.checkpoint` under that directory instead: executor loss
+  * re-reads checkpoint files, and nothing pins block-manager storage.
+  *
+  * Contract: the caller owns the directory's lifecycle — Spark does
+  * not clean reliable checkpoints by default, and iterative loops
+  * write one checkpoint per round ([[Dedup.freeCheckpoint]] frees
+  * superseded LOCAL blocks and is a harmless no-op on reliable
+  * checkpoints, whose files stay until the directory is cleaned). */
+private[graft] object Ckpt {
+  val ConfKey = "spark.graft.checkpointDir"
+
+  def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey) match {
+      case Some(d) =>
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
+          spark.sparkContext.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+}

@@ -1507,8 +1507,10 @@ object Dedup {
     * is small — 2–3 rounds in practice; when a graph exhausts the
     * round cap (chain-shaped components), the call falls back to
     * [[clustersStar]], the O(log n)-round star contraction. Lineage is
-    * truncated every round with an eager `localCheckpoint` (on a
-    * cluster: `checkpoint` to a reliable store), so the plan does not
+    * truncated every round through the [[Ckpt]] switch — eager
+    * `localCheckpoint` by default, RELIABLE `checkpoint` under
+    * session conf `spark.graft.checkpointDir` (executor loss on a
+    * long cluster run must not kill the loop) — so the plan does not
     * grow with iteration count.
     *
     * Returns (id, cluster_id), one row per node that appears in at
@@ -1517,20 +1519,18 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val adj = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a")).cache()
-    var labels = adj.select(col("a").as("id"))
+    var labels = Ckpt(adj.select(col("a").as("id"))
       .distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+      .withColumn("cluster_id", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = adj
         .join(labels.select(col("id").as("a"), col("cluster_id")), Seq("a"))
         .select(col("b").as("id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
+      val next = Ckpt(labels.unionByName(prop)
         .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .agg(min(col("cluster_id")).as("cluster_id")))
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .filter(col("cluster_id") < col("old"))
@@ -1597,10 +1597,11 @@ object Dedup {
           round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9)
             .as("pr"))
     }
-    // eager localCheckpoint (the clusters pattern): materialize the
-    // node-sized result BEFORE dropping the edge cache under it
-    val out = pr.select(col("id").as("doc_id"), col("deg"),
-      round(col("pr"), 6).as("pagerank")).localCheckpoint()
+    // eager checkpoint via the Ckpt switch (the clusters pattern):
+    // materialize the node-sized result BEFORE dropping the edge
+    // cache under it
+    val out = Ckpt(pr.select(col("id").as("doc_id"), col("deg"),
+      round(col("pr"), 6).as("pagerank")))
     edges.unpersist(); deg.unpersist()
     out
   }
@@ -1630,7 +1631,9 @@ object Dedup {
   }
 
   /** Free the block-manager storage behind an eager `localCheckpoint`
-    * once the frame is SUPERSEDED. Iterative loops otherwise leave
+    * once the frame is SUPERSEDED (a harmless no-op on [[Ckpt]]'s
+    * reliable checkpoints, whose state is files the caller's
+    * directory owns, not blocks). Iterative loops otherwise leave
     * every round's checkpoint blocks resident for the life of the
     * session — in a long-lived JVM (a real cluster, or the bench
     * harness) that accumulation evicts other queries' execution
@@ -1657,8 +1660,9 @@ object Dedup {
     *    minimum — emit (v, m(u)) for v ∈ Γ⁻(u) ∪ {u}.
     * Both preserve connectivity (the paper's Lemmas 1–2); the fixpoint
     * is a forest of stars centered at each component's minimum id.
-    * Lineage is truncated per round with `localCheckpoint` (on a
-    * cluster: `checkpoint` to reliable storage).
+    * Lineage is truncated per round through the [[Ckpt]] switch
+    * (reliable `checkpoint` under `spark.graft.checkpointDir`, else
+    * `localCheckpoint`).
     *
     * Same contract as [[clusters]]: returns (id, cluster_id) for every
     * node appearing in at least one pair. */
@@ -1666,8 +1670,8 @@ object Dedup {
     val nodes = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
-    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var edges = Ckpt(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
     // carried across rounds so set-equality needs ONE count job per
     // round (plus the exceptAll only when cardinalities already match
     // — distinct sets of equal size with an empty one-way difference
@@ -1689,12 +1693,11 @@ object Dedup {
       val oriented = large.select(
         greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       val mins2 = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val next = oriented.join(mins2, Seq("a"))
+      val next = Ckpt(oriented.join(mins2, Seq("a"))
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(mins2.select(col("a"), col("m").as("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val nextCount = next.count() // also materializes the checkpoint
       converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L

@@ -575,8 +575,10 @@ object Similarity {
     * per-element-once `transform` (HofGuard-clean: the lambda touches
     * only attributes and its own variable).
     *
-    * Durability: with session conf `spark.graft.semdedup.checkpointDir`
-    * set, every per-level materialization is a RELIABLE
+    * Durability: with session conf `spark.graft.checkpointDir` set
+    * (shared by every iterative operator — see
+    * [[graft.ops.Ckpt]]), every per-level materialization is a
+    * RELIABLE
     * `Dataset.checkpoint` under that directory — executor loss on a
     * multi-hour run recovers from the checkpoint files instead of
     * killing the job (localCheckpoint's truncated executor-block
@@ -610,21 +612,13 @@ object Similarity {
     // stores blocks ON EXECUTORS with TRUNCATED lineage — right for
     // the sandbox (see the lineage note below), but on a multi-hour
     // 100 TB run losing ONE executor makes the truncated lineage
-    // unrecomputable and kills the job. With
-    // `spark.graft.semdedup.checkpointDir` set, every per-level frame
-    // uses reliable Dataset.checkpoint into that directory instead:
+    // unrecomputable and kills the job. The shared [[Ckpt]] switch
+    // (session conf `spark.graft.checkpointDir`) routes every
+    // per-level frame through reliable Dataset.checkpoint instead:
     // executor loss recovers from the checkpoint files, and nothing
     // pins block-manager storage. Failure-recovery contract: a lost
     // executor costs re-reading checkpoint files, never a dead job.
-    // The caller owns the directory's lifecycle (Spark does not clean
-    // reliable checkpoints by default).
-    val ckptDir = spark.conf.getOption("spark.graft.semdedup.checkpointDir")
-    ckptDir.foreach { d =>
-      if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
-        spark.sparkContext.setCheckpointDir(d)
-    }
-    def ckpt(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    def ckpt(df: DataFrame): DataFrame = Ckpt(df)
     // keeper policy: by default the EARLIEST id in a dup relation
     // survives; with `quality` — a (vec_id, quality double) frame —
     // the keeper order becomes (quality DESC NULLS LAST, vec_id ASC),

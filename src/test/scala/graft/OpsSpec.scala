@@ -357,6 +357,31 @@ class OpsSpec extends SparkSpec {
       s"repeated 'x y' (${m(1L)}) must beat the scattered form (${m(2L)})")
   }
 
+  test("clustersStar under the reliable-checkpoint switch: identical components, files written") {
+    // the r15 Ckpt generalization: the same spark.graft.checkpointDir
+    // knob that makes semDedup durable covers every iterative loop —
+    // here the star contraction, whose per-round localCheckpoint had
+    // the identical executor-loss fragility
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Dedup.minhashPairs(Dedup.corpusWithDups(docs))
+      .select(col("id_a"), col("id_b"))
+    def comps(): Set[(Long, Long)] = Dedup.clustersStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = comps()
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val durable = comps()
+      assert(durable === base,
+        "reliable-checkpoint contraction must yield identical components")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "the reliable path must have written checkpoint files")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("gramWiden: zero jobs at operator-construction on a derived input; memoized bare-table count") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

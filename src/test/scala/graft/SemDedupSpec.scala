@@ -155,7 +155,7 @@ class SemDedupSpec extends SparkSpec {
       .toString
     val emb = Dedup.embCorpusWithDups(t(spark, sf, "embeddings"), withLabel = false)
     val base = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
-    spark.conf.set("spark.graft.semdedup.checkpointDir", dir)
+    spark.conf.set("spark.graft.checkpointDir", dir)
     try {
       val durable = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
       assert(durable === base,
@@ -164,7 +164,7 @@ class SemDedupSpec extends SparkSpec {
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "the reliable path must have written checkpoint files")
     } finally {
-      spark.conf.unset("spark.graft.semdedup.checkpointDir")
+      spark.conf.unset("spark.graft.checkpointDir")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
