@@ -48,6 +48,10 @@ object SemDedupAudit {
     mode match {
       case "jobs" =>
         val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.1")
+        // optional durable-mode leg: route the loop through reliable
+        // checkpoints so the durability tax is a measured number
+        sys.env.get("SPARK_GRAFT_AUDIT_CKPT_DIR")
+          .foreach(d => spark.conf.set("spark.graft.checkpointDir", d))
         val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -67,7 +71,9 @@ object SemDedupAudit {
         Thread.sleep(1500) // drain the async listener bus
         val counted = jobs.get()
         spark.stop()
-        println(s"""{"metric":"semdedup_jobs","dir":"$dir","jobs":$counted,"secs":${f3(secs)}}""")
+        val durable = sys.env.contains("SPARK_GRAFT_AUDIT_CKPT_DIR")
+        println(s"""{"metric":"semdedup_jobs","dir":"$dir","jobs":$counted,""" +
+          s""""durable":$durable,"secs":${f3(secs)}}""")
 
       case "recall" =>
         val dirs = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIRS",
