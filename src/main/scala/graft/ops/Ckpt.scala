@@ -23,12 +23,19 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Ckpt {
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** The dir LAST APPLIED per context — an exact record, not a
+    * substring probe against getCheckpointDir (which returns the
+    * UUID subdirectory Spark creates, so a prefix match could
+    * silently skip re-pointing when the conf changes). */
+  private val applied =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]
+
   def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(d) =>
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
-          spark.sparkContext.setCheckpointDir(d)
+        val sc = spark.sparkContext
+        if (applied.put(sc, d) != d) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
