@@ -158,9 +158,16 @@ object SemDedupAudit {
           .collect()
         spark.stop()
         val sameN = rows.count(_.getBoolean(5))
-        val cos = rows.filterNot(_.getBoolean(5)).map(_.getDouble(4)).sorted
+        // cent_cos is NULL when either terminal cluster's centroid is
+        // all-zero (the guarded cosine returns NULL; zero vectors flow
+        // through semDedup as ordinary points) — report such rows
+        // separately instead of NPEing on getDouble (r15 advisor).
+        val cross = rows.filterNot(_.getBoolean(5))
+        val (nullCos, scored) = cross.partition(_.isNullAt(4))
+        val cos = scored.map(_.getDouble(4)).sorted
         println(s"""{"metric":"semdedup_diag","dir":"$dir","missed":${rows.length},""" +
-          s""""same_cluster":$sameN,"cent_cos_sorted":[${cos.mkString(",")}]}""")
+          s""""same_cluster":$sameN,"null_centroid_cos":${nullCos.length},""" +
+          s""""cent_cos_sorted":[${cos.mkString(",")}]}""")
 
       case "lshcap" =>
         val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.1")

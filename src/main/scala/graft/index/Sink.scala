@@ -194,33 +194,72 @@ object Sink {
     * end to end — java.nio.file is local-disk only (the `info`
     * rationale applied to reads AND writes). */
   private[graft] def writeSidecar(path: String, content: String): Unit = {
-    // tmp + rename (the setAlias pattern), never create(p, true) in
-    // place: withPathLock is same-JVM only, so a reader in ANOTHER
-    // process (open/loadCentroids/searchAnn) racing a rewrite could
-    // observe a truncated sidecar mid-overwrite. Rename is atomic on
-    // HDFS and local FS; the sub-ms delete-then-rename window is the
-    // documented setAlias trade.
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p) && !fs.delete(p, false))
-      throw new java.io.IOException(
-        s"sidecar write failed: could not delete old $p")
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(
-        s"sidecar write failed: rename $tmp -> $p returned false " +
-          "(racing writer or permissions); old sidecar was removed - retry")
+    // tmp + ATOMIC REPLACE, never create(p, true) in place:
+    // withPathLock is same-JVM only, so a reader in ANOTHER process
+    // (open/loadCentroids/searchAnn) racing a rewrite could observe a
+    // truncated sidecar mid-overwrite. FileContext.rename with
+    // Rename.OVERWRITE is a single atomic replace on HDFS and local
+    // FS — unlike the old delete-then-rename pair, there is NO window
+    // where the sidecar is MISSING, and a crash mid-write leaves the
+    // OLD sidecar intact (only the hidden .tmp is orphaned, harmless:
+    // the next write truncates it).
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val qp = p0.getFileSystem(hadoopConf).makeQualified(p0)
+    val tmp = new org.apache.hadoop.fs.Path(qp.getParent, s".${qp.getName}.tmp")
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (qp.toUri.getScheme == "file") {
+      // local FS: the whole write rides java.nio — Hadoop's local
+      // AbstractFileSystem is a ChecksumFs (a .crc per create, which
+      // a raw rename would orphan) AND its default renameInternal
+      // with OVERWRITE is itself delete-then-rename, non-atomic (the
+      // race drill in IngestSinkSpec caught this). POSIX rename via
+      // nio ATOMIC_MOVE is the real atomic replace here.
+      val dst = java.nio.file.Paths.get(qp.toUri.getPath)
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.write(t, bytes)
+      java.nio.file.Files.move(t, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // cluster FS: FileContext rename with Rename.OVERWRITE — on
+      // HDFS that is the single atomic rename2 namespace op, so a
+      // cross-process reader never sees a missing or torn sidecar.
+      // Object stores (s3a) have NO atomic rename (copy+delete) —
+      // readSidecar's brief missing-file retry is the documented
+      // fallback there.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, hadoopConf)
+      val out = fc.create(tmp, java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(bytes)
+      finally out.close()
+      fc.rename(tmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   private[graft] def readSidecar(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = p.getFileSystem(hadoopConf).open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    val fs = p.getFileSystem(hadoopConf)
+    // brief missing-file retry: writeSidecar's replace is atomic on
+    // local FS (nio ATOMIC_MOVE) and HDFS (rename2), but an object
+    // store's rename is copy+delete — a racing reader there can catch
+    // the sub-second gap. Bounded at ~200 ms; a sidecar that is STILL
+    // missing then is genuinely absent and the last attempt's
+    // FileNotFoundException propagates as before.
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 20 =>
+          attempt += 1
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private[graft] def sidecarExists(path: String): Boolean = {

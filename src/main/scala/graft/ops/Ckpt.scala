@@ -19,14 +19,31 @@ import org.apache.spark.sql.DataFrame
   * not clean reliable checkpoints by default, and iterative loops
   * write one checkpoint per round ([[Dedup.freeCheckpoint]] frees
   * superseded LOCAL blocks and is a harmless no-op on reliable
-  * checkpoints, whose files stay until the directory is cleaned). */
+  * checkpoints, whose files stay until the directory is cleaned).
+  *
+  * The conf is effectively CONTEXT-GLOBAL, not session-scoped: it is
+  * read from the session's runtime conf for convenience, but
+  * `sc.setCheckpointDir` is SparkContext-global, so the FIRST value
+  * applied on a context is PINNED for that context's lifetime. A
+  * second session (or concurrent operator run) on the same context
+  * asking for a DIFFERENT dir keeps the pinned one and warns —
+  * re-pointing the global dir mid-flight would let one run's
+  * checkpoints land under the other's directory, and the
+  * caller-owns-cleanup contract would then delete files a live job
+  * still reads from (the exact job-kill this switch exists to
+  * prevent). To change the dir, set it before the first durable
+  * operator runs on the context. */
 private[graft] object Ckpt {
   val ConfKey = "spark.graft.checkpointDir"
 
-  /** The dir LAST APPLIED per context — an exact record, not a
-    * substring probe against getCheckpointDir (which returns the
-    * UUID subdirectory Spark creates, so a prefix match could
-    * silently skip re-pointing when the conf changes). */
+  /** The dir PINNED per context (first value applied wins — see the
+    * context-global note above). An exact record, not a substring
+    * probe against getCheckpointDir (which returns the UUID
+    * subdirectory Spark creates, so a prefix match could silently
+    * misreport what was applied). Stale entries for STOPPED contexts
+    * are evicted on the next apply — Spark allows one live context
+    * per JVM, so any key other than the current `sc` is dead and
+    * only pins memory. */
   private val applied =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]
 
@@ -35,7 +52,15 @@ private[graft] object Ckpt {
     spark.conf.getOption(ConfKey) match {
       case Some(d) =>
         val sc = spark.sparkContext
-        if (applied.put(sc, d) != d) sc.setCheckpointDir(d)
+        applied.keySet.removeIf(_ ne sc)
+        val pinned = applied.computeIfAbsent(sc, _ => { sc.setCheckpointDir(d); d })
+        if (pinned != d)
+          System.err.println(
+            s"graft.Ckpt: $ConfKey=$d conflicts with the dir already " +
+              s"pinned on this SparkContext ($pinned); keeping the " +
+              "pinned dir — setCheckpointDir is context-global and " +
+              "re-pointing it mid-flight would mix two runs' " +
+              "checkpoint files under one cleanup contract")
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

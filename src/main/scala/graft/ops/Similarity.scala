@@ -591,11 +591,13 @@ object Similarity {
     * (quality DESC NULLS LAST, id ASC), the
     * [[graft.ops.Dedup.keeperizeByQuality]] formula, applied to both
     * the exact-collapse representative pick and the census witness
-    * direction. CONTRACT: `quality` must carry at most ONE row per
-    * vec_id — it joins onto the corpus, so duplicate keys would
-    * silently duplicate points and break the one-output-row-per-point
-    * shape (the usual keyed-lookup rule; missing ids are fine and
-    * order last). */
+    * direction. CONTRACT (enforced loudly, not doc-only): `quality`
+    * must carry at most ONE row per vec_id — it joins onto the
+    * corpus, so duplicate keys would silently duplicate points and
+    * break the one-output-row-per-point shape. A duplicate key fails
+    * the run with a named raise_error at the first action (the guard
+    * rides the same vec_id shuffle the join already pays); missing
+    * ids are fine and order last. */
   def semDedup(
       emb: DataFrame,
       targetClusterSize: Long = 256L,
@@ -629,10 +631,24 @@ object Similarity {
     val basePts0 = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val basePts = quality match {
       case Some(q) =>
-        basePts0.join(
-          q.select(col("vec_id").cast("long").as("vec_id"),
-            col("quality").cast("double").as("q")),
-          Seq("vec_id"), "left")
+        // loud guard on the at-most-one-row-per-vec_id contract (the
+        // scaladoc alone was the r15 advisor finding): a dup-keyed
+        // quality frame would silently DUPLICATE corpus points through
+        // this left join and break the one-output-row-per-point shape.
+        // The guard is a groupBy on the SAME key the join shuffles on
+        // (no extra corpus work, one pass over the quality frame) with
+        // raise_error firing on the first duplicate key — refuse
+        // loudly, per the repo's shape-hazard convention.
+        val qGuarded = q
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("quality").cast("double").as("q"))
+          .groupBy(col("vec_id"))
+          .agg(when(count(lit(1)) > 1, raise_error(concat(
+            lit("semDedup: quality frame violates its at-most-one-row-per-vec_id "
+              + "contract (duplicate key "), col("vec_id").cast("string"),
+            lit(") - dedupe it before passing (a dup-keyed join would "
+              + "duplicate corpus points)")))).otherwise(max(col("q"))).as("q"))
+        basePts0.join(qGuarded, Seq("vec_id"), "left")
       case None => basePts0
     }
     // 1. exact-direction collapse (one shuffle on the vector value).

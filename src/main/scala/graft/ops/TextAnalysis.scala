@@ -685,16 +685,42 @@ object TextAnalysis {
     * sums over those rows (no second corpus pass, no self-join); the
     * per-doc float fold runs over the bigram-sorted term list
     * (association pinned, the unigram/BM25 rule). */
-  /** Memoized per (session, sorted input-file listing): four operators
-    * widen from the same corpus table in the suite, and shared sizing
-    * must not pay four count jobs (r14 what's-wrong #2). The file
-    * listing — not the canonicalized plan — is the key because two
+  /** Memoized per (session, file fingerprint): four operators widen
+    * from the same corpus table in the suite, and shared sizing must
+    * not pay four count jobs (r14 what's-wrong #2). The file listing —
+    * not the canonicalized plan — is the key because two
     * `read.parquet` calls on the same path build relations that do NOT
-    * compare equal (fresh FileIndex), while `inputFiles` is a public,
-    * job-free, path-stable fingerprint. Bounded — cleared past 64
-    * entries (a sizing miss just re-counts; never wrong). */
+    * compare equal (fresh FileIndex). The fingerprint includes each
+    * file's LENGTH and MODIFICATION TIME (from the plan's FileIndex,
+    * driver-side, zero jobs), not just its path: a table rewritten in
+    * place reusing identical file names must MISS the memo, not reuse
+    * a stale count (r15 advisor). Entries whose session's
+    * SparkContext has stopped are evicted on the next insert — they
+    * can never hit again and only pin the dead session. Bounded —
+    * cleared past 64 entries (a sizing miss just re-counts; never
+    * wrong). */
   private val gramCountMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** Job-free file fingerprint of a bare-relation plan: sorted
+    * path:length:mtime triples read from the relation's FileIndex
+    * (already listed at read time — no FS round-trips re-paid here).
+    * Falls back to path-only `inputFiles` when the leaf is not a v1
+    * file relation (weaker, but never wrong in the suite: DSv2 is off
+    * for parquet by default and non-file leaves count directly). */
+  private[graft] def fileFingerprint(
+      docs: DataFrame,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    plan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            hfs.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+              .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              .toArray.sorted.mkString(",")
+          case _ => docs.inputFiles.sorted.mkString(",")
+        }
+    }.getOrElse(docs.inputFiles.sorted.mkString(","))
 
   /** Self-sized exchange width for the n-gram family's wide shuffles
     * (the lshAuto rule: the operator that knows its own fan-out sizes
@@ -727,9 +753,10 @@ object TextAnalysis {
         val files = docs.inputFiles
         if (files.isEmpty) docs.count()
         else {
+          gramCountMemo.keySet.removeIf(_._1.sparkContext.isStopped)
           if (gramCountMemo.size > 64) gramCountMemo.clear()
           gramCountMemo.computeIfAbsent(
-            (spark, files.sorted.mkString(",")), _ => docs.count(): java.lang.Long)
+            (spark, fileFingerprint(docs, plan)), _ => docs.count(): java.lang.Long)
         }
       } else {
         // derived input (filter/join/transform): an eager count here

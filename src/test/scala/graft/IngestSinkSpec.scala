@@ -622,4 +622,37 @@ class IngestSinkSpec extends SparkSpec {
     assert(eBack.exceptAll(e).count() === 0L && e.exceptAll(eBack).count() === 0L,
       "vector round-trip must be bit-exact")
   }
+
+  test("writeSidecar: atomic replace — a racing cross-process reader never sees missing or torn") {
+    // the r15 advisor finding: delete-then-rename had a window where
+    // the sidecar was MISSING (reader FileNotFound) and a crash point
+    // that lost it permanently. The FileContext Rename.OVERWRITE
+    // replace has neither: this drill hammers reads while the writer
+    // replaces 200 times — every read must return one COMPLETE
+    // generation, never an exception, never a torn mix.
+    val dir = Files.createTempDirectory("graft-sidecar-race").toString
+    val p = s"$dir/meta.json"
+    val a = "A" * 4096
+    val b = "B" * 4096
+    Sink.writeSidecar(p, a)
+    assert(Sink.readSidecar(p) === a)
+    @volatile var stop = false
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop && bad.get == null) {
+        try {
+          val s = Sink.readSidecar(p)
+          if (s != a && s != b) bad.set(s"torn read: len=${s.length}")
+        } catch { case e: Exception => bad.set(s"reader threw: $e") }
+      }
+    })
+    reader.start()
+    try (1 to 200).foreach(i => Sink.writeSidecar(p, if (i % 2 == 0) a else b))
+    finally { stop = true; reader.join(10000) }
+    assert(bad.get == null, s"racing reader observed: ${bad.get}")
+    assert(!new java.io.File(dir, ".meta.json.tmp").exists(),
+      "the tmp must be renamed away, not left behind")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".crc")),
+      "no orphaned checksum files (FileContext used for create AND rename)")
+  }
 }

@@ -362,24 +362,52 @@ class OpsSpec extends SparkSpec {
     // knob that makes semDedup durable covers every iterative loop —
     // here the star contraction, whose per-round localCheckpoint had
     // the identical executor-loss fragility
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the JVM-shared PINNED dir (see TestSpark.ckptDir) — assert a
+    // file-count INCREASE, since earlier durable tests share the dir
+    val dir = TestSpark.ckptDir
     val pairs = Dedup.minhashPairs(Dedup.corpusWithDups(docs))
       .select(col("id_a"), col("id_b"))
     def comps(): Set[(Long, Long)] = Dedup.clustersStar(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val base = comps()
+    val before = TestSpark.ckptFiles(dir)
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
       val durable = comps()
       assert(durable === base,
         "reliable-checkpoint contraction must yield identical components")
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "the reliable path must have written checkpoint files")
-    } finally {
-      spark.conf.unset("spark.graft.checkpointDir")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    }
+      assert(TestSpark.ckptFiles(dir) > before,
+        "the reliable path must have written checkpoint files")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("Ckpt pins the first checkpoint dir per context; a conflicting second dir is kept out") {
+    // the r15 advisor medium: spark.graft.checkpointDir reads from
+    // SESSION conf but setCheckpointDir is CONTEXT-global — two runs
+    // with different dirs would race, and 'caller owns cleanup' would
+    // then delete files a live job still reads. Contract: the FIRST
+    // dir applied on a context is pinned; a conflicting value warns
+    // and checkpoints still land under the PINNED dir (never the new
+    // one), so each run's cleanup contract stays self-contained.
+    import spark.implicits._
+    val pinned = TestSpark.ckptDir
+    spark.conf.set("spark.graft.checkpointDir", pinned)
+    try {
+      val b0 = TestSpark.ckptFiles(pinned)
+      graft.ops.Ckpt(Seq(1L).toDF("x"))
+      assert(TestSpark.ckptFiles(pinned) > b0, "pin-or-apply must checkpoint under the dir")
+      val other = java.nio.file.Files.createTempDirectory("graft-ckpt-conflict").toString
+      spark.conf.set("spark.graft.checkpointDir", other)
+      val b1 = TestSpark.ckptFiles(pinned)
+      val out = graft.ops.Ckpt(Seq(2L).toDF("x"))
+      assert(out.collect().map(_.getLong(0)).toSeq === Seq(2L),
+        "the conflicting call still checkpoints correctly")
+      assert(TestSpark.ckptFiles(pinned) > b1,
+        "a conflicting dir must be ignored: files land under the PINNED dir")
+      assert(TestSpark.ckptFiles(other) === 0L,
+        "the conflicting dir must receive no checkpoint files")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(other))
+    } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
   test("gramWiden: zero jobs at operator-construction on a derived input; memoized bare-table count") {
@@ -426,6 +454,34 @@ class OpsSpec extends SparkSpec {
       assert(!plan.contains("RepartitionByExpression"),
         "fixture-scale plans must stay byte-identical (identity widen)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("fileFingerprint: an in-place rewrite reusing identical file names misses the memo") {
+    // the r15 advisor finding: a path-only memo key would serve a
+    // STALE count after a table is rewritten in place with the same
+    // file names. The fingerprint now carries each file's length and
+    // modification time from the plan's FileIndex (driver-side, zero
+    // jobs), so the rewrite signature — same names, new mtime —
+    // changes the key.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    Seq(("alpha", 1L), ("beta", 2L)).toDF("s", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def snap(): (Array[String], String) = {
+      val df = spark.read.parquet(dir)
+      (df.inputFiles.sorted,
+        TextAnalysis.fileFingerprint(df, df.queryExecution.optimizedPlan))
+    }
+    val (files1, fp1) = snap()
+    assert(fp1.contains(":"), "the fingerprint must carry length/mtime fields")
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified() + 5000),
+      "test setup: mtime bump must apply")
+    val (files2, fp2) = snap()
+    assert(files1.sameElements(files2),
+      "test setup: the rewrite signature is SAME names (a path-only key would collide)")
+    assert(fp1 !== fp2, "the fingerprint must change on an in-place rewrite")
   }
 
   test("vocabCoverage refuses non-positive ks by name") {

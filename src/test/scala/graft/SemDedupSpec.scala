@@ -151,22 +151,21 @@ class SemDedupSpec extends SparkSpec {
     // executor loss recovers from files instead of killing the job.
     // The contract spec-asserted here: OUTPUTS ARE IDENTICAL to the
     // localCheckpoint default, and the checkpoint actually wrote.
-    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-ckpt")
-      .toString
+    // the JVM-shared PINNED dir (Ckpt pins the first dir per context —
+    // a per-test temp dir would be silently ignored after another
+    // durable test pinned first), so assert an INCREASE in files
+    val dir = TestSpark.ckptDir
     val emb = Dedup.embCorpusWithDups(t(spark, sf, "embeddings"), withLabel = false)
     val base = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
+    val before = TestSpark.ckptFiles(dir)
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
       val durable = dropSet(Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4))
       assert(durable === base,
         "reliable-checkpoint run must produce the identical drop set")
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "the reliable path must have written checkpoint files")
-    } finally {
-      spark.conf.unset("spark.graft.checkpointDir")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    }
+      assert(TestSpark.ckptFiles(dir) > before,
+        "the reliable path must have written checkpoint files")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
   test("quality keeper policy: best-quality member survives, keeperizeByQuality order") {
@@ -202,6 +201,28 @@ class SemDedupSpec extends SparkSpec {
     val idSurvivors = byId.filter(!col("dropped"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(idSurvivors === Set(1L, 10L, 20L))
+  }
+
+  test("quality frame with a duplicate vec_id refuses loudly, never duplicates points") {
+    import spark.implicits._
+    // the r15 advisor finding: the at-most-one-row-per-vec_id contract
+    // was doc-only — a dup-keyed quality frame would silently
+    // duplicate corpus points through the left join. Now raise_error
+    // fires on the first duplicate key at the first action.
+    def vec(x: Float): Array[Float] = Array.tabulate(8)(j => if (j == 0) x else 0f)
+    val emb = Seq((1L, vec(1f)), (2L, vec(2f))).toDF("vec_id", "embedding")
+    val dupQ = Seq((1L, 0.5), (1L, 0.7), (2L, 0.3)).toDF("vec_id", "quality")
+    val boom = intercept[Throwable] {
+      Similarity.semDedup(emb, quality = Some(dupQ)).collect()
+    }
+    val msgs = Iterator.iterate(boom)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("at-most-one-row-per-vec_id"),
+      s"expected the named contract violation, got: $msgs")
+    // and a clean single-keyed frame still works
+    val ok = Similarity.semDedup(emb,
+      quality = Some(Seq((1L, 0.5), (2L, 0.3)).toDF("vec_id", "quality")))
+    assert(ok.count() === 2L)
   }
 
   test("quality keeper at fixture scale: same dup GROUPS as id-order, keepers re-picked") {
