@@ -102,6 +102,52 @@ object SemDedupAudit {
           s""""branch":$branch,"overlap":$overlap,""" +
           s""""dirs":{${out.mkString(",")}}}""")
 
+      case "curve" =>
+        // the targetRecall ladder's economics, measured: for each
+        // targetClusterSize rung, ONE full operator run over the
+        // planted corpus (timed alone — the census is the cost that
+        // grows ∝ n·target) and its drop-set recall against ONE shared
+        // sampled exact truth. This is the BENCH_NOTES cost/recall
+        // curve behind semDedupRecallPlan.
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
+        val sampleRows =
+          sys.env.getOrElse("SPARK_GRAFT_AUDIT_SAMPLE", "5000").toLong
+        val targets = sys.env.getOrElse("SPARK_GRAFT_AUDIT_TARGETS", "256,2048,16384")
+          .split(",").map(_.trim.toLong).toSeq
+        val emb = Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val n = emb.count()
+        val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
+        val sample = emb.filter(
+          org.apache.spark.sql.functions.pmod(graft.index.Embedder.stringHash64(
+              concat_ws(":", col("vec_id").cast("string"), lit("semaudit"))),
+            lit(1000000L)).cast("double") < p * 1000000.0)
+          .localCheckpoint(true)
+        val plantedS = graft.ops.Dedup.embCorpusWithDups(sample, withLabel = false)
+        val truth = plantedS
+          .select(col("vec_id").as("i"), col("embedding").as("va"))
+          .join(plantedS.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+          .filter(org.apache.spark.sql.functions.round(
+            graft.vector.Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
+          .select(col("i"), col("j")).localCheckpoint(true)
+        val truthN = truth.count()
+        val corpus = graft.ops.Dedup.embCorpusWithDups(emb, withLabel = false)
+          .localCheckpoint(true)
+        val rows = targets.map { tgt =>
+          val t0 = System.nanoTime()
+          val out = graft.ops.Similarity.semDedup(corpus, targetClusterSize = tgt)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val hit = truth.join(
+            out.filter(col("dropped")).select(col("vec_id").as("j")), Seq("j")).count()
+          val r = if (truthN == 0) Double.NaN else hit.toDouble / truthN
+          System.err.println(s"[audit] curve @ $dir target=$tgt: recall ${f3(r)} in ${f3(secs)} s")
+          s""""$tgt":{"recall":${f3(r)},"secs":${f3(secs)}}"""
+        }
+        spark.stop()
+        println(s"""{"metric":"semdedup_curve","dir":"$dir","n":$n,""" +
+          s""""truth_pairs":$truthN,"targets":{${rows.mkString(",")}}}""")
+
       case "diag" =>
         // where do MISSED truth pairs land? For each sampled true
         // pair the operator failed to drop, report the centroid

@@ -368,27 +368,6 @@ class VectorCollection private (
       col(config.vectorCol).as("embedding")) ++ others.map(col).toSeq: _*)
   }
 
-  /** The two APIs that remain cosine-SHAPED in Qdrant itself: MMR's
-    * relevance−redundancy trade subtracts a pairwise-similarity
-    * penalty from a relevance score (the two terms must share one
-    * bounded similarity scale — λ·rel − (1−λ)·red is meaningless when
-    * "rel" is an unbounded distance), and the distance-matrix API
-    * reports pairwise COSINE similarity by definition. Everything else
-    * in the strategy family — best_score / sum_scores / context-pair
-    * losses (similarity space, distances enter negated), discovery's
-    * satisfied-pair comparisons and the grouped searches (metric
-    * space, orderings flipped) — is metric-aware since r11 via the
-    * one TopK.metricFn mapping, as are all the query-vector-building
-    * APIs (search/searchAnn/queryFormula/recommend/batches). */
-  private def cosineOnly[T](api: String)(body: => T): T = {
-    require(config.distance == "cosine",
-      s"$api is implemented for cosine collections (this collection is " +
-        s"'${config.distance}'); its formula needs a BOUNDED similarity " +
-        "scale that a distance metric cannot supply — " +
-        "use search()/searchAnn(), or re-create the collection with cosine")
-    body
-  }
-
   /** Qdrant `client.recommend` (average_vector strategy): search by
     * 2·avg(positives) − avg(negatives), example points excluded.
     * Metric-aware — the strategy only builds a query vector; scoring
@@ -617,27 +596,29 @@ class VectorCollection private (
   /** Qdrant MMR diversity search (`query` with an mmr object): top-k
     * balancing similarity against redundancy with the already-picked
     * set. `fetchN` bounds the candidate pool (Qdrant's
-    * `candidates_limit`). */
+    * `candidates_limit`). Metric-aware (r16): non-cosine metrics
+    * enter the tradeoff through the discoverBatch monotone squash —
+    * see [[graft.search.QueryApis.mmr]]; `score` stays the raw
+    * collection-metric value. */
   def searchMmr(
       queryVec: Seq[Float], k: Int = 5,
       lambda: Double = 0.5, fetchN: Int = 20): DataFrame = {
     require(!config.multiVector, "mmr search on a multi-vector collection")
     require(queryVec.length == config.dim,
       s"query dim ${queryVec.length} != collection dim ${config.dim}")
-    cosineOnly("searchMmr") {
-      graft.search.QueryApis.mmr(
-        asPoints, queryVec.map(_.toDouble), fetchN, k, lambda)
-        .withColumnRenamed("vec_id", config.idCol)
-    }
+    graft.search.QueryApis.mmr(
+        asPoints, queryVec.map(_.toDouble), fetchN, k, lambda,
+        config.distance)
+      .withColumnRenamed("vec_id", config.idCol)
   }
 
   /** Qdrant distance-matrix API (`search_matrix_pairs`) over a
     * deterministic `sample`-point draw (Qdrant's absolute-count
-    * `sample` parameter — broadcast-safe by construction). */
+    * `sample` parameter — broadcast-safe by construction).
+    * Metric-aware (r16): scores and neighbor order follow the
+    * collection's configured Distance. */
   def matrixPairs(sample: Int, k: Int = 3): DataFrame =
-    cosineOnly("matrixPairs") {
-      graft.search.QueryApis.matrixPairs(asPoints, sample, k)
-    }
+    graft.search.QueryApis.matrixPairs(asPoints, sample, k, config.distance)
 
   /** Qdrant random sampling (`query=sample(random)`): reproducible
     * hash-ordered draw of `k` point ids. */

@@ -586,6 +586,17 @@ object Similarity {
     * outputs are identical either way (spec-asserted). The caller owns
     * cleanup of the directory.
     *
+    * Recall budget: `targetRecall` — an optional floor in (0, 1] —
+    * runs [[semDedupRecallPlan]] first: drop-set recall is MEASURED
+    * on this corpus's own geometry (sampled exact truth, full
+    * planted-corpus trial per ladder rung) and the run executes at
+    * the first targetClusterSize rung whose measured recall clears
+    * the floor, refusing loudly when no rung inside the census-block
+    * bound does. Without it the operator runs at the requested size
+    * and recall is the measured depth curve (0.957@3lv → 0.42@9lv on
+    * clustered-replica geometry), surfaced by the runtime depth
+    * warning. `auditSampleRows` sizes the planner's truth sample.
+    *
     * Keeper policy: `quality` — an optional (vec_id, quality) frame —
     * switches the survivor order from earliest-id to
     * (quality DESC NULLS LAST, id ASC), the
@@ -605,10 +616,23 @@ object Similarity {
       branch: Int = 8,
       lloydIters: Int = 1,
       overlap: Double = 0.1,
-      quality: Option[DataFrame] = None): DataFrame = {
+      quality: Option[DataFrame] = None,
+      targetRecall: Option[Double] = None,
+      auditSampleRows: Long = 5000L): DataFrame = {
     require(targetClusterSize >= 2, s"targetClusterSize must be >= 2: $targetClusterSize")
     require(branch >= 2 && branch <= 64, s"branch must be in [2, 64]: $branch")
     require(overlap >= 0 && overlap < 1, s"overlap must be in [0, 1): $overlap")
+    // recall budget (r15 flagship finding): with targetRecall set, the
+    // requested targetClusterSize is a FLOOR, not the run size — the
+    // planner walks the ladder measuring drop-set recall on this
+    // corpus's own geometry and the run uses the first rung that
+    // clears the budget (or refuses loudly; see semDedupRecallPlan).
+    val tEff = targetRecall match {
+      case Some(r) =>
+        semDedupRecallPlan(emb, r, targetClusterSize, simMin, branch,
+          overlap, auditSampleRows)._1
+      case None => targetClusterSize
+    }
     val spark = emb.sparkSession
     // checkpoint durability (r14 what's-wrong #1): localCheckpoint
     // stores blocks ON EXECUTORS with TRUNCATED lineage — right for
@@ -720,7 +744,7 @@ object Similarity {
     val bitsPerLevel = 64 - java.lang.Long.numberOfLeadingZeros(branch - 1L)
     val maxLevels = math.min(math.max(1, 62 / bitsPerLevel - 1),
       math.max(1, math.ceil(
-        math.log(math.max(1.0, activeCnt.toDouble / targetClusterSize)) /
+        math.log(math.max(1.0, activeCnt.toDouble / tEff)) /
           math.log(branch.toDouble)).toInt) + 4)
     val finishedParts = scala.collection.mutable.Buffer.empty[DataFrame]
     var lvl = 0
@@ -745,9 +769,9 @@ object Similarity {
       // whole level's checkpoint files twice per level.
       val pops = active.groupBy(col("cluster_id")).agg(count(lit(1)).as("pop"))
       val tagged = active.join(pops, Seq("cluster_id"))
-      val doneNow = ckpt(tagged.filter(col("pop") <= targetClusterSize)
+      val doneNow = ckpt(tagged.filter(col("pop") <= tEff)
         .select(col("vec_id"), col("embedding"), col("cluster_id"), col("primary")))
-      val over = tagged.filter(col("pop") > targetClusterSize)
+      val over = tagged.filter(col("pop") > tEff)
       // per-level content-stable draw: ~8·branch expected samples per
       // node whatever its population; the per-level salt makes a
       // zero-sample node (probability e^{-8·branch}) re-draw next level.
@@ -950,6 +974,79 @@ object Similarity {
           f"simMin=$simMin%.2f)")
       recall
     }
+  }
+
+  /** Recall-budget planner for [[semDedup]] — the r15 closing finding:
+    * a deep-hierarchy run silently shipped a measured-low recall
+    * (0.42 at 9 levels / 2M vectors) behind a stderr warning. This
+    * turns the warning into a CONTROL: walk the targetClusterSize
+    * ladder (×branch per rung — each rung removes ~one split level,
+    * the depth variable the r15 sweep measured recall against) and
+    * MEASURE drop-set recall at each rung with
+    * [[semDedupRecallAudit]] (sampled exact truth, full planted-run —
+    * a number from the caller's own geometry, never an
+    * extrapolation). Returns the first rung whose measured recall
+    * clears `targetRecall`, with its measurement.
+    *
+    * Cost, stated plainly: each rung is one full operator run over
+    * the planted corpus, and the final rung's census is ∝ n·target —
+    * the ladder is geometric, so total trial cost ≈ 2× the final
+    * rung's run. That is the honest price of a measured floor;
+    * anything cheaper is a promise.
+    *
+    * Refusals (loud, with the named escape):
+    *  - audit sample holds no true pair → nothing to certify; widen
+    *    `auditSampleRows` or drop the recall budget.
+    *  - the next rung would exceed [[SemDedupPinnedMaxRows]] —
+    *    per-cluster census is pop², so a 2^16-row cluster is the same
+    *    ~4·10⁹-pair block [[graft.ops.Dedup.embeddingPairs]] refuses
+    *    past — and recall is STILL below target: the budget is not
+    *    purchasable inside the hierarchy. Recall-critical mass
+    *    belongs to [[graft.ops.Dedup.embeddingPairsLshAuto]] (banded,
+    *    no depth compounding) or an explicit bounded exact census. */
+  def semDedupRecallPlan(
+      emb: DataFrame,
+      targetRecall: Double,
+      targetClusterSize: Long = 256L,
+      simMin: Double = 0.9,
+      branch: Int = 8,
+      overlap: Double = 0.1,
+      auditSampleRows: Long = 5000L): (Long, Double) = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall must be in (0, 1]: $targetRecall")
+    var t = targetClusterSize
+    var measured = semDedupRecallAudit(
+      emb, t, simMin, auditSampleRows, branch, overlap)
+    require(!measured.isNaN,
+      s"semDedupRecallPlan: the $auditSampleRows-row audit sample holds " +
+        s"no true pair at simMin=$simMin - there is nothing to certify " +
+        "a recall floor against. Widen auditSampleRows (<= 16384) or " +
+        "drop targetRecall (near-dup density this low makes the budget moot).")
+    while (measured < targetRecall && t * branch <= SemDedupPinnedMaxRows) {
+      System.err.println(
+        f"[graft] semDedupRecallPlan: measured recall $measured%.3f < " +
+          f"target $targetRecall%.3f at targetClusterSize $t - raising " +
+          f"to ${t * branch} (one split level shallower; census cost " +
+          "grows proportionally to n*target)")
+      t *= branch
+      measured = semDedupRecallAudit(
+        emb, t, simMin, auditSampleRows, branch, overlap)
+    }
+    require(measured >= targetRecall,
+      f"semDedupRecallPlan: recall >= $targetRecall%.3f is not " +
+        f"purchasable inside the hierarchy - measured $measured%.3f at " +
+        f"targetClusterSize $t, and the next rung (${t * branch}) " +
+        f"exceeds the $SemDedupPinnedMaxRows census-block bound " +
+        "(per-cluster census is pop-squared: a 2^16-row cluster is the " +
+        "same ~4e9-pair block embeddingPairs refuses past). " +
+        "Recall-critical near-dup mass belongs to " +
+        "Dedup.embeddingPairsLshAuto (banded, no depth compounding), " +
+        "or run without targetRecall and own the measured curve.")
+    System.err.println(
+      f"[graft] semDedupRecallPlan: certified - measured recall " +
+        f"$measured%.3f >= $targetRecall%.3f at targetClusterSize $t " +
+        f"(requested $targetClusterSize)")
+    (t, measured)
   }
 
   /** Child assignment for one [[semDedup]] level: the branch candidate

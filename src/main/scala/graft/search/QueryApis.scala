@@ -801,18 +801,33 @@ object QueryApis {
     *
     * Determinism pins (both engines): candidate scores and pairwise
     * penalties ROUND(...,6) before the arithmetic, mmr ROUND(...,6),
-    * ties broken by id; the first pick's mmr is its similarity. */
+    * ties broken by id; the first pick's mmr is its similarity.
+    *
+    * Metric-aware (r15 verdict gap — Qdrant runs MMR under any
+    * Distance): the tradeoff needs relevance and redundancy on one
+    * BOUNDED shared scale, which cosine has by definition and the
+    * others do not — so non-cosine metrics enter through the
+    * discoverBatch monotone squash: distances as −d/(1+d) ∈ (−1, 0]
+    * (closer ⇒ larger — both terms keep MMR's 'big = relevant/
+    * redundant' orientation), unbounded dot as s/(1+|s|) ∈ (−1, 1).
+    * The squash is strictly monotone, so candidate ORDER per term is
+    * exactly the metric's own ranking; `score` in the output stays
+    * the RAW metric score (what [[TopK.dense]] reports), only the
+    * mmr composite uses squashed terms. Cosine keeps the r11 raw
+    * formula verbatim (the frozen q_search_mmr oracle). */
   def mmr(
       points: DataFrame,
       queryVec: Seq[Double],
       fetchN: Int,
       k: Int,
-      lambda: Double): DataFrame = {
+      lambda: Double,
+      metric: String = "cosine"): DataFrame = {
     val spark = points.sparkSession
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val cand = points
       .select(col("vec_id"), col("embedding"),
-        round(Kernels.cosine(col("embedding"), typedlit(queryVec)), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+        round(scoreOf(col("embedding"), typedlit(queryVec)), 6).as("score"))
+      .orderBy(if (asc) col("score").asc else col("score").desc, col("vec_id").asc)
       .limit(fetchN)
       .collect()
       // Seq[Number], not Seq[Float]: a collection whose vector column
@@ -822,7 +837,8 @@ object QueryApis {
         r.getSeq[Number](1).map(_.doubleValue()).toArray, r.getDouble(2)))
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // same fold shape as Kernels.cosine: dot / (sqrt(na) * sqrt(nb))
+    // driver-side twins of the Kernels fold shapes (same summation
+    // order as the codegen'd expressions, so rounded values agree)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -830,16 +846,42 @@ object QueryApis {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    def dotP(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def euclid(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    def manhattan(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }; s
+    }
+    val pairScore: (Array[Double], Array[Double]) => Double = metric match {
+      case "cosine" => cos
+      case "dot" => dotP
+      case "euclid" => euclid
+      case "manhattan" => manhattan
+    }
+    // the bounded MMR terms: raw for cosine (r11 contract), squashed
+    // otherwise — distances flip sign FIRST so closer is larger
+    def squash(s: Double): Double = s / (1.0 + math.abs(s))
+    def term(raw: Double): Double =
+      if (metric == "cosine") raw
+      else if (asc) squash(-raw)
+      else squash(raw)
     val selected = scala.collection.mutable.ArrayBuffer.empty[MmrHit]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
     while (selected.length < math.min(k, cand.length)) {
       val remaining = cand.filterNot(c => chosen.exists(_._1 == c._1))
       val scoredRem = remaining.map { case (id, vec, score) =>
         val m =
-          if (chosen.isEmpty) score
+          if (chosen.isEmpty) round6(term(score))
           else {
-            val penalty = chosen.map(s => round6(cos(vec, s._2))).max
-            round6(lambda * score - (1.0 - lambda) * penalty)
+            val penalty = chosen.map(s => round6(term(round6(pairScore(vec, s._2))))).max
+            round6(lambda * round6(term(score)) - (1.0 - lambda) * penalty)
           }
         (id, vec, score, m)
       }
@@ -875,19 +917,27 @@ object QueryApis {
     * broadcast-safe structurally — the pre-r10 corpus-fraction
     * formulation needed an eager guard count per call (an extra
     * corpus scan) to keep a silent corpus-fraction broadcast out. */
-  def matrixPairs(points: DataFrame, sample: Int, k: Int): DataFrame = {
+  def matrixPairs(points: DataFrame, sample: Int, k: Int,
+      metric: String = "cosine"): DataFrame = {
     val maxSample = 100000
     require(sample > 0 && sample <= maxSample,
       s"matrixPairs sample=$sample out of (0, $maxSample] — the matrix is " +
         "all-pairs within the sample, so it must stay broadcast-sized")
+    // metric-aware (r15 verdict gap — Qdrant's search_matrix runs
+    // under the collection's Distance): `score` is the RAW metric
+    // value and the per-point neighbor ranking follows the metric's
+    // own order (similarities DESC, distances ASC), the one
+    // TopK.metricFn mapping — no squash needed here, the matrix
+    // never mixes terms across scales.
+    val (scoreOf, asc) = TopK.metricFn(metric)
     val s = matrixSample(points, sample)
     val a = s.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = s.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("score").desc, col("id_b").asc)
+      .orderBy(if (asc) col("score").asc else col("score").desc, col("id_b").asc)
     a.join(broadcast(b), col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Kernels.cosine(col("va"), col("vb")), 6).as("score"))
+        round(scoreOf(col("va"), col("vb")), 6).as("score"))
       .withColumn("r", row_number().over(w).cast("long"))
       .filter(col("r") <= k)
   }

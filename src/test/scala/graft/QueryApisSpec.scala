@@ -722,6 +722,70 @@ class QueryApisSpec extends SparkSpec {
     assert(res.map(_.getLong(1)).toSet.subsetOf(byA.keySet))
   }
 
+  test("mmr on euclid matches a driver-side brute-force reference; exact duplicate repelled") {
+    // metric-aware MMR (r16): distances enter the tradeoff through
+    // the strictly monotone squash −d/(1+d) ∈ (−1, 0] — closer ⇒
+    // larger, both terms on one bounded scale. Reference is an
+    // independent greedy written from the formula.
+    val q = vecsById(Seq(0L))(0L)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def euclid(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    def term(d: Double): Double = -d / (1.0 + d)
+    val fetchN = 10; val k = 4; val lambda = 0.5
+    val cand = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { case (id, v) => (id, v, round6(euclid(v, q))) }
+      .sortBy { case (id, _, d) => (d, id) }.take(fetchN)
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    while (expect.length < k) {
+      val best = cand.filterNot(c => picked.exists(_._1 == c._1)).map { case (id, v, d) =>
+        val m =
+          if (picked.isEmpty) round6(term(d))
+          else round6(lambda * round6(term(d)) - (1 - lambda) *
+            picked.map(s => round6(term(round6(euclid(v, s._2))))).max)
+        (id, v, d, m)
+      }.minBy { case (id, _, _, m) => (-m, id) }
+      expect += ((best._1, best._3, best._4)); picked += ((best._1, best._2))
+    }
+    val got = QueryApis.mmr(emb, q.toSeq, fetchN, k, lambda, metric = "euclid")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === expect.toSeq,
+      s"euclid MMR must match the brute-force greedy:\ngot=$got\nexp=${expect.toSeq}")
+    // pure-diversity sanity: an exact duplicate of pick #1 (pairwise
+    // d=0, the maximal redundancy term) must never be re-picked
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(dup)
+    val divPicks = QueryApis.mmr(planted, q.toSeq, fetchN = 10, k = 3,
+      lambda = 0.0, metric = "euclid").collect().map(_.getLong(1)).toSeq
+    assert(divPicks.head === 0L && !divPicks.tail.contains(100000L),
+      "the exact euclid duplicate of pick #1 must lose every later round")
+  }
+
+  test("matrixPairs on euclid ranks each sampled point's neighbors distance ASC, brute-force checked") {
+    val res = QueryApis.matrixPairs(emb, sample = 50, k = 3, metric = "euclid").collect()
+    assert(res.length === 50 * 3)
+    val sampleIds = res.map(_.getLong(0)).toSet
+    assert(sampleIds.size === 50)
+    val vecs = vecsById(sampleIds.toSeq)
+    def euclid(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    res.groupBy(_.getLong(0)).foreach { case (ida, g) =>
+      val got = g.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      val expect = (sampleIds - ida).toSeq
+        .map(idb => (idb, math.rint(euclid(vecs(ida), vecs(idb)) * 1e6) / 1e6))
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+      assert(got === expect, s"point $ida: euclid neighbor order diverges")
+    }
+    // cosine path unchanged by the metric parameter's default
+    val cosDefault = QueryApis.matrixPairs(emb, sample = 20, k = 2).collect()
+    val cosNamed = QueryApis.matrixPairs(emb, sample = 20, k = 2, metric = "cosine").collect()
+    assert(cosDefault.map(_.toSeq).toSeq === cosNamed.map(_.toSeq).toSeq)
+  }
+
   test("randomSample is reproducible and uncorrelated with id order") {
     val a = QueryApis.randomSample(emb, 20).collect().map(_.getLong(0)).toSeq
     val b = QueryApis.randomSample(emb, 20).collect().map(_.getLong(0)).toSeq

@@ -260,6 +260,47 @@ class SemDedupSpec extends SparkSpec {
       "high-quality planted copies must dethrone their originals")
   }
 
+  test("targetRecall: the ladder buys a measured recall floor the requested size misses") {
+    // the r15 flagship finding closed: a recall floor is now a
+    // CONTROL, not a stderr warning. Clustered fixture (10 rigid
+    // embCopies of sf0.01 = 5k points, the ScaleData geometry);
+    // measured ladder on it: recall 0.9216 at targetClusterSize 4,
+    // 0.9804 at 64, 1.0 at 256 (branch 4). A 0.95 floor from a
+    // requested size of 4 must climb and certify.
+    val corpus = (0 until 10)
+      .map(c => ScaleData.embCopy(
+        t(spark, sf01, "embeddings").withColumn("label", lit(0L)), c))
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val floor = 0.95
+    val (chosen, measured) = Similarity.semDedupRecallPlan(
+      corpus, floor, targetClusterSize = 4L, branch = 4, auditSampleRows = 2000)
+    assert(measured >= floor,
+      f"the plan must return a rung whose MEASURED recall clears the floor ($measured%.4f)")
+    assert(chosen > 4L,
+      "non-vacuous: the requested size audits below the floor, so the ladder must climb")
+    // the wired mode runs at the certified rung: identical drop set to
+    // an explicit run at that targetClusterSize
+    val budgeted = Similarity.semDedup(corpus, targetClusterSize = 4L,
+      branch = 4, targetRecall = Some(floor), auditSampleRows = 2000)
+    val explicit = Similarity.semDedup(corpus, targetClusterSize = chosen, branch = 4)
+    assert(dropSet(budgeted) === dropSet(explicit),
+      "semDedup(targetRecall) must execute at the plan's certified rung")
+    // refusals are loud and named: an invalid floor, and a sample with
+    // no true pair (orthogonal corpus - nothing to certify against)
+    intercept[IllegalArgumentException] {
+      Similarity.semDedupRecallPlan(corpus, 1.5)
+    }
+    import spark.implicits._
+    val ortho = (0L until 32L)
+      .map(i => (i, Array.tabulate(64)(j => if (j == i % 64) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.semDedupRecallPlan(ortho, 0.9, auditSampleRows = 32)
+    }
+    assert(boom.getMessage.contains("nothing to certify"), boom.getMessage)
+  }
+
   test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
     // sampleRows (5000) >= n (sf0.01), so p = 1: the sampled truth IS
     // the full exact pair set and the audited recall must equal the

@@ -466,13 +466,23 @@ class VectorCollectionSpec extends SparkSpec {
         "euclid searchGroups: hits inside a group must rank distance ASC") }
     assert(c.recommendGroups(Seq(7L), Nil, "label").collect().nonEmpty,
       "euclid recommendGroups must run metric-aware")
-    // only the two genuinely cosine-SHAPED APIs keep the loud refusal:
-    // MMR's λ·rel − (1−λ)·red needs one bounded similarity scale, and
-    // the matrix API reports pairwise cosine by definition
-    for (call <- Seq[() => Any](() => c.searchMmr(q), () => c.matrixPairs(10))) {
-      val e = intercept[IllegalArgumentException](call())
-      assert(e.getMessage.contains("cosine collections"), e.getMessage)
-    }
+    // MMR and the distance matrix are metric-aware too (r16 — Qdrant
+    // runs both under any Distance): MMR's first pick is the NEAREST
+    // point (the self-match at d=0) with score = the raw distance;
+    // λ=1 degenerates to plain distance-ASC order; the matrix ranks
+    // each sampled point's neighbors distance ASC
+    val mmrHits = c.searchMmr(q, k = 3, lambda = 1.0, fetchN = 8).collect()
+    assert(mmrHits.head.getLong(1) === 7L && mmrHits.head.getDouble(2) === 0.0,
+      "euclid MMR: first pick is the self-match at raw distance 0")
+    val plainIds = c.search(q, 3).collect().map(_.getLong(0)).toSeq
+    assert(mmrHits.map(_.getLong(1)).toSeq === plainIds,
+      "euclid MMR with lambda=1 must collapse to plain distance order")
+    val mp = c.matrixPairs(10, k = 2).collect()
+    assert(mp.nonEmpty)
+    mp.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(byRank === byRank.sorted,
+        "euclid matrixPairs: neighbor ranks must follow distance ASC") }
   }
 
   test("update_vectors: named points re-vectorized in place, payload/count untouched") {
