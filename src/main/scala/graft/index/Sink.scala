@@ -43,7 +43,10 @@ object Sink {
     * `spark.graft.lease.ttlMs`) can be broken — real multi-driver
     * coordination still belongs to a table format / lock service, and
     * the crash-marker protocol bounds any damage to a repairable
-    * state. */
+    * state. TTL takeover additionally assumes clocks synced within
+    * [[leaseMaxSkewMs]]; when the marker itself evidences worse skew
+    * (FS mtime vs embedded holder-clock create time), takeover
+    * refuses rather than guesses. */
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -76,41 +79,87 @@ object Sink {
         s.conf.get("spark.graft.lease.ttlMs").toLong).toOption)
       .getOrElse(600000L)
 
-  /** Parse `holder expiresAtMillis`; an unreadable/corrupt marker (a
-    * writer that crashed inside create-before-write) reads as expired
-    * — breakable, never a permanent wedge. */
+  /** Takeover clock-skew bound (`spark.graft.lease.maxSkewMs`,
+    * default 60 s): TTL expiry compares the HOLDER's embedded clock
+    * against the BREAKER's — a comparison that is only meaningful
+    * with loosely synced clocks. The marker carries its holder-clock
+    * create time, and the filesystem stamps its own mtime at the same
+    * instant, so |mtime − created| is measured holder↔FS skew; past
+    * this bound "expired" may be a clock artifact, not a crashed
+    * writer, and takeover REFUSES loudly (r15 verdict #6 — the
+    * documented honesty bound on the tripwire's one clock
+    * assumption). */
+  private def leaseMaxSkewMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.lease.maxSkewMs").toLong).toOption)
+      .getOrElse(60000L)
+
+  /** Parse `holder expiresAtMillis [createdAtMillis]`; an
+    * unreadable/corrupt marker (a writer that crashed inside
+    * create-before-write) reads as expired — breakable, never a
+    * permanent wedge. The optional third field (always written since
+    * r16) is the holder-clock create time the takeover skew check
+    * compares against the marker's filesystem mtime; a legacy 2-field
+    * marker carries no skew evidence and skips the check. */
   private def readLease(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): (String, Long) =
+      p: org.apache.hadoop.fs.Path): (String, Long, Option[Long]) =
     try {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       txt.split(' ') match {
-        case Array(h, e) => (h, e.toLong)
-        case _ => ("corrupt", Long.MinValue)
+        case Array(h, e) => (h, e.toLong, None)
+        case Array(h, e, c) => (h, e.toLong, Some(c.toLong))
+        case _ => ("corrupt", Long.MinValue, None)
       }
-    } catch { case _: Throwable => ("unreadable", Long.MinValue) }
+    } catch { case _: Throwable => ("unreadable", Long.MinValue, None) }
 
   private def acquireLease(key: String): Unit = {
     val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
     val fs = leasePath.getFileSystem(hadoopConf)
     def tryCreate(): Boolean =
       try {
+        val now = System.currentTimeMillis
         val out = fs.create(leasePath, false)
-        try out.write(s"$holderId ${System.currentTimeMillis + leaseTtlMs}"
+        try out.write(s"$holderId ${now + leaseTtlMs} $now"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
-      val (holder, expires) = readLease(fs, leasePath)
+      val (holder, expires, created) = readLease(fs, leasePath)
       if (System.currentTimeMillis <= expires)
         throw new IllegalStateException(
           s"collection $key is write-leased by another driver " +
             s"($holder, expires in ${expires - System.currentTimeMillis} ms) " +
             "— refusing to interleave writes; retry after the lease " +
             "expires or releases")
+      // clock-skew caveat BEFORE breaking (r15 verdict #6): expiry is
+      // the HOLDER's clock. The marker's FS mtime was stamped at the
+      // same instant as its embedded holder-clock create time, so a
+      // large |mtime − created| is MEASURED holder↔FS skew — evidence
+      // the TTL comparison's synced-clocks assumption is broken and
+      // "expired" may be a live writer seen through a bad clock.
+      created.foreach { c =>
+        val mtime =
+          try fs.getFileStatus(leasePath).getModificationTime
+          catch { case _: java.io.IOException => c } // vanished: no evidence
+        val skew = mtime - c
+        if (math.abs(skew) > leaseMaxSkewMs)
+          throw new IllegalStateException(
+            s"collection $key: refusing takeover of the expired lease " +
+              s"held by $holder — the marker's filesystem mtime " +
+              s"disagrees with its embedded create time by $skew ms " +
+              s"(bound spark.graft.lease.maxSkewMs=$leaseMaxSkewMs): " +
+              "the holder's clock and the filesystem's are not in the " +
+              "sync the TTL comparison assumes, so the expiry may be a " +
+              "clock artifact, not a crashed writer. Align clocks, or " +
+              "raise the bound deliberately after checking the holder " +
+              "is really gone")
+      }
       // expired (or corrupt) lease: its writer crashed — break it. The
       // delete+create is not atomic; losing the re-create race to
       // another breaker is the loud path again, never interleaving.
@@ -131,7 +180,7 @@ object Sink {
       // that hazard is LOUD (r12 advisor): the commit fences abort the
       // renames, but a lost lease detected only here means the write
       // completed its final stage after a takeover began
-      val (h, _) = readLease(fs, leasePath)
+      val (h, _, _) = readLease(fs, leasePath)
       if (h == holderId) fs.delete(leasePath, false)
       else System.err.println(
         s"[graft] WARNING: write lease on $key was lost mid-write (" +
@@ -163,7 +212,7 @@ object Sink {
     val key = new org.apache.hadoop.fs.Path(path).toString
     val leasePath = new org.apache.hadoop.fs.Path(key + LeaseSuffix)
     val fs = leasePath.getFileSystem(hadoopConf)
-    val (holder, expires) = readLease(fs, leasePath)
+    val (holder, expires, _) = readLease(fs, leasePath)
     if (holder != holderId)
       throw new IllegalStateException(
         s"collection $key: write lease lost before commit (" +
@@ -181,8 +230,9 @@ object Sink {
           "seat two writers. Aborting with nothing renamed; raise " +
           "spark.graft.lease.ttlMs for stages this long")
     try {
+      val now = System.currentTimeMillis
       val out = fs.create(leasePath, true)
-      try out.write(s"$holderId ${System.currentTimeMillis + leaseTtlMs}"
+      try out.write(s"$holderId ${now + leaseTtlMs} $now"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     } catch { case _: Throwable => () } // renewal is best-effort

@@ -142,6 +142,40 @@ class IngestSinkSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("lease takeover refuses on measured clock skew; consistent clocks still break expired") {
+    // the TTL comparison assumes holder and breaker clocks are
+    // loosely synced; the r16 caveat: the marker's FS mtime and its
+    // embedded holder-clock create time were stamped at the same
+    // instant, so their disagreement is MEASURED skew — past the
+    // bound, "expired" may be a live writer on a bad clock and the
+    // takeover must refuse by name instead of breaking it.
+    val dir = Files.createTempDirectory("graft_lease_skew").toFile
+    val path = s"${dir.getAbsolutePath}/col"
+    val pts = Ingest.buildPoints(Ingest.tolerantDecode(
+      Ingest.imageScanFilter(Ingest.withPaths(docs)))).limit(5).cache()
+    val leaseFile = new java.io.File(path + Sink.LeaseSuffix)
+    val now = System.currentTimeMillis
+    // expired 3-field marker whose embedded create time sits 10 min
+    // behind the file's real mtime: holder clock far behind the FS
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      s"9999@skewed-host#deadbeef ${now - 1000} ${now - 600000}")
+    val boom = intercept[IllegalStateException](Sink.append(pts, path))
+    assert(boom.getMessage.contains("clock"), boom.getMessage)
+    assert(leaseFile.exists(), "the skew refusal must leave the marker intact")
+    assert(!new java.io.File(path).exists(), "no write happened")
+    // the same expired marker with a CONSISTENT create time (mtime ≈
+    // created) carries no skew evidence: crashed writer, break it
+    java.nio.file.Files.delete(leaseFile.toPath)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dir, "." + leaseFile.getName + ".crc").toPath)
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      s"9999@other-host#deadbeef ${System.currentTimeMillis - 1000} " +
+        s"${System.currentTimeMillis - 2000}")
+    assert(Sink.append(pts, path) === 5L)
+    assert(!leaseFile.exists(), "broken+retaken lease must release")
+    pts.unpersist()
+  }
+
   test("commit fence: a TTL-expired takeover aborts the swap, never renames over it") {
     val dir = Files.createTempDirectory("graft_fence").toFile
     val path = s"${dir.getAbsolutePath}/col"
