@@ -74,7 +74,24 @@ object Bench {
     (timed, errs)
   }
 
+  /** 1-min/5-min/15-min load averages — recorded in the output files
+    * so a bench run poisoned by co-tenant load is self-identifying
+    * (the round-6 lesson: a 4× "regression" that was box contention
+    * needed a judge autopsy to clear). */
+  private def loadavg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
+    // AMBIENT load is sampled at PROCESS ENTRY, before the session
+    // builder and the untimed warm-up pass: those burn every core for
+    // minutes, so a sample taken after them reads the bench's OWN
+    // load and would flag every run ambient on any box (the r16
+    // finding — r15's committed base self-flagged partly on its own
+    // warm-up). At entry, /proc/loadavg is the box's trailing
+    // FOREIGN load — the thing the flag exists to detect.
+    val loadAtEntry = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -143,14 +160,6 @@ object Bench {
         .queryExecution.toRdd.count()
       catch { case _: Throwable => }
     }
-    // 1-min/5-min/15-min load averages — recorded in both output files so
-    // a bench run poisoned by co-tenant load is self-identifying (the
-    // round-6 lesson: a 4× "regression" that was box contention needed a
-    // judge autopsy to clear; with load >~ cpus/4 the numbers are suspect).
-    def loadavg(): Seq[Double] =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val loadBefore = loadavg()
     val (timed, errors) = timeQueries(spark, names, SparkEntry.queries, sfDir, repsFor)
     val loadAfter = loadavg()
@@ -182,22 +191,26 @@ object Bench {
     // a nonzero map is the loudest thing on the line
     val errJson = errors.toSeq.sorted
       .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
-    // ambient-load self-identification (r14: a load_before ≈ 2.1 run
-    // silently inflated the driver total 13% and cost a full per-query
-    // re-adjudication). Bound: 1-min loadavg ≥ 1.0 BEFORE the run —
-    // this box's quiet runs start well under 1, and the documented
-    // 104–139 s ambient band was observed from ≈ 2.1. A flagged run's
-    // total is not comparable across rounds; re-measure movers on a
-    // quiet box (SPARK_GRAFT_ONLY) before calling a regression.
+    // ambient-load self-identification (r14: a loaded run silently
+    // inflated the driver total 13% and cost a full per-query
+    // re-adjudication). Bound: 1-min loadavg ≥ 1.0 at PROCESS ENTRY —
+    // before the bench's own session build and warm-up contribute
+    // (sampling after them reads our own burn and flags every run,
+    // the r16 finding). A flagged run's total is not comparable
+    // across rounds; re-measure movers on a quiet box
+    // (SPARK_GRAFT_ONLY) before calling a regression. load_before/
+    // load_after (pre-/post-timing samples) stay as self-load
+    // telemetry for the spread analysis.
     val ambientBound = 1.0
-    val ambient = loadBefore.headOption.exists(_ >= ambientBound)
+    val ambient = loadAtEntry.headOption.exists(_ >= ambientBound)
     if (ambient)
       System.err.println(
-        f"[graft] Bench: AMBIENT LOAD ${loadBefore.head}%.2f >= " +
-          f"$ambientBound%.1f at start - totals unreliable for " +
+        f"[graft] Bench: AMBIENT LOAD ${loadAtEntry.head}%.2f >= " +
+          f"$ambientBound%.1f at process entry - totals unreliable for " +
           "cross-round comparison; this run self-identifies with " +
           "\"ambient\":true")
     val loads = s""""errors":$errJson,"ambient":$ambient,""" +
+      s""""load_entry":${loadJson(loadAtEntry)},""" +
       s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
