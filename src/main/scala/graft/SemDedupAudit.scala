@@ -102,6 +102,33 @@ object SemDedupAudit {
           s""""branch":$branch,"overlap":$overlap,""" +
           s""""dirs":{${out.mkString(",")}}}""")
 
+      case "plan" =>
+        // the WIRED recall-budget planner end-to-end at corpus scale:
+        // semDedupRecallPlan walks the ladder on the real table and
+        // certifies (or refuses) — the curve mode's numbers, exercised
+        // through the production entry point.
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
+        val floor = sys.env.getOrElse("SPARK_GRAFT_AUDIT_FLOOR", "0.8").toDouble
+        val target = sys.env.getOrElse("SPARK_GRAFT_AUDIT_TARGET", "256").toLong
+        val emb = Tables.t(spark, dir, "embeddings")
+        val n = emb.count()
+        val t0 = System.nanoTime()
+        val result =
+          try {
+            val (chosen, measured) = graft.ops.Similarity.semDedupRecallPlan(
+              emb, floor, targetClusterSize = target)
+            s""""chosen":$chosen,"measured":${f3(measured)},"refused":false"""
+          } catch {
+            case e: IllegalArgumentException =>
+              val msg = Option(e.getMessage).getOrElse("").take(160)
+                .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+              s""""refused":true,"reason":"$msg""""
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.stop()
+        println(s"""{"metric":"semdedup_plan","dir":"$dir","n":$n,""" +
+          s""""floor":$floor,"target":$target,$result,"secs":${f3(secs)}}""")
+
       case "curve" =>
         // the targetRecall ladder's economics, measured: for each
         // targetClusterSize rung, ONE full operator run over the
