@@ -855,8 +855,10 @@ object Similarity {
         s"[graft] semDedup: $lvl split levels — boundary-split recall " +
           "degrades with depth (measured 0.957@3lv/0.67@6lv/0.42@9lv " +
           "on clustered-replica geometry). MEASURE yours with " +
-          "Similarity.semDedupRecallAudit(emb); recall-critical " +
-          "near-dup mass belongs to embeddingPairsLshAuto or a larger " +
+          "Similarity.semDedupRecallAudit(emb), or pass " +
+          "targetRecall = Some(r) to BUY a measured floor (the ladder " +
+          "certifies or refuses — r16); recall-critical near-dup mass " +
+          "belongs to embeddingPairsLshAuto or a larger " +
           "targetClusterSize")
     // 3. bounded within-cluster census — over ALL assignments (probe
     // rows included: they exist exactly so boundary pairs share a
