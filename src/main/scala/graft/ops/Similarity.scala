@@ -1006,6 +1006,22 @@ object Similarity {
     *    purchasable inside the hierarchy. Recall-critical mass
     *    belongs to [[graft.ops.Dedup.embeddingPairsLshAuto]] (banded,
     *    no depth compounding) or an explicit bounded exact census. */
+  /** The planner's rung sequence: ×branch from the requested size,
+    * CLAMPED to end at [[SemDedupPinnedMaxRows]] — the geometric
+    * stride overshoots the bound (256×8³ = 131072), but the bound
+    * itself is a legal, often decisive final rung (measured 0.960 at
+    * 65536 on the 200k clustered corpus where the 16384 rung reads
+    * 0.830 — skipping it refused a purchasable budget, the r16 plan
+    * drill's finding). A requested size already past the bound rides
+    * alone: the caller chose it explicitly. */
+  private[graft] def recallLadder(start: Long, branch: Int): Seq[Long] = {
+    val rungs = Iterator.iterate(start)(_ * branch)
+      .takeWhile(t => t > 0 && t <= SemDedupPinnedMaxRows).toSeq
+    if (rungs.isEmpty) Seq(start)
+    else if (rungs.last < SemDedupPinnedMaxRows) rungs :+ SemDedupPinnedMaxRows
+    else rungs
+  }
+
   def semDedupRecallPlan(
       emb: DataFrame,
       targetRecall: Double,
@@ -1016,39 +1032,40 @@ object Similarity {
       auditSampleRows: Long = 5000L): (Long, Double) = {
     require(targetRecall > 0 && targetRecall <= 1,
       s"targetRecall must be in (0, 1]: $targetRecall")
-    var t = targetClusterSize
+    val ladder = recallLadder(targetClusterSize, branch)
+    var i = 0
     var measured = semDedupRecallAudit(
-      emb, t, simMin, auditSampleRows, branch, overlap)
+      emb, ladder(i), simMin, auditSampleRows, branch, overlap)
     require(!measured.isNaN,
       s"semDedupRecallPlan: the $auditSampleRows-row audit sample holds " +
         s"no true pair at simMin=$simMin - there is nothing to certify " +
         "a recall floor against. Widen auditSampleRows (<= 16384) or " +
         "drop targetRecall (near-dup density this low makes the budget moot).")
-    while (measured < targetRecall && t * branch <= SemDedupPinnedMaxRows) {
+    while (measured < targetRecall && i + 1 < ladder.length) {
       System.err.println(
         f"[graft] semDedupRecallPlan: measured recall $measured%.3f < " +
-          f"target $targetRecall%.3f at targetClusterSize $t - raising " +
-          f"to ${t * branch} (one split level shallower; census cost " +
-          "grows proportionally to n*target)")
-      t *= branch
+          f"target $targetRecall%.3f at targetClusterSize ${ladder(i)} - " +
+          f"raising to ${ladder(i + 1)} (shallower hierarchy; census " +
+          "cost grows proportionally to n*target)")
+      i += 1
       measured = semDedupRecallAudit(
-        emb, t, simMin, auditSampleRows, branch, overlap)
+        emb, ladder(i), simMin, auditSampleRows, branch, overlap)
     }
     require(measured >= targetRecall,
       f"semDedupRecallPlan: recall >= $targetRecall%.3f is not " +
         f"purchasable inside the hierarchy - measured $measured%.3f at " +
-        f"targetClusterSize $t, and the next rung (${t * branch}) " +
-        f"exceeds the $SemDedupPinnedMaxRows census-block bound " +
-        "(per-cluster census is pop-squared: a 2^16-row cluster is the " +
-        "same ~4e9-pair block embeddingPairs refuses past). " +
-        "Recall-critical near-dup mass belongs to " +
-        "Dedup.embeddingPairsLshAuto (banded, no depth compounding), " +
-        "or run without targetRecall and own the measured curve.")
+        f"targetClusterSize ${ladder(i)}, the last rung inside the " +
+        f"$SemDedupPinnedMaxRows census-block bound (per-cluster census " +
+        "is pop-squared: a 2^16-row cluster is the same ~4e9-pair " +
+        "block embeddingPairs refuses past). Recall-critical near-dup " +
+        "mass belongs to Dedup.embeddingPairsLshAuto (banded, no depth " +
+        "compounding), or run without targetRecall and own the " +
+        "measured curve.")
     System.err.println(
       f"[graft] semDedupRecallPlan: certified - measured recall " +
-        f"$measured%.3f >= $targetRecall%.3f at targetClusterSize $t " +
-        f"(requested $targetClusterSize)")
-    (t, measured)
+        f"$measured%.3f >= $targetRecall%.3f at targetClusterSize " +
+        f"${ladder(i)} (requested $targetClusterSize)")
+    (ladder(i), measured)
   }
 
   /** Child assignment for one [[semDedup]] level: the branch candidate

@@ -299,6 +299,18 @@ class SemDedupSpec extends SparkSpec {
       Similarity.semDedupRecallPlan(ortho, 0.9, auditSampleRows = 32)
     }
     assert(boom.getMessage.contains("nothing to certify"), boom.getMessage)
+    // the rung sequence clamps to the census-block bound instead of
+    // overshooting it: 256×8³ = 131072 > 2^16, but 65536 itself is a
+    // legal (and measured-decisive) final rung — the r16 plan drill
+    // caught the unclamped ladder refusing a purchasable 0.9 floor
+    // at 200k (0.830@16384 refused; 0.960@65536 certifies)
+    assert(Similarity.recallLadder(256L, 8) === Seq(256L, 2048L, 16384L, 65536L))
+    assert(Similarity.recallLadder(65536L, 8) === Seq(65536L))
+    assert(Similarity.recallLadder(4L, 4).last === 65536L)
+    assert(Similarity.recallLadder(4L, 4).distinct ===
+      Similarity.recallLadder(4L, 4), "no duplicate rung when the stride lands on the bound")
+    assert(Similarity.recallLadder(100000L, 8) === Seq(100000L),
+      "a requested size past the bound rides alone - the caller chose it")
   }
 
   test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
