@@ -266,6 +266,24 @@ object Sink {
       // nio ATOMIC_MOVE is the real atomic replace here.
       val dst = java.nio.file.Paths.get(qp.toUri.getPath)
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      // upgrade path (r16 advisor): sidecars written BEFORE the nio
+      // branch existed went through Hadoop's LocalFileSystem — a
+      // ChecksumFs that leaves a `.<name>.crc` sibling. A raw nio
+      // replace would update the data file but not the crc, so the
+      // next readSidecar through the same ChecksumFs throws
+      // ChecksumException (and LocalFileSystem moves the "bad" sidecar
+      // aside to bad_files) — the collection's meta/centroids become
+      // unreadable after ONE in-place rewrite. Delete the stale crc
+      // BEFORE the move: in the delete→move window a racing reader
+      // sees the OLD data with NO crc (ChecksumFs skips verification
+      // when the crc is absent — safe), whereas deleting after the
+      // move would expose NEW data against the OLD crc. The tmp's
+      // possible orphan crc (from the pre-change create+rename) goes
+      // too, so the moved file never inherits one.
+      def crcOf(p: java.nio.file.Path): java.nio.file.Path =
+        p.resolveSibling("." + p.getFileName.toString + ".crc")
+      java.nio.file.Files.deleteIfExists(crcOf(dst))
+      java.nio.file.Files.deleteIfExists(crcOf(t))
       java.nio.file.Files.write(t, bytes)
       java.nio.file.Files.move(t, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -293,9 +311,16 @@ object Sink {
     // brief missing-file retry: writeSidecar's replace is atomic on
     // local FS (nio ATOMIC_MOVE) and HDFS (rename2), but an object
     // store's rename is copy+delete — a racing reader there can catch
-    // the sub-second gap. Bounded at ~200 ms; a sidecar that is STILL
-    // missing then is genuinely absent and the last attempt's
-    // FileNotFoundException propagates as before.
+    // the sub-second gap. The retry is GATED on the scheme (r16
+    // advisor): on file/hdfs a missing sidecar is genuinely absent
+    // (the replace leaves no gap), so the common
+    // open-a-nonexistent-collection path must fail fast instead of
+    // paying ~200 ms of pointless sleeps. Object stores keep the
+    // bounded ~200 ms window; a sidecar STILL missing then is
+    // genuinely absent and the last attempt's FileNotFoundException
+    // propagates as before.
+    val maxRetries =
+      if (fs.getScheme == "file" || fs.getScheme == "hdfs") 0 else 20
     var attempt = 0
     while (true) {
       try {
@@ -304,7 +329,7 @@ object Sink {
           in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       } catch {
-        case _: java.io.FileNotFoundException if attempt < 20 =>
+        case _: java.io.FileNotFoundException if attempt < maxRetries =>
           attempt += 1
           Thread.sleep(10)
       }

@@ -596,6 +596,25 @@ object Similarity {
     * and recall is the measured depth curve (0.957@3lv → 0.42@9lv on
     * clustered-replica geometry), surfaced by the runtime depth
     * warning. `auditSampleRows` sizes the planner's truth sample.
+    * The trials run under the caller's `branch`/`overlap`/
+    * `lloydIters` (the clustering geometry the floor certifies);
+    * they run WITHOUT the `quality` frame, which is sound: quality
+    * never moves a point between clusters (assignment is by
+    * embedding, and an exact group's rep carries the identical
+    * vector), so the co-location event the census decides — "some
+    * member of a true pair drops" — is keeper-invariant; quality
+    * only changes WHICH member survives. `maxPlanSeconds` bounds the
+    * ladder walk: each rung is priced a priori (upper-bound census
+    * model, measured per-pair constant) and again precisely once its
+    * hierarchy is built (exact census volume), refusing BEFORE an
+    * over-budget trial starts — see [[semDedupRecallPlan]]. Note the
+    * certified rung's cost is then paid once more by the actual run
+    * (the planner's trial receipts on stderr state the price).
+    * `maxCensusSeconds`, independently of any recall budget, gates
+    * THIS run's own census: once the hierarchy is materialized the
+    * exact pair volume (sum of pop² over census clusters) is known,
+    * and the run refuses before the self-join if the estimate
+    * exceeds the knob.
     *
     * Keeper policy: `quality` — an optional (vec_id, quality) frame —
     * switches the survivor order from earliest-id to
@@ -618,7 +637,9 @@ object Similarity {
       overlap: Double = 0.1,
       quality: Option[DataFrame] = None,
       targetRecall: Option[Double] = None,
-      auditSampleRows: Long = 5000L): DataFrame = {
+      auditSampleRows: Long = 5000L,
+      maxPlanSeconds: Option[Double] = None,
+      maxCensusSeconds: Option[Double] = None): DataFrame = {
     require(targetClusterSize >= 2, s"targetClusterSize must be >= 2: $targetClusterSize")
     require(branch >= 2 && branch <= 64, s"branch must be in [2, 64]: $branch")
     require(overlap >= 0 && overlap < 1, s"overlap must be in [0, 1): $overlap")
@@ -630,7 +651,7 @@ object Similarity {
     val tEff = targetRecall match {
       case Some(r) =>
         semDedupRecallPlan(emb, r, targetClusterSize, simMin, branch,
-          overlap, auditSampleRows)._1
+          overlap, auditSampleRows, lloydIters, maxPlanSeconds)._1
       case None => targetClusterSize
     }
     val spark = emb.sparkSession
@@ -860,6 +881,38 @@ object Similarity {
           "certifies or refuses — r16); recall-critical near-dup mass " +
           "belongs to embeddingPairsLshAuto or a larger " +
           "targetClusterSize")
+    // census-cost gate (r16 verdict #1): by this point the hierarchy
+    // is fully materialized, so the census volume is KNOWN — sum of
+    // pop² over the terminal clusters (probe rows included), the
+    // exact pair count the self-join below will score. With
+    // `maxCensusSeconds` set, price it against the measured per-pair
+    // constant (session conf spark.graft.semdedup.censusSecsPerPair,
+    // calibrated on this box — BENCH_NOTES r17) and refuse BEFORE the
+    // expensive stage starts, naming the estimate. The recall planner
+    // threads its remaining maxPlanSeconds budget through here, so a
+    // caller aborts a ~1300 s rung before paying it, not after. The
+    // default (None) adds NO pass — the hot path is unchanged.
+    maxCensusSeconds.foreach { budget =>
+      val sumPairs = clustered.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("double").as("pop"))
+        .agg(coalesce(sum(col("pop") * col("pop")), lit(0.0)))
+        .head.getDouble(0)
+      val est = sumPairs * censusSecsPerPair(spark)
+      System.err.println(
+        f"[graft] semDedup: census volume $sumPairs%.3e pairs — " +
+          f"estimated $est%.1f s at ${censusSecsPerPair(spark)}%.2e " +
+          f"s/pair against a $budget%.1f s maxCensusSeconds budget")
+      require(est <= budget,
+        f"semDedup: the census would score ~$sumPairs%.3e within-" +
+          f"cluster pairs, estimated $est%.1f s at the measured " +
+          f"${censusSecsPerPair(spark)}%.2e s/pair constant — over the " +
+          f"$budget%.1f s maxCensusSeconds budget. Aborting BEFORE the " +
+          "census (the hierarchy cost is already paid). Raise the " +
+          "budget, lower targetClusterSize (smaller clusters, " +
+          "quadratically less census), or route recall-critical " +
+          "near-dup mass to Dedup.embeddingPairsLshAuto (banded, " +
+          "volume-capped)")
+    }
     // 3. bounded within-cluster census — over ALL assignments (probe
     // rows included: they exist exactly so boundary pairs share a
     // census cluster); the output keeps one row per point (primary)
@@ -931,14 +984,25 @@ object Similarity {
     * the operator over the FULL planted corpus, and reports the
     * fraction of sampled true pairs whose id-later member the run
     * dropped — the single-cluster truth's verdict for that pair.
-    * NaN when the sample holds no true pair (widen it). */
+    * NaN when the sample holds no true pair (widen it).
+    *
+    * `lloydIters` matches the run configuration under audit (the
+    * r16 advisor finding: a floor measured at different Lloyd depth
+    * certifies a different clustering than the one executed).
+    * `sampleSalt` picks the content-stable truth-sample draw — vary
+    * it to measure the audit's own sampling variance (the r17
+    * spread table in BENCH_NOTES). `maxCensusSeconds` rides through
+    * to the trial run's census gate. */
   def semDedupRecallAudit(
       emb: DataFrame,
       targetClusterSize: Long = 256L,
       simMin: Double = 0.9,
       sampleRows: Long = 5000L,
       branch: Int = 8,
-      overlap: Double = 0.1): Double = {
+      overlap: Double = 0.1,
+      lloydIters: Int = 1,
+      sampleSalt: String = "semaudit",
+      maxCensusSeconds: Option[Double] = None): Double = {
     require(sampleRows > 0 && sampleRows <= 16384,
       s"semDedupRecallAudit sample must be in (0, 16384]: $sampleRows")
     val base = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -946,7 +1010,7 @@ object Similarity {
     val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
     val sample = base.filter(
       pmod(Embedder.stringHash64(
-          concat_ws(":", col("vec_id").cast("string"), lit("semaudit"))),
+          concat_ws(":", col("vec_id").cast("string"), lit(sampleSalt))),
         lit(1000000L)).cast("double") < p * 1000000.0)
       .localCheckpoint(true)
     val planted = Dedup.embCorpusWithDups(sample, withLabel = false)
@@ -965,7 +1029,8 @@ object Similarity {
       Double.NaN
     } else {
       val drops = semDedup(Dedup.embCorpusWithDups(base, withLabel = false),
-          targetClusterSize, simMin, branch = branch, overlap = overlap)
+          targetClusterSize, simMin, branch = branch, overlap = overlap,
+          lloydIters = lloydIters, maxCensusSeconds = maxCensusSeconds)
         .filter(col("dropped")).select(col("vec_id").as("j"))
       val hit = truth.join(drops, Seq("j")).count()
       val recall = hit.toDouble / truthN
@@ -994,11 +1059,23 @@ object Similarity {
     * the planted corpus, and the final rung's census is ∝ n·target —
     * the ladder is geometric, so total trial cost ≈ 2× the final
     * rung's run. That is the honest price of a measured floor;
-    * anything cheaper is a promise.
+    * anything cheaper is a promise. The price is now SURFACED before
+    * it is paid (r16 verdict #1): every rung logs an a-priori
+    * estimate from [[semDedupEstimateSecs]] (n, rung, and the
+    * measured per-pair constant) before its trial starts, and
+    * `maxPlanSeconds` turns that line into an abort — over-budget
+    * rungs refuse up front, and the remaining budget also rides into
+    * each trial's precise census-volume gate (see [[semDedup]]'s
+    * `maxCensusSeconds`), so a mid-ladder under-estimate still
+    * aborts before the census, never after it.
     *
     * Refusals (loud, with the named escape):
     *  - audit sample holds no true pair → nothing to certify; widen
     *    `auditSampleRows` or drop the recall budget.
+    *  - the next rung's a-priori estimate (or a trial's measured
+    *    census volume) exceeds `maxPlanSeconds` → abort before the
+    *    expensive stage, naming the estimate, the spend so far, and
+    *    the budget; raise the budget, lower the floor, or go banded.
     *  - the next rung would exceed [[SemDedupPinnedMaxRows]] —
     *    per-cluster census is pop², so a 2^16-row cluster is the same
     *    ~4·10⁹-pair block [[graft.ops.Dedup.embeddingPairs]] refuses
@@ -1014,6 +1091,53 @@ object Similarity {
     * 0.830 — skipping it refused a purchasable budget, the r16 plan
     * drill's finding). A requested size already past the bound rides
     * alone: the caller chose it explicitly. */
+  /** Measured cost constants for the a-priori trial estimate (r16
+    * verdict #1: the ladder walked rungs blind — a caller discovered
+    * the ~1300 s rung only by entering it). Both are box calibrations
+    * from the r17 200k ladder re-measurement (local[32], BENCH_NOTES
+    * r17) and both are session-conf overridable for other hardware:
+    * `spark.graft.semdedup.censusSecsPerPair` and
+    * `spark.graft.semdedup.hierarchySecsPerRowLevel`. */
+  val CensusSecsPerPairDefault: Double = 1.0e-7
+  val HierarchySecsPerRowLevelDefault: Double = 3.0e-5
+
+  private def confD(spark: SparkSession, key: String, d: Double): Double =
+    spark.conf.getOption(key).map(_.toDouble).getOrElse(d)
+  private[graft] def censusSecsPerPair(spark: SparkSession): Double =
+    confD(spark, "spark.graft.semdedup.censusSecsPerPair",
+      CensusSecsPerPairDefault)
+  private[graft] def hierarchySecsPerRowLevel(spark: SparkSession): Double =
+    confD(spark, "spark.graft.semdedup.hierarchySecsPerRowLevel",
+      HierarchySecsPerRowLevelDefault)
+
+  /** A-priori wall-clock estimate for one [[semDedup]] run of `n`
+    * rows at `target`: hierarchy term (n rows × split levels at the
+    * per-row-level constant) plus census term (n·min(target, n)
+    * pairs at the per-pair constant). The census term is an UPPER
+    * BOUND — it assumes terminal clusters fill to `target`, which
+    * deep hierarchies undershoot (splits retire clusters below the
+    * target) and the final clamped rung on clustered geometry meets
+    * (the measured ~1300 s at 65536/200k is census-bound with
+    * near-full superclusters). The planner logs this number before
+    * every rung and gates `maxPlanSeconds` on it; once a trial's
+    * hierarchy is built, the PRECISE volume gate inside [[semDedup]]
+    * (sum of pop²) takes over. Spec-pinned within 2× of the measured
+    * r17 200k curve. */
+  def semDedupEstimateSecs(
+      n: Long,
+      target: Long,
+      branch: Int = 8,
+      secsPerPair: Double = CensusSecsPerPairDefault,
+      secsPerRowLevel: Double = HierarchySecsPerRowLevelDefault): Double = {
+    val t = math.min(math.max(2L, target), math.max(1L, n))
+    val levels =
+      if (n <= t) 0
+      else math.ceil(
+        math.log(n.toDouble / t) / math.log(branch.toDouble)).toInt
+    secsPerRowLevel * n * math.max(1, levels) +
+      secsPerPair * n.toDouble * t
+  }
+
   private[graft] def recallLadder(start: Long, branch: Int): Seq[Long] = {
     val rungs = Iterator.iterate(start)(_ * branch)
       .takeWhile(t => t > 0 && t <= SemDedupPinnedMaxRows).toSeq
@@ -1029,13 +1153,57 @@ object Similarity {
       simMin: Double = 0.9,
       branch: Int = 8,
       overlap: Double = 0.1,
-      auditSampleRows: Long = 5000L): (Long, Double) = {
+      auditSampleRows: Long = 5000L,
+      lloydIters: Int = 1,
+      maxPlanSeconds: Option[Double] = None): (Long, Double) = {
     require(targetRecall > 0 && targetRecall <= 1,
       s"targetRecall must be in (0, 1]: $targetRecall")
+    val spark = emb.sparkSession
+    val cPair = censusSecsPerPair(spark)
+    val cRow = hierarchySecsPerRowLevel(spark)
+    // the trial corpus is the planted one — every 20th row gains a
+    // near-dup copy (embCorpusWithDups), so the estimate must price
+    // the rows the trial actually runs, not the caller's n
+    val n = emb.count()
+    val plantedN = n + (n + 19L) / 20L
     val ladder = recallLadder(targetClusterSize, branch)
+    var spent = 0.0
+    // per-rung price, surfaced BEFORE the trial starts (r16 verdict
+    // #1: the census cost model was known but the ladder walked
+    // blind — at 200k the caller discovered the ~1300 s final rung
+    // only by entering it). The a-priori estimate gates
+    // maxPlanSeconds here; the remaining budget also rides into the
+    // trial's own PRECISE census-volume gate (sum of pop², known the
+    // moment the hierarchy is built), so even an under-estimated
+    // rung aborts before its census, never after.
+    def trial(rung: Long): Double = {
+      val est = semDedupEstimateSecs(plantedN, rung, branch, cPair, cRow)
+      System.err.println(
+        f"[graft] semDedupRecallPlan: rung $rung — estimated ~$est%.0f s " +
+          f"(upper-bound model: $plantedN planted rows, census " +
+          f"${plantedN.toDouble * math.min(rung, plantedN)}%.2e pairs at " +
+          f"$cPair%.2e s/pair; ladder spent $spent%.0f s so far)")
+      maxPlanSeconds.foreach { budget =>
+        require(spent + est <= budget,
+          f"semDedupRecallPlan: rung $rung is estimated at ~$est%.0f s " +
+            f"and the ladder has already spent $spent%.0f s of the " +
+            f"$budget%.0f s maxPlanSeconds budget — aborting BEFORE the " +
+            "trial starts (census cost grows proportionally to " +
+            "n*target; the estimate uses the measured per-pair " +
+            "constant, conf spark.graft.semdedup.censusSecsPerPair). " +
+            "Raise maxPlanSeconds, lower targetRecall, or route " +
+            "recall-critical near-dup mass to " +
+            "Dedup.embeddingPairsLshAuto (banded, no depth compounding)")
+      }
+      val t0 = System.nanoTime()
+      val r = semDedupRecallAudit(emb, rung, simMin, auditSampleRows,
+        branch, overlap, lloydIters,
+        maxCensusSeconds = maxPlanSeconds.map(b => math.max(0.0, b - spent)))
+      spent += (System.nanoTime() - t0) / 1e9
+      r
+    }
     var i = 0
-    var measured = semDedupRecallAudit(
-      emb, ladder(i), simMin, auditSampleRows, branch, overlap)
+    var measured = trial(ladder(i))
     require(!measured.isNaN,
       s"semDedupRecallPlan: the $auditSampleRows-row audit sample holds " +
         s"no true pair at simMin=$simMin - there is nothing to certify " +
@@ -1048,8 +1216,7 @@ object Similarity {
           f"raising to ${ladder(i + 1)} (shallower hierarchy; census " +
           "cost grows proportionally to n*target)")
       i += 1
-      measured = semDedupRecallAudit(
-        emb, ladder(i), simMin, auditSampleRows, branch, overlap)
+      measured = trial(ladder(i))
     }
     require(measured >= targetRecall,
       f"semDedupRecallPlan: recall >= $targetRecall%.3f is not " +

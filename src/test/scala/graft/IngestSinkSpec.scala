@@ -689,4 +689,62 @@ class IngestSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".crc")),
       "no orphaned checksum files (FileContext used for create AND rename)")
   }
+
+  test("writeSidecar: upgrade path — a stale ChecksumFs .crc from the old writer is deleted, not tripped") {
+    // the r16 advisor finding: sidecars written BEFORE the nio branch
+    // went through Hadoop's LocalFileSystem (a ChecksumFs), leaving a
+    // `.<name>.crc` sibling. The nio ATOMIC_MOVE replaces the data
+    // file but not the crc, so the next readSidecar through the same
+    // ChecksumFs hits a stale checksum — ChecksumException, and
+    // LocalFileSystem moves the "bad" sidecar aside to bad_files: one
+    // in-place rewrite (e.g. re-running buildIvfIndex over a
+    // pre-change collection) bricks the collection's meta/centroids.
+    val dir = Files.createTempDirectory("graft-sidecar-upgrade").toString
+    val p = s"$dir/meta.json"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem],
+      "precondition: the file scheme resolves to the checksummed LocalFileSystem")
+    // the OLD writer pattern, verbatim: ChecksumFs create + rename —
+    // this leaves .meta.json.crc next to the sidecar
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".meta.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write("OLD".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.rename(tmp, hp)
+    val crc = new java.io.File(dir, ".meta.json.crc")
+    assert(crc.exists(), "precondition: the legacy writer left a crc sibling")
+    assert(Sink.readSidecar(p) === "OLD")
+    // the failure mode is REAL: a raw in-place replace (what the nio
+    // branch would do without the fix) leaves the stale crc and the
+    // checksummed read throws
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "RAW".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[org.apache.hadoop.fs.ChecksumException] {
+      val in = fs.open(hp)
+      try in.readAllBytes() finally in.close()
+    }
+    // LocalFileSystem.reportChecksumFailure may have moved the "bad"
+    // sidecar aside to bad_files during the intercept leg — clear the
+    // evidence so the fixed-path assertion below is unambiguous
+    val badDir = new java.io.File(dir, "bad_files")
+    if (badDir.exists()) {
+      badDir.listFiles().foreach(_.delete())
+      badDir.delete()
+    }
+    // restore the legacy state (data + matching crc) and run the
+    // FIXED writeSidecar: it must delete the stale crc before the
+    // move, and the follow-up read must return the new content
+    fs.delete(hp, false)
+    val out2 = fs.create(hp, true)
+    out2.write("OLD".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out2.close()
+    assert(crc.exists() && Sink.readSidecar(p) === "OLD")
+    Sink.writeSidecar(p, "NEW")
+    assert(Sink.readSidecar(p) === "NEW",
+      "an in-place rewrite over a legacy checksummed sidecar must read back")
+    assert(!crc.exists(), "the stale crc sibling must be deleted")
+    assert(!new java.io.File(dir, "bad_files").exists(),
+      "no sidecar may be moved aside as checksum-corrupt")
+  }
 }

@@ -313,6 +313,57 @@ class SemDedupSpec extends SparkSpec {
       "a requested size past the bound rides alone - the caller chose it")
   }
 
+  test("plan price is surfaced and gated: maxPlanSeconds aborts BEFORE an over-budget rung; the census gate prices the built hierarchy") {
+    // r16 verdict #1: the ladder walked rungs blind — the caller
+    // discovered the ~1300 s rung only by entering it. Now every rung
+    // logs an a-priori estimate and maxPlanSeconds turns it into an
+    // abort that NAMES the estimate.
+    val corpus = (0 until 10)
+      .map(c => ScaleData.embCopy(
+        t(spark, sf01, "embeddings").withColumn("label", lit(0L)), c))
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.semDedupRecallPlan(corpus, 0.95, targetClusterSize = 4L,
+        branch = 4, auditSampleRows = 2000, maxPlanSeconds = Some(1e-6))
+    }
+    assert(boom.getMessage.contains("estimated at ~") &&
+      boom.getMessage.contains("maxPlanSeconds") &&
+      boom.getMessage.contains("BEFORE"),
+      s"the refusal must name the estimate and the budget: ${boom.getMessage}")
+    // a generous budget changes nothing: same certification as the
+    // un-gated plan (and the estimate lines are log-only)
+    val (chosen, measured) = Similarity.semDedupRecallPlan(
+      corpus, 0.95, targetClusterSize = 4L, branch = 4,
+      auditSampleRows = 2000, maxPlanSeconds = Some(3600.0))
+    val (chosen0, measured0) = Similarity.semDedupRecallPlan(
+      corpus, 0.95, targetClusterSize = 4L, branch = 4, auditSampleRows = 2000)
+    assert(chosen === chosen0 && measured === measured0,
+      "a non-binding budget must not change the certified rung")
+    // the PRECISE census-volume gate inside semDedup: a zero budget
+    // refuses after the hierarchy, before the self-join, naming the
+    // measured pair volume; a generous one is output-invisible
+    val emb = t(spark, sf01, "embeddings")
+    val censusBoom = intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4,
+        maxCensusSeconds = Some(0.0))
+    }
+    assert(censusBoom.getMessage.contains("census would score") &&
+      censusBoom.getMessage.contains("maxCensusSeconds"),
+      s"the census refusal must name the measured volume: ${censusBoom.getMessage}")
+    val gated = Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4,
+      maxCensusSeconds = Some(3600.0))
+    val plain = Similarity.semDedup(emb, targetClusterSize = 16L, branch = 4)
+    assert(dropSet(gated) === dropSet(plain),
+      "a non-binding census budget must not change the drop set")
+    // lloydIters and the truth-sample salt thread through the audit
+    // (the r16 advisor finding: trials must measure the configuration
+    // the run executes; the salt is the r17 variance lever)
+    val r = Similarity.semDedupRecallAudit(emb, targetClusterSize = 16L,
+      branch = 4, lloydIters = 2, sampleSalt = "semaudit:v1")
+    assert(!r.isNaN && r >= 0.0 && r <= 1.0, s"audit under threaded config: $r")
+  }
+
   test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
     // sampleRows (5000) >= n (sf0.01), so p = 1: the sampled truth IS
     // the full exact pair set and the audited recall must equal the
