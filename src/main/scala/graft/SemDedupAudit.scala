@@ -133,47 +133,71 @@ object SemDedupAudit {
         // the targetRecall ladder's economics, measured: for each
         // targetClusterSize rung, ONE full operator run over the
         // planted corpus (timed alone — the census is the cost that
-        // grows ∝ n·target) and its drop-set recall against ONE shared
-        // sampled exact truth. This is the BENCH_NOTES cost/recall
-        // curve behind semDedupRecallPlan.
+        // grows ∝ n·target) and its drop-set recall against sampled
+        // exact truth. This is the BENCH_NOTES cost/recall curve
+        // behind semDedupRecallPlan. r17: SPARK_GRAFT_AUDIT_SALTS
+        // (comma list, default "semaudit") draws one truth sample PER
+        // SALT and reports per-rung recall under each — the planner's
+        // own sampling variance, measured at the price of ONE
+        // operator run per rung (the run is plant-deterministic and
+        // salt-independent; only the truth sample varies), plus the
+        // a-priori estimate the r17 planner logs, for calibration.
         val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
         val sampleRows =
           sys.env.getOrElse("SPARK_GRAFT_AUDIT_SAMPLE", "5000").toLong
         val targets = sys.env.getOrElse("SPARK_GRAFT_AUDIT_TARGETS", "256,2048,16384")
           .split(",").map(_.trim.toLong).toSeq
+        val salts = sys.env.getOrElse("SPARK_GRAFT_AUDIT_SALTS", "semaudit")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val emb = Tables.t(spark, dir, "embeddings")
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
         val n = emb.count()
         val p = math.min(1.0, sampleRows.toDouble / math.max(1L, n))
-        val sample = emb.filter(
-          org.apache.spark.sql.functions.pmod(graft.index.Embedder.stringHash64(
-              concat_ws(":", col("vec_id").cast("string"), lit("semaudit"))),
-            lit(1000000L)).cast("double") < p * 1000000.0)
-          .localCheckpoint(true)
-        val plantedS = graft.ops.Dedup.embCorpusWithDups(sample, withLabel = false)
-        val truth = plantedS
-          .select(col("vec_id").as("i"), col("embedding").as("va"))
-          .join(plantedS.select(col("vec_id").as("j"), col("embedding").as("vb")),
-            col("i") < col("j"))
-          .filter(org.apache.spark.sql.functions.round(
-            graft.vector.Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
-          .select(col("i"), col("j")).localCheckpoint(true)
-        val truthN = truth.count()
+        val truths = salts.map { salt =>
+          val sample = emb.filter(
+            org.apache.spark.sql.functions.pmod(graft.index.Embedder.stringHash64(
+                concat_ws(":", col("vec_id").cast("string"), lit(salt))),
+              lit(1000000L)).cast("double") < p * 1000000.0)
+            .localCheckpoint(true)
+          val plantedS = graft.ops.Dedup.embCorpusWithDups(sample, withLabel = false)
+          val truth = plantedS
+            .select(col("vec_id").as("i"), col("embedding").as("va"))
+            .join(plantedS.select(col("vec_id").as("j"), col("embedding").as("vb")),
+              col("i") < col("j"))
+            .filter(org.apache.spark.sql.functions.round(
+              graft.vector.Kernels.cosine(col("va"), col("vb")), 6) >= 0.9)
+            .select(col("i"), col("j")).localCheckpoint(true)
+          (salt, truth, truth.count())
+        }
+        truths.foreach { case (salt, _, tn) =>
+          System.err.println(s"[audit] truth sample salt=$salt: $tn true pairs") }
         val corpus = graft.ops.Dedup.embCorpusWithDups(emb, withLabel = false)
           .localCheckpoint(true)
+        val plantedN = corpus.count()
         val rows = targets.map { tgt =>
+          val est = graft.ops.Similarity.semDedupEstimateSecs(plantedN, tgt)
           val t0 = System.nanoTime()
           val out = graft.ops.Similarity.semDedup(corpus, targetClusterSize = tgt)
           val secs = (System.nanoTime() - t0) / 1e9
-          val hit = truth.join(
-            out.filter(col("dropped")).select(col("vec_id").as("j")), Seq("j")).count()
-          val r = if (truthN == 0) Double.NaN else hit.toDouble / truthN
-          System.err.println(s"[audit] curve @ $dir target=$tgt: recall ${f3(r)} in ${f3(secs)} s")
-          s""""$tgt":{"recall":${f3(r)},"secs":${f3(secs)}}"""
+          val drops = out.filter(col("dropped"))
+            .select(col("vec_id").as("j")).localCheckpoint(true)
+          val recalls = truths.map { case (salt, truth, tn) =>
+            val hit = truth.join(drops, Seq("j")).count()
+            val r = if (tn == 0) Double.NaN else hit.toDouble / tn
+            System.err.println(
+              s"[audit] curve @ $dir target=$tgt salt=$salt: recall ${f3(r)}")
+            s""""$salt":${f3(r)}"""
+          }
+          System.err.println(s"[audit] curve @ $dir target=$tgt: " +
+            s"${f3(secs)} s measured vs ${f3(est)} s estimated")
+          s""""$tgt":{"secs":${f3(secs)},"est_secs":${f3(est)},""" +
+            s""""recall":{${recalls.mkString(",")}}}"""
         }
         spark.stop()
         println(s"""{"metric":"semdedup_curve","dir":"$dir","n":$n,""" +
-          s""""truth_pairs":$truthN,"targets":{${rows.mkString(",")}}}""")
+          s""""planted_n":$plantedN,""" +
+          s""""truth_pairs":{${truths.map(t => s""""${t._1}":${t._3}""").mkString(",")}},""" +
+          s""""targets":{${rows.mkString(",")}}}""")
 
       case "diag" =>
         // where do MISSED truth pairs land? For each sampled true
@@ -250,7 +274,21 @@ object SemDedupAudit {
         val emb = Tables.t(spark, dir, "embeddings")
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
         val n = emb.count()
-        val (bands, planes, capCorpus, _) = graft.ops.Dedup.lshAutoPlan(n, simMin)
+        // r17: optional plan overrides — the third validation decade
+        // (200k) is disk-blocked under the AUTO plan (its uncapped
+        // truth leg spills >61 GB), but a SMALLER hand config (fewer
+        // bands, more planes per band → fewer accidental collisions)
+        // keeps the uncapped candidate volume inside the sandbox's
+        // disk, giving a third (scale, divergence) point under a
+        // stated config caveat instead of a faked geometry.
+        val (autoBands, autoPlanes, autoCap, _) =
+          graft.ops.Dedup.lshAutoPlan(n, simMin)
+        val bands = sys.env.get("SPARK_GRAFT_AUDIT_BANDS")
+          .map(_.toInt).getOrElse(autoBands)
+        val planes = sys.env.get("SPARK_GRAFT_AUDIT_PLANES")
+          .map(_.toInt).getOrElse(autoPlanes)
+        val capCorpus = sys.env.get("SPARK_GRAFT_AUDIT_CAP")
+          .map(_.toLong).getOrElse(autoCap)
         def pairCount(input: org.apache.spark.sql.DataFrame, cap: Long): Long =
           graft.ops.Dedup.embeddingPairsLsh(emb = input, simMin = simMin,
             bands = bands, planesPerBand = planes, maxBucket = cap).count()
