@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Executor-loss drill for the reliable-checkpoint durability contract
+  * (r16 verdict #4): "with `spark.graft.checkpointDir` set, losing an
+  * executor costs re-reading checkpoint files, never a dead job" was
+  * spec-asserted for OUTPUT EQUALITY only — never actually drilled
+  * under a real executor death. This main runs [[graft.ops.Similarity.semDedup]]
+  * twice on a planted corpus — a clean reference run, then a run
+  * during which a REAL executor JVM is SIGKILLed — and compares drop
+  * sets.
+  *
+  * Run it under a REAL multi-process master (each executor its own
+  * JVM, so the kill is a genuine process death, not a thread stop):
+  * {{{
+  * sbt package
+  * SPARK_GRAFT_DRILL_KILL_MS=8000 /opt/spark/bin/spark-submit \
+  *   --master 'local-cluster[2,4,3072]' \
+  *   --conf spark.graft.checkpointDir=/tmp/graft_drill_ckpt \
+  *   --class graft.CkptDrill target/scala-2.13/&lt;repo&gt;.jar
+  * }}}
+  *
+  * The killer thread scans /proc for CoarseGrainedExecutorBackend
+  * children and `kill -9`s one mid-run; the standalone worker
+  * relaunches a fresh executor and the lost tasks replay from the
+  * reliable checkpoint files. Without the conf (localCheckpoint mode)
+  * the same kill loses executor-resident blocks with TRUNCATED
+  * lineage — unrecomputable, a dead job — which is exactly why the
+  * durable switch exists; mode=local drills that negative leg
+  * (outcome recorded, not asserted: Spark may or may not have
+  * scheduled the doomed blocks on the killed executor).
+  *
+  * Prints one JSON line:
+  * `{"metric":"ckpt_drill","mode":...,"killed":N,"match":true,...}`. */
+object CkptDrill {
+
+  /** PIDs of live executor JVMs (CoarseGrainedExecutorBackend). */
+  private def executorPids(): Seq[Long] = {
+    val proc = java.nio.file.Paths.get("/proc")
+    val out = scala.collection.mutable.Buffer.empty[Long]
+    val dirs = java.nio.file.Files.list(proc)
+    try dirs.forEach { d =>
+      val name = d.getFileName.toString
+      if (name.forall(_.isDigit)) {
+        try {
+          val cmd = new String(
+            java.nio.file.Files.readAllBytes(d.resolve("cmdline")), "UTF-8")
+          if (cmd.contains("CoarseGrainedExecutorBackend")) out += name.toLong
+        } catch { case _: Exception => () } // raced exit — skip
+      }
+    }
+    finally dirs.close()
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DRILL_MODE", "durable")
+    val killAfterMs = sys.env.getOrElse("SPARK_GRAFT_DRILL_KILL_MS", "8000").toLong
+    val dir = sys.env.getOrElse("SPARK_GRAFT_DRILL_DIR", "/tmp/graft_scale/x10")
+    // master + checkpointDir come from spark-submit; this main only
+    // asserts it is NOT running single-JVM local (a thread-local kill
+    // would drill nothing)
+    val spark = SparkSession.builder()
+      .appName("graft-ckpt-drill")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val master = spark.sparkContext.master
+    require(master.startsWith("local-cluster") || master.startsWith("spark://"),
+      s"the drill needs real executor processes, got master=$master")
+    if (mode == "durable")
+      require(spark.conf.getOption("spark.graft.checkpointDir").nonEmpty,
+        "durable mode needs --conf spark.graft.checkpointDir=...")
+    else spark.conf.unset("spark.graft.checkpointDir")
+
+    def drops(): Seq[Long] =
+      graft.ops.Similarity
+        .semDedupProbe(spark, dir)
+        .filter(col("dropped")).select(col("vec_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+
+    // clean reference run (also JIT/codegen warm-up, so the killed
+    // run's timing window is stable)
+    val t0 = System.nanoTime()
+    val clean = drops()
+    val cleanSecs = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"[drill] clean run: ${clean.size} drops in $cleanSecs%.1f s " +
+        f"(executors: ${executorPids().mkString(",")})")
+
+    // killed run: SIGKILL one executor JVM mid-flight
+    val killed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val killer = new Thread(() => {
+      Thread.sleep(killAfterMs)
+      executorPids().headOption.foreach { pid =>
+        System.err.println(s"[drill] kill -9 executor pid $pid")
+        new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()
+        killed.set(pid)
+      }
+    })
+    killer.setDaemon(true)
+    val t1 = System.nanoTime()
+    killer.start()
+    val result =
+      try Right(drops())
+      catch { case e: Exception => Left(e.toString.take(300)) }
+    val killedSecs = (System.nanoTime() - t1) / 1e9
+    killer.join(1000)
+    val json = result match {
+      case Right(ds) =>
+        val ok = ds == clean
+        s""""completed":true,"match":$ok,"drops":${ds.size}"""
+      case Left(err) =>
+        s""""completed":false,"match":false,"error":"${
+          err.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")}""""
+    }
+    spark.stop()
+    println(
+      s"""{"metric":"ckpt_drill","mode":"$mode","dir":"$dir",""" +
+        s""""clean_drops":${clean.size},"killed_pid":${killed.get()},""" +
+        f""""clean_secs":$cleanSecs%.1f,"killed_secs":$killedSecs%.1f,$json}""")
+    // durable mode is the CONTRACT: fail the process on any miss
+    if (mode == "durable" &&
+        (killed.get() == 0L || !result.toOption.contains(clean)))
+      sys.exit(1)
+  }
+}

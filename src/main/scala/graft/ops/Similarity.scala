@@ -1076,6 +1076,13 @@ object Similarity {
     *    census volume) exceeds `maxPlanSeconds` → abort before the
     *    expensive stage, naming the estimate, the spend so far, and
     *    the budget; raise the budget, lower the floor, or go banded.
+    *
+    * Certification bar: session conf
+    * `spark.graft.semdedup.recallMargin` (default 0) demands
+    * `measured >= targetRecall + margin` — the audit's per-rung
+    * sampling spread is ~0.08 at 200k (five truth-sample draws,
+    * BENCH_NOTES r17), so a floor inside the spread certifies on
+    * draw luck unless a margin (~half the spread) absorbs it.
     *  - the next rung would exceed [[SemDedupPinnedMaxRows]] —
     *    per-cluster census is pop², so a 2^16-row cluster is the same
     *    ~4·10⁹-pair block [[graft.ops.Dedup.embeddingPairs]] refuses
@@ -1098,7 +1105,7 @@ object Similarity {
     * r17) and both are session-conf overridable for other hardware:
     * `spark.graft.semdedup.censusSecsPerPair` and
     * `spark.graft.semdedup.hierarchySecsPerRowLevel`. */
-  val CensusSecsPerPairDefault: Double = 1.0e-7
+  val CensusSecsPerPairDefault: Double = 1.3e-7
   val HierarchySecsPerRowLevelDefault: Double = 3.0e-5
 
   private def confD(spark: SparkSession, key: String, d: Double): Double =
@@ -1110,19 +1117,35 @@ object Similarity {
     confD(spark, "spark.graft.semdedup.hierarchySecsPerRowLevel",
       HierarchySecsPerRowLevelDefault)
 
+  /** Certification margin for the recall planner (session conf
+    * `spark.graft.semdedup.recallMargin`, default 0): the ladder
+    * certifies a rung when `measured >= targetRecall + margin`. The
+    * audit's number is ONE truth-sample draw, and its sampling spread
+    * is real — measured at 200k across five salts the per-rung range
+    * is up to ~0.08 (BENCH_NOTES r17 spread table), so a floor that
+    * lands inside the spread can certify or refuse on the luck of the
+    * draw. A margin of about half the observed spread (0.04) makes
+    * the certification robust to it; the default stays 0 so the knob
+    * never silently raises a caller's census bill. */
+  private[graft] def recallMargin(spark: SparkSession): Double =
+    confD(spark, "spark.graft.semdedup.recallMargin", 0.0)
+
   /** A-priori wall-clock estimate for one [[semDedup]] run of `n`
     * rows at `target`: hierarchy term (n rows × split levels at the
-    * per-row-level constant) plus census term (n·min(target, n)
-    * pairs at the per-pair constant). The census term is an UPPER
-    * BOUND — it assumes terminal clusters fill to `target`, which
-    * deep hierarchies undershoot (splits retire clusters below the
-    * target) and the final clamped rung on clustered geometry meets
-    * (the measured ~1300 s at 65536/200k is census-bound with
-    * near-full superclusters). The planner logs this number before
+    * per-row-level constant) plus census term. Census volume sits
+    * between two regimes the planner cannot distinguish up front —
+    * BALANCED terminal clusters (pop = n/branch^levels, volume
+    * n·target·fill where fill = (n/target)/branch^levels ≤ 1) and
+    * CLAMPED-at-target skew (volume n·target, what clustered-copy
+    * geometry produces at the final rung) — so the estimate takes
+    * their geometric mean, n·target·√fill, calibrated on the
+    * measured r17 200k curve (29.5 / 66.9 / 150 / ~1300 s at
+    * 256/2048/16384/65536): every rung lands within ~1.5× both ways,
+    * spec-pinned within 2×. The planner logs this number before
     * every rung and gates `maxPlanSeconds` on it; once a trial's
     * hierarchy is built, the PRECISE volume gate inside [[semDedup]]
-    * (sum of pop²) takes over. Spec-pinned within 2× of the measured
-    * r17 200k curve. */
+    * (sum of pop²) takes over, so an a-priori miss can never buy an
+    * unpriced census. */
   def semDedupEstimateSecs(
       n: Long,
       target: Long,
@@ -1134,8 +1157,11 @@ object Similarity {
       if (n <= t) 0
       else math.ceil(
         math.log(n.toDouble / t) / math.log(branch.toDouble)).toInt
+    val fill =
+      if (levels == 0) 1.0
+      else (n.toDouble / t) / math.pow(branch.toDouble, levels)
     secsPerRowLevel * n * math.max(1, levels) +
-      secsPerPair * n.toDouble * t
+      secsPerPair * n.toDouble * t * math.sqrt(fill)
   }
 
   private[graft] def recallLadder(start: Long, branch: Int): Seq[Long] = {
@@ -1159,6 +1185,17 @@ object Similarity {
     require(targetRecall > 0 && targetRecall <= 1,
       s"targetRecall must be in (0, 1]: $targetRecall")
     val spark = emb.sparkSession
+    // sampling-robust certification: the audit is one truth-sample
+    // draw whose per-rung spread is measured (~0.08 at 200k across 5
+    // salts — BENCH_NOTES r17), so a floor inside the spread would
+    // certify on draw luck. The margin conf demands measured >=
+    // target + margin; default 0 keeps the bill unchanged. An
+    // impossible bar refuses HERE, before any trial is paid.
+    val margin = recallMargin(spark)
+    require(margin >= 0 && targetRecall + margin <= 1.0,
+      f"spark.graft.semdedup.recallMargin=$margin%.3f must be >= 0 and " +
+        f"leave targetRecall + margin <= 1 (target $targetRecall%.3f)")
+    val bar = targetRecall + margin
     val cPair = censusSecsPerPair(spark)
     val cRow = hierarchySecsPerRowLevel(spark)
     // the trial corpus is the planted one — every 20th row gains a
@@ -1180,9 +1217,10 @@ object Similarity {
       val est = semDedupEstimateSecs(plantedN, rung, branch, cPair, cRow)
       System.err.println(
         f"[graft] semDedupRecallPlan: rung $rung — estimated ~$est%.0f s " +
-          f"(upper-bound model: $plantedN planted rows, census " +
-          f"${plantedN.toDouble * math.min(rung, plantedN)}%.2e pairs at " +
-          f"$cPair%.2e s/pair; ladder spent $spent%.0f s so far)")
+          f"(calibrated census model over $plantedN planted rows at " +
+          f"$cPair%.2e s/pair, census bound " +
+          f"${plantedN.toDouble * math.min(rung, plantedN)}%.2e pairs; " +
+          f"ladder spent $spent%.0f s so far)")
       maxPlanSeconds.foreach { budget =>
         require(spent + est <= budget,
           f"semDedupRecallPlan: rung $rung is estimated at ~$est%.0f s " +
@@ -1209,17 +1247,19 @@ object Similarity {
         s"no true pair at simMin=$simMin - there is nothing to certify " +
         "a recall floor against. Widen auditSampleRows (<= 16384) or " +
         "drop targetRecall (near-dup density this low makes the budget moot).")
-    while (measured < targetRecall && i + 1 < ladder.length) {
+    while (measured < bar && i + 1 < ladder.length) {
       System.err.println(
         f"[graft] semDedupRecallPlan: measured recall $measured%.3f < " +
-          f"target $targetRecall%.3f at targetClusterSize ${ladder(i)} - " +
+          f"target $targetRecall%.3f (+ margin $margin%.3f) at " +
+          f"targetClusterSize ${ladder(i)} - " +
           f"raising to ${ladder(i + 1)} (shallower hierarchy; census " +
           "cost grows proportionally to n*target)")
       i += 1
       measured = trial(ladder(i))
     }
-    require(measured >= targetRecall,
-      f"semDedupRecallPlan: recall >= $targetRecall%.3f is not " +
+    require(measured >= bar,
+      f"semDedupRecallPlan: recall >= $targetRecall%.3f " +
+        f"(+ sampling margin $margin%.3f) is not " +
         f"purchasable inside the hierarchy - measured $measured%.3f at " +
         f"targetClusterSize ${ladder(i)}, the last rung inside the " +
         f"$SemDedupPinnedMaxRows census-block bound (per-cluster census " +
@@ -1230,8 +1270,10 @@ object Similarity {
         "measured curve.")
     System.err.println(
       f"[graft] semDedupRecallPlan: certified - measured recall " +
-        f"$measured%.3f >= $targetRecall%.3f at targetClusterSize " +
-        f"${ladder(i)} (requested $targetClusterSize)")
+        f"$measured%.3f >= $targetRecall%.3f" +
+        (if (margin > 0) f" + margin $margin%.3f" else "") +
+        f" at targetClusterSize ${ladder(i)} (requested " +
+        f"$targetClusterSize; ladder spent $spent%.0f s)")
     (ladder(i), measured)
   }
 

@@ -362,6 +362,50 @@ class SemDedupSpec extends SparkSpec {
     val r = Similarity.semDedupRecallAudit(emb, targetClusterSize = 16L,
       branch = 4, lloydIters = 2, sampleSalt = "semaudit:v1")
     assert(!r.isNaN && r >= 0.0 && r <= 1.0, s"audit under threaded config: $r")
+    // the sampling margin (r17: measured per-rung spread ~0.08 at
+    // 200k) raises the certification bar: fixture rung 4 measures
+    // 0.9216, so floor 0.90 certifies AT 4 with margin 0 but must
+    // CLIMB past it with margin 0.03 (bar 0.93)
+    val (at0, _) = Similarity.semDedupRecallPlan(
+      corpus, 0.90, targetClusterSize = 4L, branch = 4, auditSampleRows = 2000)
+    spark.conf.set("spark.graft.semdedup.recallMargin", "0.03")
+    try {
+      val (atM, mM) = Similarity.semDedupRecallPlan(
+        corpus, 0.90, targetClusterSize = 4L, branch = 4, auditSampleRows = 2000)
+      assert(at0 === 4L && atM > at0,
+        s"margin 0.03 must push certification past the boundary rung ($at0 -> $atM)")
+      assert(mM >= 0.93)
+      // an impossible bar refuses by name before any trial
+      val mboom = intercept[IllegalArgumentException] {
+        Similarity.semDedupRecallPlan(corpus, 0.99, targetClusterSize = 4L,
+          branch = 4, auditSampleRows = 2000)
+      }
+      assert(mboom.getMessage.contains("recallMargin"), mboom.getMessage)
+    } finally spark.conf.unset("spark.graft.semdedup.recallMargin")
+  }
+
+  test("the a-priori trial estimate pins within 2x of the measured r17 200k ladder") {
+    // the r16 verdict's done-criterion for the cost surface: the
+    // estimator (calibrated census model, sqrt-fill interpolation
+    // between balanced-split and clamped-at-target volumes) must land
+    // within 2x of the measured curve on every rung. Measured r17,
+    // 210000 planted rows, local[32], one run per rung
+    // (BENCH_NOTES r17): max deviation 1.52x (the 2048 rung).
+    val measured = Seq(
+      256L -> 29.455, 2048L -> 66.948, 16384L -> 149.950, 65536L -> 1210.320)
+    measured.foreach { case (rung, m) =>
+      val est = Similarity.semDedupEstimateSecs(210000L, rung)
+      assert(est <= 2 * m && est >= m / 2,
+        f"rung $rung: estimate $est%.1f s must be within 2x of measured $m%.1f s")
+    }
+    // shape sanity: more rows or a larger target never estimates cheaper
+    assert(Similarity.semDedupEstimateSecs(420000L, 256L) >
+      Similarity.semDedupEstimateSecs(210000L, 256L))
+    assert(Similarity.semDedupEstimateSecs(210000L, 65536L) >
+      Similarity.semDedupEstimateSecs(210000L, 256L))
+    // n <= target collapses to the single-cluster census (n^2 pairs)
+    val one = Similarity.semDedupEstimateSecs(1000L, 4096L)
+    assert(one >= Similarity.CensusSecsPerPairDefault * 1000.0 * 1000.0)
   }
 
   test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
