@@ -110,13 +110,17 @@ object SemDedupAudit {
         val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
         val floor = sys.env.getOrElse("SPARK_GRAFT_AUDIT_FLOOR", "0.8").toDouble
         val target = sys.env.getOrElse("SPARK_GRAFT_AUDIT_TARGET", "256").toLong
+        // r17: optional wall-clock budget — the abort-before-the-
+        // expensive-rung receipt, at corpus scale, through the
+        // production entry point
+        val budget = sys.env.get("SPARK_GRAFT_AUDIT_BUDGET").map(_.toDouble)
         val emb = Tables.t(spark, dir, "embeddings")
         val n = emb.count()
         val t0 = System.nanoTime()
         val result =
           try {
             val (chosen, measured) = graft.ops.Similarity.semDedupRecallPlan(
-              emb, floor, targetClusterSize = target)
+              emb, floor, targetClusterSize = target, maxPlanSeconds = budget)
             s""""chosen":$chosen,"measured":${f3(measured)},"refused":false"""
           } catch {
             case e: IllegalArgumentException =>
@@ -313,6 +317,36 @@ object SemDedupAudit {
           s""""cap_sample":$capSample,"pairs_corpus":[$corpusCap,$corpusNoCap],""" +
           s""""pairs_sample":[$sampleCap,$sampleNoCap],""" +
           s""""kill_corpus":${f3(corpusKill)},"kill_sample":${f3(sampleKill)}}""")
+
+      case "lshvol" =>
+        // r17: the UNCAPPED candidate volume of a banding plan,
+        // computed EXACTLY from bucket populations (sum over buckets
+        // of pop·(pop−1)/2) in one narrow pass — no candidate join,
+        // no spill. This is the rangeJoinBucketed exact-pre-pass
+        // pattern applied to the lshcap validation: the r16 attempt
+        // discovered the truth leg's disk wall by hitting it (61 GB);
+        // the r17 12-band/20-plane retry hit it again at 74 GB. Now a
+        // config is priced BEFORE the join is attempted.
+        val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_DIR", "/tmp/graft_scale/x100")
+        val emb = Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val n = emb.count()
+        val configs = sys.env.getOrElse("SPARK_GRAFT_AUDIT_PLANS", "12:20,3:24,2:28")
+          .split(",").map(_.trim.split(":")).map(a => (a(0).toInt, a(1).toInt)).toSeq
+        val legs = configs.map { case (bands, planes) =>
+          val pairs = emb.select(col("vec_id"),
+              posexplode(graft.ops.Similarity.bandedBuckets(
+                col("embedding"), bands, planes)))
+            .groupBy(col("pos"), col("col"))
+            .agg(count(lit(1)).cast("double").as("pop"))
+            .agg(coalesce(sum(col("pop") * (col("pop") - 1) / 2), lit(0.0)))
+            .head.getDouble(0)
+          System.err.println(f"[audit] lshvol bands=$bands planes=$planes: $pairs%.3e uncapped candidate pairs")
+          f""""$bands:$planes":$pairs%.3e"""
+        }
+        spark.stop()
+        println(s"""{"metric":"lsh_volume","dir":"$dir","n":$n,""" +
+          s""""plans":{${legs.mkString(",")}}}""")
 
       case other =>
         spark.stop()
