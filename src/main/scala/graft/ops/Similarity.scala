@@ -907,11 +907,15 @@ object Similarity {
           f"cluster pairs, estimated $est%.1f s at the measured " +
           f"${censusSecsPerPair(spark)}%.2e s/pair constant — over the " +
           f"$budget%.1f s maxCensusSeconds budget. Aborting BEFORE the " +
-          "census (the hierarchy cost is already paid). Raise the " +
-          "budget, lower targetClusterSize (smaller clusters, " +
-          "quadratically less census), or route recall-critical " +
-          "near-dup mass to Dedup.embeddingPairsLshAuto (banded, " +
-          "volume-capped)")
+          "census (the hierarchy cost is already paid). The constant " +
+          "is wall-calibrated and CONSERVATIVE for mid-size clusters " +
+          "(measured census throughput 3.0e-8 to 7.5e-8 s/pair at " +
+          "200k, BENCH_NOTES r17) — tune conf " +
+          "spark.graft.semdedup.censusSecsPerPair if your geometry " +
+          "measures faster. Otherwise raise the budget, lower " +
+          "targetClusterSize (smaller clusters, quadratically less " +
+          "census), or route recall-critical near-dup mass to " +
+          "Dedup.embeddingPairsLshAuto (banded, volume-capped)")
     }
     // 3. bounded within-cluster census — over ALL assignments (probe
     // rows included: they exist exactly so boundary pairs share a
