@@ -41,9 +41,15 @@ object Bench {
       names: Seq[String],
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       sfDir: String,
-      repsFor: String => Int): (Seq[(String, Double, Double)], Map[String, Int]) = {
+      repsFor: String => Int)
+      : (Seq[(String, Double, Double)], Map[String, Int], Map[String, String]) = {
     val ok = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val bad = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    // FIRST failure message per query, for the detail file: the r17
+    // bench adjudication hit 7 one-rep transient errors that were
+    // undiagnosable because the catch below (rightly) keeps timing —
+    // counts stay the driver-facing signal, the message is forensics
+    val firstErr = scala.collection.mutable.Map.empty[String, String]
     // maxOption: an empty selection (SPARK_GRAFT_ONLY matching nothing)
     // degrades to an empty result, not an UnsupportedOperationException
     val maxReps = names.map(repsFor).maxOption.getOrElse(0)
@@ -62,7 +68,11 @@ object Bench {
           queries(n)(spark, sfDir).queryExecution.toRdd.count()
           ok(n) += (System.nanoTime() - t0) / 1e9
         } catch {
-          case _: Throwable => bad(n) += (System.nanoTime() - t0) / 1e9
+          case e: Throwable =>
+            bad(n) += (System.nanoTime() - t0) / 1e9
+            firstErr.getOrElseUpdate(n,
+              (e.getClass.getName + ": " +
+                Option(e.getMessage).getOrElse("")).take(300))
         }
       }
     }
@@ -71,7 +81,7 @@ object Bench {
       else (n, bad(n).max, bad(n).max)
     }
     val errs = names.map(n => n -> bad(n).size).filter(_._2 > 0).toMap
-    (timed, errs)
+    (timed, errs, firstErr.toMap)
   }
 
   /** 1-min/5-min/15-min load averages — recorded in the output files
@@ -161,7 +171,8 @@ object Bench {
       catch { case _: Throwable => }
     }
     val loadBefore = loadavg()
-    val (timed, errors) = timeQueries(spark, names, SparkEntry.queries, sfDir, repsFor)
+    val (timed, errors, errorMsgs) =
+      timeQueries(spark, names, SparkEntry.queries, sfDir, repsFor)
     val loadAfter = loadavg()
     val results = timed.map { case (n, mn, _) => n -> mn }
     // Compact JSON, printed LAST (after spark.stop()) with raw stdout
@@ -212,10 +223,18 @@ object Bench {
     val loads = s""""errors":$errJson,"ambient":$ambient,""" +
       s""""load_entry":${loadJson(loadAtEntry)},""" +
       s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
+    // first-failure messages, DETAIL FILE ONLY (the stdout line's
+    // schema is the driver contract and stays count-based)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+    val errMsgJson = errorMsgs.toSeq.sorted
+      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,""" +
-        s""""reps":$reps,"interleaved":true,"noise_top10_spread":$noise,$loads,"sf":"$sfDir"}\n""")
+        s""""reps":$reps,"interleaved":true,"noise_top10_spread":$noise,$loads,""" +
+        s""""error_messages":$errMsgJson,"sf":"$sfDir"}\n""")
     val bySlowest = results.sortBy(-_._2)
     def line(n: Int): String = {
       val qs = bySlowest.take(n)

@@ -14,9 +14,14 @@ class BenchSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.col("no_such_column"))
 
   test("timeQueries counts failures per query and times the rest") {
-    val (timed, errors) = Bench.timeQueries(spark,
+    val (timed, errors, errMsgs) = Bench.timeQueries(spark,
       Seq("g", "b"), Map("g" -> good, "b" -> broken), sf, _ => 2)
     assert(errors === Map("b" -> 2), "every failing pass must be counted")
+    // r17: the FIRST failure message is kept for the detail file —
+    // the adjudication lesson (7 transient one-rep errors, no trace)
+    assert(errMsgs.keySet === Set("b"))
+    assert(errMsgs("b").contains("no_such_column"),
+      s"the message must carry the cause: ${errMsgs("b")}")
     val byName = timed.map(t => t._1 -> t).toMap
     assert(byName("g")._2 > 0.0, "successful query reports its min time")
     // the all-failed query reports its MAX elapsed — the cost actually
@@ -26,9 +31,9 @@ class BenchSpec extends SparkSpec {
   }
 
   test("all-green run returns an empty error map") {
-    val (timed, errors) = Bench.timeQueries(spark,
+    val (timed, errors, errMsgs) = Bench.timeQueries(spark,
       Seq("g"), Map("g" -> good), sf, _ => 2)
-    assert(errors.isEmpty)
+    assert(errors.isEmpty && errMsgs.isEmpty)
     assert(timed.head._2 <= timed.head._3, "min over passes <= max")
   }
 
@@ -36,7 +41,7 @@ class BenchSpec extends SparkSpec {
     val counts = scala.collection.mutable.Map("hot" -> 0, "cold" -> 0)
     def counting(name: String): (SparkSession, String) => DataFrame =
       (s, _) => { counts(name) += 1; s.range(3).toDF("id") }
-    val (timed, errors) = Bench.timeQueries(spark,
+    val (timed, errors, _) = Bench.timeQueries(spark,
       Seq("hot", "cold"),
       Map("hot" -> counting("hot"), "cold" -> counting("cold")),
       sf, n => if (n == "hot") 4 else 2)

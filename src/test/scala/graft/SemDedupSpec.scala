@@ -408,6 +408,30 @@ class SemDedupSpec extends SparkSpec {
     assert(one >= Similarity.CensusSecsPerPairDefault * 1000.0 * 1000.0)
   }
 
+  test("lshvol pricing: bucket-population arithmetic equals the banded join's candidate volume") {
+    // the r17 exact-pre-pass pricer (SemDedupAudit lshvol) must agree
+    // with the join it prices: sum over (band, bucket) of
+    // pop*(pop-1)/2 == the per-band equi-join's i<j pair count. A
+    // drift here would let a config be priced against a different
+    // volume than the one the truth leg shuffles — the disk-wall
+    // class the pricer exists to prevent.
+    val emb = t(spark, sf, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val (bands, planes) = (4, 6)
+    val withB = emb.select(col("vec_id"),
+      posexplode(Similarity.bandedBuckets(col("embedding"), bands, planes)))
+    val predicted = withB.groupBy(col("pos"), col("col"))
+      .agg(count(lit(1)).as("pop"))
+      .agg(coalesce(sum((col("pop") * (col("pop") - 1) / 2).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val a = withB.select(col("pos"), col("col"), col("vec_id").as("i"))
+    val b = withB.select(col("pos"), col("col"), col("vec_id").as("j"))
+    val actual = a.join(b, Seq("pos", "col")).filter(col("i") < col("j")).count()
+    assert(predicted === actual,
+      s"pricer said $predicted candidate pairs, the join produced $actual")
+    assert(predicted > 0L, "vacuous fixture: no bucket collisions to price")
+  }
+
   test("recall audit: at fixture scale the sample is the corpus, so the audit is exact and reads 1.0") {
     // sampleRows (5000) >= n (sf0.01), so p = 1: the sampled truth IS
     // the full exact pair set and the audited recall must equal the
