@@ -225,11 +225,9 @@ object Bench {
       s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)}"""
     // first-failure messages, DETAIL FILE ONLY (the stdout line's
     // schema is the driver contract and stays count-based)
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
     val errMsgJson = errorMsgs.toSeq.sorted
-      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
+      .map { case (n, m) => "\"" + n + "\":" + JsonOut.jsonStr(m) }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,""" +

@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   * `{"metric":"ckpt_drill","mode":...,"killed":N,"match":true,...}`. */
 object CkptDrill {
 
-  /** PIDs of live executor JVMs (CoarseGrainedExecutorBackend). */
-  private def executorPids(): Seq[Long] = {
+  /** PIDs of live executor JVMs (CoarseGrainedExecutorBackend)
+    * belonging to THIS application — the app id rides the executor
+    * command line (`--app-id`), and without the filter a concurrent
+    * Spark job on the same box could have ITS executor killed (a
+    * false pass here plus collateral damage there — r17 review). */
+  private def executorPids(appId: String): Seq[Long] = {
     val proc = java.nio.file.Paths.get("/proc")
     val out = scala.collection.mutable.Buffer.empty[Long]
     val dirs = java.nio.file.Files.list(proc)
@@ -47,7 +51,8 @@ object CkptDrill {
         try {
           val cmd = new String(
             java.nio.file.Files.readAllBytes(d.resolve("cmdline")), "UTF-8")
-          if (cmd.contains("CoarseGrainedExecutorBackend")) out += name.toLong
+          if (cmd.contains("CoarseGrainedExecutorBackend") &&
+              cmd.contains(appId)) out += name.toLong
         } catch { case _: Exception => () } // raced exit — skip
       }
     }
@@ -84,6 +89,8 @@ object CkptDrill {
         .filter(col("dropped")).select(col("vec_id"))
         .collect().map(_.getLong(0)).sorted.toSeq
 
+    val appId = spark.sparkContext.applicationId
+
     // clean reference run (also JIT/codegen warm-up, so the killed
     // run's timing window is stable)
     val t0 = System.nanoTime()
@@ -91,15 +98,22 @@ object CkptDrill {
     val cleanSecs = (System.nanoTime() - t0) / 1e9
     System.err.println(
       f"[drill] clean run: ${clean.size} drops in $cleanSecs%.1f s " +
-        f"(executors: ${executorPids().mkString(",")})")
+        f"(executors: ${executorPids(appId).mkString(",")})")
 
-    // killed run: SIGKILL one executor JVM mid-flight
+    // killed run: SIGKILL one executor JVM mid-flight. The kill's
+    // TIMESTAMP is recorded so a kill that lands only after the run
+    // already completed can never certify the drill (r17 review: the
+    // post-run join window made exactly that false pass possible —
+    // and the first x10 negative-leg attempt showed runs finishing
+    // before a late timer).
     val killed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val killedAtNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val killer = new Thread(() => {
       Thread.sleep(killAfterMs)
-      executorPids().headOption.foreach { pid =>
+      executorPids(appId).headOption.foreach { pid =>
         System.err.println(s"[drill] kill -9 executor pid $pid")
         new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()
+        killedAtNanos.set(System.nanoTime())
         killed.set(pid)
       }
     })
@@ -109,24 +123,34 @@ object CkptDrill {
     val result =
       try Right(drops())
       catch { case e: Exception => Left(e.toString.take(300)) }
-    val killedSecs = (System.nanoTime() - t1) / 1e9
+    val tEnd = System.nanoTime()
+    val killedSecs = (tEnd - t1) / 1e9
     killer.join(1000)
+    val killLandedMidRun = killed.get() != 0L && killedAtNanos.get() < tEnd
     val json = result match {
       case Right(ds) =>
         val ok = ds == clean
         s""""completed":true,"match":$ok,"drops":${ds.size}"""
       case Left(err) =>
-        s""""completed":false,"match":false,"error":"${
-          err.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")}""""
+        s""""completed":false,"match":false,"error":${JsonOut.jsonStr(err)}"""
     }
     spark.stop()
     println(
       s"""{"metric":"ckpt_drill","mode":"$mode","dir":"$dir",""" +
         s""""clean_drops":${clean.size},"killed_pid":${killed.get()},""" +
+        s""""kill_mid_run":$killLandedMidRun,""" +
         f""""clean_secs":$cleanSecs%.1f,"killed_secs":$killedSecs%.1f,$json}""")
-    // durable mode is the CONTRACT: fail the process on any miss
+    // durable mode is the CONTRACT: fail the process unless a kill
+    // landed DURING the run and the drop set still matched
     if (mode == "durable" &&
-        (killed.get() == 0L || !result.toOption.contains(clean)))
+        (!killLandedMidRun || !result.toOption.contains(clean))) {
+      System.err.println(
+        if (!killLandedMidRun)
+          s"[drill] FAIL: no executor kill landed inside the run window" +
+            s" (killAfterMs=$killAfterMs vs run ${killedSecs}s) - tune" +
+            " SPARK_GRAFT_DRILL_KILL_MS; nothing was drilled"
+        else "[drill] FAIL: drop set diverged after executor loss")
       sys.exit(1)
+    }
   }
 }

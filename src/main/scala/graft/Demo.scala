@@ -73,8 +73,13 @@ object Demo {
     val docs = Tables.t(spark, sfDir, "documents")
     val pathed = Ingest.withPaths(docs)
     val scanned = Ingest.imageScanFilter(pathed)
-    println(s"[demo] scan: ${scanned.count()} image files " +
-      s"(of ${pathed.count()} listed) under ${docs.select("source").distinct().count()} folders")
+    // each count once — printed here, reused in the summary (the
+    // r17 review caught the walkthrough re-running its scans)
+    val listedN = pathed.count()
+    val scannedN = scanned.count()
+    val folderN = docs.select("source").distinct().count()
+    println(s"[demo] scan: $scannedN image files " +
+      s"(of $listedN listed) under $folderN folders")
 
     // ---- 2. fault-tolerant decode + run counters (the reference's
     // stats dict: processed / failed)
@@ -108,17 +113,21 @@ object Demo {
 
     // ---- 5. search: embed the query through the SAME seam (B5),
     // filter the payload (E4), MaxSim top-5 (D2), 'Unknown' defaults (D3)
-    val sources = docs.select("source").distinct().orderBy("source")
-      .collect().map(_.getString(0)).take(4).toSeq
-    val payloadFilter = Filter(must = Seq(MatchAnyOf("folder", sources)))
-    println(s"[demo] search filter: folder ∈ {${sources.mkString(", ")}} " +
-      "(Qdrant-style payload filter, pushed to the parquet scan)")
     // one query from the corpus itself (retrieves its own page — the
     // source doc must be an indexed one, i.e. an image that decoded)
     // plus the reference's own example phrasing
-    val selfQuery = decoded.filter(col("decode_ok")).orderBy("doc_id")
-      .select("text").head.getString(0)
-      .split(" ").take(12).mkString(" ")
+    val selfRow = decoded.filter(col("decode_ok")).orderBy("doc_id")
+      .select("text", "source").head
+    val selfQuery = selfRow.getString(0).split(" ").take(12).mkString(" ")
+    // the filter set always contains the self-document's folder BY
+    // CONSTRUCTION — the r17 review caught the old take(4) admitting
+    // it only by string-sort luck (a fixture rename would silently
+    // filter the demo's own headline document out of its search)
+    val sources = (docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)).take(3).toSeq :+ selfRow.getString(1)).distinct
+    val payloadFilter = Filter(must = Seq(MatchAnyOf("folder", sources)))
+    println(s"[demo] search filter: folder ∈ {${sources.mkString(", ")}} " +
+      "(Qdrant-style payload filter, pushed to the parquet scan)")
     val queries = Seq(selfQuery, "What was the total revenue in 2023?")
     val results = queries.map { q =>
       val t0 = System.nanoTime()
@@ -148,7 +157,7 @@ object Demo {
       q -> shown.map(r => (r.getString(2), r.getDouble(1))).toSeq
     }
     DemoSummary(
-      listed = pathed.count(), scanned = scanned.count(),
+      listed = listedN, scanned = scannedN,
       processed = statRows.getOrElse("processed", 0L),
       failed = statRows.getOrElse("failed", 0L),
       wrote = wrote, reWrote = again, results = results)

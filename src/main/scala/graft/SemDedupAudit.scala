@@ -125,8 +125,7 @@ object SemDedupAudit {
           } catch {
             case e: IllegalArgumentException =>
               val msg = Option(e.getMessage).getOrElse("").take(160)
-                .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
-              s""""refused":true,"reason":"$msg""""
+              s""""refused":true,"reason":${JsonOut.jsonStr(msg)}"""
           }
         val secs = (System.nanoTime() - t0) / 1e9
         spark.stop()

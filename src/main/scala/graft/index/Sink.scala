@@ -319,8 +319,14 @@ object Sink {
     // bounded ~200 ms window; a sidecar STILL missing then is
     // genuinely absent and the last attempt's FileNotFoundException
     // propagates as before.
-    val maxRetries =
-      if (fs.getScheme == "file" || fs.getScheme == "hdfs") 0 else 20
+    // scheme via the qualified URI, NOT fs.getScheme: the base
+    // FileSystem.getScheme THROWS UnsupportedOperationException (many
+    // wrapper FS classes never override it), which would turn every
+    // read on such an FS into a hard failure — the URI probe is the
+    // same one writeSidecar's branch uses and never throws (r17
+    // review)
+    val scheme = fs.makeQualified(p).toUri.getScheme
+    val maxRetries = if (scheme == "file" || scheme == "hdfs") 0 else 20
     var attempt = 0
     while (true) {
       try {

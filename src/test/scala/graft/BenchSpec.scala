@@ -37,6 +37,19 @@ class BenchSpec extends SparkSpec {
     assert(timed.head._2 <= timed.head._3, "min over passes <= max")
   }
 
+  test("JsonOut.jsonStr: every control character escapes — the forensics field stays parseable") {
+    // r17 review: three divergent inline escape chains each missed a
+    // control-char class (an ANSI-colored error message would have
+    // made BENCH_DETAIL.json unparseable). The shared escaper must
+    // leave NO raw char < 0x20 inside the literal.
+    val s = JsonOut.jsonStr("a\u001b[31m\"x\\\n\t\u0000 b")
+    assert(s.head == '"' && s.last == '"')
+    assert(!s.drop(1).dropRight(1).exists(_ < 0x20), s"raw control char in $s")
+    assert(s.contains("\\u001b") && s.contains("\\\"") &&
+      s.contains("\\\\") && s.contains("\\n") && s.contains("\\t") &&
+      s.contains("\\u0000"), s)
+  }
+
   test("per-query reps: a high-spread query runs its extra passes, the rest stay cheap") {
     val counts = scala.collection.mutable.Map("hot" -> 0, "cold" -> 0)
     def counting(name: String): (SparkSession, String) => DataFrame =

@@ -8,7 +8,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft_scale/x10}"
-KILL_MS="${2:-25000}"
+KILL_MS="${2:-5000}"
 MODE="${3:-durable}"
 CKPT=$(mktemp -d /tmp/graft_drill_ckpt.XXXXXX)
 trap 'rm -rf "$CKPT"' EXIT
