@@ -108,6 +108,22 @@ object CkptDrill {
     // before a late timer).
     val killed = new java.util.concurrent.atomic.AtomicLong(0L)
     val killedAtNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Post-kill RECOVERY evidence (r17 advisor): a kill timestamp
+    // before tEnd alone still certifies a kill that lands in the
+    // sliver after the expensive stages — require that the driver also
+    // OBSERVED the executor loss and that tasks kept completing after
+    // the kill (lost work actually replayed on the relaunched
+    // executor), or the drill drilled nothing.
+    val postKillTaskEnds = new java.util.concurrent.atomic.AtomicLong(0L)
+    val executorRemovals = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+        if (killedAtNanos.get() != 0L) executorRemovals.incrementAndGet()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (killedAtNanos.get() != 0L) postKillTaskEnds.incrementAndGet()
+    })
     val killer = new Thread(() => {
       Thread.sleep(killAfterMs)
       executorPids(appId).headOption.foreach { pid =>
@@ -126,7 +142,11 @@ object CkptDrill {
     val tEnd = System.nanoTime()
     val killedSecs = (tEnd - t1) / 1e9
     killer.join(1000)
-    val killLandedMidRun = killed.get() != 0L && killedAtNanos.get() < tEnd
+    // listener events are delivered async — give the bus a moment
+    // before reading the recovery counters
+    Thread.sleep(500)
+    val killLandedMidRun = killed.get() != 0L && killedAtNanos.get() < tEnd &&
+      executorRemovals.get() > 0L && postKillTaskEnds.get() > 0L
     val json = result match {
       case Right(ds) =>
         val ok = ds == clean
@@ -135,11 +155,16 @@ object CkptDrill {
         s""""completed":false,"match":false,"error":${JsonOut.jsonStr(err)}"""
     }
     spark.stop()
+    // Locale.ROOT seconds: the JSON line must stay machine-parseable
+    // on a comma-decimal default locale (r17 advisor)
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     println(
       s"""{"metric":"ckpt_drill","mode":"$mode","dir":"$dir",""" +
         s""""clean_drops":${clean.size},"killed_pid":${killed.get()},""" +
         s""""kill_mid_run":$killLandedMidRun,""" +
-        f""""clean_secs":$cleanSecs%.1f,"killed_secs":$killedSecs%.1f,$json}""")
+        s""""post_kill_task_ends":${postKillTaskEnds.get()},""" +
+        s""""executor_removals":${executorRemovals.get()},""" +
+        s""""clean_secs":${f1(cleanSecs)},"killed_secs":${f1(killedSecs)},$json}""")
     // durable mode is the CONTRACT: fail the process unless a kill
     // landed DURING the run and the drop set still matched
     if (mode == "durable" &&
@@ -147,7 +172,10 @@ object CkptDrill {
       System.err.println(
         if (!killLandedMidRun)
           s"[drill] FAIL: no executor kill landed inside the run window" +
-            s" (killAfterMs=$killAfterMs vs run ${killedSecs}s) - tune" +
+            s" with observed recovery (killed_pid=${killed.get()}," +
+            s" executor_removals=${executorRemovals.get()}," +
+            s" post_kill_task_ends=${postKillTaskEnds.get()}," +
+            s" killAfterMs=$killAfterMs vs run ${killedSecs}s) - tune" +
             " SPARK_GRAFT_DRILL_KILL_MS; nothing was drilled"
         else "[drill] FAIL: drop set diverged after executor loss")
       sys.exit(1)

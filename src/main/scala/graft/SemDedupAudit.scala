@@ -340,8 +340,12 @@ object SemDedupAudit {
             .agg(count(lit(1)).cast("double").as("pop"))
             .agg(coalesce(sum(col("pop") * (col("pop") - 1) / 2), lit(0.0)))
             .head.getDouble(0)
-          System.err.println(f"[audit] lshvol bands=$bands planes=$planes: $pairs%.3e uncapped candidate pairs")
-          f""""$bands:$planes":$pairs%.3e"""
+          // Locale.ROOT: the JSON leg must stay machine-parseable on a
+          // comma-decimal default locale (r17 advisor)
+          val pairsStr = "%.3e".formatLocal(java.util.Locale.ROOT, pairs)
+          System.err.println(
+            s"[audit] lshvol bands=$bands planes=$planes: $pairsStr uncapped candidate pairs")
+          s""""$bands:$planes":$pairsStr"""
         }
         spark.stop()
         println(s"""{"metric":"lsh_volume","dir":"$dir","n":$n,""" +

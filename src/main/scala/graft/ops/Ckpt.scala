@@ -65,4 +65,22 @@ private[graft] object Ckpt {
       case None => df.localCheckpoint(eager)
     }
   }
+
+  /** Total-order a result for the oracle's ORDER BY without paying its
+    * tail twice. A global `orderBy` plans a RangePartitioning exchange,
+    * and computing the range bounds executes the ENTIRE child above the
+    * last materialized query stage a first time just to sample the sort
+    * keys — then the real pass executes it again (measured r18:
+    * e4_nested_filter re-ran its 600k-row collect_list aggregate, ~7 s
+    * of CPU, once per pass; every narrow-map query re-ran its full text
+    * pipeline). Checkpointing first (the guide's "materialise an
+    * intermediate to truncate the plan") makes both passes cheap reads
+    * of the materialized rows: compute once, sample the rows, shuffle
+    * the rows. Same rows, same order, same hash — only the
+    * re-execution is gone. Honors the durable-checkpoint switch like
+    * every other [[Ckpt]] call site. Use on results whose plan above
+    * the final sort is expensive (heavy aggregate / window / wide
+    * narrow-map); a bare-scan child doesn't need it. */
+  def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    apply(df).orderBy(cols: _*)
 }

@@ -469,8 +469,8 @@ object Curation {
   /** Demo blocklist over the fixture vocabulary: two banned words and
     * one banned bigram (planted nowhere — they are natural corpus
     * tokens, so hits are organic). */
-  private[ops] val BadTerms = Seq("slow", "dup")
-  private[ops] val BadPhrase = Seq("batch", "batch")
+  private[graft] val BadTerms = Seq("slow", "dup")
+  private[graft] val BadPhrase = Seq("batch", "batch")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_blocklist" -> ((s, dir) =>
@@ -485,8 +485,8 @@ object Curation {
       ragSearch(t(s, dir, "documents"), "hash join merge",
         size = 32, stride = 24, k = 5)),
     "x_chunk_embed" -> ((s, dir) =>
-      chunkEmbed(t(s, dir, "documents"), size = 32, stride = 24)
-        .orderBy(col("doc_id"), col("chunk_id"))),
+      Ckpt.ordered(chunkEmbed(t(s, dir, "documents"), size = 32, stride = 24),
+        col("doc_id"), col("chunk_id"))),
     "x_line_dedup" -> ((s, dir) =>
       lineDedup(t(s, dir, "documents"), 8).orderBy(col("doc_id"))),
     "x_mixture_weights" -> ((s, dir) =>
@@ -505,7 +505,7 @@ object Curation {
         when(col("doc_id") % 10 === 0,
           concat(array_join(slice(toks, 1, 8), " "), lit(" "), col("text")))
           .otherwise(col("text")))
-      intraDocDedup(planted, 8).orderBy(col("doc_id"))
+      Ckpt.ordered(intraDocDedup(planted, 8), col("doc_id"))
     }),
     "x_split_train_test" -> ((s, dir) =>
       withSplit(t(s, dir, "documents"))
@@ -558,10 +558,11 @@ object Curation {
       val kept = TextAnalysis.qualityScore(survivors)
         .filter(col("quality") >= 0.7)
         .select(col("doc_id"), col("quality"))
-      withSplit(survivors.select(col("doc_id"), col("lang")))
-        .join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("quality"), col("split"))
-        .orderBy(col("doc_id"))
+      Ckpt.ordered(
+        withSplit(survivors.select(col("doc_id"), col("lang")))
+          .join(kept, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("quality"), col("split")),
+        col("doc_id"))
     })
   )
 

@@ -154,9 +154,9 @@ object Dedup {
     * (callers pick their own shuffle). */
   private def sigBands(
       corpus: DataFrame, k: Int,
-      idName: String, hsName: String): (DataFrame, DataFrame) = {
-    val withSig = withShingleHashes(corpus)
-      .withColumn("sig", minhashSig(col("hs"), k))
+      idName: String, hsName: String,
+      materialize: Boolean = false): (DataFrame, DataFrame) = {
+    val withSig = sigFrame(corpus, k, materialize)
     val hsTable = withSig.select(col("doc_id").as(idName), col("hs").as(hsName))
     val bands = withSig.select(
       col("doc_id").as(idName),
@@ -166,6 +166,29 @@ object Dedup {
           element_at(col("sig"), j * 2 + 2)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
     (bands, hsTable)
+  }
+
+  /** The one (doc_id, hs, sig) projection behind [[sigBands]] — the
+    * corpus pass that shingle-hashes and signs every document.
+    * `materialize = true` checkpoints it (through the [[Ckpt]]
+    * durable switch): the pair operators consume this frame THREE
+    * times (the band explode plus one shingle-array fetch per join
+    * side), and without materialization each consumer re-runs the
+    * full scan + ShingleHashesSorted + MinhashSignature pass — AQE
+    * reuses exchanges, but there is no exchange below this narrow map
+    * to reuse (measured r18: the shingle pass ran 3x per pair query).
+    * Text and every other corpus column are projected OUT before the
+    * checkpoint so only the hash material is materialized.
+    * The streaming/incremental paths keep `materialize = false`:
+    * their per-batch fresh side is consumed inside one
+    * foreachBatch-scoped plan and a checkpoint per micro-batch would
+    * pin block-manager state batch over batch. */
+  private[graft] def sigFrame(
+      corpus: DataFrame, k: Int, materialize: Boolean = false): DataFrame = {
+    val raw = withShingleHashes(corpus)
+      .withColumn("sig", minhashSig(col("hs"), k))
+      .select(col("doc_id"), col("hs"), col("sig"))
+    if (materialize) Ckpt(raw) else raw
   }
 
   /** Fixture-pinned MinHash pairing (k=8, bands of 2, ~1e6 hash
@@ -179,7 +202,8 @@ object Dedup {
   def minhashPairs(
       corpus: DataFrame, k: Int = 8, jaccardMin: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val (rawBands, hsTable) = sigBands(corpus, k, "doc_id", "hs")
+    val (rawBands, hsTable) =
+      sigBands(corpus, k, "doc_id", "hs", materialize = true)
     // shuffle on the bucket key: computes signatures once; both join
     // sides reuse the exchange
     val sized = rawBands.repartition(col("band"), col("bval"))
@@ -776,8 +800,15 @@ object Dedup {
     val hashed =
       if (wideHashes) corpus.withColumn("hs", shingleHashes64(col("text")))
       else withShingleHashes(corpus)
-    val sh = hashed
+    // checkpointed (Ckpt durable switch): the shingle projection is
+    // consumed three times — the posting explode and one array fetch
+    // per verify-join side — and each consumer otherwise re-runs the
+    // full scan + shingle-hash pass (no exchange below it for AQE to
+    // reuse); text is projected out so only (doc_id, blk, hs)
+    // materializes
+    val sh = Ckpt(hashed
       .withColumn("blk", (length(col("text")) / 16).cast("long"))
+      .select(col("doc_id"), col("blk"), col("hs")))
     val posts = sh.select(col("doc_id"), col("blk"), explode(col("hs")).as("h"))
       .repartition(col("h"))
     val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -867,9 +898,16 @@ object Dedup {
       .join(dfs.filter(col("df") <= maxDf), Seq("h"))
       .select(col("doc_id"), col("h"), col("df"))
     // per-doc capped shingle set, rarest-first ((df, h) struct sort —
-    // deterministic; correctness needs only SOME fixed probe subset)
-    val shSets = rare.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
+    // deterministic; correctness needs only SOME fixed probe subset).
+    // Checkpointed (through the Ckpt durable switch): THREE consumers
+    // read this aggregate — the probe explode and one array fetch per
+    // verify-join side — and AQE's runtime exchange reuse only dedupes
+    // the shuffle BELOW it, so without materialization the ObjectHash
+    // collect_list final ran once per consumer (measured r18: 3 × ~1.2 s
+    // concurrent stages at sf0.1; at corpus scale 3 full re-aggregations
+    // of every doc's capped shingle set).
+    val shSets = Ckpt(rare.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh")))
     val plen = least(size(col("sh")),
       (floor(lit(1.0 - containMin) * size(col("sh"))) + lit(3L)).cast("int"))
     val probe = shSets.select(col("doc_id").as("id_a"),
@@ -1814,29 +1852,29 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_embedding_lsh" -> ((s, dir) =>
-      embeddingPairsLsh(t(s, dir, "embeddings"))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(embeddingPairsLsh(t(s, dir, "embeddings")),
+        col("id_a"), col("id_b"))),
     "x_dedup_exact" -> ((s, dir) => {
       exact(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("keeper_id"))
     }),
     "x_dedup_minhash" -> ((s, dir) =>
-      minhashPairs(corpusWithDups(t(s, dir, "documents")))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(minhashPairs(corpusWithDups(t(s, dir, "documents"))),
+        col("id_a"), col("id_b"))),
     "x_dedup_pagerank" -> ((s, dir) =>
       neardupPagerank(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
     "x_minhash_estimate" -> ((s, dir) =>
-      minhashEstimate(corpusWithDups(t(s, dir, "documents")))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(minhashEstimate(corpusWithDups(t(s, dir, "documents"))),
+        col("id_a"), col("id_b"))),
     // oracle-pinned 32-bit legacy form: the frozen suite hashes
     // against the 32-bit DuckDB twin; the PUBLIC simhashPairs is 64-bit
     "x_dedup_simhash" -> ((s, dir) =>
-      simhashPairs32Oracle(corpusWithDups(t(s, dir, "documents")))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(simhashPairs32Oracle(corpusWithDups(t(s, dir, "documents"))),
+        col("id_a"), col("id_b"))),
     "x_dedup_ngram" -> ((s, dir) =>
-      ngramJaccardPairs(corpusWithDups(t(s, dir, "documents")))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(ngramJaccardPairs(corpusWithDups(t(s, dir, "documents"))),
+        col("id_a"), col("id_b"))),
     "x_dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -1863,8 +1901,8 @@ object Dedup {
     // against their sources with containment ≈ 1.0 while symmetric
     // Jaccard (~0.4) would never pair them.
     "x_dedup_containment" -> ((s, dir) =>
-      containmentPairs(corpusWithExcerpts(t(s, dir, "documents")))
-        .orderBy(col("id_a"), col("id_b"))),
+      Ckpt.ordered(containmentPairs(corpusWithExcerpts(t(s, dir, "documents"))),
+        col("id_a"), col("id_b"))),
     // Bloom-prefiltered EXACT incremental dedup: fresh batch = unseen
     // docs (doc_id >= 400), verbatim re-crawls of every 10th history
     // doc (must resolve to their dup_of), and near-miss edits of every
@@ -1889,8 +1927,10 @@ object Dedup {
     // over the MinHash pair graph, then one keeper per cluster).
     "x_dedup_clusters" -> ((s, dir) => {
       val corpus = corpusWithDups(t(s, dir, "documents"))
-      clustersWithKeeper(corpus, minhashPairs(corpus).select(col("id_a"), col("id_b")))
-        .orderBy(col("cluster_id"), col("doc_id"))
+      Ckpt.ordered(
+        clustersWithKeeper(corpus,
+          minhashPairs(corpus).select(col("id_a"), col("id_b"))),
+        col("cluster_id"), col("doc_id"))
     }),
 
     // Quality keeper policy: per cluster keep the best-quality member
@@ -1899,9 +1939,9 @@ object Dedup {
     // wrapper; min-id keeps whichever crawled first).
     "x_dedup_keep_quality" -> ((s, dir) => {
       val corpus = corpusWithDups(t(s, dir, "documents"))
-      keeperizeByQuality(corpus,
-          clusters(minhashPairs(corpus).select(col("id_a"), col("id_b"))))
-        .orderBy(col("cluster_id"), col("doc_id"))
+      Ckpt.ordered(keeperizeByQuality(corpus,
+          clusters(minhashPairs(corpus).select(col("id_a"), col("id_b")))),
+        col("cluster_id"), col("doc_id"))
     }),
 
     // Same components through the O(log n) star contraction — the
@@ -1910,9 +1950,9 @@ object Dedup {
     // the same answer on the same pair list.
     "x_dedup_clusters_star" -> ((s, dir) => {
       val corpus = corpusWithDups(t(s, dir, "documents"))
-      keeperize(corpus,
-          clustersStar(minhashPairs(corpus).select(col("id_a"), col("id_b"))))
-        .orderBy(col("cluster_id"), col("doc_id"))
+      Ckpt.ordered(keeperize(corpus,
+          clustersStar(minhashPairs(corpus).select(col("id_a"), col("id_b")))),
+        col("cluster_id"), col("doc_id"))
     }),
 
     // Exact-substring dedup: unrelated docs sharing one long verbatim

@@ -1561,15 +1561,15 @@ object TextAnalysis {
     "x_interp_logprob" -> ((s, dir) =>
       interpLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "x_kn_logprob" -> ((s, dir) =>
-      knLogprob(t(s, dir, "documents")).orderBy(col("doc_id"))),
+      Ckpt.ordered(knLogprob(t(s, dir, "documents")), col("doc_id"))),
     "x_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       langId(d, langProfiles(d)).orderBy(col("doc_id"))
     }),
     "x_fingerprint" -> ((s, dir) =>
-      fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+      Ckpt.ordered(fingerprints(t(s, dir, "documents")), col("doc_id"))),
     "x_repetition" -> ((s, dir) =>
-      repetition(t(s, dir, "documents")).orderBy(col("doc_id"))),
+      Ckpt.ordered(repetition(t(s, dir, "documents")), col("doc_id"))),
     // The fixture has no PII, so the query plants deterministic
     // synthetic emails (every 7th doc) and phone numbers (every 11th)
     // in BOTH engines, then counts + redacts them.
@@ -1583,7 +1583,7 @@ object TextAnalysis {
           when(col("doc_id") % 11 === 0,
             concat(col("text"), lit(" call 555-0142 today")))
             .otherwise(col("text")))
-      piiScrub(planted).orderBy(col("doc_id"))
+      Ckpt.ordered(piiScrub(planted), col("doc_id"))
     }),
 
     "x_gopher_rules" -> ((s, dir) =>
@@ -1605,8 +1605,8 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rnk"))),
 
     "x_keywords_tfidf" -> ((s, dir) =>
-      keywordsTfidf(t(s, dir, "documents"))
-        .orderBy(col("doc_id"), col("rnk"))),
+      Ckpt.ordered(keywordsTfidf(t(s, dir, "documents")),
+        col("doc_id"), col("rnk"))),
 
     "x_bpe_merges" -> ((s, dir) =>
       bpeTrain(t(s, dir, "documents"), rounds = 3)
@@ -1623,7 +1623,7 @@ object TextAnalysis {
     }),
 
     "x_winnow" -> ((s, dir) =>
-      winnow(t(s, dir, "documents")).orderBy(col("doc_id"))),
+      Ckpt.ordered(winnow(t(s, dir, "documents")), col("doc_id"))),
 
     // Vocabulary size per language — exact count(distinct) here (the
     // oracle-checkable definition); at true scale the same query runs
@@ -1660,7 +1660,7 @@ object TextAnalysis {
     }),
 
     "x_source_divergence" -> ((s, dir) =>
-      sourceDivergence(t(s, dir, "documents")).orderBy(col("source"))),
+      Ckpt.ordered(sourceDivergence(t(s, dir, "documents")), col("source"))),
 
     "x_collocations" -> ((s, dir) =>
       collocations(t(s, dir, "documents"), k = 20, minCount = 5)),
@@ -1706,8 +1706,8 @@ object TextAnalysis {
         .orderBy(col("lang"))),
 
     "x_ppl_buckets" -> ((s, dir) =>
-      pplBuckets(t(s, dir, "documents"))
-        .orderBy(col("lang"), col("bucket"))),
+      Ckpt.ordered(pplBuckets(t(s, dir, "documents")),
+        col("lang"), col("bucket"))),
 
     "x_bpe_pairs" -> ((s, dir) =>
       bpePairs(t(s, dir, "documents"), k = 20))

@@ -127,14 +127,26 @@ class HofGuardSpec extends SparkSpec {
     // inside a pushed-down InferFiltersFromGenerate condition. More
     // means a refactor un-bound the alias and the per-reference
     // inlining is back.
-    val budget = Map(
-      "x_quality_score" -> 3, "x_gopher_rules" -> 3, "x_fingerprint" -> 3,
-      "x_blocklist" -> 3, "x_intradoc_dedup" -> 4, "x_winnow" -> 3,
-      "x_dsir_weights" -> 3, "x_kn_logprob" -> 3)
+    // r18: the queries now checkpoint before their final ORDER BY (the
+    // sort-sampling recompute fix), which would make a returned-plan
+    // count vacuous — so the pin binds to the OPERATOR frames, where
+    // the tokenize chain actually lives.
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{TextAnalysis => TA, Curation}
+    def docs = Tables.t(spark, sf, "documents")
+    val budget: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      ("x_quality_score", TA.qualityScore(docs), 3),
+      ("x_gopher_rules", TA.gopherRules(docs), 3),
+      ("x_fingerprint", TA.fingerprints(docs), 3),
+      ("x_blocklist",
+        Curation.blocklistAudit(docs, Curation.BadTerms, Curation.BadPhrase), 3),
+      ("x_intradoc_dedup", Curation.intraDocDedup(docs, 8), 4),
+      ("x_winnow", TA.winnow(docs), 3),
+      ("x_dsir_weights", TA.dsirWeights(docs, col("lang") === "en"), 3),
+      ("x_kn_logprob", TA.knLogprob(docs), 3))
     val tok = "filter\\(split\\(".r
-    budget.toSeq.sorted.foreach { case (name, cap) =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.optimizedPlan.toString
+    budget.foreach { case (name, df, cap) =>
+      val plan = df.queryExecution.optimizedPlan.toString
       val n = tok.findAllIn(plan).length
       assert(n <= cap,
         s"$name inlines the tokenize chain $n times (cap $cap) — " +
@@ -143,9 +155,12 @@ class HofGuardSpec extends SparkSpec {
   }
 
   test("hot text paths stay on their native expressions (swap-back pin)") {
-    def natives(name: String): Seq[String] = {
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
-      plan.collect { case node =>
+    // r18: some returned plans begin at an eager-checkpoint LogicalRDD
+    // (the recompute-avoidance materializations), so the pins examine
+    // the PRE-materialization builder frames where the hot expressions
+    // live — same hot path, same swap-back protection.
+    def nativesOf(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case node =>
         node.expressions.flatMap(_.collect {
           case _: graft.vector.WinnowSelect => "WinnowSelect"
           case _: graft.vector.ShingleHashesSorted => "ShingleHashesSorted"
@@ -153,13 +168,16 @@ class HofGuardSpec extends SparkSpec {
           case _: graft.vector.RollingWindowHashes => "RollingWindowHashes"
         })
       }.flatten
-    }
+    def natives(name: String): Seq[String] =
+      nativesOf(SparkEntry.queries(name)(spark, sf))
     assert(natives("x_winnow_matches").contains("WinnowSelect"),
       "x_winnow_matches must select fingerprints via the native WinnowSelect " +
         "(the HOF twin goes quadratic under CollapseProject inlining)")
-    assert(natives("x_dedup_minhash").contains("ShingleHashesSorted") &&
-      natives("x_dedup_minhash").contains("MinhashSignature"),
-      "x_dedup_minhash must shingle+sign through the native expressions")
+    val sigPlan = nativesOf(graft.ops.Dedup.sigFrame(
+      graft.ops.Dedup.corpusWithDups(Tables.t(spark, sf, "documents")), 8))
+    assert(sigPlan.contains("ShingleHashesSorted") &&
+      sigPlan.contains("MinhashSignature"),
+      "the minhash sig pass must shingle+sign through the native expressions")
     assert(natives("x_substring_dedup").contains("RollingWindowHashes"),
       "x_substring_dedup must hash windows through RollingWindowHashes")
   }

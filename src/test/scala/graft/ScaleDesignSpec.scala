@@ -262,7 +262,12 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("dsir: bounded bucket model broadcasts onto tf — no window over the corpus rows") {
-    val q = graft.ops.TextAnalysis.queries("x_dsir_weights")(spark, sf)
+    // the operator frame, not the suite query: the query checkpoints
+    // before its final ORDER BY (r18 sort-sampling fix), so the
+    // returned plan no longer shows the operator's joins
+    val q = graft.ops.TextAnalysis.dsirWeights(
+      Tables.t(spark, sf, "documents"),
+      org.apache.spark.sql.functions.col("lang") === "en")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"the <=10007-row bucket table must broadcast:\n$plan")
@@ -799,7 +804,10 @@ class ScaleDesignSpec extends SparkSpec {
     // the df-per-shingle WINDOW sorted the full posting table once per
     // self-join side; the aggregate+join formulation reuses one
     // h-shuffle with no Sort anywhere below the final ORDER BY
-    val plan = SparkEntry.queries("x_dedup_containment")(spark, sf)
+    // the operator frame (the suite query checkpoints before its final
+    // ORDER BY — r18 sort-sampling fix — hiding the posting plan)
+    val plan = graft.ops.Dedup.containmentPairs(
+        graft.ops.Dedup.corpusWithExcerpts(Tables.t(spark, sf, "documents")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window ["),
       s"containment must not compute df with a window:\n${plan.take(2000)}")

@@ -11,6 +11,7 @@ DIR="${1:-/tmp/graft_scale/x10}"
 KILL_MS="${2:-5000}"
 MODE="${3:-durable}"
 CKPT=$(mktemp -d /tmp/graft_drill_ckpt.XXXXXX)
+LOG=$(mktemp /tmp/graft_drill_log.XXXXXX)
 trap 'rm -rf "$CKPT"' EXIT
 sbt -batch package >/dev/null
 JAR=$(ls target/scala-2.13/*.jar | head -1)
@@ -21,4 +22,13 @@ SPARK_GRAFT_DRILL_MODE="$MODE" SPARK_HOME=/opt/spark \
   --driver-memory 4g \
   --conf "spark.graft.checkpointDir=$CKPT" \
   --conf spark.ui.enabled=false \
-  --class graft.CkptDrill "$JAR" 2>/dev/null
+  --class graft.CkptDrill "$JAR" 2>"$LOG" || {
+    # surface the drill's own diagnostics (the [drill] FAIL reason) —
+    # a silent exit-1 undercuts the CI-able intent (r17 advisor); the
+    # full stderr stays in $LOG for forensics
+    rc=$?
+    grep '^\[drill\]' "$LOG" >&2 || true
+    echo "[drill] full stderr: $LOG" >&2
+    exit $rc
+  }
+grep '^\[drill\]' "$LOG" >&2 || true
