@@ -84,3 +84,27 @@ private[graft] object Ckpt {
   def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     apply(df).orderBy(cols: _*)
 }
+
+/** Explicit-width spread for CPU-dense fan-out stages (shingling,
+  * n-gram explodes, window-hash rolling, bucket fan-outs). The heavy
+  * per-row compute runs in the stage that WRITES its downstream
+  * shuffle — i.e. in the SCAN stage — and a scan's parallelism is the
+  * input's SPLIT count: an unsplittable layout (single parquet row
+  * group, gzip member, small single-file fixture) pins it at 1
+  * whatever the box width (guide §2.5 "input skew: repartition
+  * immediately after the read"). A keyless or implicit-width
+  * `repartition(col)` does not fix it: AQE's BYTE-based partition
+  * coalescing folds a few-hundred-KB doc exchange back to 1–2
+  * partitions because it cannot see compute-per-byte. The width is
+  * therefore pinned EXPLICITLY (user-specified numPartitions is final
+  * — AQE does not coalesce it) to the session's shuffle width: a
+  * CONF, not a box constant — the bench sets it from
+  * SPARK_GRAFT_CPUS, a cluster sets its own. At corpus scale the
+  * extra exchange moves the NARROW rows (documents before their
+  * ~300× gram fan-out), a small fraction of the bytes the fan-out
+  * emits into the next exchange. */
+private[graft] object Spread {
+  def byKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key)
+}

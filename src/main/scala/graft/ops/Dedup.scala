@@ -38,8 +38,12 @@ object Dedup {
     val dups = docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + DupOffset).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
-    docs.select(col("doc_id"), col("text")).unionByName(dups)
-      .repartition(col("doc_id"))
+    // explicit-width spread (Spread.byKey): the implicit-width form
+    // was AQE-coalesced back to 1-2 partitions at fixture byte sizes,
+    // serializing every downstream shingle/explode pass
+    Spread.byKey(
+      docs.select(col("doc_id"), col("text")).unionByName(dups),
+      col("doc_id"))
   }
 
   val duckCorpusWithDups: String =
@@ -899,15 +903,17 @@ object Dedup {
       .select(col("doc_id"), col("h"), col("df"))
     // per-doc capped shingle set, rarest-first ((df, h) struct sort —
     // deterministic; correctness needs only SOME fixed probe subset).
-    // Checkpointed (through the Ckpt durable switch): THREE consumers
-    // read this aggregate — the probe explode and one array fetch per
-    // verify-join side — and AQE's runtime exchange reuse only dedupes
-    // the shuffle BELOW it, so without materialization the ObjectHash
-    // collect_list final ran once per consumer (measured r18: 3 × ~1.2 s
-    // concurrent stages at sf0.1; at corpus scale 3 full re-aggregations
-    // of every doc's capped shingle set).
-    val shSets = Ckpt(rare.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh")))
+    // NOT checkpointed, deliberately (r18): the collect_list final does
+    // re-run once per consumer (probe + one array fetch per verify-join
+    // side), but all three runs share the doc_id exchange through AQE
+    // runtime stage reuse AND run concurrently — while a checkpoint
+    // here SPLITS the query into two executions, and exchange reuse
+    // cannot span them, so the candidate join's `rare` side re-ran the
+    // whole scan+shingle+df pipeline a second time (measured: the
+    // checkpointed form was ~1s SLOWER at sf0.1 and duplicates the
+    // posting pass at any scale).
+    val shSets = rare.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
     val plen = least(size(col("sh")),
       (floor(lit(1.0 - containMin) * size(col("sh"))) + lit(3L)).cast("int"))
     val probe = shSets.select(col("doc_id").as("id_a"),
@@ -938,11 +944,15 @@ object Dedup {
     // tokenize once per row (multi-use alias survives CollapseProject)
     val toks = col("_toks")
     val n = greatest(lit(5), floor(size(toks) * 2 / 5).cast("int"))
-    docs.select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 31 === 0)
-        .withColumn("_toks", filter(split(col("text"), " "), x => length(x) > 0))
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          concat_ws(" ", slice(toks, lit(1), n)).as("text")))
+    // spread before the CPU-dense shingle pass downstream (see
+    // corpusWithDups / Spread.byKey)
+    Spread.byKey(
+      docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .withColumn("_toks", filter(split(col("text"), " "), x => length(x) > 0))
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), n)).as("text"))),
+      col("doc_id"))
   }
 
   private[ops] val duckCorpusWithExcerpts: String =
@@ -1019,7 +1029,10 @@ object Dedup {
       minShared: Int = 5,
       maxBucket: Int = 100): DataFrame = {
     val wins = windowHashes(col("_th"), window)
-    val dw = corpus
+    // spread before the rolling-hash fan-out (Spread.byKey: the
+    // single-file fixture scan otherwise runs the whole token+window
+    // hashing on one task)
+    val dw = Spread.byKey(corpus, col("doc_id"))
       .withColumn("_th", Embedder.tokenHashes(col("text")))
       .select(col("doc_id"), explode(wins).as("whash"))
       .distinct() // a doc repeating its own span pairs once, not n²
@@ -1560,6 +1573,18 @@ object Dedup {
     var labels = Ckpt(adj.select(col("a").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id")))
+    // convergence via the LABEL-SUM invariant (r18): every node's label
+    // is non-increasing per round (the min-agg includes its own label),
+    // so Σ cluster_id strictly decreases until the fixpoint and is
+    // equal iff NO label moved — one narrow aggregate over the freshly
+    // checkpointed round replaces the old per-round probe join of two
+    // node-sized label tables (exchange of both sides + join + limit).
+    // Decimal(38,0) sum: exact, overflow-free for 60-bit ids at any
+    // node count (a long sum would ANSI-throw at corpus scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1569,13 +1594,11 @@ object Dedup {
       val next = Ckpt(labels.unionByName(prop)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id")))
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") < col("old"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       freeCheckpoint(labels) // superseded round's blocks, see the helper
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     adj.unpersist()
@@ -1723,10 +1746,14 @@ object Dedup {
       val dir = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       val mins = dir.groupBy(col("a"))
         .agg(least(min(col("b")), first(col("a"))).as("m"))
+      // NOT distinct'd (r18): duplicates — (b, m) reached via two
+      // neighbors — cost nothing downstream (mins2 is a min-agg, and
+      // `next` ends in its own distinct) while the distinct here paid
+      // one exchange + two hash aggregates per round; volume stays
+      // bounded by the directed edge count either way
       val large = dir.join(mins, Seq("a"))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
       // small-star over min-oriented edges: (v, m(a)) for v ∈ Γ⁻(a) ∪ {a}
       val oriented = large.select(
         greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))

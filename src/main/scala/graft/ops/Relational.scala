@@ -143,7 +143,14 @@ object Relational {
       events: DataFrame, windowUs: Long,
       maxCandidatePairs: Long,
       forceQuadratic: Boolean): DataFrame = {
-    val ev = events.select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    // spread + share: THREE consumers read this projection (the
+    // guard's bucket counts, the exploded a-side, the b-side) — the
+    // explicit-width spread parallelizes the ts-decode/fan-out off an
+    // unsplittable scan AND its exchange is reused by all three
+    // consumers instead of three scans (Spread.byKey scaladoc)
+    val ev = Spread.byKey(
+      events.select(col("event_id"), unix_micros(col("ts")).as("tus")),
+      col("event_id"))
     if (!forceQuadratic) {
       // candidates = Σ cᵦ·(cᵦ + cᵦ₋₁) exactly as the plan fans out,
       // computed on the bucket-count frame (one row per non-empty

@@ -646,7 +646,7 @@ object TextAnalysis {
     * are integral; the per-doc float sum folds over the term list
     * sorted by token (association written down — the BM25 pin). */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val tf = spreadDocs(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("k"))
@@ -783,8 +783,30 @@ object TextAnalysis {
     else (df, keys) => df.repartition(parts, keys: _*)
   }
 
+  /** Spread the raw documents across the session width BEFORE a
+    * CPU-dense tokenize + n-gram explode. The Generate runs in the
+    * stage that WRITES its downstream shuffle, i.e. in the SCAN stage
+    * — and a scan's parallelism is the input's split count, which an
+    * unsplittable layout (one parquet row group, a gzip member, a
+    * small single-file fixture) pins at 1 whatever the box width (the
+    * guide's "input skew: repartition immediately after the read").
+    * A keyless/implicit-width repartition does not help: AQE's
+    * byte-based coalescing folds the few-hundred-KB doc exchange back
+    * to 1–2 partitions because it cannot see compute density — so the
+    * width is pinned EXPLICITLY to the session's shuffle width (a
+    * conf, not a box constant: the bench sets it per SPARK_GRAFT_CPUS,
+    * a cluster sets its own). Cost at scale: one doc-sized exchange,
+    * ~0.3% of the gram bytes the explode emits right after; the
+    * gramWiden sizer still re-widens the gram-level exchanges past the
+    * session width when the corpus demands it. */
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
   def bigramLogprob(docs: DataFrame): DataFrame = {
     val widen = gramWiden(docs)
+    val spread = spreadDocs(docs)
     val toks = tokens(col("text"))
     val bgArr = when(size(toks) >= 2,
       zip_with(
@@ -792,7 +814,7 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tf = widen(docs.select(col("doc_id"), explode(bgArr).as("bg")),
+    val tf = widen(spread.select(col("doc_id"), explode(bgArr).as("bg")),
         Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
     val byBg = widen(tf, Seq(col("bg")))
@@ -834,6 +856,7 @@ object TextAnalysis {
     * bigram-sorted list. */
   def interpLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     val widen = gramWiden(docs)
+    val spread = spreadDocs(docs)
     val toks = tokens(col("text"))
     val bgArr = when(size(toks) >= 2,
       zip_with(
@@ -841,10 +864,10 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val tf = widen(docs.select(col("doc_id"), explode(bgArr).as("bg")),
+    val tf = widen(spread.select(col("doc_id"), explode(bgArr).as("bg")),
         Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val uni = widen(docs.select(explode(toks).as("w2")), Seq(col("w2")))
+    val uni = widen(spread.select(explode(toks).as("w2")), Seq(col("w2")))
       .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
     val nu = uni.agg(sum(col("cu")).as("nu"))
     val byBg = widen(tf, Seq(col("bg")))
@@ -930,7 +953,7 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val widen = gramWiden(docs)
-    val tfDoc = widen(docs.withColumn("_toks", tokens(col("text")))
+    val tfDoc = widen(spreadDocs(docs).withColumn("_toks", tokens(col("text")))
         .select(col("doc_id"), explode(bgArr).as("bg")),
         Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
@@ -1043,7 +1066,7 @@ object TextAnalysis {
     // session partitions at 5M docs (measured: 32 parts = 186–239 s,
     // 256 = 136–172, 1024 = 157–196); the shared family sizer applies
     val widen = gramWiden(docs)
-    val grams = docs
+    val grams = spreadDocs(docs)
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, bgArr)).as("g"))

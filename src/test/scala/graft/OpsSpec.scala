@@ -173,6 +173,27 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("cluster loop internals (r18): duplicate/reversed input pairs and late-round convergence") {
+    import spark.implicits._
+    // clustersStar dropped its inner per-round distinct (the large-star
+    // duplicates cost nothing downstream) — duplicate AND reversed
+    // input pairs must still resolve exactly; clusters replaced its
+    // per-round probe join with the label-sum invariant — a chain that
+    // changes labels in its LAST admissible round (diameter = rounds)
+    // must converge to the same labeling, not stop early
+    val noisy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (20L, 21L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val viaStar = Dedup.clustersStar(noisy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val viaProp = Dedup.clusters(noisy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L)
+    assert(viaStar.toSeq === expected)
+    assert(viaProp.toSeq === expected)
+  }
+
   test("substring dedup: a shared 60-token span pairs unrelated docs; nothing else pairs") {
     import spark.implicits._
     val span = graft.ops.Dedup.SharedSpan
