@@ -108,3 +108,29 @@ private[graft] object Spread {
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, key)
 }
+
+/** Zero-job sizing for "materialize past this size" gates — the
+  * gramWiden derived-input rule factored out: optimizer `rowCount`
+  * when CBO has one, else `sizeInBytes` over the schema's default row
+  * width. defaultSize UNDERestimates real text rows, so this
+  * OVERestimates row counts — the safe direction for a gate whose
+  * at-scale arm is the safe one. */
+private[graft] object Sizing {
+  /** Row bound above which a multiply-consumed hash projection is
+    * worth checkpointing: below it the single-query-execution form
+    * wins (AQE reuses the exchanges and the re-run aggregates overlap
+    * — measured r18: materializing at fixture scale cost the minhash
+    * family 15–25%); above it, each extra consumer re-runs a full
+    * corpus scan + hash pass, which dwarfs one narrow materialization. */
+  val MaterializeRowsMin: Long = 1L << 17
+
+  def approxRows(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    val st = plan.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val perRow =
+        math.max(1L, plan.schema.map(_.dataType.defaultSize.toLong).sum + 8L)
+      (st.sizeInBytes.min(BigInt(Long.MaxValue)) / perRow).toLong
+    }
+  }
+}

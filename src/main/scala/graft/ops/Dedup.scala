@@ -38,12 +38,14 @@ object Dedup {
     val dups = docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + DupOffset).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
-    // explicit-width spread (Spread.byKey): the implicit-width form
-    // was AQE-coalesced back to 1-2 partitions at fixture byte sizes,
-    // serializing every downstream shingle/explode pass
-    Spread.byKey(
-      docs.select(col("doc_id"), col("text")).unionByName(dups),
-      col("doc_id"))
+    // NOTE r18: an explicit-width Spread.byKey here was measured and
+    // REVERTED — it parallelizes the shingle passes but taxes every
+    // cheap consumer (x_dedup_exact +60%: one md5 groupBy does not
+    // earn an extra exchange); the interleaved A/B read the family
+    // net-negative at fixture scale. The implicit form stays; the
+    // shingle-heavy operators own their own spread decisions.
+    docs.select(col("doc_id"), col("text")).unionByName(dups)
+      .repartition(col("doc_id"))
   }
 
   val duckCorpusWithDups: String =
@@ -192,7 +194,9 @@ object Dedup {
     val raw = withShingleHashes(corpus)
       .withColumn("sig", minhashSig(col("hs"), k))
       .select(col("doc_id"), col("hs"), col("sig"))
-    if (materialize) Ckpt(raw) else raw
+    if (materialize && Sizing.approxRows(corpus) >= Sizing.MaterializeRowsMin)
+      Ckpt(raw)
+    else raw
   }
 
   /** Fixture-pinned MinHash pairing (k=8, bands of 2, ~1e6 hash
@@ -358,8 +362,17 @@ object Dedup {
       targetRecall: Double = 0.95, maxBucket: Int = 1000): DataFrame = {
     val (b, r) = minhashAutoParams(jaccardMin, targetRecall)
     val k = b * r
-    val sh = corpus.withColumn("hs", shingleHashes64(col("text")))
+    // materialized past the size gate (Ckpt durable switch) for the
+    // same reason as minhashPairs' sigFrame: three consumers (band
+    // explode + one shingle-array fetch per verify side) otherwise
+    // each re-run the full scan + 60-bit shingle + xor-sig pass — at
+    // corpus scale the most expensive narrow stage this operator has
+    val shRaw = corpus.withColumn("hs", shingleHashes64(col("text")))
       .withColumn("sig", minhashSigXor(col("hs"), k))
+      .select(col("doc_id"), col("hs"), col("sig"))
+    val sh =
+      if (Sizing.approxRows(corpus) >= Sizing.MaterializeRowsMin) Ckpt(shRaw)
+      else shRaw
     val bvals = array((0 until b).map(g => concat_ws(":",
       (0 until r).map(j =>
         element_at(col("sig"), g * r + j + 1).cast("string")): _*)): _*)
@@ -804,15 +817,19 @@ object Dedup {
     val hashed =
       if (wideHashes) corpus.withColumn("hs", shingleHashes64(col("text")))
       else withShingleHashes(corpus)
-    // checkpointed (Ckpt durable switch): the shingle projection is
-    // consumed three times — the posting explode and one array fetch
-    // per verify-join side — and each consumer otherwise re-runs the
-    // full scan + shingle-hash pass (no exchange below it for AQE to
-    // reuse); text is projected out so only (doc_id, blk, hs)
-    // materializes
-    val sh = Ckpt(hashed
+    // checkpointed past the size gate (Ckpt durable switch): the
+    // shingle projection is consumed three times — the posting explode
+    // and one array fetch per verify-join side — and each consumer
+    // otherwise re-runs the full scan + shingle-hash pass (no exchange
+    // below it for AQE to reuse); text is projected out so only
+    // (doc_id, blk, hs) materializes. Below the gate the single-QE
+    // form wins (fixture A/B r18) and the plan matches the pre-r18 one.
+    val shRaw = hashed
       .withColumn("blk", (length(col("text")) / 16).cast("long"))
-      .select(col("doc_id"), col("blk"), col("hs")))
+      .select(col("doc_id"), col("blk"), col("hs"))
+    val sh =
+      if (Sizing.approxRows(corpus) >= Sizing.MaterializeRowsMin) Ckpt(shRaw)
+      else shRaw
     val posts = sh.select(col("doc_id"), col("blk"), explode(col("hs")).as("h"))
       .repartition(col("h"))
     val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1029,10 +1046,7 @@ object Dedup {
       minShared: Int = 5,
       maxBucket: Int = 100): DataFrame = {
     val wins = windowHashes(col("_th"), window)
-    // spread before the rolling-hash fan-out (Spread.byKey: the
-    // single-file fixture scan otherwise runs the whole token+window
-    // hashing on one task)
-    val dw = Spread.byKey(corpus, col("doc_id"))
+    val dw = corpus
       .withColumn("_th", Embedder.tokenHashes(col("text")))
       .select(col("doc_id"), explode(wins).as("whash"))
       .distinct() // a doc repeating its own span pairs once, not n²
@@ -1886,22 +1900,22 @@ object Dedup {
         .orderBy(col("keeper_id"))
     }),
     "x_dedup_minhash" -> ((s, dir) =>
-      Ckpt.ordered(minhashPairs(corpusWithDups(t(s, dir, "documents"))),
-        col("id_a"), col("id_b"))),
+      minhashPairs(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_pagerank" -> ((s, dir) =>
       neardupPagerank(corpusWithDups(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
     "x_minhash_estimate" -> ((s, dir) =>
-      Ckpt.ordered(minhashEstimate(corpusWithDups(t(s, dir, "documents"))),
-        col("id_a"), col("id_b"))),
+      minhashEstimate(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     // oracle-pinned 32-bit legacy form: the frozen suite hashes
     // against the 32-bit DuckDB twin; the PUBLIC simhashPairs is 64-bit
     "x_dedup_simhash" -> ((s, dir) =>
-      Ckpt.ordered(simhashPairs32Oracle(corpusWithDups(t(s, dir, "documents"))),
-        col("id_a"), col("id_b"))),
+      simhashPairs32Oracle(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_ngram" -> ((s, dir) =>
-      Ckpt.ordered(ngramJaccardPairs(corpusWithDups(t(s, dir, "documents"))),
-        col("id_a"), col("id_b"))),
+      ngramJaccardPairs(corpusWithDups(t(s, dir, "documents")))
+        .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"))
         .orderBy(col("id_a"), col("id_b"))),

@@ -646,7 +646,7 @@ object TextAnalysis {
     * are integral; the per-doc float sum folds over the term list
     * sorted by token (association written down — the BM25 pin). */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tf = spreadDocs(docs)
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("k"))
@@ -1066,7 +1066,7 @@ object TextAnalysis {
     // session partitions at 5M docs (measured: 32 parts = 186–239 s,
     // 256 = 136–172, 1024 = 157–196); the shared family sizer applies
     val widen = gramWiden(docs)
-    val grams = spreadDocs(docs)
+    val grams = docs
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, bgArr)).as("g"))
@@ -1729,8 +1729,8 @@ object TextAnalysis {
         .orderBy(col("lang"))),
 
     "x_ppl_buckets" -> ((s, dir) =>
-      Ckpt.ordered(pplBuckets(t(s, dir, "documents")),
-        col("lang"), col("bucket"))),
+      pplBuckets(t(s, dir, "documents"))
+        .orderBy(col("lang"), col("bucket"))),
 
     "x_bpe_pairs" -> ((s, dir) =>
       bpePairs(t(s, dir, "documents"), k = 20))

@@ -469,11 +469,14 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.bigramLogprob(base)
       assert(settled() === afterFirst,
         "second bare-table construction must reuse the memoized count")
-      // fixture-scale widths are the identity: no injected repartition
+      // fixture-scale gram widths are the identity: exactly ONE
+      // repartition — the r18 pre-tokenize doc spread (Spread.byKey,
+      // session width) — and none injected by gramWiden itself
       val plan = TextAnalysis.bigramLogprob(base)
         .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("RepartitionByExpression"),
-        "fixture-scale plans must stay byte-identical (identity widen)")
+      assert("RepartitionByExpression".r.findAllIn(plan).length == 1,
+        "fixture-scale plans carry only the doc spread (identity widen): " +
+          plan.take(2000))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
