@@ -80,9 +80,19 @@ private[graft] object Ckpt {
     * re-execution is gone. Honors the durable-checkpoint switch like
     * every other [[Ckpt]] call site. Use on results whose plan above
     * the final sort is expensive (heavy aggregate / window / wide
-    * narrow-map); a bare-scan child doesn't need it. */
+    * narrow-map); a bare-scan child doesn't need it.
+    *
+    * LAZY (eager=false, r18 advisor): an eager checkpoint executes the
+    * full query at DataFrame-CONSTRUCTION time, so merely building the
+    * suite query (plan dumps, spec plan assertions) paid a full
+    * execution. Lazy defers the final stage's compute + persist to the
+    * FIRST action (the sort's range-bounds sampling pass — still
+    * inside Bench's timed region, still exactly once); under AQE the
+    * construction-time `execute()` does still materialize the
+    * intermediate shuffle stages, so construction is cheaper, not
+    * free. The second (real) pass reads persisted blocks as before. */
   def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    apply(df).orderBy(cols: _*)
+    apply(df, eager = false).orderBy(cols: _*)
 }
 
 /** Explicit-width spread for CPU-dense fan-out stages (shingling,

@@ -1595,8 +1595,13 @@ object Dedup {
     // node-sized label tables (exchange of both sides + join + limit).
     // Decimal(38,0) sum: exact, overflow-free for 60-bit ids at any
     // node count (a long sum would ANSI-throw at corpus scale).
+    // Coalesced to 0: sum over an EMPTY label table is SQL NULL, and an
+    // empty pair list (a batch with no near-dups) is a realistic input
+    // — the loop then converges on the first round (0 == 0) and
+    // returns the empty frame (r18 advisor).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
         .head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

@@ -194,6 +194,16 @@ class OpsSpec extends SparkSpec {
     assert(viaProp.toSeq === expected)
   }
 
+  test("clusters: empty pair set converges immediately to an empty result (r19)") {
+    import spark.implicits._
+    // the label-sum probe over an empty label table is SQL NULL — it
+    // must coalesce to 0 and converge round one, not NPE (r18 advisor);
+    // both algorithms return the empty (id, cluster_id) frame
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(none).collect().isEmpty)
+    assert(Dedup.clustersStar(none).collect().isEmpty)
+  }
+
   test("substring dedup: a shared 60-token span pairs unrelated docs; nothing else pairs") {
     import spark.implicits._
     val span = graft.ops.Dedup.SharedSpan
