@@ -76,8 +76,22 @@ object QueryProf {
         }
     })
 
+    // SPARK_GRAFT_PRINT_PLAN=1: after the last rep, print the EXECUTED
+    // adaptive plan (ReusedExchange / final join strategies visible —
+    // the static formatted plan under AQE shows the full unshared tree
+    // and hides what actually ran).
+    val printPlan = sys.env.get("SPARK_GRAFT_PRINT_PLAN").contains("1")
+    // Unwrapped operator frames: a Ckpt.ordered suite query hides its
+    // whole subplan behind the checkpoint's LogicalRDD, so its stage
+    // receipts can't be tied to plan nodes. `op_<name>` profiles the
+    // operator with a plain orderBy instead (same work, visible plan).
+    val devFrames: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "op_kn_logprob" -> ((s, dir) =>
+          graft.ops.TextAnalysis.knLogprob(Tables.t(s, dir, "documents"))
+            .orderBy(org.apache.spark.sql.functions.col("doc_id"))))
     names.foreach { n =>
-      val q = SparkEntry.queries(n)
+      val q = devFrames.getOrElse(n, SparkEntry.queries(n))
       // warm-up (untimed, small sf)
       try q(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
       catch { case _: Throwable => }
@@ -86,10 +100,14 @@ object QueryProf {
         stages.clear(); jobs.clear(); jobStart.clear()
         record = r == reps
         val t0 = System.nanoTime()
-        q(spark, sfDir).queryExecution.toRdd.count()
+        val df = q(spark, sfDir)
+        df.queryExecution.toRdd.count()
         last = (System.nanoTime() - t0) / 1e9
         record = false
         println(f"[prof] $n rep $r: $last%.3f s")
+        if (printPlan && r == reps)
+          println(s"== $n executed plan ==\n" +
+            df.queryExecution.executedPlan.toString)
       }
       // give listener events a moment to drain
       Thread.sleep(300)

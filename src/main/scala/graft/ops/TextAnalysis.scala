@@ -646,6 +646,14 @@ object TextAnalysis {
     * are integral; the per-doc float sum folds over the term list
     * sorted by token (association written down — the BM25 pin). */
   def unigramLogprob(docs: DataFrame): DataFrame = {
+    // r19 measured-and-rejected: the bigram treatment (spreadDocs +
+    // explicit-width exchanges on the raw/tok/doc_id frames) ran every
+    // stage at the session width but read 1.50× WORSE in the
+    // interleaved in-suite A/B (quiet box, min-of-3, controls 1.00) —
+    // the extra exchanges and fixed 32-task overhead cost more than
+    // the single-task stages they parallelized. The natural
+    // ENSURE_REQUIREMENTS exchange below tf is also the reuse point
+    // the tot branch shares, so this shape tokenizes exactly once.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -730,15 +738,38 @@ object TextAnalysis {
     * gram rows per task measured as the sweet spot (dsir at 5M docs:
     * 32 parts = 186–239 s, 256 = 136–172, 1024 = 157–196). At or
     * below the session width the returned widen is the IDENTITY, so
-    * fixture plans — and the committed bench base — stay
-    * byte-identical. The explicit repartition keys always equal the
-    * downstream aggregate/window/join keys, so Catalyst elides its
-    * own exchange and the operator runs at the widened width. Values
-    * are partition-order independent everywhere this is used (integer
+    * the plan keeps its natural ENSURE_REQUIREMENTS exchanges (AQE
+    * placement + map-side partial aggregation). The explicit
+    * repartition keys always equal the downstream
+    * aggregate/window/join keys, so Catalyst elides its own exchange
+    * and the operator runs at the widened width. Values are
+    * partition-order independent everywhere this is used (integer
     * counts, windows over them, and order-pinned float folds).
     * Sizing runs NO job on a derived input (optimizer stats) and at
-    * most one memoized footer-count per bare table. */
+    * most one memoized footer-count per bare table.
+    *
+    * r19 measured-and-rejected: an explicit-width sibling
+    * (repartition at max(session, sized), never the identity) was
+    * tried on the vocabulary-window inputs, per-doc regroups, and
+    * multi-consumer raw gram frames — the single-task AQE-coalesced
+    * window stages DID go 32-wide, but the interleaved in-suite A/B
+    * (quiet box, min-of-3, byte-identical controls at 1.00) read it
+    * 1.10–1.50× WORSE per query at sf0.1: the added exchanges, fixed
+    * 32-task scheduling overhead, and lost map-side partial
+    * aggregation cost more than the serialized stages they
+    * parallelized, and on knLogprob the pinned raw exchange made all
+    * three consumer branches re-aggregate the raw grams (2.3× worse
+    * than re-tokenizing). The identity-at-or-below-session rule
+    * stays; OPTIMIZATION_r19.md has the per-query table. */
   private def gramWiden(docs: DataFrame): (DataFrame, Seq[Column]) => DataFrame = {
+    val (session, parts) = gramSizing(docs)
+    if (parts <= session) (df, _) => df
+    else (df, keys) => df.repartition(parts, keys: _*)
+  }
+
+  /** (session width, sized gram width) for [[gramWiden]] — the sizing
+    * rules documented there. */
+  private def gramSizing(docs: DataFrame): (Int, Int) = {
     val spark = docs.sparkSession
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val plan = docs.queryExecution.optimizedPlan
@@ -779,8 +810,7 @@ object TextAnalysis {
       }
     val parts =
       math.min(4096L, math.min(rows, Long.MaxValue / 300L) * 300L / 4000000L).toInt
-    if (parts <= session) (df, _) => df
-    else (df, keys) => df.repartition(parts, keys: _*)
+    (session, parts)
   }
 
   /** Spread the raw documents across the session width BEFORE a
@@ -867,7 +897,12 @@ object TextAnalysis {
     val tf = widen(spread.select(col("doc_id"), explode(bgArr).as("bg")),
         Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val uni = widen(spread.select(explode(toks).as("w2")), Seq(col("w2")))
+    // isnotnull(w2) pin: the scored⋈uni join infers it into the join's
+    // copy of this subtree but not into nu's, which un-shares the
+    // explode(toks) exchange and tokenizes the corpus twice (the
+    // dsirWeights/knLogprob canonical-equality rule).
+    val uni = widen(spread.select(explode(toks).as("w2"))
+        .where(col("w2").isNotNull), Seq(col("w2")))
       .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
     val nu = uni.agg(sum(col("cu")).as("nu"))
     val byBg = widen(tf, Seq(col("bg")))
@@ -953,8 +988,13 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val widen = gramWiden(docs)
+    // isnotnull(bg) is a semantic no-op (explode emits no nulls) but
+    // keeps canonical equality between the consumer branches the
+    // tfDoc⋈types join would otherwise fork by inferring the filter
+    // into only two of them (the dsirWeights rule).
     val tfDoc = widen(spreadDocs(docs).withColumn("_toks", tokens(col("text")))
-        .select(col("doc_id"), explode(bgArr).as("bg")),
+        .select(col("doc_id"), explode(bgArr).as("bg"))
+        .where(col("bg").isNotNull),
         Seq(col("doc_id"), col("bg")))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
     val types0 = widen(tfDoc, Seq(col("bg")))
@@ -966,7 +1006,11 @@ object TextAnalysis {
       .withColumn("n1f", count(lit(1)).over(Window.partitionBy(col("w1"))))
     val types = widen(types1, Seq(col("w2")))
       .withColumn("n1b", count(lit(1)).over(Window.partitionBy(col("w2"))))
-    val n1all = types.agg(count(lit(1)).as("nall"))
+    // count types0, not types: windows don't change the row count, and
+    // counting below them keeps the pinned window exchanges out of
+    // this branch (column pruning strips the windows anyway — this
+    // just makes the plan say what executes)
+    val n1all = types0.agg(count(lit(1)).as("nall"))
     val d = lit(discount)
     widen(tfDoc, Seq(col("bg"))).join(widen(types, Seq(col("bg"))), Seq("bg"))
       .crossJoin(broadcast(n1all))
@@ -1066,12 +1110,23 @@ object TextAnalysis {
     // session partitions at 5M docs (measured: 32 parts = 186–239 s,
     // 256 = 136–172, 1024 = 157–196); the shared family sizer applies
     val widen = gramWiden(docs)
+    // The isnotnull(b) filter is a semantic no-op (b is a hash of an
+    // exploded non-null gram, mod a nonzero literal) but load-bearing
+    // for the plan: the tf⋈cb join INFERS it into the tf and cb
+    // branches only, so the tot branch's copy of this subtree stopped
+    // canonicalizing equal and AQE exchange reuse never fired — the
+    // whole tokenize+explode+hash pass executed twice (r19 QueryProf:
+    // two 1-task stages, 693+905 ms, writing the same 3.77 MB
+    // exchange). Pinning the filter here makes every consumer branch
+    // identical, so inference adds nothing and the exchange is built
+    // once and reused.
     val grams = docs
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, bgArr)).as("g"))
       .select(col("doc_id"), col("is_target"),
         (Embedder.tokenHash(col("g")) % buckets).as("b"))
+      .where(col("b").isNotNull)
     val tf = widen(grams, Seq(col("doc_id"), col("is_target"), col("b")))
       .groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("k"))
