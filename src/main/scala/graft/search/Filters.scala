@@ -535,7 +535,16 @@ object Filters {
     // field-condition pair can't express), where high-quantity items
     // are either absent or come in pairs, minus two pinned ids.
     "e4_nested_filter" -> ((s, dir) => {
-      val items = t(s, dir, "lineitem")
+      // Spread before the collect_list (guide §2.5): the struct-build
+      // + partial collect_list otherwise runs inside the scan stage at
+      // the input's SPLIT count — 782 ms on 3 tasks over 600k rows at
+      // sf0.1 (r19 QueryProf), the single dominant stage of this
+      // query. The explicit exchange moves the same bytes the partial
+      // buffers moved and the aggregate runs at the session width.
+      val items = graft.ops.Spread.byKey(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(collect_list(struct(
           col("l_linenumber"), col("l_returnflag"), col("l_quantity"))).as("items"))
