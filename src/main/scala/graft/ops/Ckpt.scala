@@ -131,8 +131,16 @@ private[graft] object Sizing {
     * wins (AQE reuses the exchanges and the re-run aggregates overlap
     * — measured r18: materializing at fixture scale cost the minhash
     * family 15–25%); above it, each extra consumer re-runs a full
-    * corpus scan + hash pass, which dwarfs one narrow materialization. */
-  val MaterializeRowsMin: Long = 1L << 17
+    * corpus scan + hash pass, which dwarfs one narrow materialization.
+    * The r19 at-scale receipt (BENCH_NOTES / OPTIMIZATION_r19.md): at
+    * 150k docs (30× sf0.1, past the gate) the gate-ON arm beats
+    * forced-OFF on every gated family. The system property exists for
+    * exactly that A/B (force off with a huge value / on with 0) — a
+    * dev measurement knob, not a production switch; unset, the pinned
+    * default applies. */
+  val MaterializeRowsMin: Long =
+    sys.props.get("graft.materializeRowsMin").map(_.toLong)
+      .getOrElse(1L << 17)
 
   def approxRows(df: DataFrame): Long = {
     val plan = df.queryExecution.optimizedPlan
