@@ -99,12 +99,24 @@ object QueryProf {
       (1 to reps).foreach { r =>
         stages.clear(); jobs.clear(); jobStart.clear()
         record = r == reps
+        // phase split (guide §1 / VERDICT r18 item 8): tBuild = query
+        // construction + analysis (any eager work a query fn does),
+        // tPlan = Catalyst optimize + initial physical planning,
+        // tExec = execution incl. AQE per-stage replanning. AQE's
+        // replan time is NOT separable from tExec here — what this
+        // isolates is the driver-side pre-execution cost per query.
         val t0 = System.nanoTime()
         val df = q(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
         df.queryExecution.toRdd.count()
-        last = (System.nanoTime() - t0) / 1e9
+        val t3 = System.nanoTime()
+        last = (t3 - t0) / 1e9
         record = false
-        println(f"[prof] $n rep $r: $last%.3f s")
+        println(f"[prof] $n rep $r: $last%.3f s " +
+          f"(build ${(t1 - t0) / 1e9}%.3f, plan ${(t2 - t1) / 1e9}%.3f, " +
+          f"exec ${(t3 - t2) / 1e9}%.3f)")
         if (printPlan && r == reps)
           println(s"== $n executed plan ==\n" +
             df.queryExecution.executedPlan.toString)

@@ -1584,9 +1584,6 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val adj = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a")).cache()
-    var labels = Ckpt(adj.select(col("a").as("id"))
-      .distinct()
-      .withColumn("cluster_id", col("id")))
     // convergence via the LABEL-SUM invariant (r18): every node's label
     // is non-increasing per round (the min-agg includes its own label),
     // so Σ cluster_id strictly decreases until the fixpoint and is
@@ -1599,21 +1596,31 @@ object Dedup {
     // empty pair list (a batch with no near-dups) is a realistic input
     // — the loop then converges on the first round (0 == 0) and
     // returns the empty frame (r18 advisor).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    //
+    // r19: the sum rides the CHECKPOINT'S OWN ACTION via observe() —
+    // the eager materialization fills the CollectMetrics accumulator,
+    // so the per-round job that re-aggregated the freshly checkpointed
+    // labels is gone (the loop is per-round-job-floor-bound at fixture
+    // scale: QueryProf r19 shows 49 sub-160 ms jobs on the star twin).
+    def ckptWithSum(pre: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val named = pre.observe("graft_label_sum",
+        coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
+      val ck = Ckpt(named) // eager: executes named's plan
+      (ck, named.queryExecution.observedMetrics("graft_label_sum").getDecimal(0))
+    }
+    var (labels, prevSum) = ckptWithSum(adj.select(col("a").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = adj
         .join(labels.select(col("id").as("a"), col("cluster_id")), Seq("a"))
         .select(col("b").as("id"), col("cluster_id"))
-      val next = Ckpt(labels.unionByName(prop)
+      val (next, nextSum) = ckptWithSum(labels.unionByName(prop)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id")))
-      val nextSum = labelSum(next)
       freeCheckpoint(labels) // superseded round's blocks, see the helper
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -1750,14 +1757,22 @@ object Dedup {
     val nodes = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
-    var edges = Ckpt(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .filter(col("a") =!= col("b")).distinct())
-    // carried across rounds so set-equality needs ONE count job per
-    // round (plus the exceptAll only when cardinalities already match
-    // — distinct sets of equal size with an empty one-way difference
-    // are equal); the old per-round recount of the previous round's
-    // edges was pure scheduler overhead on an iterative operator
-    var edgeCount = edges.count()
+    // carried across rounds so set-equality needs no count job at all
+    // (plus the exceptAll only when cardinalities already match —
+    // distinct sets of equal size with an empty one-way difference
+    // are equal). r19: the count rides the checkpoint's own eager
+    // action via observe() (the clusters() ckptWithSum pattern) — the
+    // old per-round `next.count()` over the freshly checkpointed
+    // edges was one more job on a loop that is job-floor-bound at
+    // fixture scale (49 sub-160 ms jobs in the r19 QueryProf receipt).
+    def ckptWithCount(pre: DataFrame): (DataFrame, Long) = {
+      val named = pre.observe("graft_edge_count", count(lit(1)).as("n"))
+      val ck = Ckpt(named) // eager: executes named's plan
+      (ck, named.queryExecution.observedMetrics("graft_edge_count").getLong(0))
+    }
+    var (edges, edgeCount) = ckptWithCount(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1777,12 +1792,11 @@ object Dedup {
       val oriented = large.select(
         greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       val mins2 = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val next = Ckpt(oriented.join(mins2, Seq("a"))
+      val (next, nextCount) = ckptWithCount(oriented.join(mins2, Seq("a"))
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(mins2.select(col("a"), col("m").as("b")))
         .distinct())
-      val nextCount = next.count() // also materializes the checkpoint
       converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L
       freeCheckpoint(edges) // superseded round's blocks
