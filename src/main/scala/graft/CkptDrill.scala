@@ -122,7 +122,12 @@ object CkptDrill {
         if (killedAtNanos.get() != 0L) executorRemovals.incrementAndGet()
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (killedAtNanos.get() != 0L) postKillTaskEnds.incrementAndGet()
+        // only SUCCESSFUL post-kill task ends are recovery evidence:
+        // the killed executor's own tasks also emit (FAILED) task-end
+        // events, which would certify a kill that recovered nothing
+        // (r18 advisor)
+        if (killedAtNanos.get() != 0L && e.reason == org.apache.spark.Success)
+          postKillTaskEnds.incrementAndGet()
     })
     val killer = new Thread(() => {
       Thread.sleep(killAfterMs)
@@ -142,9 +147,11 @@ object CkptDrill {
     val tEnd = System.nanoTime()
     val killedSecs = (tEnd - t1) / 1e9
     killer.join(1000)
-    // listener events are delivered async — give the bus a moment
-    // before reading the recovery counters
-    Thread.sleep(500)
+    // listener events are delivered async — DRAIN the bus before
+    // reading the recovery counters (a fixed sleep raced a backlogged
+    // bus and flaked the drill, r18 advisor)
+    org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000)
     val killLandedMidRun = killed.get() != 0L && killedAtNanos.get() < tEnd &&
       executorRemovals.get() > 0L && postKillTaskEnds.get() > 0L
     val json = result match {

@@ -91,8 +91,20 @@ private[graft] object Ckpt {
     * construction-time `execute()` does still materialize the
     * intermediate shuffle stages, so construction is cheaper, not
     * free. The second (real) pass reads persisted blocks as before. */
-  def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    apply(df, eager = false).orderBy(cols: _*)
+  def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val out = apply(df, eager = false).orderBy(cols: _*)
+    lastOrdered = (df, out)
+    out
+  }
+
+  /** Test observability only (the Streams.lastRunProgress pattern):
+    * the most recent ordered() call's (pre-checkpoint child, returned
+    * frame). The checkpoint hides the child subplan from the returned
+    * plan AND — lazy since r19 — from the QueryExecutionListener
+    * sweep, so HofGuardSpec's wiring assertions (r18 advisor: a
+    * rewired query must not silently escape its operator-frame pins)
+    * read the child here and identity-check the returned frame. */
+  @volatile private[graft] var lastOrdered: (DataFrame, DataFrame) = _
 }
 
 /** Explicit-width spread for CPU-dense fan-out stages (shingling,

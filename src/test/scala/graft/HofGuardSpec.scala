@@ -181,4 +181,35 @@ class HofGuardSpec extends SparkSpec {
     assert(natives("x_substring_dedup").contains("RollingWindowHashes"),
       "x_substring_dedup must hash windows through RollingWindowHashes")
   }
+
+  test("ordered-checkpoint queries stay WIRED to their pinned operators (r18 advisor)") {
+    // The tokenize-budget and native pins above assert on OPERATOR
+    // frames because the checkpoint hides the subplan from the
+    // returned plan (and, with the r19 lazy checkpoint, from the
+    // QueryExecutionListener sweep too). This closes the residual gap the
+    // r18 advisor named: a suite query rewired AWAY from its pinned
+    // operator would pass those pins. Ckpt.ordered records its
+    // (child, result) pair; identity-checking the returned frame
+    // proves the suite entry IS the ordered() of that child, and the
+    // budget/native assertions then bind to the child the query
+    // actually executes.
+    val tok = "filter\\(split\\(".r
+    val wired = Seq(
+      ("x_fingerprint", 3),
+      ("x_intradoc_dedup", 4),
+      ("x_winnow", 3),
+      ("x_kn_logprob", 3))
+    wired.foreach { case (name, cap) =>
+      val q = SparkEntry.queries(name)(spark, sf)
+      val (child, result) = graft.ops.Ckpt.lastOrdered
+      assert(result eq q,
+        s"$name no longer returns Ckpt.ordered(<operator>) directly — " +
+          "re-point this wiring assertion at however it now builds")
+      val plan = child.queryExecution.optimizedPlan
+      val n = tok.findAllIn(plan.toString).length
+      assert(n >= 1 && n <= cap,
+        s"$name's EXECUTED child inlines the tokenize chain $n times " +
+          s"(expected 1..$cap) — the suite query drifted from its pinned operator")
+    }
+  }
 }
